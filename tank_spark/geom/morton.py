@@ -86,10 +86,10 @@ def morton_col(x_col, y_col):
         c = F.col(c) if isinstance(c, str) else c
         c = c.cast("long")
         for shift, mask in _MASKS:
-            c = (c | F.shiftleft(c, shift)).bitwiseAND(F.lit(mask))
+            c = c.bitwiseOR(F.shiftleft(c, shift)).bitwiseAND(F.lit(mask))
         return c
 
-    return (spread(x_col) | F.shiftleft(spread(y_col), 1)).cast("long")
+    return spread(x_col).bitwiseOR(F.shiftleft(spread(y_col), 1)).cast("long")
 
 
 # ----------------------------------------------------------------- SQL side

@@ -1,0 +1,91 @@
+"""The tile query — tank's flagship read path (reference
+application.kt:350-474; SURVEY.md §2.3).
+
+Planning = tile coords -> one contiguous Morton-code range; execution = a
+single pruned scan with predicate pushdown. The reference enumerates up to
+4^(13-z) point lookups (application.kt:371-379) — here the aligned block
+becomes one BETWEEN predicate, which Catalyst pushes into the parquet scan
+(PushedFilters) so row-groups outside the range are skipped. At 100 TB with
+the feature table written sorted/bucketed by ``hash``, this is an
+index-range read, not a table scan, and it involves zero shuffles.
+
+Three z-regimes (reference application.kt:371-399 semantics, replicated
+exactly — including the odd z>hash_level rule that reads the whole parent
+partition and relies on clipping):
+
+* z < hash_level: parent covers an aligned 2^d x 2^d block -> [lo, hi]
+* z = hash_level: single code
+* z > hash_level: centroid's parent zoom-13 tile -> single code
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tank_spark.geom import morton
+from tank_spark.plans.registry import register
+from tank_spark.sources.features import FEATURES_CTE, HASH_LEVEL, features_df
+
+SERVE_COLUMNS = ("uid", "hash", "kind", "score", "cnt", "tag", "lon", "qty")
+
+
+def tile_hash_range(z: int, x: int, y: int, hash_level: int = HASH_LEVEL) -> tuple[int, int]:
+    """[lo, hi] Morton range for tile (z, x, y) — the whole query plan."""
+    if z < hash_level:
+        return morton.morton_range(x, y, hash_level - z)
+    if z == hash_level:
+        code = morton.interleave(x, y)
+        return code, code
+    shift = z - hash_level
+    code = morton.interleave(x >> shift, y >> shift)
+    return code, code
+
+
+def tile_query(
+    spark: SparkSession,
+    sf_dir: str,
+    z: int,
+    x: int,
+    y: int,
+    kind: str | None = None,
+    columns: tuple[str, ...] = SERVE_COLUMNS,
+) -> DataFrame:
+    """Pruned scan for one tile request: T1a (hash range) + T1b (main-attr
+    equality) + T1c (projection)."""
+    lo, hi = tile_hash_range(z, x, y)
+    df = features_df(spark, sf_dir).filter(F.col("hash").between(lo, hi))
+    if kind is not None:
+        df = df.filter(F.col("kind") == kind)
+    return df.select(*columns)
+
+
+def _oracle(z: int, x: int, y: int, kind: str | None) -> str:
+    lo, hi = tile_hash_range(z, x, y)
+    pred = f"hash BETWEEN {lo} AND {hi}"
+    if kind is not None:
+        pred += f" AND kind = '{kind}'"
+    cols = ", ".join(SERVE_COLUMNS)
+    return f"{FEATURES_CTE} SELECT {cols} FROM features WHERE {pred}"
+
+
+# --- registered queries: one per planner regime over the derived features
+# block (base tile_x 1280..1343, tile_y 3136..3199; zoom-7 parent (20, 49))
+
+@register("tile_z9_range", _oracle(9, 80, 196, "road"),
+          doc="tile query, z<hash_level regime: 16x16 block BETWEEN + kind filter")
+def tile_z9_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tile_query(spark, sf_dir, 9, 80, 196, kind="road")
+
+
+@register("tile_z13_single", _oracle(13, 1281, 3137, None),
+          doc="tile query, z=hash_level regime: single Morton bucket")
+def tile_z13_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tile_query(spark, sf_dir, 13, 1281, 3137)
+
+
+@register("tile_z15_parent", _oracle(15, 5126, 12550, "water"),
+          doc="tile query, z>hash_level regime: centroid's zoom-13 parent bucket")
+def tile_z15_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (5126 >> 2, 12550 >> 2) = (1281, 3137): same parent partition as z13
+    return tile_query(spark, sf_dir, 15, 5126, 12550, kind="water")

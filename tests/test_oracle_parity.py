@@ -1,0 +1,41 @@
+"""Driver-shaped oracle parity for every SQL-expressible registered query.
+
+This is the local twin of the driver's CORRECTNESS gate: each query runs in
+Spark AND DuckDB at sf0.001 and must match on columns, row count, and
+sorted values.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+from tests.oracle_util import compare
+
+
+def _oracle_query_names():
+    from tank_spark.plans.registry import load_all
+
+    return [name for name, q in load_all().items() if q.oracle is not None]
+
+
+@pytest.mark.parametrize("name", _oracle_query_names())
+def test_oracle_parity(spark, name):
+    compare(spark, SF_DIR, name)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
+
+
+def test_queries_oracle_keys_align():
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) > 0
