@@ -1,0 +1,325 @@
+"""Deduplication operators over a derived corpus: exact, MinHash+LSH,
+SimHash, and n-gram Jaccard.
+
+The driver's documents table contains no duplicate texts, so the dedup
+corpus is derived in-query: every even-doc_id document appears twice —
+once as-is and once upper-cased under cid = doc_id + 1000000. After
+case/whitespace normalization those are exact duplicates, giving every
+operator a known answer while staying fully oracle-checkable.
+
+Cross-engine hashing: md5 (identical hex everywhere). A MinHash
+"permutation" i is the lexicographic min of ``md5(shingle || ':' || i)``
+— a uniform random permutation of shingle space for every salt i, so the
+standard Jaccard estimator applies unchanged.
+
+Scale posture (100 TB): exact dedup is a hash groupBy (map-side combine,
+one shuffle on the fingerprint). MinHash signatures are one explode +
+re-aggregate per doc (shuffle bounded by corpus size, not shingle count,
+thanks to partial min aggregation); LSH banding bounds the candidate join
+to same-band buckets — never the O(n^2) cross join; hot bands (boilerplate
+shingle sets) are the skew risk, handled by AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tank_spark.plans.registry import register
+
+K = 12        # minhash permutations
+BAND_W = 2    # band width -> 6 bands
+N_BANDS = K // BAND_W
+
+_CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id AS cid, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS cid, upper(text) FROM documents WHERE doc_id % 2 = 0
+)
+"""
+
+
+def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = d.select(F.col("doc_id").alias("cid"), "text")
+    dups = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select((F.col("doc_id") + 1000000).alias("cid"), F.upper("text").alias("text"))
+    )
+    return base.unionAll(dups)
+
+
+# ---------------------------------------------------------------- exact
+
+_NORM_SQL = "md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+@register(
+    "dedup_exact",
+    f"""
+    WITH {_CORPUS_CTE}
+    SELECT {_NORM_SQL} AS fp, COUNT(*) AS n_copies, MIN(cid) AS canonical_cid
+    FROM corpus GROUP BY fp
+    """,
+    doc="Exact dedup: normalized-content hash groupBy; canonical = min cid. "
+        "One shuffle, map-side combined.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus_df(spark, sf_dir)
+    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    return (
+        c.select(fp.alias("fp"), "cid")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("cid").alias("canonical_cid"))
+    )
+
+
+@register(
+    "dedup_exact_survivors",
+    f"""
+    WITH {_CORPUS_CTE}
+    SELECT COUNT(*) AS n_docs, COUNT(DISTINCT {_NORM_SQL}) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT {_NORM_SQL}) AS n_removed
+    FROM corpus
+    """,
+    doc="Exact-dedup summary: corpus size vs unique survivors.",
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus_df(spark, sf_dir)
+    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    return c.select(fp.alias("fp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_removed"),
+    )
+
+
+# ------------------------------------------------------------- shingling
+
+# 3-word shingles over lowercased alnum words; docs with <3 words get none
+_WORDS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def _shingles_sql(extra_cols: str = "") -> str:
+    return f"""
+shingled AS (
+  SELECT cid, {extra_cols}unnest(list_transform(
+           generate_series(1, GREATEST(len(w) - 2, 0)),
+           j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2])) AS shingle
+  FROM (SELECT cid, {extra_cols}{_WORDS_SQL} AS w FROM corpus)
+)
+"""
+
+
+_SHINGLES_SQL = _shingles_sql()
+
+
+def _shingles_df(c: DataFrame) -> DataFrame:
+    w = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(0))),
+        lambda j: F.concat_ws(
+            " ", F.element_at(w, j), F.element_at(w, j + 1), F.element_at(w, j + 2)
+        ),
+    )
+    return c.select("cid", F.explode(sh).alias("shingle"))
+
+
+# -------------------------------------------------------------- minhash
+
+def _sig_sql() -> str:
+    mins = ", ".join(
+        f"MIN(md5(shingle || ':{i}')) AS h{i}" for i in range(K)
+    )
+    return f"sigs AS (SELECT cid, {mins} FROM shingled GROUP BY cid)"
+
+
+def _sigs_df(sh: DataFrame) -> DataFrame:
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{i}")))).alias(f"h{i}")
+        for i in range(K)
+    ]
+    return sh.groupBy("cid").agg(*aggs)
+
+
+@register(
+    "dedup_minhash_signatures",
+    f"""
+    WITH {_CORPUS_CTE}, {_SHINGLES_SQL}, {_sig_sql()}
+    SELECT cid, {", ".join(f"h{i}" for i in range(K))} FROM sigs
+    """,
+    doc=f"MinHash signatures: {K} salted-md5 permutation minima per doc. "
+        "Partial min aggregation shrinks the shuffle to one row per doc.",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sigs_df(_shingles_df(corpus_df(spark, sf_dir)))
+
+
+def _bands_sql() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT cid, {b} AS band_idx, md5(h{BAND_W * b} || h{BAND_W * b + 1}) AS band_val FROM sigs"
+        for b in range(N_BANDS)
+    )
+    return f"bands AS ({rows})"
+
+
+def _bands_df(sigs: DataFrame) -> DataFrame:
+    parts = [
+        sigs.select(
+            "cid",
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat(F.col(f"h{BAND_W * b}"), F.col(f"h{BAND_W * b + 1}"))).alias("band_val"),
+        )
+        for b in range(N_BANDS)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    f"""
+    WITH {_CORPUS_CTE}, {_SHINGLES_SQL}, {_sig_sql()}, {_bands_sql()},
+    cand AS (
+      SELECT DISTINCT a.cid AS cid_a, b.cid AS cid_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.cid < b.cid
+    )
+    SELECT cid_a, cid_b,
+           CAST({" + ".join(f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(K))}
+                AS DOUBLE) / {K} AS est_jaccard
+    FROM cand JOIN sigs sa ON cand.cid_a = sa.cid
+              JOIN sigs sb ON cand.cid_b = sb.cid
+    WHERE {" + ".join(f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(K))} >= {K // 2}
+    """,
+    doc=f"MinHash+LSH near-dup pairs: {N_BANDS} bands of {BAND_W} -> "
+        "same-band candidates only (never O(n^2)); estimated Jaccard >= 0.5. "
+        "The derived dups surface at est_jaccard = 1.0.",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _sigs_df(_shingles_df(corpus_df(spark, sf_dir))).cache()
+    bands = _bands_df(sigs)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.cid") < F.col("b.cid")))
+        .select(F.col("a.cid").alias("cid_a"), F.col("b.cid").alias("cid_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("cid").alias("cid_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(K)])
+    sb = sigs.select(F.col("cid").alias("cid_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(K)])
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(K)
+    )
+    return (
+        cand.join(sa, "cid_a").join(sb, "cid_b")
+        .withColumn("n_match", matches)
+        .filter(F.col("n_match") >= K // 2)
+        .select("cid_a", "cid_b", (F.col("n_match").cast("double") / K).alias("est_jaccard"))
+    )
+
+
+# -------------------------------------------------------------- simhash
+
+_HEXPOS = "instr('0123456789abcdef', substr(md5(word), {c}, 1)) - 1"
+
+
+def _simhash_sql() -> str:
+    # 16-bit simhash: 4 bits from each of the first 4 md5 hex chars
+    sums = []
+    for bit in range(16):
+        c, b = bit // 4 + 1, bit % 4
+        v = _HEXPOS.format(c=c)
+        sums.append(
+            f"SUM(CASE WHEN (({v}) >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{bit}"
+        )
+    terms = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+    return f"""
+    WITH {_CORPUS_CTE},
+    words AS (
+      SELECT cid, unnest({_WORDS_SQL}) AS word FROM corpus
+    ),
+    bitsums AS (SELECT cid, {", ".join(sums)} FROM words GROUP BY cid)
+    SELECT cid, {terms} AS simhash16 FROM bitsums
+    """
+
+
+@register(
+    "dedup_simhash",
+    _simhash_sql(),
+    doc="SimHash (16-bit oracle-checkable variant; the production kernel "
+        "would widen to xxhash64 bits): per-bit majority vote over word "
+        "hashes. Near-dups share the code; one groupBy per doc.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus_df(spark, sf_dir)
+    words = c.select(
+        "cid",
+        F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))).alias("word"),
+    )
+    h = F.md5("word")
+    aggs = []
+    for bit in range(16):
+        ch, b = bit // 4 + 1, bit % 4
+        v = F.expr(f"instr('0123456789abcdef', substr(md5(word), {ch}, 1)) - 1")
+        bitval = F.shiftright(v, b).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(F.when(bitval == 1, 1).otherwise(-1)).alias(f"s{bit}"))
+    sums = words.groupBy("cid").agg(*aggs)
+    code = None
+    for i in range(16):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        code = term if code is None else code + term
+    return sums.select("cid", code.alias("simhash16"))
+
+
+# -------------------------------------------------------- n-gram jaccard
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH corpus AS (SELECT doc_id AS cid, source, text FROM documents),
+    {_shingles_sql("source, ")},
+    ds AS (SELECT DISTINCT cid, source, shingle FROM shingled),
+    sizes AS (SELECT cid, COUNT(*) AS n FROM (SELECT DISTINCT cid, shingle FROM shingled) GROUP BY cid),
+    inter AS (
+      SELECT a.cid AS cid_a, b.cid AS cid_b, COUNT(*) AS n_common
+      FROM ds a JOIN ds b ON a.shingle = b.shingle
+                AND a.source = b.source AND a.cid < b.cid
+      GROUP BY a.cid, b.cid
+    )
+    SELECT cid_a, cid_b,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter JOIN sizes sa ON cid_a = sa.cid JOIN sizes sb ON cid_b = sb.cid
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.05
+    """,
+    doc="Exact n-gram (3-word shingle) Jaccard for same-source candidate "
+        "pairs: shingle equi-join bounds the pair space (blocking key = "
+        "source), intersection/union from distinct shingle sets.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    c = d.select(F.col("doc_id").alias("cid"), "source", "text")
+    sh = _shingles_df(c).join(c.select("cid", "source"), "cid")
+    ds = sh.select("cid", "source", "shingle").distinct()
+    sizes = ds.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.source") == F.col("b.source"))
+               & (F.col("a.cid") < F.col("b.cid")))
+        .groupBy(F.col("a.cid").alias("cid_a"), F.col("b.cid").alias("cid_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed("cid", "cid_a").withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed("cid", "cid_b").withColumnRenamed("n", "nb")
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(sa, "cid_a").join(sb, "cid_b")
+        .filter(jac >= 0.05)
+        .select("cid_a", "cid_b", jac.alias("jaccard"))
+    )

@@ -1,0 +1,146 @@
+"""Event-stream operators over the ``events`` table: sessionization,
+event-time tumbling windows, funnels. Batch forms here (oracle-checkable);
+the Structured-Streaming forms live in tank_spark/streaming/.
+
+Timestamps are compared as epoch microseconds (exact integers) — the
+engines' timestamp *display* types differ, their microsecond arithmetic
+does not (see sources/tables.py:read_events for the ns->us story).
+
+Scale posture: sessionization is one shuffle on user_id then two window
+passes over sorted partitions; hot users are the skew risk (AQE). Tumbling
+windows are a plain groupBy on the truncated bucket — map-side combined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tank_spark.plans.registry import register
+from tank_spark.sources.tables import read_events
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+@register(
+    "sessionize_events",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, t,
+             CASE WHEN LAG(t) OVER w IS NULL
+                   OR t - LAG(t) OVER w > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, event_id, t,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           MIN(t) AS start_us, MAX(t) AS end_us, MAX(t) - MIN(t) AS duration_us
+    FROM sessions GROUP BY user_id, session_seq
+    """,
+    doc="Gap-based sessionization (30-min inactivity): lag + cumulative "
+        "session counter + per-session rollup. One shuffle on user_id.",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_events(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    prev = F.lag("t").over(w)
+    flagged = e.withColumn(
+        "new_s",
+        F.when(prev.isNull() | (F.col("t") - prev > SESSION_GAP_US), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("t").alias("start_us"),
+        F.max("t").alias("end_us"),
+        (F.max("t") - F.min("t")).alias("duration_us"),
+    )
+
+
+@register(
+    "tumbling_hourly_counts",
+    """
+    SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000 AS bucket_us,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY bucket_us, event_type
+    """,
+    doc="Event-time tumbling 1h window aggregation (batch form of the "
+        "streaming windowed count; map-side combined groupBy).",
+)
+def tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_events(spark, sf_dir)
+    bucket = (F.unix_micros("ts") - (F.unix_micros("ts") % 3_600_000_000)).alias("bucket_us")
+    return e.groupBy(bucket, "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "user_funnel_signup_purchase",
+    """
+    WITH s AS (SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_signup
+               FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+          FROM events WHERE event_type = 'purchase')
+    SELECT s.user_id, first_signup,
+           COUNT(p.t) AS purchases_after_signup
+    FROM s LEFT JOIN p ON p.user_id = s.user_id AND p.t > first_signup
+    GROUP BY s.user_id, first_signup
+    """,
+    doc="Two-step funnel: first signup -> subsequent purchases per user "
+        "(self-join on user with a time predicate).",
+)
+def user_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("first_signup"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("t").alias("p_t"))
+    )
+    return (
+        s.join(p, (F.col("p_user") == F.col("user_id"))
+               & (F.col("p_t") > F.col("first_signup")), "left")
+        .groupBy("user_id", "first_signup")
+        .agg(F.count("p_t").alias("purchases_after_signup"))
+    )
+
+
+@register(
+    "event_type_rates",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM events) AS share
+    FROM events GROUP BY event_type
+    """,
+    doc="Per-type event rates with a scalar-subquery denominator.",
+)
+def event_type_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_events(spark, sf_dir)
+    total = e.count()
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        (F.count(F.lit(1)).cast("double") / F.lit(float(total))).alias("share"),
+    )

@@ -1,0 +1,155 @@
+"""Text analysis over the ``documents`` table: token counting, quality
+scoring, n-gram language ID, document fingerprinting.
+
+All pure column expressions (JVM-side, codegen'd — no UDFs): at 100 TB
+these are map-only stages fused into the scan by whole-stage codegen, with
+zero shuffles except the explicit aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tank_spark.plans.registry import register
+
+_WORD = r"[a-z0-9]+"
+_TOKEN = r"\S+"
+_PUNCT = r"[.,!?;:]"
+
+# tiny stopword profiles for the n-gram/stopword language heuristic
+_LANG_PROFILES = {
+    "en": r"\b(the|and|of|to|is|in|that|for)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|zu)\b",
+    "fr": r"\b(le|les|des|et|est|une|dans|pour)\b",
+    "es": r"\b(el|los|las|y|es|una|en|por)\b",
+}
+
+_EN_STOP = _LANG_PROFILES["en"]
+
+
+def _n_matches(col, pat: str):
+    return F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+
+
+def _n_matches_sql(expr: str, pat: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{pat}'))"
+
+
+@register(
+    "text_stats",
+    f"""
+    SELECT doc_id, lang, source,
+           LENGTH(text) AS n_chars_actual,
+           {_n_matches_sql("text", _TOKEN)} AS n_tokens,
+           {_n_matches_sql("lower(text)", _WORD)} AS n_words,
+           {_n_matches_sql("text", _PUNCT)} AS n_punct,
+           CAST({_n_matches_sql("text", _PUNCT)} AS DOUBLE)
+             / GREATEST(LENGTH(text), 1) AS punct_ratio,
+           CAST({_n_matches_sql("lower(text)", _EN_STOP)} AS DOUBLE)
+             / GREATEST({_n_matches_sql("lower(text)", _WORD)}, 1) AS stop_ratio
+    FROM documents
+    """,
+    doc="Token/word/punctuation counting + ratios; the building block for "
+        "quality filtering. Map-only, fully codegen'd.",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    text, low = F.col("text"), F.lower(F.col("text"))
+    n_punct = _n_matches(text, _PUNCT)
+    n_words = _n_matches(low, _WORD)
+    return d.select(
+        "doc_id", "lang", "source",
+        F.length(text).alias("n_chars_actual"),
+        _n_matches(text, _TOKEN).alias("n_tokens"),
+        n_words.alias("n_words"),
+        n_punct.alias("n_punct"),
+        (n_punct.cast("double") / F.greatest(F.length(text), F.lit(1))).alias("punct_ratio"),
+        (_n_matches(low, _EN_STOP).cast("double") / F.greatest(n_words, F.lit(1))).alias("stop_ratio"),
+    )
+
+
+@register(
+    "text_quality_score",
+    f"""
+    SELECT doc_id,
+           CAST(LEAST({_n_matches_sql("lower(text)", _WORD)}, 200) AS DOUBLE) / 200.0 * 0.4
+         + CAST({_n_matches_sql("lower(text)", _EN_STOP)} AS DOUBLE)
+             / GREATEST({_n_matches_sql("lower(text)", _WORD)}, 1) * 0.4
+         + CASE WHEN LENGTH(text) >= 100 THEN 0.2 ELSE 0.0 END AS quality
+    FROM documents
+    """,
+    doc="Composite quality score: length saturation + stopword density + "
+        "minimum-length bonus (the usual pretraining-filter shape).",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    low = F.lower(F.col("text"))
+    n_words = _n_matches(low, _WORD)
+    score = (
+        F.least(n_words, F.lit(200)).cast("double") / F.lit(200.0) * F.lit(0.4)
+        + _n_matches(low, _EN_STOP).cast("double") / F.greatest(n_words, F.lit(1)) * F.lit(0.4)
+        + F.when(F.length("text") >= 100, F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    return d.select("doc_id", score.alias("quality"))
+
+
+def _lang_id_sql() -> str:
+    scores = {
+        lang: _n_matches_sql("lower(text)", pat) for lang, pat in _LANG_PROFILES.items()
+    }
+    return f"""
+    SELECT doc_id, lang AS lang_label,
+      CASE
+        WHEN {scores['en']} = 0 AND {scores['de']} = 0
+         AND {scores['fr']} = 0 AND {scores['es']} = 0 THEN 'unknown'
+        WHEN {scores['en']} >= {scores['de']} AND {scores['en']} >= {scores['fr']}
+         AND {scores['en']} >= {scores['es']} THEN 'en'
+        WHEN {scores['de']} >= {scores['fr']} AND {scores['de']} >= {scores['es']} THEN 'de'
+        WHEN {scores['fr']} >= {scores['es']} THEN 'fr'
+        ELSE 'es'
+      END AS lang_pred
+    FROM documents
+    """
+
+
+@register(
+    "lang_id_stopwords",
+    _lang_id_sql(),
+    doc="Language ID via stopword-profile scoring with a deterministic "
+        "argmax tie-break (the classic n-gram-profile heuristic, word-level).",
+)
+def lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    low = F.lower(F.col("text"))
+    s = {lang: _n_matches(low, pat) for lang, pat in _LANG_PROFILES.items()}
+    pred = (
+        F.when((s["en"] == 0) & (s["de"] == 0) & (s["fr"] == 0) & (s["es"] == 0), "unknown")
+        .when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), "en")
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), "de")
+        .when(s["fr"] >= s["es"], "fr")
+        .otherwise("es")
+    )
+    return d.select("doc_id", F.col("lang").alias("lang_label"), pred.alias("lang_pred"))
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_fp,
+           md5(array_to_string(list_sort(list_distinct(
+               regexp_extract_all(lower(text), '[a-z0-9]+'))), ' ')) AS bag_fp
+    FROM documents
+    """,
+    doc="Document fingerprints: whitespace/case-normalized content hash and "
+        "an order-insensitive bag-of-words hash (near-dup prefilter keys).",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("content_fp"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words)))).alias("bag_fp"),
+    )
