@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes end-to-end into the noop sink (full computation, no
+driver collect bottleneck). Times are per-query wall seconds on a warm
+session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+HEADLINE = [
+    # tank-parity surface
+    "tile_z9_range", "tile_z13_single", "heatmap_z9", "heatmap_z11",
+    "ingest_bucket_stats",
+    # relational
+    "q1_pricing_summary", "q3_shipping_priority", "q5_nation_volume",
+    "q6_forecast_revenue", "topk_orders_per_priority",
+    # llm pipeline
+    "dedup_exact", "dedup_minhash_lsh_pairs", "knn_brute_cosine",
+    "sessionize_events", "tumbling_hourly_counts", "text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("tank_spark_bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from tank_spark.plans.registry import load_all
+
+    registry = load_all()
+    # session warm-up: touch the biggest input once so JVM/codegen/file
+    # listing costs don't land on the first measured query
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry[name]
+        # one untimed warm-up run (codegen/JIT compilation, file listing,
+        # shared-cache build), then the measured run — steady-state is what
+        # a long-lived cluster sees
+        q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        t0 = time.perf_counter()
+        q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

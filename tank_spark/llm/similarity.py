@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tank_spark.plans.registry import register
+from tank_spark.sources.tables import load
 
 DIM = 64
 N_PLANES = 8
@@ -90,7 +91,7 @@ def _dot_lit_sql(a: str, weights: list[float]) -> str:
     doc="Per-vector L2^2 norm + dimension check (map-only).",
 )
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = load(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id", "label",
         F.size("embedding").alias("dim"),
@@ -126,7 +127,7 @@ def _knn_sql() -> str:
 def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
     )
@@ -171,7 +172,7 @@ def _sig_bits_col(col):
         "index an ANN probe would search).",
 )
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = load(spark, sf_dir, "embeddings")
     return (
         e.select("vec_id", _sig_bits_col(F.col("embedding")).alias("bucket"))
         .groupBy("bucket")
@@ -202,7 +203,7 @@ def _neardup_sql() -> str:
         "production swaps label for an IVF/LSH bucket key.",
 )
 def neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") % 5 == 0)
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("la"),
                  F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"),

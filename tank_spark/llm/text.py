@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tank_spark.plans.registry import register
+from tank_spark.sources.tables import load
 
 _WORD = r"[a-z0-9]+"
 _TOKEN = r"\S+"
@@ -54,7 +55,7 @@ def _n_matches_sql(expr: str, pat: str) -> str:
         "quality filtering. Map-only, fully codegen'd.",
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load(spark, sf_dir, "documents")
     text, low = F.col("text"), F.lower(F.col("text"))
     n_punct = _n_matches(text, _PUNCT)
     n_words = _n_matches(low, _WORD)
@@ -83,7 +84,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "minimum-length bonus (the usual pretraining-filter shape).",
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load(spark, sf_dir, "documents")
     low = F.lower(F.col("text"))
     n_words = _n_matches(low, _WORD)
     score = (
@@ -120,7 +121,7 @@ def _lang_id_sql() -> str:
         "argmax tie-break (the classic n-gram-profile heuristic, word-level).",
 )
 def lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load(spark, sf_dir, "documents")
     low = F.lower(F.col("text"))
     s = {lang: _n_matches(low, pat) for lang, pat in _LANG_PROFILES.items()}
     pred = (
@@ -146,7 +147,7 @@ def lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "an order-insensitive bag-of-words hash (near-dup prefilter keys).",
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load(spark, sf_dir, "documents")
     words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD), F.lit(0))
     return d.select(
         "doc_id",

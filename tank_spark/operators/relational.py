@@ -49,6 +49,35 @@ def _davg_sql(expr: str, alias: str) -> str:
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS {alias}"
 
 
+def _isum(col: str, alias: str, scale: int = 100) -> Column:
+    """Integer-exact sum: round to fixed-point, sum as long, scale back.
+    Order-independent like the decimal path but ~4x faster (plain int64
+    adds in codegen vs BigDecimal); inputs must fit scale*sum < 2^63."""
+    c = F.round(F.col(col) * scale, 0).cast("long")
+    return (F.sum(c).cast("double") / F.lit(float(scale))).alias(alias)
+
+
+def _isum_sql(col: str, alias: str, scale: int = 100) -> str:
+    return (
+        f"CAST(SUM(CAST(ROUND({col} * {scale}, 0) AS BIGINT)) AS DOUBLE)"
+        f" / {scale}.0 AS {alias}"
+    )
+
+
+def _iavg(col: str, alias: str, scale: int = 100) -> Column:
+    c = F.round(F.col(col) * scale, 0).cast("long")
+    return (
+        F.sum(c).cast("double") / F.lit(float(scale)) / F.count(F.lit(1))
+    ).alias(alias)
+
+
+def _iavg_sql(col: str, alias: str, scale: int = 100) -> str:
+    return (
+        f"CAST(SUM(CAST(ROUND({col} * {scale}, 0) AS BIGINT)) AS DOUBLE)"
+        f" / {scale}.0 / COUNT(*) AS {alias}"
+    )
+
+
 def _rev() -> Column:
     # built lazily: Column construction needs an active SparkContext
     return F.col("l_extendedprice").cast(_DEC) * (F.lit(1) - F.col("l_discount")).cast(_DEC)
@@ -63,30 +92,36 @@ _REV_SQL = "CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECI
     "q1_pricing_summary",
     f"""
     SELECT l_returnflag, l_linestatus,
-           {_dsum_sql("l_quantity", "sum_qty")},
-           {_dsum_sql("l_extendedprice", "sum_base_price")},
-           CAST(SUM({_REV_SQL}) AS DOUBLE) AS sum_disc_price,
-           {_davg_sql("l_quantity", "avg_qty")},
-           {_davg_sql("l_discount", "avg_disc")},
+           {_isum_sql("l_quantity", "sum_qty")},
+           {_isum_sql("l_extendedprice", "sum_base_price")},
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS DOUBLE)
+             / 10000.0 AS sum_disc_price,
+           {_iavg_sql("l_quantity", "avg_qty")},
+           {_iavg_sql("l_discount", "avg_disc")},
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
-    doc="TPC-H Q1 shape: scan-heavy groupBy with 6 aggregates. Scale: pure "
-        "map-side-combine aggregation on a 6-value key — no skew possible.",
+    doc="TPC-H Q1 shape: scan-heavy groupBy with 6 aggregates, all as "
+        "fixed-point integer sums (exact, order-independent, plain int64 "
+        "adds in codegen). Scale: map-side-combine on a 6-value key.",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100, 0).cast("long")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum("l_quantity", "sum_qty"),
-            _dsum("l_extendedprice", "sum_base_price"),
-            F.sum(_rev()).cast("double").alias("sum_disc_price"),
-            _davg("l_quantity", "avg_qty"),
-            _davg("l_discount", "avg_disc"),
+            _isum("l_quantity", "sum_qty"),
+            _isum("l_extendedprice", "sum_base_price"),
+            (F.sum(price_c * (F.lit(100) - disc_c)).cast("double") / F.lit(10000.0))
+            .alias("sum_disc_price"),
+            _iavg("l_quantity", "avg_qty"),
+            _iavg("l_discount", "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

@@ -44,9 +44,39 @@ BLOCK = 64
 KINDS = ("road", "building", "poi", "water")  # plays tank's main_attr role
 
 
-def features_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+# one materialized feature table per (session, sf_dir) — mirrors the
+# reference's physical design (a stored table clustered by `hash`,
+# application.kt:677-681) instead of re-deriving per query. The cache is
+# range-partitioned + sorted on `hash`, so cached-batch min/max stats give
+# the same Z-ORDER-style data skipping a 100 TB parquet layout would: a
+# Morton BETWEEN touches only the batches whose hash range overlaps.
+# (Deriving inline also blows up the pushed-down filter into a giant
+# non-codegen-able expression — measured 5x slower than the cached scan.)
+_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def features_df(spark: SparkSession, sf_dir: str, materialized: bool = True) -> DataFrame:
+    """The features table for ``sf_dir`` (cached, hash-clustered)."""
+    if not materialized:
+        return _derive(spark, sf_dir)
+    key = (id(spark), sf_dir)
+    if key not in _CACHE:
+        n_part = max(spark.sparkContext.defaultParallelism // 2, 4)
+        df = (
+            _derive(spark, sf_dir)
+            .repartitionByRange(n_part, "hash")
+            .sortWithinPartitions("hash")
+            .persist()
+        )
+        _CACHE[key] = df
+    return _CACHE[key]
+
+
+def _derive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive the features table from lineitem (Spark side)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    from tank_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
     key = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
     tx = (F.lit(BASE_X) + key.bitwiseAND(F.lit(63))).alias("tile_x")
     ty = (F.lit(BASE_Y) + F.shiftright(key, 6).bitwiseAND(F.lit(63))).alias("tile_y")
