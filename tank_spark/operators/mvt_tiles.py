@@ -1,0 +1,214 @@
+"""The full tile pipeline: project -> clip -> transform -> MVT encode, as
+a distributed Arrow-vectorized kernel (reference application.kt:420-467,
+SURVEY.md §2.3 T1e-T1j).
+
+Spark shape: tile requests (a small DataFrame) broadcast-join the feature
+table on the Morton range predicate; ``applyInPandas`` groups by tile and
+runs the geometry kernel per group — one Python batch per tile, Arrow in/
+out, nothing row-at-a-time on the JVM side. This is the one place SQL
+genuinely can't express the semantics (stateful polygon clipping +
+protobuf encoding), so it's isolated here per SURVEY.md §7.3.
+
+At 100 TB: the join is a broadcast of the request list against the
+hash-clustered feature table (partition-pruned per request); each tile
+group is independent — parallelism = #tiles, no shuffle besides the
+group-by-tile exchange. Kernel output is one MVT blob per tile (bounded
+size), so the collect/serve stage is tiny.
+
+Reference constants: extent 4096, buffer 64 (application.conf:33-36);
+layer name io.marauder.tank (application.conf:31); heatmap cells carry a
+``count`` property (application.kt:601).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tank_spark.geom import clip as clipmod
+from tank_spark.geom import mvt as mvtmod
+from tank_spark.geom import tilemath, wkt
+from tank_spark.operators.heatmap import grid_n
+from tank_spark.operators.tiles import tile_hash_range
+from tank_spark.plans.registry import register
+from tank_spark.sources.features import features_df
+
+EXTEND = 4096
+BUFFER = 64
+LAYER = "io.marauder.tank"
+
+TILE_OUT_SCHEMA = (
+    "z int, x int, y int, n_features long, mvt_size long, mvt_md5 string, mvt binary"
+)
+
+# the three planner regimes over the derived feature block (SURVEY §2.3)
+DEFAULT_REQUESTS = [
+    (9, 80, 196), (11, 320, 784), (13, 1281, 3137), (13, 1300, 3160),
+    (15, 5126, 12550), (7, 20, 49),
+]
+
+
+def _tile_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Kernel for one (z, x, y) group: rows with WKT + props -> one MVT."""
+    import hashlib
+
+    z = int(pdf["z"].iloc[0])
+    x = int(pdf["x"].iloc[0])
+    y = int(pdf["y"].iloc[0])
+    z2 = 1 << z
+    k1 = 0.5 * BUFFER / EXTEND
+    xmin, ymin = (x - k1) / z2, (y - k1) / z2
+    xmax, ymax = (x + 1 + k1) / z2, (y + 1 + k1) / z2
+
+    # deterministic encode order (pandas group order is partition-dependent)
+    pdf = pdf.sort_values("key")
+
+    feats = []
+    for row in pdf.itertuples(index=False):
+        try:
+            gtype, coords = wkt.loads(row.geometry)
+        except ValueError:
+            continue  # unparseable geometry -> skip (dead-letter at ingest)
+        proj = _project_geom(gtype, coords)
+        clipped = clipmod.clip(proj[0], proj[1], xmin, ymin, xmax, ymax)
+        if clipped is None:
+            continue
+        t, c = clipped
+
+        def tx(p):
+            return [round((p[0] * z2 - x) * EXTEND), round((p[1] * z2 - y) * EXTEND)]
+
+        if t == "Point":
+            c2 = tx(c)
+        elif t in ("LineString", "MultiPoint"):
+            c2 = [tx(p) for p in c]
+        elif t in ("Polygon", "MultiLineString"):
+            c2 = [[tx(p) for p in part] for part in c]
+        else:  # MultiPolygon
+            c2 = [[[tx(p) for p in ring] for ring in poly] for poly in c]
+        feats.append({
+            "geom_type": t, "coords": c2, "id": int(row.key),
+            "props": {"kind": row.kind, "score": float(row.score),
+                      "cnt": int(row.cnt), "tag": row.tag},
+        })
+
+    blob = mvtmod.encode(feats, layer_name=LAYER, extent=EXTEND)
+    return pd.DataFrame([{
+        "z": z, "x": x, "y": y, "n_features": len(feats),
+        "mvt_size": len(blob), "mvt_md5": hashlib.md5(blob).hexdigest(),
+        "mvt": blob,
+    }])
+
+
+def _project_geom(gtype: str, coords):
+    """WGS84 -> unit-mercator for any geometry nesting (T1f)."""
+    pj = tilemath.project
+    if gtype == "Point":
+        px, py = pj(coords[0], coords[1])
+        return gtype, [px, py]
+    if gtype in ("LineString", "MultiPoint"):
+        return gtype, [list(pj(p[0], p[1])) for p in coords]
+    if gtype in ("Polygon", "MultiLineString"):
+        return gtype, [[list(pj(p[0], p[1])) for p in part] for part in coords]
+    return gtype, [
+        [[list(pj(p[0], p[1])) for p in ring] for ring in poly] for poly in coords
+    ]
+
+
+def mvt_tiles(
+    spark: SparkSession, sf_dir: str,
+    requests: list[tuple[int, int, int]] = DEFAULT_REQUESTS,
+    kind: str | None = None,
+) -> DataFrame:
+    """Serve a batch of tile requests as MVT blobs (one row per tile)."""
+    reqs = spark.createDataFrame(
+        [(z, x, y, *tile_hash_range(z, x, y)) for z, x, y in requests],
+        "z int, x int, y int, lo long, hi long",
+    )
+    feats = features_df(spark, sf_dir)
+    if kind is not None:
+        feats = feats.filter(F.col("kind") == kind)
+    joined = feats.join(
+        F.broadcast(reqs), F.col("hash").between(F.col("lo"), F.col("hi"))
+    ).select("z", "x", "y", "key", "geometry", "kind", "score", "cnt", "tag")
+    tiles = joined.groupBy("z", "x", "y").applyInPandas(_tile_kernel, TILE_OUT_SCHEMA)
+    # a request matching zero features still serves a (valid, empty) tile —
+    # the reference encodes an empty FeatureCollection, not a 404
+    import hashlib
+
+    empty = mvtmod.encode([], layer_name=LAYER, extent=EXTEND)
+    empties = (
+        reqs.join(tiles.select("z", "x", "y"), ["z", "x", "y"], "left_anti")
+        .select(
+            "z", "x", "y",
+            F.lit(0).cast("long").alias("n_features"),
+            F.lit(len(empty)).cast("long").alias("mvt_size"),
+            F.lit(hashlib.md5(empty).hexdigest()).alias("mvt_md5"),
+            F.lit(bytearray(empty)).alias("mvt"),
+        )
+    )
+    return tiles.unionAll(empties)
+
+
+@register(
+    "tile_mvt_batch",
+    None,  # protobuf encoding is not SQL-expressible -> rows-only check
+    doc="T1e-T1j: full tile pipeline (WKT decode, mercator project, "
+        "buffered clip, integer transform, MVT encode) for the six default "
+        "requests across all three planner regimes. applyInPandas kernel; "
+        "deterministic blobs (features sorted by key).",
+)
+def tile_mvt_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mvt_tiles(spark, sf_dir).drop("mvt")
+
+
+def _heatmap_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One (z,x,y) group of heatmap cells -> MVT of cell polygons with a
+    ``count`` property (reference application.kt:601-610)."""
+    import hashlib
+
+    z = int(pdf["z"].iloc[0])
+    x = int(pdf["x"].iloc[0])
+    y = int(pdf["y"].iloc[0])
+    n = grid_n(z)
+    feats = []
+    for row in pdf.sort_values(["cell_i", "cell_j"]).itertuples(index=False):
+        i, j = int(row.cell_i), int(row.cell_j)
+        # cell rect in tile-local integer coords
+        x0, x1 = round(i * EXTEND / n), round((i + 1) * EXTEND / n)
+        y0, y1 = round(j * EXTEND / n), round((j + 1) * EXTEND / n)
+        ring = [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+        feats.append({
+            "geom_type": "Polygon", "coords": [ring],
+            "props": {"count": int(row.n_features)},
+        })
+    blob = mvtmod.encode(feats, layer_name=LAYER, extent=EXTEND)
+    return pd.DataFrame([{
+        "z": z, "x": x, "y": y, "n_cells": len(feats),
+        "mvt_size": len(blob), "mvt_md5": hashlib.md5(blob).hexdigest(),
+        "mvt": blob,
+    }])
+
+
+def heatmap_mvt(spark: SparkSession, sf_dir: str, z: int, x: int, y: int) -> DataFrame:
+    from tank_spark.operators.heatmap import heatmap
+
+    cells = heatmap(spark, sf_dir, z, x, y).withColumns(
+        {"z": F.lit(z), "x": F.lit(x), "y": F.lit(y)}
+    )
+    return cells.groupBy("z", "x", "y").applyInPandas(
+        _heatmap_kernel,
+        "z int, x int, y int, n_cells long, mvt_size long, mvt_md5 string, mvt binary",
+    )
+
+
+@register(
+    "heatmap_mvt_z9",
+    None,  # rows-only: MVT bytes
+    doc="H5: heatmap cells encoded as an MVT layer of cell polygons with "
+        "`count` properties.",
+)
+def heatmap_mvt_z9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return heatmap_mvt(spark, sf_dir, 9, 80, 196).drop("mvt")

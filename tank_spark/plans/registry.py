@@ -61,6 +61,8 @@ def load_all() -> dict[str, QueryDef]:
         "tank_spark.llm.dedup",
         "tank_spark.llm.similarity",
         "tank_spark.llm.events",
+        "tank_spark.llm.multimodal",
+        "tank_spark.operators.mvt_tiles",
     ]
     for m in modules:
         try:

@@ -1,0 +1,82 @@
+"""Golden tests for the distributed MVT tile pipeline: decode the blobs
+and check the feature sets against independently-computed expectations
+(never raw bytes alone — encoding is deterministic here but the check
+should survive encoder changes; SURVEY.md §5)."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+
+
+def test_tile_mvt_feature_sets(spark):
+    from pyspark.sql import functions as F
+
+    from tank_spark.geom import mvt as mvtmod
+    from tank_spark.operators.mvt_tiles import EXTEND, LAYER, mvt_tiles
+    from tank_spark.operators.tiles import tile_hash_range
+    from tank_spark.sources.features import features_df
+
+    out = {(r["z"], r["x"], r["y"]): r for r in mvt_tiles(spark, SF_DIR).collect()}
+    assert len(out) == 6
+
+    # independent expectation for the single-bucket tile (13, 1281, 3137):
+    # every feature of that bucket is a point inside the unbuffered tile
+    # (points are generated interior to their tile), so all survive the clip
+    lo, hi = tile_hash_range(13, 1281, 3137)
+    exp = features_df(spark, SF_DIR).filter(F.col("hash").between(lo, hi)).collect()
+    r = out[(13, 1281, 3137)]
+    assert r["n_features"] == len(exp) > 0
+
+    tile = mvtmod.decode(bytes(r["mvt"]))
+    layer = tile[LAYER]
+    assert layer["extent"] == EXTEND and layer["version"] == 2
+    feats = layer["features"]
+    assert len(feats) == len(exp)
+    got_ids = sorted(f["id"] for f in feats)
+    assert got_ids == sorted(e["key"] for e in exp)
+    # props round-trip with types
+    by_id = {f["id"]: f for f in feats}
+    for e in exp:
+        f = by_id[e["key"]]
+        assert f["props"]["kind"] == e["kind"]
+        assert f["props"]["cnt"] == e["cnt"]
+        assert abs(f["props"]["score"] - e["score"]) < 1e-9
+        # tile-local integer coords inside the buffered extent
+        cx, cy = f["coords"]
+        assert -64 <= cx <= EXTEND + 64 and -64 <= cy <= EXTEND + 64
+
+    # z=7 covers the whole 64x64 block: every feature of the dataset
+    whole = features_df(spark, SF_DIR).count()
+    assert out[(7, 20, 49)]["n_features"] == whole
+
+    # z=15 parent regime reads the parent bucket but clips to the subtile:
+    # strictly fewer features than the parent z=13 tile holds
+    assert 0 <= out[(15, 5126, 12550)]["n_features"] <= r["n_features"]
+
+
+def test_tile_mvt_determinism(spark):
+    from tank_spark.operators.mvt_tiles import mvt_tiles
+
+    a = {(r["z"], r["x"], r["y"]): r["mvt_md5"]
+         for r in mvt_tiles(spark, SF_DIR).collect()}
+    b = {(r["z"], r["x"], r["y"]): r["mvt_md5"]
+         for r in mvt_tiles(spark, SF_DIR).collect()}
+    assert a == b
+
+
+def test_heatmap_mvt_counts_match(spark):
+    from tank_spark.geom import mvt as mvtmod
+    from tank_spark.operators.heatmap import heatmap
+    from tank_spark.operators.mvt_tiles import LAYER, heatmap_mvt
+
+    blob_row = heatmap_mvt(spark, SF_DIR, 9, 80, 196).collect()[0]
+    cells = heatmap(spark, SF_DIR, 9, 80, 196).collect()
+    assert blob_row["n_cells"] == len(cells) > 0
+
+    layer = mvtmod.decode(bytes(blob_row["mvt"]))[LAYER]
+    got_counts = sorted(f["props"]["count"] for f in layer["features"])
+    assert got_counts == sorted(c["n_features"] for c in cells)
+    # cells are closed polygons
+    for f in layer["features"]:
+        ring = f["coords"][0]
+        assert ring[0] == ring[-1] and len(ring) == 5

@@ -1,0 +1,89 @@
+"""Mutation tests: bucket-partitioned feature table write, delete by uid,
+tile-range delete, update-in-place semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def table_dir(spark, tmp_path):
+    from tank_spark.operators.table_ops import write_feature_table
+    from tank_spark.sources.features import features_df
+
+    d = str(tmp_path / "features")
+    write_feature_table(features_df(spark, SF_DIR).drop("ts"), d)
+    return d
+
+
+def test_write_and_read_roundtrip(spark, table_dir):
+    from tank_spark.operators.table_ops import read_feature_table
+    from tank_spark.sources.features import features_df
+
+    df = read_feature_table(spark, table_dir)
+    assert df.count() == features_df(spark, SF_DIR).count()
+    # bucket column is the on-disk partition and matches hash % 64
+    bad = df.filter(F.col("bucket") != F.pmod(F.col("hash"), F.lit(64))).count()
+    assert bad == 0
+
+
+def test_bucket_pruning_visible_in_plan(spark, table_dir):
+    from tank_spark.operators.table_ops import read_feature_table
+
+    df = read_feature_table(spark, table_dir).filter(F.col("bucket") == 3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_delete_by_uid(spark, table_dir):
+    from tank_spark.operators.table_ops import delete_by_uid, read_feature_table
+
+    before = read_feature_table(spark, table_dir).count()
+    n = delete_by_uid(spark, table_dir, "feat-8001")
+    assert n == 1
+    after = read_feature_table(spark, table_dir)
+    assert after.count() == before - 1
+    assert after.filter(F.col("uid") == "feat-8001").count() == 0
+    # deleting a missing uid is a no-op
+    assert delete_by_uid(spark, table_dir, "feat-nope") == 0
+    assert read_feature_table(spark, table_dir).count() == before - 1
+
+
+def test_delete_tile_range(spark, table_dir):
+    from tank_spark.operators.table_ops import delete_tile, read_feature_table
+    from tank_spark.operators.tiles import tile_hash_range
+
+    lo, hi = tile_hash_range(11, 320, 784)
+    df = read_feature_table(spark, table_dir)
+    before = df.count()
+    in_range = df.filter(F.col("hash").between(lo, hi)).count()
+    assert in_range > 0
+    n = delete_tile(spark, table_dir, 11, 320, 784)
+    assert n == in_range
+    # fresh read: the pre-delete DataFrame is a stale snapshot whose plan
+    # pins the old file names
+    after = read_feature_table(spark, table_dir)
+    assert after.filter(F.col("hash").between(lo, hi)).count() == 0
+    assert after.count() == before - in_range
+
+
+def test_update_by_uid(spark, table_dir):
+    from tank_spark.operators.table_ops import read_feature_table, update_by_uid
+
+    # uid is NOT unique (the reference's PK is ((hash), uid, timestamp) —
+    # several rows may share a uid; the driver's lineitem has duplicate
+    # (orderkey, linenumber) pairs, so derived uids repeat too): the update
+    # touches every copy
+    n = update_by_uid(spark, table_dir, "feat-4005",
+                      {"score": 99.5, "tag": "tag-upd"})
+    assert n >= 1
+    df = read_feature_table(spark, table_dir)
+    rows = df.filter(F.col("uid") == "feat-4005").collect()
+    assert len(rows) == n
+    assert all(r["score"] == 99.5 and r["tag"] == "tag-upd" for r in rows)
+    # untouched rows keep their values; row count unchanged
+    other = df.filter(F.col("uid") == "feat-8001").collect()[0]
+    assert other["tag"].startswith("tag") and other["tag"] != "tag-upd"
