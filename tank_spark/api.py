@@ -1,0 +1,160 @@
+"""Engine façade mirroring the reference's HTTP surface (SURVEY.md §2:
+the 9 Ktor routes, application.kt:216-650) — so a user of the reference
+can switch and run every operation they run today, minus the HTTP
+transport (any web layer can wrap this; the engine is the contract).
+
+Route -> method map:
+
+| reference route                      | here                         |
+|--------------------------------------|------------------------------|
+| POST /{layer} (single feature)       | ``ingest_features``          |
+| POST /_bulk/{layer} (NDJSON spool)   | ``ingest_bulk`` (streaming)  |
+| GET /{uuid}                          | ``get_feature``              |
+| PUT /{uuid}                          | ``update_feature``           |
+| DELETE /{uuid}                       | ``delete_feature``           |
+| GET /tile/{z}/{x}/{y}                | ``tile``                     |
+| DELETE /tile/{z}/{x}/{y}             | ``delete_tile``              |
+| GET /heatmap/{z}/{x}/{y}             | ``heatmap``                  |
+| GET / (map UI)                       | n/a (serving concern)        |
+
+Every method returns DataFrames or plain values; nothing collects unless
+the caller asks (``.mvt_bytes`` helpers collect exactly one row).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class Tank:
+    """One feature layer backed by a bucket-partitioned parquet table."""
+
+    def __init__(self, spark: SparkSession, table_dir: str,
+                 main_attr: str = "kind", base_layer: str = "io.marauder.tank"):
+        self.spark = spark
+        self.table_dir = table_dir
+        self.main_attr = main_attr          # reference application.conf:39
+        self.base_layer = base_layer        # reference application.conf:31
+
+    # ------------------------------------------------------------- reads
+
+    def features(self) -> DataFrame:
+        from tank_spark.operators.table_ops import read_feature_table
+
+        return read_feature_table(self.spark, self.table_dir)
+
+    def get_feature(self, uid: str) -> DataFrame:
+        """GET /{uuid}: all rows for a feature id (uid is a clustering
+        key; reference returns the decoded feature)."""
+        return self.features().filter(F.col("uid") == uid)
+
+    def tile(self, z: int, x: int, y: int, filter_json: str | None = None) -> DataFrame:
+        """GET /tile/{z}/{x}/{y}: pruned scan for the tile; optional
+        ``{"<main_attr>": value}`` equality filter (reference
+        application.kt:364-368)."""
+        from tank_spark.operators.tiles import tile_hash_range
+
+        lo, hi = tile_hash_range(z, x, y)
+        df = self.features().filter(F.col("hash").between(lo, hi))
+        if filter_json:
+            val = json.loads(filter_json).get(self.main_attr)
+            if val is not None:
+                df = df.filter(F.col(self.main_attr) == val)
+        return df
+
+    def tile_mvt(self, z: int, x: int, y: int) -> bytes:
+        """GET /tile/{z}/{x}/{y} with MVT encoding — one protobuf blob."""
+        import pandas as pd
+
+        from tank_spark.operators.mvt_tiles import (
+            TILE_OUT_SCHEMA, _tile_kernel,
+        )
+
+        src = self.tile(z, x, y).withColumns(
+            {"z": F.lit(z), "x": F.lit(x), "y": F.lit(y)}
+        ).select("z", "x", "y", "key", "geometry", "kind", "score", "cnt", "tag")
+        out = src.groupBy("z", "x", "y").applyInPandas(_tile_kernel, TILE_OUT_SCHEMA)
+        rows = out.collect()
+        if not rows:
+            from tank_spark.geom import mvt as mvtmod
+            return mvtmod.encode([], layer_name=self.base_layer)
+        return bytes(rows[0]["mvt"])
+
+    def heatmap(self, z: int, x: int, y: int) -> DataFrame:
+        """GET /heatmap/{z}/{x}/{y}: grid cells with counts > 0."""
+        from tank_spark.geom.morton import morton_col
+        from tank_spark.operators.heatmap import grid_n
+        from tank_spark.operators.tiles import tile_hash_range
+
+        n = grid_n(z)
+        lo, hi = tile_hash_range(z, x, y)
+        cells = (
+            self.spark.range(n).select(F.col("id").alias("cell_i"))
+            .crossJoin(self.spark.range(n).select(F.col("id").alias("cell_j")))
+        )
+        denom = 2 * n * (1 << z)
+        ctx = F.expr(f"(2*({x}*{n} + cell_i) + 1) * 8192 DIV {denom}")
+        cty = F.expr(f"(2*({y}*{n} + cell_j) + 1) * 8192 DIV {denom}")
+        cells = cells.withColumn("cell_hash", morton_col(ctx, cty))
+        counts = (
+            self.features().filter(F.col("hash").between(lo, hi))
+            .groupBy("hash").agg(F.count(F.lit(1)).alias("n_features"))
+        )
+        return (
+            F.broadcast(cells)
+            .join(counts, cells.cell_hash == counts.hash)
+            .select("cell_i", "cell_j", "n_features")
+        )
+
+    # ------------------------------------------------------------ writes
+
+    def ingest_features(self, ndjson_rows: list[str]) -> dict:
+        """POST /{layer}: parse + coerce + hash + append; returns counts
+        (accepted/rejected — rejects appended to <table>/_rejects)."""
+        from tank_spark.streaming.ingest import FEATURE_JSON_SCHEMA, coerce_features
+
+        raw = self.spark.read.schema(FEATURE_JSON_SCHEMA).json(
+            self.spark.sparkContext.parallelize(ndjson_rows)
+        )
+        coerced = coerce_features(raw).localCheckpoint(eager=True)
+        ok = coerced.filter(~F.col("rejected")).drop("rejected")
+        bad = coerced.filter(F.col("rejected")).drop("rejected", "hash")
+        n_ok, n_bad = ok.count(), bad.count()
+        if n_ok:
+            (ok.withColumn("bucket", F.pmod(F.col("hash"), F.lit(64)))
+             .write.mode("append").partitionBy("bucket").parquet(self.table_dir))
+        if n_bad:
+            bad.write.mode("append").parquet(f"{self.table_dir}/_rejects")
+        self.spark.catalog.refreshByPath(self.table_dir)
+        return {"accepted": n_ok, "rejected": n_bad}
+
+    def ingest_bulk(self, drop_dir: str, checkpoint_dir: str):
+        """POST /_bulk/{layer}: asynchronous spool-dir ingest (202-style —
+        returns the running StreamingQuery immediately)."""
+        from tank_spark.streaming.ingest import start_ingest_stream
+
+        return start_ingest_stream(
+            self.spark, drop_dir, self.table_dir,
+            f"{self.table_dir}/_rejects", checkpoint_dir,
+        )
+
+    def update_feature(self, uid: str, updates: dict) -> int:
+        """PUT /{uuid}."""
+        from tank_spark.operators.table_ops import update_by_uid
+
+        return update_by_uid(self.spark, self.table_dir, uid, updates)
+
+    def delete_feature(self, uid: str) -> int:
+        """DELETE /{uuid}."""
+        from tank_spark.operators.table_ops import delete_by_uid
+
+        return delete_by_uid(self.spark, self.table_dir, uid)
+
+    def delete_tile(self, z: int, x: int, y: int) -> int:
+        """DELETE /tile/{z}/{x}/{y}."""
+        from tank_spark.operators.table_ops import delete_tile
+
+        return delete_tile(self.spark, self.table_dir, z, x, y)

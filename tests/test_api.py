@@ -1,0 +1,85 @@
+"""End-to-end façade test: the reference's route surface driven through
+the Tank class on a real table."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def tank(spark, tmp_path):
+    from tank_spark.api import Tank
+    from tank_spark.operators.table_ops import write_feature_table
+    from tank_spark.sources.features import features_df
+
+    d = str(tmp_path / "layer")
+    write_feature_table(features_df(spark, SF_DIR).drop("ts"), d)
+    return Tank(spark, d)
+
+
+def test_full_route_surface(tank):
+    # GET /tile with main-attr filter (reference application.kt:364-368)
+    t_all = tank.tile(9, 80, 196).count()
+    t_road = tank.tile(9, 80, 196, filter_json=json.dumps({"kind": "road"})).count()
+    assert 0 < t_road < t_all
+
+    # GET /tile as MVT
+    blob = tank.tile_mvt(13, 1281, 3137)
+    from tank_spark.geom import mvt as mvtmod
+    layer = mvtmod.decode(blob)["io.marauder.tank"]
+    assert len(layer["features"]) > 0
+
+    # GET /heatmap
+    hm = tank.heatmap(9, 80, 196)
+    assert hm.count() > 0
+    assert hm.filter(F.col("n_features") <= 0).count() == 0
+
+    # GET /{uuid}
+    assert tank.get_feature("feat-8001").count() == 1
+
+    # POST /{layer}
+    res = tank.ingest_features([
+        json.dumps({"id": "new-1", "lon": -123.7, "lat": 38.7,
+                    "kind": "poi", "score": "5", "cnt": "1", "tag": "t"}),
+        json.dumps({"id": "new-bad", "lon": 1.0, "lat": 1.0, "score": "zzz"}),
+    ])
+    assert res == {"accepted": 1, "rejected": 1}
+    assert tank.get_feature("new-1").count() == 1
+
+    # PUT /{uuid}
+    assert tank.update_feature("new-1", {"score": 7.5}) == 1
+    assert tank.get_feature("new-1").collect()[0]["score"] == 7.5
+
+    # DELETE /{uuid}
+    assert tank.delete_feature("new-1") == 1
+    assert tank.get_feature("new-1").count() == 0
+
+    # DELETE /tile
+    before = tank.features().count()
+    n = tank.delete_tile(13, 1281, 3137)
+    assert n > 0
+    assert tank.features().count() == before - n
+    # deleted tile now serves an empty (valid) MVT
+    layer2 = mvtmod.decode(tank.tile_mvt(13, 1281, 3137))["io.marauder.tank"]
+    assert layer2["features"] == []
+
+
+def test_sql_function_registration(spark):
+    from tank_spark.functions.geo import register_sql_functions
+    from tank_spark.geom import morton
+
+    register_sql_functions(spark)
+    row = spark.sql(
+        "SELECT tank_morton(3, 5) AS m, tank_morton_decode(tank_morton(3, 5)) AS d, "
+        "tank_tile_number(37.7749, -122.4194, 13) AS t, "
+        "tank_wkt_centroid('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') AS c"
+    ).collect()[0]
+    assert row["m"] == morton.interleave(3, 5)
+    assert row["d"] == [3, 5]
+    assert row["t"] == [1310, 3166]
+    assert row["c"] == [2.0, 2.0]
