@@ -57,6 +57,8 @@ def load_all() -> dict[str, QueryDef]:
         "tank_spark.operators.crud",
         "tank_spark.operators.ingest",
         "tank_spark.operators.relational",
+        "tank_spark.operators.asof",
+        "tank_spark.operators.advanced",
         "tank_spark.llm.text",
         "tank_spark.llm.dedup",
         "tank_spark.llm.similarity",
