@@ -144,3 +144,43 @@ def event_type_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         (F.count(F.lit(1)).cast("double") / F.lit(float(total))).alias("share"),
     )
+
+
+@register(
+    "salted_user_event_counts",
+    """
+    SELECT user_id, COUNT(*) AS n, SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS v_cents
+    FROM events GROUP BY user_id
+    """,
+    doc="Skew-resistant aggregation: phase 1 groups by (user_id, salt) for "
+        "partial counts so one hot user spreads over 8 reducers, phase 2 "
+        "merges salts. Result identical to the plain groupBy (the oracle).",
+)
+def salted_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_events(spark, sf_dir)
+    vc = F.round(F.col("value") * 100, 0).cast("long")
+    partial = (
+        e.withColumn("_salt", (F.col("event_id") % 8).cast("int"))
+        .groupBy("user_id", "_salt")
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum(vc).alias("pv"))
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pn").alias("n"), F.sum("pv").alias("v_cents")
+    )
+
+
+@register(
+    "approx_sketches_demo",
+    None,  # sketches are engine-specific -> rows-only check
+    doc="Approximate aggregate surface: HLL distinct counts and t-digest "
+        "quantiles per event type — the 100 TB substitutes for exact "
+        "COUNT(DISTINCT)/percentile (bounded memory, one pass, mergeable "
+        "partial state).",
+)
+def approx_sketches_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99_approx"),
+    )

@@ -154,3 +154,81 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("content_fp"),
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words)))).alias("bag_fp"),
     )
+
+
+# GPT-2-style pre-tokenizer pattern (public tokenizer regex family):
+# contractions, letter runs, digit runs, punctuation runs — each with an
+# optional leading space — plus whitespace runs. Java and RE2 agree on
+# \p{L}/\p{N} classes.
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+_BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
+
+
+@register(
+    "token_count_bpe",
+    f"""
+    SELECT doc_id,
+           {_n_matches_sql("text", _TOKEN)} AS n_ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS n_bpe_tokens,
+           CAST(LENGTH(text) AS DOUBLE)
+             / GREATEST(len(regexp_extract_all(text, '{_BPE_PAT_SQL}')), 1)
+             AS chars_per_token
+    FROM documents
+    """,
+    doc="Token counting two ways: whitespace tokens and a BPE-ish "
+        "pre-tokenizer regex (letter/digit/punct runs with leading-space "
+        "affinity) — the standard cost estimator for LLM training data.",
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_bpe = _n_matches(F.col("text"), _BPE_PAT)
+    return d.select(
+        "doc_id",
+        _n_matches(F.col("text"), _TOKEN).alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        (F.length("text").cast("double") / F.greatest(n_bpe, F.lit(1)))
+        .alias("chars_per_token"),
+    )
+
+
+# 16-bit word value from the first 4 hex chars of md5(word), via the
+# engine-neutral instr('0123456789abcdef', c) trick
+_WV_SQL = (
+    "((instr('0123456789abcdef', substr(md5({w}), 1, 1)) - 1) * 4096"
+    " + (instr('0123456789abcdef', substr(md5({w}), 2, 1)) - 1) * 256"
+    " + (instr('0123456789abcdef', substr(md5({w}), 3, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5({w}), 4, 1)) - 1))"
+)
+_ROLL_MOD = 2147483647  # 2^31 - 1: keeps acc*131 + wv inside int64
+_ROLL_B = 131
+
+
+@register(
+    "doc_rolling_hash",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT), list_transform(
+               regexp_extract_all(lower(text), '[a-z0-9]+'),
+               w -> CAST({_WV_SQL.format(w='w')} AS BIGINT))),
+             (acc, v) -> (acc * {_ROLL_B} + v) % {_ROLL_MOD}) AS rolling_hash
+    FROM documents
+    """,
+    doc="Order-sensitive document fingerprint: polynomial rolling hash "
+        "over the word sequence (base-131 fold mod 2^31-1, word values "
+        "from md5 hex) — distinguishes reordered near-dups that the "
+        "bag-of-words fingerprint cannot.",
+)
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    rolling = F.aggregate(
+        F.expr(
+            "transform(regexp_extract_all(lower(text), '[a-z0-9]+', 0), "
+            f"w -> CAST({_WV_SQL.format(w='w')} AS BIGINT))"
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * _ROLL_B + v) % _ROLL_MOD,
+    )
+    return d.select("doc_id", rolling.alias("rolling_hash"))

@@ -89,3 +89,24 @@ def tile_z13_single(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tile_z15_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (5126 >> 2, 12550 >> 2) = (1281, 3137): same parent partition as z13
     return tile_query(spark, sf_dir, 15, 5126, 12550, kind="water")
+
+
+@register(
+    "tile_sample_overview",
+    f"{{cte}} SELECT {{cols}} FROM features WHERE hash BETWEEN {{lo}} AND {{hi}} AND key % 20 = 0".format(
+        cte=FEATURES_CTE, cols=", ".join(SERVE_COLUMNS + ("key",)),
+        lo=tile_hash_range(7, 20, 49)[0], hi=tile_hash_range(7, 20, 49)[1],
+    ),
+    doc="Sampled overview tile: low-zoom tiles serve a deterministic 5% "
+        "sample instead of every feature — the materialized-sampling-cube "
+        "idea (Turbocharging Geospatial Visualization Dashboards, ICDE "
+        "2020) applied to tank's tile read path; at 100 TB overview zooms "
+        "would otherwise return the whole table.",
+)
+def tile_sample_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo, hi = tile_hash_range(7, 20, 49)
+    return (
+        features_df(spark, sf_dir)
+        .filter(F.col("hash").between(lo, hi) & (F.col("key") % 20 == 0))
+        .select(*SERVE_COLUMNS, "key")
+    )
