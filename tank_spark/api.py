@@ -67,11 +67,12 @@ class Tank:
 
     def tile_mvt(self, z: int, x: int, y: int) -> bytes:
         """GET /tile/{z}/{x}/{y} with MVT encoding — one protobuf blob."""
-        import pandas as pd
-
         from tank_spark.operators.mvt_tiles import (
             TILE_OUT_SCHEMA, _tile_kernel,
         )
+        from tank_spark.util import ensure_workers_have_package
+
+        ensure_workers_have_package(self.spark)
 
         src = self.tile(z, x, y).withColumns(
             {"z": F.lit(z), "x": F.lit(x), "y": F.lit(y)}

@@ -139,4 +139,7 @@ def _extract_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         "batching, error-in-band — is real).",
 )
 def media_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tank_spark.util import ensure_workers_have_package
+
+    ensure_workers_have_package(spark)
     return media_df(spark, sf_dir).mapInPandas(_extract_kernel, MEDIA_FEATURES_SCHEMA)

@@ -217,3 +217,143 @@ def neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.3)
     )
+
+
+# ------------------------------------------------------------------- IVF
+
+N_CENTROIDS = 8          # coarse centroids = embeddings of vec_id 0..7
+_IVF_QUERY_IDS = (20, 21)
+N_PROBE = 2              # probe the 2 nearest inverted lists
+
+
+def _ivf_assign_sql() -> str:
+    # squared L2 to centroid c: ||v||^2 - 2<v,c> + ||c||^2; ||v||^2 is
+    # constant per v so the argmin needs only -2<v,c> + ||c||^2
+    dot_vc = _dot_sql("v.embedding", "c.embedding")
+    n_c = _dot_sql("c.embedding", "c.embedding")
+    return f"""
+    assign AS (
+      SELECT vec_id, centroid_id, score FROM (
+        SELECT v.vec_id, c.vec_id AS centroid_id,
+               -2 * {dot_vc} + {n_c} AS score,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY -2 * {dot_vc} + {n_c}, c.vec_id) AS arn
+        FROM embeddings v JOIN embeddings c ON c.vec_id < {N_CENTROIDS}
+      ) WHERE arn = 1
+    )
+    """
+
+
+@register(
+    "ivf_assignments",
+    f"""
+    WITH {_ivf_assign_sql()}
+    SELECT centroid_id, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
+    FROM assign GROUP BY centroid_id
+    """,
+    doc=f"IVF coarse quantizer: every vector assigned to its nearest of "
+        f"{N_CENTROIDS} data-derived centroids (inverted-list sizes). At "
+        "100 TB the centroid set is broadcast and assignment is map-only; "
+        "this inventory view is the index-build health check.",
+)
+def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    dot = _dot_cols(F.col("embedding"), F.col("c_emb"))
+    n_c = _dot_cols(F.col("c_emb"), F.col("c_emb"))
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id", "centroid_id", (-2 * dot + n_c).alias("score")
+    )
+    w = Window.partitionBy("vec_id").orderBy("score", "centroid_id")
+    assign = (
+        scored.withColumn("arn", F.row_number().over(w))
+        .filter(F.col("arn") == 1)
+    )
+    return assign.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+def _ivf_probe_sql() -> str:
+    ids = ", ".join(str(i) for i in _IVF_QUERY_IDS)
+    dot_vc = _dot_sql("v.embedding", "c.embedding")
+    n_c = _dot_sql("c.embedding", "c.embedding")
+    dot_qe = _dot_sql("q.embedding", "e.embedding")
+    nq = _dot_sql("q.embedding", "q.embedding")
+    ne = _dot_sql("e.embedding", "e.embedding")
+    return f"""
+    WITH {_ivf_assign_sql()},
+    probes AS (
+      SELECT qid, centroid_id FROM (
+        SELECT v.vec_id AS qid, c.vec_id AS centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY -2 * {dot_vc} + {n_c}, c.vec_id) AS prn
+        FROM embeddings v JOIN embeddings c ON c.vec_id < {N_CENTROIDS}
+        WHERE v.vec_id IN ({ids})
+      ) WHERE prn <= {N_PROBE}
+    )
+    SELECT qid, vec_id, cosine, rn FROM (
+      SELECT p.qid, a.vec_id,
+             {dot_qe} / (sqrt({nq}) * sqrt({ne})) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY p.qid
+                                ORDER BY {dot_qe} / (sqrt({nq}) * sqrt({ne})) DESC,
+                                         a.vec_id) AS rn
+      FROM probes p
+        JOIN assign a ON a.centroid_id = p.centroid_id
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN embeddings q ON q.vec_id = p.qid
+      WHERE a.vec_id <> p.qid
+    ) WHERE rn <= 3
+    """
+
+
+@register(
+    "ivf_probe_search",
+    _ivf_probe_sql(),
+    doc=f"IVF probe search: rank only the vectors in the query's "
+        f"{N_PROBE} nearest inverted lists (recall/cost dial = nprobe). "
+        "The scale path for ANN when LSH recall is insufficient — "
+        "candidates ~ corpus/centroids * nprobe, never the full corpus.",
+)
+def ivf_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    dot = _dot_cols(F.col("embedding"), F.col("c_emb"))
+    n_c = _dot_cols(F.col("c_emb"), F.col("c_emb"))
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id", "centroid_id", (-2 * dot + n_c).alias("score"), "embedding"
+    )
+    w = Window.partitionBy("vec_id").orderBy("score", "centroid_id")
+    ranked = scored.withColumn("arn", F.row_number().over(w))
+    assign = ranked.filter(F.col("arn") == 1).select("vec_id", "centroid_id")
+    probes = (
+        ranked.filter(F.col("vec_id").isin(*_IVF_QUERY_IDS) & (F.col("arn") <= N_PROBE))
+        .select(F.col("vec_id").alias("qid"), "centroid_id")
+    )
+    q = e.filter(F.col("vec_id").isin(*_IVF_QUERY_IDS)).select(
+        F.col("vec_id").alias("qid2"), F.col("embedding").alias("q_emb")
+    )
+    cand = (
+        probes.join(assign, "centroid_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(e.select("vec_id", F.col("embedding").alias("e_emb")), "vec_id")
+        .join(F.broadcast(q), F.col("qid") == F.col("qid2"))
+    )
+    dot_qe = _dot_cols(F.col("q_emb"), F.col("e_emb"))
+    nq = _dot_cols(F.col("q_emb"), F.col("q_emb"))
+    ne = _dot_cols(F.col("e_emb"), F.col("e_emb"))
+    cos = dot_qe / (F.sqrt(nq) * F.sqrt(ne))
+    w2 = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        cand.select("qid", "vec_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= 3)
+    )

@@ -123,6 +123,9 @@ def mvt_tiles(
     kind: str | None = None,
 ) -> DataFrame:
     """Serve a batch of tile requests as MVT blobs (one row per tile)."""
+    from tank_spark.util import ensure_workers_have_package
+
+    ensure_workers_have_package(spark)
     reqs = spark.createDataFrame(
         [(z, x, y, *tile_hash_range(z, x, y)) for z, x, y in requests],
         "z int, x int, y int, lo long, hi long",
@@ -194,6 +197,9 @@ def _heatmap_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def heatmap_mvt(spark: SparkSession, sf_dir: str, z: int, x: int, y: int) -> DataFrame:
     from tank_spark.operators.heatmap import heatmap
+    from tank_spark.util import ensure_workers_have_package
+
+    ensure_workers_have_package(spark)
 
     cells = heatmap(spark, sf_dir, z, x, y).withColumns(
         {"z": F.lit(z), "x": F.lit(x), "y": F.lit(y)}
