@@ -28,6 +28,9 @@ HEADLINE = [
     # llm pipeline
     "dedup_exact", "dedup_minhash_lsh_pairs", "knn_brute_cosine",
     "sessionize_events", "tumbling_hourly_counts", "text_stats",
+    # custom operators / scale paths
+    "asof_purchase_last_click", "ivf_probe_search", "token_count_bpe",
+    "tile_mvt_batch",
 ]
 
 

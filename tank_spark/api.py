@@ -132,6 +132,40 @@ class Tank:
         self.spark.catalog.refreshByPath(self.table_dir)
         return {"accepted": n_ok, "rejected": n_bad}
 
+    def ingest_geojson(self, feature_collection_json: str) -> dict:
+        """POST /_bulk/{layer}?geojson=true: whole-body FeatureCollection
+        (reference application.kt:257-262) — explode features[], flatten
+        geometry/properties into the NDJSON wire shape, reuse the same
+        coercion path. Point features use their coordinates directly;
+        other geometries contribute their centroid (ingest computes the
+        centroid anyway, Tyler.kt:127)."""
+        import json as _json
+
+        from tank_spark.geom import wkt as _wkt
+
+        fc = _json.loads(feature_collection_json)
+        rows = []
+        for f in fc.get("features", []):
+            geom = f.get("geometry") or {}
+            gtype = geom.get("type")
+            coords = geom.get("coordinates")
+            if gtype == "Point" and coords:
+                lon, lat = float(coords[0]), float(coords[1])
+            elif gtype and coords:
+                lon, lat = _wkt.centroid(gtype, coords)
+            else:
+                lon = lat = None
+            props = f.get("properties") or {}
+            rows.append(_json.dumps({
+                "id": f.get("id"),
+                "lon": lon, "lat": lat,
+                "kind": props.get(self.main_attr),
+                "score": None if props.get("score") is None else str(props["score"]),
+                "cnt": None if props.get("cnt") is None else str(props["cnt"]),
+                "tag": props.get("tag"),
+            }))
+        return self.ingest_features(rows)
+
     def ingest_bulk(self, drop_dir: str, checkpoint_dir: str):
         """POST /_bulk/{layer}: asynchronous spool-dir ingest (202-style —
         returns the running StreamingQuery immediately)."""

@@ -21,7 +21,7 @@ _MOVE_TO, _LINE_TO, _CLOSE_PATH = 1, 2, 7
 
 # ------------------------------------------------------------ varint layer
 
-def _varint(v: int) -> bytes:
+def _varint_slow(v: int) -> bytes:
     out = bytearray()
     while True:
         b = v & 0x7F
@@ -31,6 +31,18 @@ def _varint(v: int) -> bytes:
         else:
             out.append(b)
             return bytes(out)
+
+
+# varints up to 2^14 cover tile-local coordinates (zigzag of +-8192) and
+# all tag/length bytes in practice — a lookup table beats re-encoding them
+# per feature on large tiles (the encoder is pure Python)
+_VARINT_LUT = [_varint_slow(i) for i in range(1 << 14)]
+
+
+def _varint(v: int) -> bytes:
+    if 0 <= v < (1 << 14):
+        return _VARINT_LUT[v]
+    return _varint_slow(v)
 
 
 def _zigzag(v: int) -> int:
