@@ -30,16 +30,21 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v):
+    # floats compare BIT-EXACT (hex) — a full sweep showed every oracle
+    # query achieves it (integer/fixed-point aggregates, sequential folds),
+    # and the driver's value hash is exact, so the local gate must be too.
+    # ints normalize through float when small so BIGINT vs DOUBLE columns
+    # carrying the same value still match.
     if v is None:
         return ("\x00null",)
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
             return ("\x01nan",)
-        return ("f", round(v, 9))
-    if isinstance(v, bool):
-        return ("b", v)
+        return ("f", v.hex())
     if isinstance(v, int):
-        return ("f", round(float(v), 9)) if abs(v) < 2**52 else ("i", v)
+        return ("f", float(v).hex()) if abs(v) < 2**52 else ("i", v)
     if hasattr(v, "isoformat"):
         return ("t", v.isoformat().replace("+00:00", ""))
     if isinstance(v, list):
