@@ -33,11 +33,17 @@ class Tank:
     """One feature layer backed by a bucket-partitioned parquet table."""
 
     def __init__(self, spark: SparkSession, table_dir: str,
-                 main_attr: str = "kind", base_layer: str = "io.marauder.tank"):
+                 main_attr: str = "kind", base_layer: str = "io.marauder.tank",
+                 cache_dir: str | None = None):
         self.spark = spark
         self.table_dir = table_dir
         self.main_attr = main_attr          # reference application.conf:39
         self.base_layer = base_layer        # reference application.conf:31
+        self._cache = None
+        if cache_dir is not None:
+            from tank_spark.operators.tile_cache import TileCache
+
+            self._cache = TileCache(spark, cache_dir)
 
     # ------------------------------------------------------------- reads
 
@@ -66,7 +72,13 @@ class Tank:
         return df
 
     def tile_mvt(self, z: int, x: int, y: int) -> bytes:
-        """GET /tile/{z}/{x}/{y} with MVT encoding — one protobuf blob."""
+        """GET /tile/{z}/{x}/{y} with MVT encoding — one protobuf blob.
+        Probes the tile cache first when configured (reference
+        application.kt:358-362), fills it after encoding (:469-470)."""
+        if self._cache is not None:
+            hit = self._cache.get("tile", z, x, y)
+            if hit is not None:
+                return hit
         from tank_spark.operators.mvt_tiles import (
             TILE_OUT_SCHEMA, _tile_kernel,
         )
@@ -81,8 +93,12 @@ class Tank:
         rows = out.collect()
         if not rows:
             from tank_spark.geom import mvt as mvtmod
-            return mvtmod.encode([], layer_name=self.base_layer)
-        return bytes(rows[0]["mvt"])
+            blob = mvtmod.encode([], layer_name=self.base_layer)
+        else:
+            blob = bytes(rows[0]["mvt"])
+        if self._cache is not None:
+            self._cache.put("tile", z, x, y, blob)
+        return blob
 
     def heatmap(self, z: int, x: int, y: int) -> DataFrame:
         """GET /heatmap/{z}/{x}/{y}: grid cells with counts > 0."""
@@ -189,7 +205,18 @@ class Tank:
         return delete_by_uid(self.spark, self.table_dir, uid)
 
     def delete_tile(self, z: int, x: int, y: int) -> int:
-        """DELETE /tile/{z}/{x}/{y}."""
+        """DELETE /tile/{z}/{x}/{y} (+ cache invalidation of the cover)."""
         from tank_spark.operators.table_ops import delete_tile
 
-        return delete_tile(self.spark, self.table_dir, z, x, y)
+        n = delete_tile(self.spark, self.table_dir, z, x, y)
+        self._invalidate_tile_bbox(z, x, y)
+        return n
+
+    def _invalidate_tile_bbox(self, z: int, x: int, y: int) -> None:
+        if self._cache is None:
+            return
+        from tank_spark.geom import tilemath
+        from tank_spark.operators.invalidation import BBox
+
+        lon_min, lat_min, lon_max, lat_max = tilemath.tile_bbox(z, x, y)
+        self._cache.invalidate_bboxes([BBox(lon_min, lat_min, lon_max, lat_max)])

@@ -107,10 +107,32 @@ def _derive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lat",
         F.degrees(F.atan(F.sinh(F.lit(math.pi) * (F.lit(1.0) - F.lit(2.0) * ny)))),
     )
+    # geometry mix ~ reference fixtures (FIXTURES.md §A): mostly points,
+    # some 2-point linestrings and small polygons. Shapes are SYMMETRIC
+    # around the anchor so centroid == anchor and the stored Morton hash
+    # stays consistent with tile(centroid) (Tyler.kt:127-131 invariant).
+    # geometry text is never oracle-compared (lat is transcendental).
+    lon_s, lat_s = F.col("lon").cast("string"), F.col("lat").cast("string")
+    d = F.lit(0.0008)
+    lon_w = (F.col("lon") - d).cast("string")
+    lon_e = (F.col("lon") + d).cast("string")
+    lat_s_ = (F.col("lat") - d).cast("string")
+    lat_n = (F.col("lat") + d).cast("string")
+    point = F.concat(F.lit("POINT ("), lon_s, F.lit(" "), lat_s, F.lit(")"))
+    line = F.concat(F.lit("LINESTRING ("), lon_w, F.lit(" "), lat_s,
+                    F.lit(", "), lon_e, F.lit(" "), lat_s, F.lit(")"))
+    poly = F.concat(
+        F.lit("POLYGON (("),
+        lon_w, F.lit(" "), lat_s_, F.lit(", "),
+        lon_e, F.lit(" "), lat_s_, F.lit(", "),
+        lon_e, F.lit(" "), lat_n, F.lit(", "),
+        lon_w, F.lit(" "), lat_n, F.lit(", "),
+        lon_w, F.lit(" "), lat_s_, F.lit("))"),
+    )
+    sel = F.col("key") % 20
     df = df.withColumn(
         "geometry",
-        F.concat(F.lit("POINT ("), F.col("lon").cast("string"), F.lit(" "),
-                 F.col("lat").cast("string"), F.lit(")")),
+        F.when(sel < 12, point).when(sel < 17, line).otherwise(poly),
     )
     return df
 

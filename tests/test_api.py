@@ -83,3 +83,25 @@ def test_sql_function_registration(spark):
     assert row["d"] == [3, 5]
     assert row["t"] == [1310, 3166]
     assert row["c"] == [2.0, 2.0]
+
+
+def test_tile_cache_roundtrip_and_invalidation(spark, tmp_path):
+    from tank_spark.api import Tank
+    from tank_spark.operators.table_ops import write_feature_table
+    from tank_spark.sources.features import features_df
+
+    d = str(tmp_path / "layer")
+    write_feature_table(features_df(spark, SF_DIR).drop("ts"), d)
+    t = Tank(spark, d, cache_dir=str(tmp_path / "cache"))
+
+    blob1 = t.tile_mvt(13, 1281, 3137)      # miss -> compute + fill
+    blob2 = t.tile_mvt(13, 1281, 3137)      # hit -> identical bytes
+    assert blob1 == blob2 and len(blob1) > 25
+
+    # a mutation inside the tile invalidates the cached entry...
+    n = t.delete_tile(13, 1281, 3137)
+    assert n > 0
+    blob3 = t.tile_mvt(13, 1281, 3137)      # recomputed: now empty
+    from tank_spark.geom import mvt as mvtmod
+    assert mvtmod.decode(blob3)["io.marauder.tank"]["features"] == []
+    assert blob3 != blob1

@@ -36,14 +36,17 @@ def test_tile_mvt_feature_sets(spark):
     assert got_ids == sorted(e["key"] for e in exp)
     # props round-trip with types
     by_id = {f["id"]: f for f in feats}
+    from tank_spark.geom import wkt as wktmod
+
     for e in exp:
         f = by_id[e["key"]]
         assert f["props"]["kind"] == e["kind"]
         assert f["props"]["cnt"] == e["cnt"]
         assert abs(f["props"]["score"] - e["score"]) < 1e-9
-        # tile-local integer coords inside the buffered extent
-        cx, cy = f["coords"]
-        assert -64 <= cx <= EXTEND + 64 and -64 <= cy <= EXTEND + 64
+        # every vertex in tile-local integer coords inside the buffered
+        # extent (features are a point/line/polygon mix)
+        for cx, cy in wktmod.iter_points(f["geom_type"], f["coords"]):
+            assert -70 <= cx <= EXTEND + 70 and -70 <= cy <= EXTEND + 70
 
     # z=7 covers the whole 64x64 block: every feature of the dataset
     whole = features_df(spark, SF_DIR).count()
