@@ -216,3 +216,128 @@ def dense_rank_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w1).alias("tier"),
         F.ntile(4).over(w2).alias("quartile"),
     )
+
+
+@register(
+    "top_returning_customers",
+    f"""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS DOUBLE)
+             / 10000.0 AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: revenue lost to returned items per customer, "
+        "top 20 (join + agg + deterministic top-k).",
+)
+def top_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    dc = F.round(F.col("l_discount") * 100, 0).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg((F.sum(pc * (F.lit(100) - dc)).cast("double") / 10000.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "priority_by_ship_delay",
+    """
+    SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 'high' ELSE 'low' END AS prio_class,
+           CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                THEN 'late' ELSE 'on_time' END AS ship_class,
+           COUNT(*) AS n
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY prio_class, ship_class
+    """,
+    doc="TPC-H Q12 shape: shipping-delay classes x priority classes "
+        "(CASE bucketing over a fact join).",
+)
+def priority_by_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    prio = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+    ).otherwise("low")
+    late = F.when(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90), "late"
+    ).otherwise("on_time")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(prio.alias("prio_class"), late.alias("ship_class"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "promo_revenue_share",
+    """
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                         * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+                    ELSE 0 END) AS DOUBLE)
+           / SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS promo_share,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape: promo revenue share (conditional aggregate "
+        "ratio; integer-exact numerator/denominator so the double division "
+        "is engine-identical).",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    dc = F.round(F.col("l_discount") * 100, 0).cast("long")
+    rev = pc * (F.lit(100) - dc)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            (F.sum(promo).cast("double") / F.sum(rev)).alias("promo_share"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "disjunctive_predicate_revenue",
+    f"""
+    SELECT COUNT(*) AS n, {_isum_sql("l_extendedprice", "revenue")}
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
+       OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10)
+       OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size <= 15)
+    """,
+    doc="TPC-H Q19 shape: disjunctive multi-attribute predicates over a "
+        "fact-dimension join (pushes as a single OR filter).",
+)
+def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("l_quantity").between(1, 11) & (F.col("p_size") <= 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("l_quantity").between(10, 20) & (F.col("p_size") <= 10))
+        | ((F.col("p_brand") == "Brand#34") & F.col("l_quantity").between(20, 30) & (F.col("p_size") <= 15))
+    )
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).alias("n"), _isum("l_extendedprice", "revenue")
+    )
