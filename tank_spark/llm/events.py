@@ -37,8 +37,8 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
     ),
     sessions AS (
       SELECT user_id, event_id, t,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_seq
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM flagged
     )
     SELECT user_id, session_seq, COUNT(*) AS n_events,
@@ -149,7 +149,7 @@ def event_type_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "salted_user_event_counts",
     """
-    SELECT user_id, COUNT(*) AS n, SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS v_cents
+    SELECT user_id, COUNT(*) AS n, CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v_cents
     FROM events GROUP BY user_id
     """,
     doc="Skew-resistant aggregation: phase 1 groups by (user_id, salt) for "

@@ -94,7 +94,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id", "label",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
         _dot_cols(F.col("embedding"), F.col("embedding")).alias("norm2"),
     )
 
@@ -139,7 +139,7 @@ def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         joined.select("qid", "vec_id", cosine.alias("cosine"))
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 5)
     )
 
@@ -354,6 +354,6 @@ def ivf_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     w2 = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         cand.select("qid", "vec_id", cos.alias("cosine"))
-        .withColumn("rn", F.row_number().over(w2))
+        .withColumn("rn", F.row_number().over(w2).cast("long"))
         .filter(F.col("rn") <= 3)
     )

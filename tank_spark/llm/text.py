@@ -30,7 +30,8 @@ _EN_STOP = _LANG_PROFILES["en"]
 
 
 def _n_matches(col, pat: str):
-    return F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+    # long, matching DuckDB len() (BIGINT) for schema parity
+    return F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))).cast("long")
 
 
 def _n_matches_sql(expr: str, pat: str) -> str:
@@ -41,7 +42,7 @@ def _n_matches_sql(expr: str, pat: str) -> str:
     "text_stats",
     f"""
     SELECT doc_id, lang, source,
-           LENGTH(text) AS n_chars_actual,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_actual,
            {_n_matches_sql("text", _TOKEN)} AS n_tokens,
            {_n_matches_sql("lower(text)", _WORD)} AS n_words,
            {_n_matches_sql("text", _PUNCT)} AS n_punct,
@@ -61,7 +62,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_words = _n_matches(low, _WORD)
     return d.select(
         "doc_id", "lang", "source",
-        F.length(text).alias("n_chars_actual"),
+        F.length(text).cast("long").alias("n_chars_actual"),
         _n_matches(text, _TOKEN).alias("n_tokens"),
         n_words.alias("n_words"),
         n_punct.alias("n_punct"),

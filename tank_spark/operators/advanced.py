@@ -213,8 +213,8 @@ def dense_rank_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return p.select(
         "p_brand", "p_partkey", "p_retailprice",
-        F.dense_rank().over(w1).alias("tier"),
-        F.ntile(4).over(w2).alias("quartile"),
+        F.dense_rank().over(w1).cast("long").alias("tier"),
+        F.ntile(4).over(w2).cast("long").alias("quartile"),
     )
 
 

@@ -43,7 +43,7 @@ def point_lookup_uid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "delete_by_uid",
-    f"{FEATURES_CTE} SELECT COUNT(*) AS n_remaining, SUM(cnt) AS sum_cnt "
+    f"{FEATURES_CTE} SELECT COUNT(*) AS n_remaining, CAST(SUM(cnt) AS BIGINT) AS sum_cnt "
     f"FROM features WHERE uid <> '{_DELETE_UID}'",
     doc="C2: delete by uid -> post-delete table summary (application.kt:302-315)",
 )
@@ -60,7 +60,7 @@ _TILE_DEL = tile_hash_range(11, 320, 784)  # partition delete target
 
 @register(
     "delete_tile",
-    f"{FEATURES_CTE} SELECT kind, COUNT(*) AS n, SUM(cnt) AS sum_cnt "
+    f"{FEATURES_CTE} SELECT kind, COUNT(*) AS n, CAST(SUM(cnt) AS BIGINT) AS sum_cnt "
     f"FROM features WHERE NOT (hash BETWEEN {_TILE_DEL[0]} AND {_TILE_DEL[1]}) "
     f"GROUP BY kind",
     doc="C4: tile (partition) delete -> survivors by kind (application.kt:476-520)",

@@ -24,10 +24,10 @@ from tank_spark.sources.tables import load
     SELECT p_partkey,
            UPPER(p_name) AS up,
            SUBSTRING(p_name, 1, 5) AS head5,
-           LENGTH(p_name) AS n_chars,
+           CAST(LENGTH(p_name) AS BIGINT) AS n_chars,
            REPLACE(p_name, 'a', '@') AS repl,
            CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END AS has_a,
-           levenshtein(p_brand, p_type) AS brand_type_dist,
+           CAST(levenshtein(p_brand, p_type) AS BIGINT) AS brand_type_dist,
            reverse(p_brand) AS rev_brand,
            concat_ws('|', p_brand, p_type) AS joined,
            lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4
@@ -42,10 +42,10 @@ def string_functions_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.upper("p_name").alias("up"),
         F.substring("p_name", 1, 5).alias("head5"),
-        F.length("p_name").alias("n_chars"),
+        F.length("p_name").cast("long").alias("n_chars"),
         F.replace(F.col("p_name"), F.lit("a"), F.lit("@")).alias("repl"),
         F.when(F.col("p_name").like("%a%"), 1).otherwise(0).alias("has_a"),
-        F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
+        F.levenshtein("p_brand", "p_type").cast("long").alias("brand_type_dist"),
         F.reverse("p_brand").alias("rev_brand"),
         F.concat_ws("|", "p_brand", "p_type").alias("joined"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
@@ -57,10 +57,10 @@ def string_functions_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_orderkey, l_linenumber,
            ABS(l_quantity - 25) AS dev,
-           SIGN(l_quantity - 25) AS sgn,
+           CAST(SIGN(l_quantity - 25) AS DOUBLE) AS sgn,
            CAST(l_quantity AS BIGINT) % 7 AS m7,
-           FLOOR(l_extendedprice / 1000) AS price_k,
-           CEIL(l_discount * 100) AS disc_pct,
+           CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_k,
+           CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct,
            POWER(2.0, CAST(l_linenumber AS INT)) AS pow2,
            GREATEST(l_quantity, 25.0) AS hi,
            LEAST(l_quantity, 25.0) AS lo

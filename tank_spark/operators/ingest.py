@@ -68,7 +68,7 @@ def ingest_coerce_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ingest_bucket_stats",
     f"{FEATURES_CTE} SELECT hash, COUNT(*) AS n, COUNT(DISTINCT kind) AS n_kinds, "
-    f"SUM(cnt) AS sum_cnt FROM features GROUP BY hash",
+    f"CAST(SUM(cnt) AS BIGINT) AS sum_cnt FROM features GROUP BY hash",
     doc="I2-I4: the ingest bucketing invariant — every feature lands in one "
         "zoom-13 Morton bucket; per-bucket stats (partition health view)",
 )

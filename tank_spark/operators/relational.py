@@ -261,7 +261,7 @@ def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.select(
             "o_orderpriority", "o_orderkey", "o_totalprice",
-            F.row_number().over(w).alias("rn"),
+            F.row_number().over(w).cast("long").alias("rn"),
         ).filter(F.col("rn") <= 3)
     )
 
