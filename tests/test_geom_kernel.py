@@ -241,3 +241,16 @@ def test_mvt_value_dedup():
     assert len(tile["io.marauder.tank"]["features"]) == 10
     # shared key/value tables keep the blob small: 10 features share 1 key+1 value
     assert len(blob) < 200
+
+
+@given(st.integers(0, 2**16 - 1), st.integers(0, 2**16 - 1))
+@settings(max_examples=50, deadline=None)
+def test_morton_sql_emitter_matches_python(x, y):
+    """The DuckDB SQL emitter (used by every oracle) must agree with the
+    Python kernel bit-for-bit."""
+    import duckdb
+
+    from tank_spark.geom.morton import morton_sql
+
+    got = duckdb.sql(f"SELECT {morton_sql(str(x), str(y))} AS m").fetchone()[0]
+    assert got == morton.interleave(x, y)
