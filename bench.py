@@ -66,12 +66,16 @@ def main() -> None:
     for name in HEADLINE:
         q = registry[name]
         # one untimed warm-up run (codegen/JIT compilation, file listing,
-        # shared-cache build), then the measured run — steady-state is what
-        # a long-lived cluster sees
+        # shared-cache build), then best-of-2 measured runs — steady-state
+        # is what a long-lived cluster sees, and this VM shows occasional
+        # 3-4x single-run noise (GC/scheduler) that min-of-2 filters
         q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        t0 = time.perf_counter()
-        q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
         print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)

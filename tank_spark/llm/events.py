@@ -184,3 +184,39 @@ def approx_sketches_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
         F.percentile_approx("value", 0.99, 10000).alias("p99_approx"),
     )
+
+
+@register(
+    "weekly_retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week
+      FROM events
+    )
+    SELECT cohort_week, CAST(week - cohort_week AS BIGINT) AS weeks_since,
+           COUNT(*) AS n_active
+    FROM firsts JOIN activity USING (user_id)
+    GROUP BY cohort_week, weeks_since
+    """,
+    doc="Weekly retention cohorts: first-seen week x weeks-since activity "
+        "matrix (integer epoch-week bucketing, exact in both engines).",
+)
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_events(spark, sf_dir)
+    week = (F.unix_micros("ts") / F.lit(604800000000)).cast("long")
+    # integer division: unix_micros >= 0 here, so floor == trunc; use
+    # explicit floor-div semantics to match DuckDB //
+    week = F.floor(F.unix_micros("ts") / F.lit(604800000000)).cast("long")
+    firsts = e.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = e.select("user_id", week.alias("week")).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).cast("long").alias("weeks_since"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -233,3 +233,38 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, v: (acc * _ROLL_B + v) % _ROLL_MOD,
     )
     return d.select("doc_id", rolling.alias("rolling_hash"))
+
+
+@register(
+    "top_words_per_lang",
+    """
+    SELECT lang, word, n, rnk FROM (
+      SELECT lang, word, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rnk
+      FROM (
+        SELECT lang, word, COUNT(*) AS n FROM (
+          SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+          FROM documents
+        ) GROUP BY lang, word
+      )
+    ) WHERE rnk <= 5
+    """,
+    doc="Top-5 most frequent words per language label: explode -> count "
+        "-> windowed rank. The vocabulary-stats building block; word "
+        "explosion is map-side, the count is partial-aggregated, and the "
+        "rank shuffle carries only (lang, word, n) rows.",
+)
+def top_words_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "lang",
+        F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD), F.lit(0))).alias("word"),
+    )
+    counts = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("word"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+    )
