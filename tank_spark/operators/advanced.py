@@ -341,3 +341,47 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     return j.filter(cond).agg(
         F.count(F.lit(1)).alias("n"), _isum("l_extendedprice", "revenue")
     )
+
+
+@register(
+    "array_agg_statuses",
+    """
+    SELECT l_returnflag,
+           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           len(list_sort(list(DISTINCT l_linestatus))) AS n_statuses,
+           CASE WHEN list_contains(list(DISTINCT l_linestatus), 'O')
+                THEN 1 ELSE 0 END AS has_open
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Complex-type aggregation: sorted distinct-value arrays per group "
+        "(collect_set is unordered — sort_array makes it deterministic) "
+        "plus array length/containment.",
+)
+def array_agg_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    arr = F.sort_array(F.collect_set("l_linestatus"))
+    return li.groupBy("l_returnflag").agg(
+        arr.alias("statuses"),
+        F.size(arr).cast("long").alias("n_statuses"),
+        F.when(F.array_contains(arr, "O"), 1).otherwise(0).alias("has_open"),
+    )
+
+
+@register(
+    "grouping_sets_volume",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Explicit GROUPING SETS (beyond ROLLUP/CUBE): chosen subtotal "
+        "combinations only.",
+)
+def grouping_sets_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+           FROM _li_gs
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+    )
