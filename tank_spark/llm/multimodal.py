@@ -143,3 +143,46 @@ def media_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_workers_have_package(spark)
     return media_df(spark, sf_dir).mapInPandas(_extract_kernel, MEDIA_FEATURES_SCHEMA)
+
+
+N_FRAMES = 3
+FRAME_SCHEMA = "doc_id long, frame_idx int, ts_ms long, frame_md5 string"
+
+
+def _frame_sample_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas fan-out kernel: each video row yields N_FRAMES frame
+    rows (1 -> N). Frame extraction is STUBBED deterministically (ffmpeg
+    absent): frame bytes are modeled as md5(payload || frame_idx); the
+    real system swaps only the inner expression. The fan-out shape —
+    batch in, multiple rows per input out — is the real plumbing."""
+    import hashlib
+
+    for pdf in batches:
+        out = []
+        for row in pdf.itertuples(index=False):
+            if row.meta["media_type"] != "video/mp4":
+                continue
+            payload = bytes(row.payload)
+            for i in range(N_FRAMES):
+                out.append({
+                    "doc_id": int(row.doc_id),
+                    "frame_idx": i,
+                    "ts_ms": i * 1000,
+                    "frame_md5": hashlib.md5(payload + bytes([i])).hexdigest(),
+                })
+        yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "ts_ms", "frame_md5"])
+
+
+@register(
+    "media_frame_sample",
+    None,  # python kernel -> rows-only
+    doc="Video frame sampling via mapInPandas fan-out (decode stubbed): "
+        "each video row emits N deterministic frame rows — the shape of "
+        "frame extraction / chunking pipelines at scale (map-only, output "
+        "cardinality N x inputs, no shuffle).",
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tank_spark.util import ensure_workers_have_package
+
+    ensure_workers_have_package(spark)
+    return media_df(spark, sf_dir).mapInPandas(_frame_sample_kernel, FRAME_SCHEMA)

@@ -161,3 +161,37 @@ def test_streaming_sessions_match_batch(spark):
         assert got.items() <= full.items()
     finally:
         q.stop()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: the same event file replayed twice through a
+    stream dedupes on event_id (the streaming form of dedup_exact)."""
+    from pyspark.sql import functions as F
+
+    from tank_spark.sources.tables import read_events
+
+    ev = read_events(spark, SF_DIR).select("event_id", "user_id", "ts", "value")
+    drop = tmp_path / "drop"
+    ev.limit(200).coalesce(1).write.parquet(str(drop / "a"))
+    ev.limit(200).coalesce(1).write.parquet(str(drop / "b"))  # exact replay
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(drop))
+    )
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        deduped.writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT event_id FROM dedup_out").collect()
+    ids = [r["event_id"] for r in got]
+    assert len(ids) == len(set(ids))  # no duplicates emitted
+    assert len(ids) == 200            # every distinct event survived
