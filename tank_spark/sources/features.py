@@ -52,14 +52,14 @@ KINDS = ("road", "building", "poi", "water")  # plays tank's main_attr role
 # Morton BETWEEN touches only the batches whose hash range overlaps.
 # (Deriving inline also blows up the pushed-down filter into a giant
 # non-codegen-able expression — measured 5x slower than the cached scan.)
-_CACHE: dict[tuple[int, str], DataFrame] = {}
+_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def features_df(spark: SparkSession, sf_dir: str, materialized: bool = True) -> DataFrame:
     """The features table for ``sf_dir`` (cached, hash-clustered)."""
     if not materialized:
         return _derive(spark, sf_dir)
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CACHE:
         n_part = max(spark.sparkContext.defaultParallelism // 2, 4)
         df = (

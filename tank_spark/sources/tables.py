@@ -30,7 +30,7 @@ _CLUSTER_KEY = {
 # session — repartitioned on its cluster key — restores the parallelism and
 # co-location a real multi-file/bucketed layout has. Results are identical;
 # only the physical plan changes.
-_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str,
@@ -40,7 +40,7 @@ def load(spark: SparkSession, sf_dir: str, name: str,
     raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if not materialized:
         return raw
-    key = (id(spark), sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     if key not in _CACHE:
         n = max(spark.sparkContext.defaultParallelism // 2, 4)
         ck = _CLUSTER_KEY.get(name)
@@ -49,7 +49,7 @@ def load(spark: SparkSession, sf_dir: str, name: str,
     return _CACHE[key]
 
 
-_EVENTS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_EVENTS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,7 +63,7 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _EVENTS_CACHE:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")

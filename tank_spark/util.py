@@ -8,7 +8,7 @@ import zipfile
 
 from pyspark.sql import SparkSession
 
-_SHIPPED: set[int] = set()
+_SHIPPED: set[str] = set()
 
 
 def ensure_workers_have_package(spark: SparkSession) -> None:
@@ -22,7 +22,7 @@ def ensure_workers_have_package(spark: SparkSession) -> None:
     package once per session and ``addPyFile``-ing it makes every kernel
     location-independent. No-op after the first call per session.
     """
-    key = id(spark)
+    key = spark.sparkContext.applicationId
     if key in _SHIPPED:
         return
     import tank_spark
