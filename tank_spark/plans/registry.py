@@ -61,6 +61,7 @@ def load_all() -> dict[str, QueryDef]:
         "tank_spark.operators.advanced",
         "tank_spark.operators.functions_demo",
         "tank_spark.operators.stats",
+        "tank_spark.operators.spatial_join",
         "tank_spark.llm.text",
         "tank_spark.llm.dedup",
         "tank_spark.llm.similarity",
