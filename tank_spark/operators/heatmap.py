@@ -95,3 +95,12 @@ def heatmap_z9(spark: SparkSession, sf_dir: str) -> DataFrame:
           doc="heatmap, 16x16 grid regime")
 def heatmap_z11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heatmap(spark, sf_dir, 11, 320, 784)
+
+
+@register("heatmap_z14", heatmap_oracle(14, 2562, 6275),
+          doc="heatmap, z>hash_level regime: every cell maps to the single "
+              "parent zoom-13 bucket (cells repeat its count) — reference "
+              "semantics preserved exactly")
+def heatmap_z14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (2562 >> 1, 6275 >> 1) = (1281, 3137)
+    return heatmap(spark, sf_dir, 14, 2562, 6275)
