@@ -254,3 +254,45 @@ def test_morton_sql_emitter_matches_python(x, y):
 
     got = duckdb.sql(f"SELECT {morton_sql(str(x), str(y))} AS m").fetchone()[0]
     assert got == morton.interleave(x, y)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(-100, 4196), st.integers(-100, 4196)),
+        min_size=1, max_size=6,
+    ),
+    st.integers(0, 2**40),
+    st.text(alphabet="abcdef ", min_size=0, max_size=12),
+)
+@settings(max_examples=60, deadline=None)
+def test_mvt_point_roundtrip_property(pts, fid, tag):
+    """Any multipoint with in/out-of-extent integer coords, any id, any
+    props round-trips through encode/decode unchanged."""
+    if len(pts) == 1:
+        f = {"geom_type": "Point", "coords": list(pts[0]),
+             "props": {"tag": tag, "n": fid % 1000}, "id": fid}
+    else:
+        f = {"geom_type": "MultiPoint", "coords": [list(p) for p in pts],
+             "props": {"tag": tag, "n": fid % 1000}, "id": fid}
+    out = mvt.decode(mvt.encode([f]))["io.marauder.tank"]["features"][0]
+    assert out["id"] == fid
+    assert out["props"] == {"tag": tag, "n": fid % 1000}
+    if f["geom_type"] == "Point":
+        assert out["coords"] == f["coords"]
+    else:
+        got = out["coords"] if out["geom_type"] == "MultiPoint" else [out["coords"]]
+        assert got == f["coords"]
+
+
+@given(st.lists(st.tuples(st.floats(-30, 40), st.floats(-30, 40)),
+                min_size=3, max_size=7))
+@settings(max_examples=60, deadline=None)
+def test_clip_polygon_stays_inside_property(pts):
+    """Clipped polygon vertices always lie inside the clip rect."""
+    ring = [list(p) for p in pts] + [list(pts[0])]
+    res = clipmod.clip("Polygon", [ring], 0, 0, 10, 10)
+    if res is None:
+        return
+    for p in wkt.iter_points(*res):
+        assert -1e-9 <= p[0] <= 10 + 1e-9
+        assert -1e-9 <= p[1] <= 10 + 1e-9

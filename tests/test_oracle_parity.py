@@ -39,3 +39,22 @@ def test_queries_oracle_keys_align():
     o = e.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) > 0
+
+
+def test_tile_planner_edge_inputs():
+    """Planner guards: out-of-domain tiles raise cleanly; boundary zooms
+    produce valid ranges."""
+    import pytest
+
+    from tank_spark.operators.tiles import tile_hash_range
+
+    from tank_spark.geom import morton
+
+    lo, hi = tile_hash_range(0, 0, 0)       # whole world: full 26-bit range
+    assert lo == 0 and hi == morton.interleave(8191, 8191) == 4**13 - 1
+    lo, hi = tile_hash_range(13, 8191, 8191)  # last bucket
+    assert lo == hi == morton.interleave(8191, 8191)
+    lo, hi = tile_hash_range(15, 0, 0)      # z>13: parent bucket
+    assert lo == hi == 0
+    with pytest.raises(ValueError):
+        tile_hash_range(13, 8192, 0)        # x out of 13-bit tile domain
