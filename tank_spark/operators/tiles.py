@@ -32,6 +32,8 @@ SERVE_COLUMNS = ("uid", "hash", "kind", "score", "cnt", "tag", "lon", "qty")
 
 def tile_hash_range(z: int, x: int, y: int, hash_level: int = HASH_LEVEL) -> tuple[int, int]:
     """[lo, hi] Morton range for tile (z, x, y) — the whole query plan."""
+    if z < 0 or not (0 <= x < (1 << z)) or not (0 <= y < (1 << z)):
+        raise ValueError(f"tile ({x}, {y}) out of domain for zoom {z}")
     if z < hash_level:
         return morton.morton_range(x, y, hash_level - z)
     if z == hash_level:
