@@ -41,6 +41,20 @@ def test_queries_oracle_keys_align():
     assert len(q) > 0
 
 
+def test_array_agg_statuses_raw(spark):
+    """Raw complex-type output (true array column) — the registered query
+    compares a string-joined projection because the driver's canonicalizer
+    can't hash list cells."""
+    from tank_spark.operators.advanced import array_agg_statuses_raw
+
+    rows = {r["l_returnflag"]: r for r in array_agg_statuses_raw(spark, SF_DIR).collect()}
+    assert set(rows) == {"A", "N", "R"}
+    for r in rows.values():
+        assert r["statuses"] == sorted(r["statuses"])  # sort_array applied
+        assert r["n_statuses"] == len(r["statuses"])
+        assert r["has_open"] == (1 if "O" in r["statuses"] else 0)
+
+
 def test_tile_planner_edge_inputs():
     """Planner guards: out-of-domain tiles raise cleanly; boundary zooms
     produce valid ranges."""
