@@ -80,7 +80,7 @@ class Tank:
             if hit is not None:
                 return hit
         from tank_spark.operators.mvt_tiles import (
-            TILE_OUT_SCHEMA, _tile_kernel,
+            TILE_OUT_SCHEMA, make_tile_kernel,
         )
         from tank_spark.util import ensure_workers_have_package
 
@@ -89,7 +89,10 @@ class Tank:
         src = self.tile(z, x, y).withColumns(
             {"z": F.lit(z), "x": F.lit(x), "y": F.lit(y)}
         ).select("z", "x", "y", "key", "geometry", "kind", "score", "cnt", "tag")
-        out = src.groupBy("z", "x", "y").applyInPandas(_tile_kernel, TILE_OUT_SCHEMA)
+        # thread the configured layer name into the kernel so non-empty and
+        # empty tiles serve under the same layer
+        kernel = make_tile_kernel(self.base_layer)
+        out = src.groupBy("z", "x", "y").applyInPandas(kernel, TILE_OUT_SCHEMA)
         rows = out.collect()
         if not rows:
             from tank_spark.geom import mvt as mvtmod
@@ -101,36 +104,23 @@ class Tank:
         return blob
 
     def heatmap(self, z: int, x: int, y: int) -> DataFrame:
-        """GET /heatmap/{z}/{x}/{y}: grid cells with counts > 0."""
-        from tank_spark.geom.morton import morton_col
-        from tank_spark.operators.heatmap import grid_n
-        from tank_spark.operators.tiles import tile_hash_range
+        """GET /heatmap/{z}/{x}/{y}: grid cells with counts > 0
+        (degree-space cell planning per application.kt:549-566)."""
+        from tank_spark.operators.heatmap import heatmap_for
 
-        n = grid_n(z)
-        lo, hi = tile_hash_range(z, x, y)
-        cells = (
-            self.spark.range(n).select(F.col("id").alias("cell_i"))
-            .crossJoin(self.spark.range(n).select(F.col("id").alias("cell_j")))
-        )
-        denom = 2 * n * (1 << z)
-        ctx = F.expr(f"(2*({x}*{n} + cell_i) + 1) * 8192 DIV {denom}")
-        cty = F.expr(f"(2*({y}*{n} + cell_j) + 1) * 8192 DIV {denom}")
-        cells = cells.withColumn("cell_hash", morton_col(ctx, cty))
-        counts = (
-            self.features().filter(F.col("hash").between(lo, hi))
-            .groupBy("hash").agg(F.count(F.lit(1)).alias("n_features"))
-        )
-        return (
-            F.broadcast(cells)
-            .join(counts, cells.cell_hash == counts.hash)
-            .select("cell_i", "cell_j", "n_features")
-        )
+        return heatmap_for(self.spark, self.features(), z, x, y)
 
     # ------------------------------------------------------------ writes
 
     def ingest_features(self, ndjson_rows: list[str]) -> dict:
         """POST /{layer}: parse + coerce + hash + append; returns counts
-        (accepted/rejected — rejects appended to <table>/_rejects)."""
+        (accepted/rejected — rejects appended to <table>/_rejects).
+
+        Accepted rows carry the full serve-path column set (geometry WKT,
+        key, tile coords — the reference stores the complete row at ingest,
+        Tyler.kt's bound INSERT), projected onto the target table's actual
+        schema so appended files never drift from what the tile read path
+        scans."""
         from tank_spark.streaming.ingest import FEATURE_JSON_SCHEMA, coerce_features
 
         raw = self.spark.read.schema(FEATURE_JSON_SCHEMA).json(
@@ -139,6 +129,19 @@ class Tank:
         coerced = coerce_features(raw).localCheckpoint(eager=True)
         ok = coerced.filter(~F.col("rejected")).drop("rejected")
         bad = coerced.filter(F.col("rejected")).drop("rejected", "hash")
+        try:
+            table_fields = [
+                f for f in self.features().schema.fields if f.name != "bucket"
+            ]
+        except Exception:
+            table_fields = None  # brand-new table: write the full serve set
+        if table_fields is not None:
+            ok = ok.select(*[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in ok.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in table_fields
+            ])
         n_ok, n_bad = ok.count(), bad.count()
         if n_ok:
             (ok.withColumn("bucket", F.pmod(F.col("hash"), F.lit(64)))

@@ -78,6 +78,25 @@ def _encode_value(v) -> bytes:
 
 # --------------------------------------------------------- geometry codec
 
+def _signed_area2(ring) -> int:
+    """Twice the signed area of a closed ring (shoelace, tile coords)."""
+    return sum(
+        int(x1) * int(y2) - int(x2) * int(y1)
+        for (x1, y1), (x2, y2) in zip(ring, ring[1:])
+    )
+
+
+def _orient(ring, exterior: bool):
+    """Normalize ring winding per MVT spec 2.1 §4.3.3.3: exterior rings
+    positive signed area, interior rings (holes) negative. Input winding
+    is whatever the source data used (GeoJSON is CCW-exterior in lon/lat,
+    which flips sign under the y-down tile transform)."""
+    a = _signed_area2(ring)
+    if (a < 0) if exterior else (a > 0):
+        return ring[::-1]
+    return ring
+
+
 def _encode_geometry(geom_type: str, coords) -> list[int]:
     """Integer tile-local coords -> MVT command/param stream."""
     cmds: list[int] = []
@@ -115,12 +134,12 @@ def _encode_geometry(geom_type: str, coords) -> list[int]:
         for line in coords:
             move_line(line, close=False)
     elif t == "Polygon":
-        for ring in coords:
-            move_line(ring, close=True)
+        for r, ring in enumerate(coords):
+            move_line(_orient(ring, exterior=r == 0), close=True)
     elif t == "MultiPolygon":
         for poly in coords:
-            for ring in poly:
-                move_line(ring, close=True)
+            for r, ring in enumerate(poly):
+                move_line(_orient(ring, exterior=r == 0), close=True)
     else:
         raise ValueError(f"unsupported geometry type: {t}")
     return cmds

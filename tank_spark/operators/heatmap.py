@@ -1,20 +1,25 @@
 """The heatmap query — tank's only aggregation (reference
 application.kt:522-615; SURVEY.md §2.4).
 
-Reference semantics: split the requested tile into an n x n grid (n=24 for
-z in 1..9, else 16), map each cell's center to its zoom-13 Morton bucket,
-count features per bucket, keep cells with count > 0.
+Reference semantics: subdivide the requested tile's bbox IN DEGREES into an
+n x n grid (n=24 for z in 1..9, else 16; application.kt:549-555), map each
+cell's degree-space midpoint through the slippy-tile formula to its zoom-13
+Morton bucket (application.kt:556-566 — the y mapping is nonlinear in
+latitude), count features per bucket, keep cells with count > 0.
 
-The reference issues up to n^2 sequential count queries (576 round-trips at
-mid zooms — its dominant cost, application.kt:556-599). Here the same
-result is ONE pruned scan + ONE partial-aggregated groupBy on ``hash``
-(bounded key domain: at most 2^(2*(13-z)) buckets under the tile), joined
-to the broadcast-sized cell grid. At 100 TB: map-side combine shrinks the
-shuffle to <= #buckets rows; the cell grid (<= 576 rows) broadcasts.
+``cell_j`` counts from the SOUTH edge of the tile (the reference iterates
+cells from bbox[1] = min latitude upward).
 
-Cell -> bucket mapping is exact integer arithmetic:
-floor(((x*n + i + 0.5) / (n*2^z)) * 2^13)  ==  ((2*(x*n+i)+1) * 2^13) DIV (2*n*2^z)
-so the DuckDB oracle reproduces it bit-for-bit.
+The reference plans the cell grid driver-side and issues up to n^2
+sequential count queries (576 round-trips at mid zooms — its dominant
+cost). Here the grid is planned driver-side the same way (<= 576 tuples of
+pure-Python math — the same planner-side role as the tile query's [lo, hi])
+but executed as ONE pruned scan + ONE partial-aggregated groupBy on
+``hash``, joined to the broadcast literal cell grid. At 100 TB: map-side
+combine shrinks the shuffle to <= #buckets rows; the grid (<= 576 rows)
+broadcasts. Because both the Spark plan and the DuckDB oracle consume the
+SAME precomputed integer cell->bucket tuples, the comparison is engine-exact
+even though the mapping itself is transcendental.
 """
 
 from __future__ import annotations
@@ -22,10 +27,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tank_spark.geom.morton import morton_col, morton_sql
+from tank_spark.geom import tilemath
+from tank_spark.geom.morton import interleave
 from tank_spark.operators.tiles import tile_hash_range
 from tank_spark.plans.registry import register
-from tank_spark.sources.features import FEATURES_CTE, features_df
+from tank_spark.sources.features import FEATURES_CTE, HASH_LEVEL, features_df
 
 
 def grid_n(z: int) -> int:
@@ -33,27 +39,43 @@ def grid_n(z: int) -> int:
     return 24 if 1 <= z <= 9 else 16
 
 
-def heatmap(spark: SparkSession, sf_dir: str, z: int, x: int, y: int) -> DataFrame:
-    """Heatmap for tile (z, x, y): (cell_i, cell_j, n_features), count>0."""
+def cell_grid(z: int, x: int, y: int) -> list[tuple[int, int, int]]:
+    """Driver-side cell planning: (cell_i, cell_j, cell_hash) for every
+    grid cell of tile (z, x, y).
+
+    Exactly the reference's math (application.kt:549-566): tile bbox in
+    degrees, linear subdivision, midpoint of each cell, slippy formula at
+    hash_level, Morton interleave. cell_j=0 is the southernmost row.
+    """
     n = grid_n(z)
+    lon0, lat0, lon1, lat1 = tilemath.tile_bbox(z, x, y)
+    xd = (lon1 - lon0) / n
+    yd = (lat1 - lat0) / n
+    out = []
+    for i in range(n):
+        lon = lon0 + (i + 0.5) * xd
+        for j in range(n):
+            lat = lat0 + (j + 0.5) * yd
+            tx, ty = tilemath.tile_number(lat, lon, HASH_LEVEL)
+            out.append((i, j, interleave(tx, ty)))
+    return out
+
+
+def heatmap_for(spark: SparkSession, feats: DataFrame,
+                z: int, x: int, y: int) -> DataFrame:
+    """Heatmap over an arbitrary features DataFrame: (cell_i, cell_j,
+    n_features), count>0 (the reference's count filter,
+    application.kt:602)."""
     lo, hi = tile_hash_range(z, x, y)
-
-    cells = (
-        spark.range(n).select(F.col("id").alias("cell_i"))
-        .crossJoin(spark.range(n).select(F.col("id").alias("cell_j")))
+    cells = spark.createDataFrame(
+        cell_grid(z, x, y), "cell_i long, cell_j long, cell_hash long"
     )
-    denom = 2 * n * (1 << z)
-    ctx = F.expr(f"(2*({x}*{n} + cell_i) + 1) * 8192 DIV {denom}")
-    cty = F.expr(f"(2*({y}*{n} + cell_j) + 1) * 8192 DIV {denom}")
-    cells = cells.withColumn("cell_hash", morton_col(ctx, cty))
-
     counts = (
-        features_df(spark, sf_dir)
-        .filter(F.col("hash").between(lo, hi))
+        feats.filter(F.col("hash").between(lo, hi))
         .groupBy("hash")
         .agg(F.count(F.lit(1)).alias("n_features"))
     )
-    # inner join == the reference's count>0 filter (application.kt:602)
+    # inner join == the reference's count>0 filter
     return (
         F.broadcast(cells)
         .join(counts, cells.cell_hash == counts.hash)
@@ -61,32 +83,27 @@ def heatmap(spark: SparkSession, sf_dir: str, z: int, x: int, y: int) -> DataFra
     )
 
 
+def heatmap(spark: SparkSession, sf_dir: str, z: int, x: int, y: int) -> DataFrame:
+    """Heatmap for tile (z, x, y) over the derived features table."""
+    return heatmap_for(spark, features_df(spark, sf_dir), z, x, y)
+
+
 def heatmap_oracle(z: int, x: int, y: int) -> str:
-    n = grid_n(z)
     lo, hi = tile_hash_range(z, x, y)
-    denom = 2 * n * (1 << z)
-    ctx = f"((2*({x}*{n} + cell_i) + 1) * 8192) // {denom}"
-    cty = f"((2*({y}*{n} + cell_j) + 1) * 8192) // {denom}"
+    values = ", ".join(f"({i}, {j}, {h})" for i, j, h in cell_grid(z, x, y))
     return f"""{FEATURES_CTE},
-cells AS (
-  SELECT a.cell_i, b.cell_j FROM
-    (SELECT unnest(generate_series(0, {n - 1})) AS cell_i) a,
-    (SELECT unnest(generate_series(0, {n - 1})) AS cell_j) b
-),
-cellmap AS (
-  SELECT cell_i, cell_j, {morton_sql("ctx", "cty")} AS cell_hash
-  FROM (SELECT cell_i, cell_j, {ctx} AS ctx, {cty} AS cty FROM cells)
-),
+cells(cell_i, cell_j, cell_hash) AS (VALUES {values}),
 counts AS (
   SELECT hash, COUNT(*) AS n_features FROM features
   WHERE hash BETWEEN {lo} AND {hi} GROUP BY hash
 )
-SELECT cell_i, cell_j, n_features FROM cellmap JOIN counts ON cell_hash = hash
+SELECT cell_i, cell_j, n_features FROM cells JOIN counts ON cell_hash = hash
 """
 
 
 @register("heatmap_z9", heatmap_oracle(9, 80, 196),
-          doc="heatmap, 24x24 grid regime: one groupBy replaces 576 point counts")
+          doc="heatmap, 24x24 grid regime: one groupBy replaces 576 point "
+              "counts; degree-space cell midpoints per the reference")
 def heatmap_z9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heatmap(spark, sf_dir, 9, 80, 196)
 

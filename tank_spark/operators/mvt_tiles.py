@@ -53,7 +53,18 @@ DEFAULT_REQUESTS = [
 _POINT_RE = r"^POINT \(([-+0-9.eE]+) ([-+0-9.eE]+)\)$"
 
 
-def _tile_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+def make_tile_kernel(layer: str = LAYER):
+    """Single-arg applyInPandas kernel bound to a layer name (applyInPandas
+    interprets a TWO-parameter function as ``fn(key, pdf)``, so the layer
+    must be closed over, not defaulted)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _tile_kernel_impl(pdf, layer)
+
+    return kernel
+
+
+def _tile_kernel_impl(pdf: pd.DataFrame, layer: str) -> pd.DataFrame:
     """Kernel for one (z, x, y) group: rows with WKT + props -> one MVT.
 
     Points (the dominant geometry) run a fully-vectorized numpy path:
@@ -74,6 +85,9 @@ def _tile_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     xmin, ymin = (x - k1) / z2, (y - k1) / z2
     xmax, ymax = (x + 1 + k1) / z2, (y + 1 + k1) / z2
 
+    # rows lacking geometry or key can't be rendered/keyed — skip them
+    # instead of crashing the whole tile (legacy/partial appends)
+    pdf = pdf[pdf["geometry"].notna() & pdf["key"].notna()]
     # deterministic encode order (pandas group order is partition-dependent)
     pdf = pdf.sort_values("key")
 
@@ -136,12 +150,16 @@ def _tile_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     # deterministic key order: restore it
     feats.sort(key=lambda f: f["id"])
 
-    blob = mvtmod.encode(feats, layer_name=LAYER, extent=EXTEND)
+    blob = mvtmod.encode(feats, layer_name=layer, extent=EXTEND)
     return pd.DataFrame([{
         "z": z, "x": x, "y": y, "n_features": len(feats),
         "mvt_size": len(blob), "mvt_md5": hashlib.md5(blob).hexdigest(),
         "mvt": blob,
     }])
+
+
+# default-layer kernel (the registered batch query and tests use this)
+_tile_kernel = make_tile_kernel()
 
 
 def _project_geom(gtype: str, coords):
@@ -229,20 +247,35 @@ def tile_mvt_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _heatmap_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     """One (z,x,y) group of heatmap cells -> MVT of cell polygons with a
-    ``count`` property (reference application.kt:601-610)."""
+    ``count`` property (reference application.kt:601-610).
+
+    Cells subdivide the tile bbox linearly in DEGREES (reference
+    application.kt:555), so after mercator projection the cell rows are
+    NOT evenly spaced in tile y — each corner is projected individually,
+    exactly like the reference's projectFeature + transformTile path.
+    cell_j counts from the south edge."""
     import hashlib
 
     z = int(pdf["z"].iloc[0])
     x = int(pdf["x"].iloc[0])
     y = int(pdf["y"].iloc[0])
+    z2 = 1 << z
     n = grid_n(z)
+    lon0, lat0, lon1, lat1 = tilemath.tile_bbox(z, x, y)
+    xd = (lon1 - lon0) / n
+    yd = (lat1 - lat0) / n
+
+    def corner(lon: float, lat: float) -> list[int]:
+        wx, wy = tilemath.project(lon, lat)
+        return [round((wx * z2 - x) * EXTEND), round((wy * z2 - y) * EXTEND)]
+
     feats = []
     for row in pdf.sort_values(["cell_i", "cell_j"]).itertuples(index=False):
         i, j = int(row.cell_i), int(row.cell_j)
-        # cell rect in tile-local integer coords
-        x0, x1 = round(i * EXTEND / n), round((i + 1) * EXTEND / n)
-        y0, y1 = round(j * EXTEND / n), round((j + 1) * EXTEND / n)
-        ring = [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+        w, s = lon0 + i * xd, lat0 + j * yd
+        e, nn = w + xd, s + yd
+        ring = [corner(w, s), corner(e, s), corner(e, nn), corner(w, nn),
+                corner(w, s)]
         feats.append({
             "geom_type": "Polygon", "coords": [ring],
             "props": {"count": int(row.n_features)},

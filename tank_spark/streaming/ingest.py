@@ -45,7 +45,13 @@ FEATURE_JSON_SCHEMA = T.StructType([
 
 def coerce_features(raw: DataFrame) -> DataFrame:
     """Schema application with lenient coercion + defaults (I1) and a
-    ``rejected`` flag for the dead-letter split (S6). Pure column exprs."""
+    ``rejected`` flag for the dead-letter split (S6). Pure column exprs.
+
+    Emits the FULL serve-path column set (key, tile_x/tile_y, ts, qty,
+    geometry) so appended rows are schema-compatible with the feature
+    table the tile/MVT read path scans — the reference likewise stores the
+    complete row (geometry WKT included) at ingest (Tyler.kt: the bound
+    INSERT sets geometry alongside hash/uid/attrs)."""
     score = F.col("score").try_cast("double")
     cnt = F.col("cnt").try_cast("int")
     ok_geo = F.col("lon").isNotNull() & F.col("lat").isNotNull()
@@ -61,7 +67,6 @@ def coerce_features(raw: DataFrame) -> DataFrame:
             | (F.col("cnt").isNotNull() & cnt.isNull())
             | ~ok_geo
         ).alias("rejected"),
-        F.current_timestamp().alias("ingested_at"),       # Tyler.kt:39
     )
     # centroid -> slippy tile -> Morton hash (points: centroid == point)
     n = 1 << HASH_LEVEL
@@ -77,8 +82,28 @@ def coerce_features(raw: DataFrame) -> DataFrame:
         ),
         F.lit(n - 1),
     )
-    return df.withColumn(
-        "hash", F.when(F.col("rejected"), F.lit(None)).otherwise(morton_col(xt, yt))
+    df = df.withColumns({
+        "hash": F.when(F.col("rejected"), F.lit(None)).otherwise(morton_col(xt, yt)),
+        "tile_x": F.when(F.col("rejected"), F.lit(None)).otherwise(xt.cast("long")),
+        "tile_y": F.when(F.col("rejected"), F.lit(None)).otherwise(yt.cast("long")),
+        # synthetic non-negative feature key (MVT ids are uint64); the
+        # derived table's keys are < 2^40, so the 2^62 domain can't collide
+        # with them in practice and stays sign-safe
+        "key": F.pmod(F.xxhash64(F.col("uid")), F.lit(1 << 62)),
+        # server-assigned ingest timestamp (Tyler.kt:39) — same role the
+        # derived table's ts column plays, so appends stay schema-identical
+        "ts": F.current_timestamp().cast("timestamp_ntz"),
+        "qty": F.lit(0.0),
+        "geometry": F.when(
+            ok_geo,
+            F.concat(F.lit("POINT ("), F.col("lon").cast("string"), F.lit(" "),
+                     F.col("lat").cast("string"), F.lit(")")),
+        ),
+    })
+    # serve-path column order (sources/features.py schema) + ingest extras
+    return df.select(
+        "key", "uid", "tile_x", "tile_y", "ts", "qty", "hash", "kind",
+        "score", "cnt", "tag", "lon", "lat", "geometry", "rejected",
     )
 
 
@@ -106,8 +131,13 @@ def start_ingest_stream(
     def sink(batch: DataFrame, epoch_id: int) -> None:
         batch.persist()
         try:
+            # bucket-partitioned append, mirroring ingest_features — the
+            # table dir layout is bucket=N/ subdirs; flat files at the root
+            # would break partition discovery and the mutation paths that
+            # filter on `bucket`
             (batch.filter(~F.col("rejected")).drop("rejected")
-             .write.mode("append").parquet(table_dir))
+             .withColumn("bucket", F.pmod(F.col("hash"), F.lit(64)))
+             .write.mode("append").partitionBy("bucket").parquet(table_dir))
             rejects = batch.filter(F.col("rejected")).drop("rejected", "hash")
             if rejects.limit(1).count() > 0:
                 rejects.write.mode("append").parquet(rejects_dir)

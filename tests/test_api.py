@@ -51,6 +51,16 @@ def test_full_route_surface(tank):
     assert res == {"accepted": 1, "rejected": 1}
     assert tank.get_feature("new-1").count() == 1
 
+    # the ingested feature must RENDER in its own tile (regression: ingest
+    # used to write rows without geometry/key, which could never serve and
+    # crashed the kernel once they landed in a requested tile)
+    from tank_spark.geom import tilemath
+    ix, iy = tilemath.tile_number(38.7, -123.7, 13)
+    ing_layer = mvtmod.decode(tank.tile_mvt(13, ix, iy))["io.marauder.tank"]
+    assert any(
+        f["props"].get("kind") == "poi" for f in ing_layer["features"]
+    ), "ingested feature missing from its own tile"
+
     # PUT /{uuid}
     assert tank.update_feature("new-1", {"score": 7.5}) == 1
     assert tank.get_feature("new-1").collect()[0]["score"] == 7.5

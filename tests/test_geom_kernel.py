@@ -233,6 +233,35 @@ def test_mvt_roundtrip_all_types():
     assert out[2]["coords"] == [[1, 1], [2, 2]]
 
 
+def _ring_area2(ring):
+    return sum(x1 * y2 - x2 * y1 for (x1, y1), (x2, y2) in zip(ring, ring[1:]))
+
+
+def test_mvt_polygon_winding_normalized():
+    """MVT 2.1 §4.3.3.3: exterior rings positive signed area, holes
+    negative — regardless of input winding. GeoJSON CCW exteriors become
+    negative-area after the y-down tile transform and must be reversed."""
+    ccw_in_ydown = [[0, 100], [100, 100], [100, 0], [0, 0], [0, 100]]  # area < 0
+    hole_pos = [[25, 25], [75, 25], [75, 75], [25, 75], [25, 25]]       # area > 0
+    feats = [{"geom_type": "Polygon", "coords": [ccw_in_ydown, hole_pos],
+              "props": {}}]
+    out = mvt.decode(mvt.encode(feats))["io.marauder.tank"]["features"][0]
+    assert out["geom_type"] == "Polygon"
+    ext, hole = out["coords"][0], out["coords"][1]
+    assert _ring_area2(ext) > 0 and _ring_area2(hole) < 0
+    assert set(map(tuple, ext)) == set(map(tuple, ccw_in_ydown))
+    # MultiPolygon: a second positive exterior starts a new polygon (the
+    # decoder relies on winding; pre-fix it merged rings into holes)
+    second = [[200, 300], [300, 300], [300, 200], [200, 200], [200, 300]]
+    feats = [{"geom_type": "MultiPolygon",
+              "coords": [[ccw_in_ydown], [second]], "props": {}}]
+    out = mvt.decode(mvt.encode(feats))["io.marauder.tank"]["features"][0]
+    assert out["geom_type"] == "MultiPolygon"
+    assert len(out["coords"]) == 2
+    for poly in out["coords"]:
+        assert _ring_area2(poly[0]) > 0
+
+
 def test_mvt_value_dedup():
     feats = [{"geom_type": "Point", "coords": [0, 0], "props": {"k": "v"}}
              for _ in range(10)]

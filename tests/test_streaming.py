@@ -54,7 +54,16 @@ def test_ingest_stream_end_to_end(spark, tmp_dirs):
     rejects = spark.read.parquet(tmp_dirs["rejects"])
     assert accepted.count() == 3
     assert rejects.count() == 2
+    # bulk sink writes the bucket-partitioned layout (bucket=N/ subdirs) so
+    # appends mix cleanly with ingest_features and the mutation paths
+    assert "bucket" in accepted.columns
+    import os
+    assert any(e.startswith("bucket=") for e in os.listdir(tmp_dirs["table"]))
+    # full serve-path column set present (geometry/key/tile coords)
+    for c in ("key", "geometry", "tile_x", "tile_y", "qty", "ts"):
+        assert c in accepted.columns, c
     rows = {r["uid"]: r for r in accepted.collect()}
+    assert rows["a"]["geometry"].startswith("POINT (")
     # defaults applied (Tyler.kt:106-116 semantics)
     assert rows["c"]["score"] == 0.0 and rows["c"]["cnt"] == 0 and rows["c"]["kind"] == ""
     # morton hash matches the kernel's ingest math (Tyler.kt:127-131)
