@@ -34,11 +34,20 @@ class Tank:
 
     def __init__(self, spark: SparkSession, table_dir: str,
                  main_attr: str = "kind", base_layer: str = "io.marauder.tank",
-                 cache_dir: str | None = None):
+                 cache_dir: str | None = None,
+                 attr_fields: str | None = None):
+        from tank_spark.streaming.ingest import (
+            DEFAULT_ATTR_FIELDS, parse_attr_fields,
+        )
+
         self.spark = spark
         self.table_dir = table_dir
         self.main_attr = main_attr          # reference application.conf:39
         self.base_layer = base_layer        # reference application.conf:31
+        # declared attribute schema (reference application.conf:51) drives
+        # wire parsing, ingest coercion, and typed filter binding
+        self.attr_fields = attr_fields or DEFAULT_ATTR_FIELDS
+        self._attr_types = dict(parse_attr_fields(self.attr_fields))
         self._cache = None
         if cache_dir is not None:
             from tank_spark.operators.tile_cache import TileCache
@@ -59,16 +68,20 @@ class Tank:
 
     def tile(self, z: int, x: int, y: int, filter_json: str | None = None) -> DataFrame:
         """GET /tile/{z}/{x}/{y}: pruned scan for the tile; optional
-        ``{"<main_attr>": value}`` equality filter (reference
-        application.kt:364-368)."""
-        from tank_spark.operators.tiles import tile_hash_range
+        ``{"<main_attr>": value}`` equality filter bound by the attr's
+        DECLARED type — int / date / text (reference application.kt:
+        364-368, 405-416)."""
+        from tank_spark.operators.tiles import bind_attr_filter, tile_hash_range
 
         lo, hi = tile_hash_range(z, x, y)
         df = self.features().filter(F.col("hash").between(lo, hi))
         if filter_json:
             val = json.loads(filter_json).get(self.main_attr)
             if val is not None:
-                df = df.filter(F.col(self.main_attr) == val)
+                decl_type = self._attr_types.get(self.main_attr, "text")
+                df = df.filter(
+                    bind_attr_filter(decl_type, self.main_attr, str(val))
+                )
         return df
 
     def tile_mvt(self, z: int, x: int, y: int) -> bytes:
@@ -121,12 +134,12 @@ class Tank:
         Tyler.kt's bound INSERT), projected onto the target table's actual
         schema so appended files never drift from what the tile read path
         scans."""
-        from tank_spark.streaming.ingest import FEATURE_JSON_SCHEMA, coerce_features
+        from tank_spark.streaming.ingest import attr_wire_schema, coerce_features
 
-        raw = self.spark.read.schema(FEATURE_JSON_SCHEMA).json(
+        raw = self.spark.read.schema(attr_wire_schema(self.attr_fields)).json(
             self.spark.sparkContext.parallelize(ndjson_rows)
         )
-        coerced = coerce_features(raw).localCheckpoint(eager=True)
+        coerced = coerce_features(raw, self.attr_fields).localCheckpoint(eager=True)
         ok = coerced.filter(~F.col("rejected")).drop("rejected")
         bad = coerced.filter(F.col("rejected")).drop("rejected", "hash")
         try:
@@ -161,6 +174,7 @@ class Tank:
         import json as _json
 
         from tank_spark.geom import wkt as _wkt
+        from tank_spark.streaming.ingest import parse_attr_fields
 
         fc = _json.loads(feature_collection_json)
         rows = []
@@ -175,14 +189,11 @@ class Tank:
             else:
                 lon = lat = None
             props = f.get("properties") or {}
-            rows.append(_json.dumps({
-                "id": f.get("id"),
-                "lon": lon, "lat": lat,
-                "kind": props.get(self.main_attr),
-                "score": None if props.get("score") is None else str(props["score"]),
-                "cnt": None if props.get("cnt") is None else str(props["cnt"]),
-                "tag": props.get("tag"),
-            }))
+            row = {"id": f.get("id"), "lon": lon, "lat": lat}
+            for name, _typ in parse_attr_fields(self.attr_fields):
+                v = props.get(name)
+                row[name] = None if v is None else str(v)
+            rows.append(_json.dumps(row))
         return self.ingest_features(rows)
 
     def ingest_bulk(self, drop_dir: str, checkpoint_dir: str):
@@ -193,6 +204,7 @@ class Tank:
         return start_ingest_stream(
             self.spark, drop_dir, self.table_dir,
             f"{self.table_dir}/_rejects", checkpoint_dir,
+            attr_fields=self.attr_fields,
         )
 
     def update_feature(self, uid: str, updates: dict) -> int:

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from tank_spark.plans.registry import register
 from tank_spark.sources.features import FEATURES_CTE, features_df
-from tank_spark.sources.tables import read_events
+from tank_spark.sources.tables import load, read_events
 
 
 @register(
@@ -62,6 +62,67 @@ def ingest_coerce_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(et_num, F.lit(0.0)).alias("et_num"),
         F.coalesce(val_num, F.lit(0.0)).alias("val_num"),
         F.when(et_num.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("rejected"),
+    )
+
+
+@register(
+    "ingest_declared_schema",
+    """
+    WITH raw AS (
+      SELECT key,
+        CASE WHEN key % 13 = 0 THEN NULL
+             ELSE CAST(key % 20 AS VARCHAR) END AS cnt,
+        CASE WHEN key % 11 = 0 THEN 'oops'
+             ELSE CAST((key % 1000) / 10.0 AS VARCHAR) END AS score,
+        'L' || CAST(key % 17 AS VARCHAR) AS label,
+        CASE WHEN key % 7 = 0 THEN 'not-a-date'
+             WHEN key % 19 = 0 THEN NULL
+             ELSE CAST(CAST(l_shipdate AS DATE) AS VARCHAR) END AS ship
+      FROM (SELECT l_orderkey * 8 + l_linenumber AS key, l_shipdate
+            FROM lineitem)
+    )
+    SELECT key,
+      COALESCE(TRY_CAST(cnt AS INTEGER), 0) AS cnt,
+      COALESCE(TRY_CAST(score AS DOUBLE), 0.0) AS score,
+      COALESCE(label, '') AS label,
+      COALESCE(TRY_CAST(ship AS DATE), DATE '1970-01-01') AS ship,
+      CASE WHEN (cnt IS NOT NULL AND TRY_CAST(cnt AS INTEGER) IS NULL)
+            OR (score IS NOT NULL AND TRY_CAST(score AS DOUBLE) IS NULL)
+            OR (ship IS NOT NULL AND TRY_CAST(ship AS DATE) IS NULL)
+           THEN 1 ELSE 0 END AS rejected
+    FROM raw
+    """,
+    doc="I1 full parity: config-declared attr schema "
+        "('cnt int, score double, label text, ship date') generates the "
+        "coercion — per-type defaults 0/0.0/''/1970-01-01 for missing "
+        "values (Tyler.kt:106-116), dead-letter flag for present-but-"
+        "uncoercible values (wrong-type score, malformed date). The wire "
+        "rows are synthesized deterministically from lineitem with "
+        "seeded missing/malformed values.",
+)
+def ingest_declared_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tank_spark.streaming.ingest import attr_coercion
+
+    li = load(spark, sf_dir, "lineitem")
+    key = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
+    wire = li.select(
+        key.alias("key"),
+        F.when(key % 13 == 0, F.lit(None))
+         .otherwise((key % 20).cast("string")).alias("cnt"),
+        F.when(key % 11 == 0, F.lit("oops"))
+         .otherwise(((key % 1000) / F.lit(10.0)).cast("string")).alias("score"),
+        F.concat(F.lit("L"), (key % 17).cast("string")).alias("label"),
+        F.when(key % 7 == 0, F.lit("not-a-date"))
+         .when(key % 19 == 0, F.lit(None))
+         .otherwise(F.col("l_shipdate").cast("date").cast("string")).alias("ship"),
+    )
+    values, rejected = attr_coercion(
+        "cnt int, score double, label text, ship date"
+    )
+    return wire.select(
+        "key",
+        *[expr.alias(name) for name, expr in values.items()],
+        rejected.cast("int").alias("rejected"),
     )
 
 

@@ -44,6 +44,25 @@ def tile_hash_range(z: int, x: int, y: int, hash_level: int = HASH_LEVEL) -> tup
     return code, code
 
 
+def bind_attr_filter(decl_type: str, col, raw_value: str):
+    """T1b: bind the tile's main-attr filter value by its DECLARED type —
+    int, date (``YYYY-MM-DD`` parse), text (reference application.kt:
+    405-416 switches on ``typeMap[mainAttr]`` the same way). Returns a
+    boolean Column; the comparison constant is a typed literal so the
+    predicate still pushes down."""
+    import datetime
+
+    c = F.col(col) if isinstance(col, str) else col
+    if decl_type == "int":
+        return c == int(raw_value)
+    if decl_type == "date":
+        y, m, d = raw_value.split("-")
+        return c.cast("date") == F.lit(datetime.date(int(y), int(m), int(d)))
+    if decl_type == "double":
+        return c == float(raw_value)
+    return c == raw_value
+
+
 def tile_query(
     spark: SparkSession,
     sf_dir: str,
@@ -52,13 +71,20 @@ def tile_query(
     y: int,
     kind: str | None = None,
     columns: tuple[str, ...] = SERVE_COLUMNS,
+    attr_filter: tuple[str, str, str] | None = None,
 ) -> DataFrame:
-    """Pruned scan for one tile request: T1a (hash range) + T1b (main-attr
-    equality) + T1c (projection)."""
+    """Pruned scan for one tile request: T1a (hash range) + T1b (typed
+    main-attr equality) + T1c (projection).
+
+    ``attr_filter``: (column, declared_type, raw_value) — the typed
+    binding; ``kind`` is the stock text-attr shorthand."""
     lo, hi = tile_hash_range(z, x, y)
     df = features_df(spark, sf_dir).filter(F.col("hash").between(lo, hi))
     if kind is not None:
         df = df.filter(F.col("kind") == kind)
+    if attr_filter is not None:
+        name, decl_type, raw = attr_filter
+        df = df.filter(bind_attr_filter(decl_type, name, raw))
     return df.select(*columns)
 
 
@@ -91,6 +117,33 @@ def tile_z13_single(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tile_z15_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (5126 >> 2, 12550 >> 2) = (1281, 3137): same parent partition as z13
     return tile_query(spark, sf_dir, 15, 5126, 12550, kind="water")
+
+
+@register(
+    "tile_filter_int",
+    f"{FEATURES_CTE} SELECT {', '.join(SERVE_COLUMNS)} FROM features "
+    f"WHERE hash BETWEEN {tile_hash_range(9, 80, 196)[0]} AND "
+    f"{tile_hash_range(9, 80, 196)[1]} AND cnt = 7",
+    doc="T1b: tile query with an INT-typed main-attr filter — the raw "
+        "request value '7' binds as an integer per the declared type "
+        "(application.kt:406)",
+)
+def tile_filter_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tile_query(spark, sf_dir, 9, 80, 196, attr_filter=("cnt", "int", "7"))
+
+
+@register(
+    "tile_filter_date",
+    f"{FEATURES_CTE} SELECT {', '.join(SERVE_COLUMNS)} FROM features "
+    f"WHERE hash BETWEEN {tile_hash_range(9, 80, 196)[0]} AND "
+    f"{tile_hash_range(9, 80, 196)[1]} AND CAST(ts AS DATE) = DATE '1996-12-24'",
+    doc="T1b: tile query with a DATE-typed main-attr filter — the raw "
+        "request value 'YYYY-MM-DD' parses to a date literal per the "
+        "declared type (application.kt:408-411)",
+)
+def tile_filter_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tile_query(spark, sf_dir, 9, 80, 196,
+                      attr_filter=("ts", "date", "1996-12-24"))
 
 
 @register(

@@ -27,46 +27,103 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pyspark.sql import Column
+
 from tank_spark.geom.morton import morton_col
 from tank_spark.sources.features import HASH_LEVEL
 
-# wire schema of one NDJSON feature (GeoJSON-ish, flattened properties —
-# the reference's configured attr_fields, application.conf:51)
-FEATURE_JSON_SCHEMA = T.StructType([
-    T.StructField("id", T.StringType()),
-    T.StructField("lon", T.DoubleType()),
-    T.StructField("lat", T.DoubleType()),
-    T.StructField("kind", T.StringType()),
-    T.StructField("score", T.StringType()),   # arrives untyped; coerced below
-    T.StructField("cnt", T.StringType()),
-    T.StructField("tag", T.StringType()),
-])
+# ---------------------------------------------------- declared attr schema
+#
+# The reference declares its feature attributes in config as comma-separated
+# "name type" pairs (application.conf:51 `attr_fields`) and generates the
+# coercion per declared type at ingest (Tyler.kt:67-125): int / double /
+# text / date, with per-type defaults 0 / 0.0 / '' / 1970-01-01 when the
+# property is missing (Tyler.kt:106-116) and a dead-letter reject when a
+# present value can't be coerced. Here the same declaration generates
+# try_cast/coalesce Column expressions — codegen'd, nothing throws.
+
+ATTR_TYPES = ("int", "double", "text", "date")
+
+# the repo's stock layer (plays application.conf:51's role)
+DEFAULT_ATTR_FIELDS = "kind text, score double, cnt int, tag text"
 
 
-def coerce_features(raw: DataFrame) -> DataFrame:
-    """Schema application with lenient coercion + defaults (I1) and a
-    ``rejected`` flag for the dead-letter split (S6). Pure column exprs.
+def parse_attr_fields(spec: str) -> list[tuple[str, str]]:
+    """``"kind text, score double"`` -> ``[("kind", "text"), ...]``
+    (reference Tyler.kt:36 `attrFields.map { it.split(" ") }`).
+    uuid/timestamp declarations are server-assigned in the reference
+    (Tyler.kt:68 skips them) — rejected here to keep the surface honest."""
+    out = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        name, _, typ = part.partition(" ")
+        typ = typ.strip()
+        if typ not in ATTR_TYPES:
+            raise ValueError(f"unsupported attr type {typ!r} for {name!r} "
+                             f"(supported: {ATTR_TYPES})")
+        out.append((name, typ))
+    return out
+
+
+def attr_wire_schema(attr_fields: str = DEFAULT_ATTR_FIELDS) -> T.StructType:
+    """Wire schema of one NDJSON feature for a declared attr set: id/lon/
+    lat plus one UNTYPED (string) field per attribute — coercion is the
+    engine's job, not the parser's (Tyler.kt semantics)."""
+    fields = [
+        T.StructField("id", T.StringType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ]
+    fields += [T.StructField(n, T.StringType()) for n, _ in parse_attr_fields(attr_fields)]
+    return T.StructType(fields)
+
+
+_DEFAULTS = {"int": F.lit(0), "double": F.lit(0.0), "text": F.lit("")}
+
+
+def attr_coercion(attr_fields: str = DEFAULT_ATTR_FIELDS) -> tuple[dict[str, Column], Column]:
+    """Generate the declared-type coercion: ``({name: typed value expr},
+    rejected expr)``. A missing value takes the type default; a present but
+    un-coercible value trips ``rejected`` (the dead-letter split)."""
+    values: dict[str, Column] = {}
+    rejected = F.lit(False)
+    for name, typ in parse_attr_fields(attr_fields):
+        raw = F.col(name)
+        if typ == "text":
+            values[name] = F.coalesce(raw.cast("string"), F.lit(""))
+            continue
+        cast = raw.try_cast({"int": "int", "double": "double", "date": "date"}[typ])
+        default = (
+            _DEFAULTS[typ] if typ in _DEFAULTS else F.lit("1970-01-01").cast("date")
+        )
+        values[name] = F.coalesce(cast, default)
+        rejected = rejected | (raw.isNotNull() & cast.isNull())
+    return values, rejected
+
+
+# wire schema of the stock layer (GeoJSON-ish, flattened properties)
+FEATURE_JSON_SCHEMA = attr_wire_schema(DEFAULT_ATTR_FIELDS)
+
+
+def coerce_features(raw: DataFrame, attr_fields: str = DEFAULT_ATTR_FIELDS) -> DataFrame:
+    """Schema application with declared-type coercion + defaults (I1) and a
+    ``rejected`` flag for the dead-letter split (S6). Pure column exprs,
+    generated from the ``attr_fields`` declaration (Tyler.kt:67-125).
 
     Emits the FULL serve-path column set (key, tile_x/tile_y, ts, qty,
     geometry) so appended rows are schema-compatible with the feature
     table the tile/MVT read path scans — the reference likewise stores the
     complete row (geometry WKT included) at ingest (Tyler.kt: the bound
     INSERT sets geometry alongside hash/uid/attrs)."""
-    score = F.col("score").try_cast("double")
-    cnt = F.col("cnt").try_cast("int")
+    attr_values, attr_rejected = attr_coercion(attr_fields)
     ok_geo = F.col("lon").isNotNull() & F.col("lat").isNotNull()
     df = raw.select(
         F.coalesce(F.col("id"), F.expr("uuid()")).alias("uid"),
         "lon", "lat",
-        F.coalesce(F.col("kind"), F.lit("")).alias("kind"),
-        F.coalesce(score, F.lit(0.0)).alias("score"),     # defaults: Tyler.kt:106-116
-        F.coalesce(cnt, F.lit(0)).alias("cnt"),
-        F.coalesce(F.col("tag"), F.lit("")).alias("tag"),
-        (
-            (F.col("score").isNotNull() & score.isNull())
-            | (F.col("cnt").isNotNull() & cnt.isNull())
-            | ~ok_geo
-        ).alias("rejected"),
+        *[expr.alias(name) for name, expr in attr_values.items()],
+        (attr_rejected | ~ok_geo).alias("rejected"),
     )
     # centroid -> slippy tile -> Morton hash (points: centroid == point)
     n = 1 << HASH_LEVEL
@@ -102,8 +159,9 @@ def coerce_features(raw: DataFrame) -> DataFrame:
     })
     # serve-path column order (sources/features.py schema) + ingest extras
     return df.select(
-        "key", "uid", "tile_x", "tile_y", "ts", "qty", "hash", "kind",
-        "score", "cnt", "tag", "lon", "lat", "geometry", "rejected",
+        "key", "uid", "tile_x", "tile_y", "ts", "qty", "hash",
+        *[name for name, _ in parse_attr_fields(attr_fields)],
+        "lon", "lat", "geometry", "rejected",
     )
 
 
@@ -114,19 +172,22 @@ def start_ingest_stream(
     rejects_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 2,
+    attr_fields: str = DEFAULT_ATTR_FIELDS,
 ):
     """Start the drop-dir ingest stream. Returns the StreamingQuery.
 
     foreachBatch writes accepted rows to ``table_dir`` (parquet) and
     rejects to ``rejects_dir`` in the same epoch — the one-pass
     valid/dead-letter split the reference does per feature.
+    ``attr_fields`` declares the layer's attribute schema (name + type) —
+    the same declaration drives wire parsing and coercion.
     """
     raw = (
-        spark.readStream.schema(FEATURE_JSON_SCHEMA)
+        spark.readStream.schema(attr_wire_schema(attr_fields))
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .json(drop_dir)
     )
-    coerced = coerce_features(raw)
+    coerced = coerce_features(raw, attr_fields)
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
         batch.persist()

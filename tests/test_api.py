@@ -79,6 +79,24 @@ def test_full_route_surface(tank):
     assert layer2["features"] == []
 
 
+def test_typed_main_attr_filter(spark, tmp_path):
+    """T1b: a Tank whose main attr is INT-typed binds the raw request
+    value as an integer (reference application.kt:405-416)."""
+    from tank_spark.api import Tank
+    from tank_spark.operators.table_ops import write_feature_table
+    from tank_spark.sources.features import features_df
+
+    d = str(tmp_path / "layer")
+    write_feature_table(features_df(spark, SF_DIR).drop("ts"), d)
+    t = Tank(spark, d, main_attr="cnt",
+             attr_fields="kind text, score double, cnt int, tag text")
+    total = t.tile(9, 80, 196).count()
+    hit = t.tile(9, 80, 196, filter_json=json.dumps({"cnt": "7"}))
+    n = hit.count()
+    assert 0 < n < total
+    assert all(r["cnt"] == 7 for r in hit.collect())
+
+
 def test_sql_function_registration(spark):
     from tank_spark.functions.geo import register_sql_functions
     from tank_spark.geom import morton

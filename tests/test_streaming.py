@@ -72,6 +72,40 @@ def test_ingest_stream_end_to_end(spark, tmp_dirs):
     assert set(rejects.toPandas()["uid"]) == {"x", "y"}
 
 
+def test_ingest_stream_declared_schema(spark, tmp_dirs):
+    """I1 parity: a layer with config-declared attributes — including a
+    DATE-typed one — ingests through the same generated coercion: defaults
+    0/0.0/''/1970-01-01 for missing values, dead-letter for wrong-typed
+    ones (Tyler.kt:67-125)."""
+    import datetime
+
+    from tank_spark.streaming.ingest import start_ingest_stream
+
+    attrs = "label text, rank int, img_date date"
+    rows = [
+        {"id": "a", "lon": 1.0, "lat": 2.0, "label": "ok", "rank": "3",
+         "img_date": "2021-06-09"},
+        # missing attrs -> per-type defaults, not rejected
+        {"id": "b", "lon": 3.0, "lat": 4.0},
+        # malformed date -> dead letter
+        {"id": "x", "lon": 5.0, "lat": 6.0, "img_date": "June 9th"},
+    ]
+    _write_ndjson(f"{tmp_dirs['drop']}/d1.ndjson", rows)
+    q = start_ingest_stream(spark, tmp_dirs["drop"], tmp_dirs["table"],
+                            tmp_dirs["rejects"], tmp_dirs["ckpt"],
+                            attr_fields=attrs)
+    q.awaitTermination(60)
+
+    acc = {r["uid"]: r for r in spark.read.parquet(tmp_dirs["table"]).collect()}
+    assert set(acc) == {"a", "b"}
+    assert acc["a"]["label"] == "ok" and acc["a"]["rank"] == 3
+    assert acc["a"]["img_date"] == datetime.date(2021, 6, 9)
+    assert acc["b"]["label"] == "" and acc["b"]["rank"] == 0
+    assert acc["b"]["img_date"] == datetime.date(1970, 1, 1)
+    rej = spark.read.parquet(tmp_dirs["rejects"])
+    assert [r["uid"] for r in rej.collect()] == ["x"]
+
+
 def test_ingest_stream_incremental_files(spark, tmp_dirs):
     """Second file dropped later is picked up; checkpoint prevents
     reprocessing (the reference's .lock protocol, done right)."""
