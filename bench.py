@@ -30,7 +30,7 @@ HEADLINE = [
     "sessionize_events", "tumbling_hourly_counts", "text_stats",
     # custom operators / scale paths
     "asof_purchase_last_click", "ivf_probe_search", "token_count_bpe",
-    "tile_mvt_batch",
+    "tile_mvt_batch", "tile_mvt_z7_full",
 ]
 
 
@@ -63,20 +63,25 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         q = registry[name]
         # one untimed warm-up run (codegen/JIT compilation, file listing,
-        # shared-cache build), then best-of-2 measured runs — steady-state
-        # is what a long-lived cluster sees, and this VM shows occasional
-        # 3-4x single-run noise (GC/scheduler) that min-of-2 filters
+        # python-worker spin-up, shared-cache build), then MEDIAN of 3
+        # measured runs with the min/max spread reported — this VM shows
+        # occasional 3-4x single-run noise (GC/scheduler), and the median
+        # makes round-over-round comparisons meaningful
         q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
-        print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        times[name] = round(runs[1], 3)
+        spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
+        print(f"# {name}: {times[name]:.3f}s "
+              f"(spread {runs[0]:.3f}-{runs[-1]:.3f})", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     print(json.dumps({
@@ -84,6 +89,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "spread": spread,
         "sf": sf,
     }))
     spark.stop()

@@ -1,0 +1,219 @@
+"""Numpy-vectorized MVT layer assembly — the scale path for big tiles.
+
+The pure-Python encoder (geom/mvt.py) walks features one at a time; at
+~600k features per overview tile that loop alone is tens of seconds of
+single-task Python (measured: 20s of a 42s z7 encode at sf0.1). This
+module assembles the SAME wire format (vector-tile-spec 2.1 protobuf) in
+whole-array numpy passes: varint encoding, tag packing, and feature
+framing are all vectorized; only the per-unique value table (a few
+hundred entries) stays a Python loop.
+
+Works on columnar inputs (ids, geometry-command bytes, prop columns) —
+the distributed tile pipeline's geometry stage (operators/mvt_tiles.py)
+produces exactly that shape. Decoded output is identical to
+``mvt.encode`` on the same features (tests assert this); byte layout may
+differ only in key/value table ordering, which the spec leaves to the
+encoder.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from tank_spark.geom import mvt as mvtmod
+
+_MAX_VARINT_BYTES = 10
+
+
+def _varint_lengths(v: np.ndarray) -> np.ndarray:
+    """Byte length of each uint64's varint encoding (1..10)."""
+    lens = np.ones(len(v), dtype=np.int64)
+    vmax = int(v.max()) if len(v) else 0
+    for k in range(1, _MAX_VARINT_BYTES):
+        t = 1 << (7 * k)
+        if vmax < t:
+            break  # no value needs more bytes — skip the remaining passes
+        lens += v >= np.uint64(t)
+    return lens
+
+
+def varints_np(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized varint encode: int array -> (flat uint8 buffer, per-value
+    byte lengths). Negative ints must be zigzagged by the caller first."""
+    v = vals.astype(np.uint64)
+    lens = _varint_lengths(v)
+    total = int(lens.sum())
+    buf = np.empty(total, dtype=np.uint8)
+    offs = np.cumsum(lens) - lens
+    for b in range(int(lens.max()) if len(lens) else 0):
+        m = lens > b
+        byte = (v[m] >> np.uint64(7 * b)).astype(np.uint64) & np.uint64(0x7F)
+        cont = (lens[m] - 1 > b).astype(np.uint8) << 7
+        buf[offs[m] + b] = byte.astype(np.uint8) | cont
+    return buf, lens
+
+
+def _ranges(lens: np.ndarray) -> np.ndarray:
+    """[0..l0-1, 0..l1-1, ...] for variable-length scatter/gather."""
+    c = np.cumsum(lens)
+    return np.arange(int(c[-1]) if len(c) else 0, dtype=np.int64) - np.repeat(c - lens, lens)
+
+
+def _scatter(buf: np.ndarray, starts: np.ndarray, flat: np.ndarray,
+             lens: np.ndarray) -> None:
+    idx = np.repeat(starts, lens) + _ranges(lens)
+    buf[idx] = flat
+
+
+def _zigzag_np(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.int64)
+    return ((v << 1) ^ (v >> 63)).astype(np.uint64)
+
+
+def encode_point_geoms(ix: np.ndarray, iy: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Command streams for single-point geometries, vectorized:
+    [MoveTo(1), zz(x), zz(y)] per point -> (flat uint8, per-point lens)."""
+    n = len(ix)
+    zx, lx = varints_np(_zigzag_np(ix))
+    zy, ly = varints_np(_zigzag_np(iy))
+    lens = 1 + lx + ly
+    buf = np.empty(int(lens.sum()), dtype=np.uint8)
+    starts = np.cumsum(lens) - lens
+    buf[starts] = (1 << 3) | 1  # MoveTo, count 1
+    _scatter(buf, starts + 1, zx, lx)
+    _scatter(buf, starts + 1 + lx, zy, ly)
+    return buf, lens
+
+
+def _factorize_props(props: dict[str, pd.Series]) -> tuple[
+        list[str], list[bytes], np.ndarray, np.ndarray]:
+    """Build the layer key/value tables and per-feature packed tag arrays.
+
+    Returns (keys, value_bytes, flat_tag_varint_values, tags_per_feature)
+    where flat_tag_varint_values is the raveled (key_ix, val_ix) stream
+    with null-valued entries dropped per feature.
+    """
+    n = len(next(iter(props.values()))) if props else 0
+    keys: list[str] = []
+    value_bytes: list[bytes] = []
+    cols = []
+    for name, series in props.items():
+        key_ix = len(keys)
+        keys.append(name)
+        mask = series.notna().to_numpy()
+        codes, uniques = pd.factorize(series)
+        base = len(value_bytes)
+        for u in uniques:
+            value_bytes.append(mvtmod._encode_value(_pyval(u)))
+        cols.append((key_ix, base + codes, mask))
+    # interleave per feature: for each feature, (k, v) for each non-null col
+    per_feat = np.zeros(n, dtype=np.int64)
+    for _, _, mask in cols:
+        per_feat += mask.astype(np.int64) * 2
+    flat = np.empty(int(per_feat.sum()), dtype=np.int64)
+    # feature-major layout: offsets per feature, then place each column's
+    # pair at the running position within the feature
+    feat_offs = np.cumsum(per_feat) - per_feat
+    cursor = np.zeros(n, dtype=np.int64)
+    for key_ix, val_codes, mask in cols:
+        pos = feat_offs[mask] + cursor[mask]
+        flat[pos] = key_ix
+        flat[pos + 1] = val_codes[mask]
+        cursor[mask] += 2
+    return keys, value_bytes, flat, per_feat
+
+
+def _pyval(u):
+    """numpy scalar -> plain python for value encoding (type tags)."""
+    if isinstance(u, (np.integer,)):
+        return int(u)
+    if isinstance(u, (np.floating,)):
+        return float(u)
+    if isinstance(u, (np.bool_,)):
+        return bool(u)
+    return u
+
+
+def assemble_layer(
+    ids: np.ndarray,
+    gtypes: np.ndarray,
+    geom_flat: np.ndarray,
+    geom_lens: np.ndarray,
+    props: dict[str, pd.Series],
+    layer_name: str = "io.marauder.tank",
+    extent: int = 4096,
+) -> bytes:
+    """Columnar features -> one-layer MVT blob, fully vectorized.
+
+    ``ids``: int64 (non-negative); ``gtypes``: MVT geom type 1..3;
+    ``geom_flat``/``geom_lens``: concatenated command-stream bytes and
+    per-feature lengths; ``props``: column name -> pandas Series (nulls
+    skipped per feature, like the scalar encoder).
+    """
+    n = len(ids)
+    keys, value_bytes, tag_flat, tags_per_feat = _factorize_props(props)
+
+    id_buf, id_lens = varints_np(ids.astype(np.uint64))
+    tag_buf, tag_lens_each = varints_np(tag_flat.astype(np.uint64))
+    # per-feature packed-tags byte length = sum of its tag varint lengths
+    tb_lens = np.zeros(n, dtype=np.int64)
+    np.add.at(tb_lens, np.repeat(np.arange(n), tags_per_feat), tag_lens_each)
+    tblen_buf, tblen_lens = varints_np(tb_lens.astype(np.uint64))
+    glen_buf, glen_lens = varints_np(geom_lens.astype(np.uint64))
+
+    # feature body: [08 id] [12 tl tags] [18 gt] [22 gl geom]
+    body_lens = (
+        (1 + id_lens)
+        + (1 + tblen_lens + tb_lens)
+        + 2
+        + (1 + glen_lens + geom_lens)
+    )
+    blen_buf, blen_lens = varints_np(body_lens.astype(np.uint64))
+    feat_lens = 1 + blen_lens + body_lens           # [12 bl body]
+    total = int(feat_lens.sum())
+    buf = np.empty(total, dtype=np.uint8)
+    starts = np.cumsum(feat_lens) - feat_lens
+
+    p = starts
+    buf[p] = 0x12                                   # Layer.features tag
+    _scatter(buf, p + 1, blen_buf, blen_lens)
+    p = p + 1 + blen_lens
+    buf[p] = 0x08                                   # Feature.id
+    _scatter(buf, p + 1, id_buf, id_lens)
+    p = p + 1 + id_lens
+    buf[p] = 0x12                                   # Feature.tags (packed)
+    _scatter(buf, p + 1, tblen_buf, tblen_lens)
+    tag_starts = p + 1 + tblen_lens
+    # scatter each feature's packed-tag bytes: position = feature tag start
+    # repeated per byte + the byte's offset within the feature's tag block
+    idx = np.repeat(tag_starts, tb_lens) + _ranges(tb_lens)
+    buf[idx] = tag_buf
+    p = tag_starts + tb_lens
+    buf[p] = 0x18                                   # Feature.type
+    buf[p + 1] = gtypes.astype(np.uint8)
+    p = p + 2
+    buf[p] = 0x22                                   # Feature.geometry
+    _scatter(buf, p + 1, glen_buf, glen_lens)
+    _scatter(buf, p + 1 + glen_lens, geom_flat, geom_lens)
+
+    feats = buf.tobytes()
+    layer = bytearray()
+    layer += mvtmod._tag(15, 0) + mvtmod._varint(2)
+    layer += mvtmod._len_delim(1, layer_name.encode("utf-8"))
+    layer += feats
+    for k in keys:
+        layer += mvtmod._len_delim(3, k.encode("utf-8"))
+    for v in value_bytes:
+        layer += mvtmod._len_delim(4, v)
+    layer += mvtmod._tag(5, 0) + mvtmod._varint(extent)
+    return bytes(mvtmod._len_delim(3, bytes(layer)))
+
+
+def split_bytes(flat: np.ndarray, lens: np.ndarray) -> list[bytes]:
+    """Flat uint8 buffer + lengths -> list of bytes objects (for emitting
+    a per-row binary column from a vectorized batch)."""
+    mv = flat.tobytes()
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    return [mv[s:e] for s, e in zip(starts.tolist(), ends.tolist())]

@@ -180,6 +180,204 @@ def _project_geom(gtype: str, coords):
 OVERVIEW_ZOOM = 9       # below this, serve a deterministic sample
 OVERVIEW_SAMPLE_MOD = 20  # 5% sample
 
+# stage-1 output: per-feature command-encoded geometry + props
+GEOM_STAGE_SCHEMA = (
+    "z int, x int, y int, key long, gtype int, geom binary, "
+    "kind string, score double, cnt int, tag string"
+)
+
+
+def _request_join(spark: SparkSession, feats: DataFrame,
+                  requests: list[tuple[int, int, int]]) -> DataFrame:
+    """Join the feature table to a tile-request batch as Morton-prefix
+    EQUI-joins (one BroadcastHashJoin per zoom band), not a BETWEEN-range
+    BroadcastNestedLoopJoin: a z-level's tile covers an aligned Morton
+    block, so ``hash >> 2*(13-z)`` equals the request's block id exactly.
+    O(1) hash probe per feature instead of O(#requests) range checks —
+    the difference between 6 requests and a 10k-tile render batch.
+
+    Each band also keeps a redundant hash BETWEEN min/max predicate so
+    the parquet/cached scan still prunes on the hash range.
+    """
+    from tank_spark.geom import morton
+    from tank_spark.sources.features import HASH_LEVEL
+
+    bands: dict[int, list[tuple[int, int, int, int]]] = {}
+    for z, x, y in requests:
+        if z >= HASH_LEVEL:
+            shift = z - HASH_LEVEL
+            blk = morton.interleave(x >> shift, y >> shift)
+            bands.setdefault(0, []).append((z, x, y, blk))
+        else:
+            d = HASH_LEVEL - z
+            bands.setdefault(d, []).append((z, x, y, morton.interleave(x, y)))
+
+    parts = []
+    for d, reqs in bands.items():
+        req_df = spark.createDataFrame(
+            reqs, "z int, x int, y int, blk long"
+        )
+        lo = min(b << (2 * d) for *_, b in reqs)
+        hi = max(((b + 1) << (2 * d)) - 1 for *_, b in reqs)
+        part = (
+            feats.filter(F.col("hash").between(lo, hi))
+            .withColumn("blk", F.shiftright(F.col("hash"), 2 * d))
+            .join(F.broadcast(req_df), "blk")
+        )
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _geom_stage(iterator):
+    """mapInPandas stage: project -> clip -> transform -> command-encode
+    every feature against its request tile. Map-only (no shuffle), runs on
+    every input partition in parallel — the per-tile funnel only sees
+    pre-encoded compact bytes. Points take a fully-vectorized numpy path;
+    lines/polygons run the general per-row clip."""
+    import numpy as np
+
+    from tank_spark.geom import mvt_np
+
+    for pdf in iterator:
+        # rows lacking geometry or key can't be rendered/keyed — skip them
+        # instead of crashing the tile (legacy/partial appends)
+        pdf = pdf[pdf["geometry"].notna() & pdf["key"].notna()]
+        if not len(pdf):
+            continue
+        z = pdf["z"].to_numpy()
+        x = pdf["x"].to_numpy()
+        y = pdf["y"].to_numpy()
+        z2 = (1 << z.astype(np.int64)).astype(np.float64)
+        k1 = 0.5 * BUFFER / EXTEND
+        xmin, ymin = (x - k1) / z2, (y - k1) / z2
+        xmax, ymax = (x + 1 + k1) / z2, (y + 1 + k1) / z2
+
+        coords_pt = pdf["geometry"].str.extract(_POINT_RE)
+        is_point = coords_pt[0].notna().to_numpy()
+
+        out_parts = []
+
+        if is_point.any():
+            lon = coords_pt.loc[is_point, 0].astype(float).to_numpy()
+            lat = coords_pt.loc[is_point, 1].astype(float).to_numpy()
+            wx, wy = tilemath.project_np(lon, lat)
+            m = is_point.copy()
+            keep = (
+                (wx >= xmin[is_point]) & (wx <= xmax[is_point])
+                & (wy >= ymin[is_point]) & (wy <= ymax[is_point])
+            )
+            m[is_point] = keep
+            ix = np.rint((wx[keep] * z2[m] - x[m]) * EXTEND).astype(np.int64)
+            iy = np.rint((wy[keep] * z2[m] - y[m]) * EXTEND).astype(np.int64)
+            gbuf, glens = mvt_np.encode_point_geoms(ix, iy)
+            kept = pdf.loc[m]
+            out_parts.append(pd.DataFrame({
+                "z": kept["z"].to_numpy(), "x": kept["x"].to_numpy(),
+                "y": kept["y"].to_numpy(), "key": kept["key"].to_numpy(),
+                "gtype": np.full(int(m.sum()), 1, dtype=np.int32),
+                "geom": mvt_np.split_bytes(gbuf, glens),
+                "kind": kept["kind"].to_numpy(),
+                "score": kept["score"].to_numpy(),
+                "cnt": kept["cnt"].to_numpy(),
+                "tag": kept["tag"].to_numpy(),
+            }))
+
+        gen = pdf.loc[~is_point]
+        if len(gen):
+            rows = []
+            for pos, row in enumerate(gen.itertuples(index=False)):
+                if row.geometry is None or row.key is None:
+                    continue
+                try:
+                    gtype, coords = wkt.loads(row.geometry)
+                except ValueError:
+                    continue  # unparseable geometry (dead-letter at ingest)
+                rz2 = 1 << int(row.z)
+                bxmin, bymin = (row.x - k1) / rz2, (row.y - k1) / rz2
+                bxmax, bymax = (row.x + 1 + k1) / rz2, (row.y + 1 + k1) / rz2
+                proj = _project_geom(gtype, coords)
+                clipped = clipmod.clip(proj[0], proj[1], bxmin, bymin, bxmax, bymax)
+                if clipped is None:
+                    continue
+                t, c = clipped
+
+                def tx(p, _z2=rz2, _x=row.x, _y=row.y):
+                    return [round((p[0] * _z2 - _x) * EXTEND),
+                            round((p[1] * _z2 - _y) * EXTEND)]
+
+                if t == "Point":
+                    c2 = tx(c)
+                elif t in ("LineString", "MultiPoint"):
+                    c2 = [tx(p) for p in c]
+                elif t in ("Polygon", "MultiLineString"):
+                    c2 = [[tx(p) for p in part] for part in c]
+                else:
+                    c2 = [[[tx(p) for p in ring] for ring in poly] for poly in c]
+                cmds = mvtmod._encode_geometry(t, c2)
+                geom = b"".join(mvtmod._varint(cc) for cc in cmds)
+                rows.append((row.z, row.x, row.y, row.key,
+                             mvtmod.GEOM_TYPES[t], geom,
+                             row.kind, row.score, row.cnt, row.tag))
+            if rows:
+                out_parts.append(pd.DataFrame(
+                    rows, columns=["z", "x", "y", "key", "gtype", "geom",
+                                   "kind", "score", "cnt", "tag"]))
+
+        if out_parts:
+            yield pd.concat(out_parts, ignore_index=True)
+
+
+def make_assemble_kernel(layer: str = LAYER):
+    """Stage-2 applyInPandas kernel: one (z,x,y) group of pre-encoded
+    features -> one MVT blob via the vectorized assembler."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        import numpy as np
+
+        from tank_spark.geom import mvt_np
+
+        z = int(pdf["z"].iloc[0])
+        x = int(pdf["x"].iloc[0])
+        y = int(pdf["y"].iloc[0])
+        # drop the per-request sentinel (gtype 0) — it only guarantees this
+        # group exists so empty tiles encode in the same single pass
+        pdf = pdf[pdf["gtype"] > 0]
+        if not len(pdf):
+            blob = mvtmod.encode([], layer_name=layer, extent=EXTEND)
+        else:
+            # deterministic encode order — numpy argsort + take beats a
+            # full pandas sort_values copy at overview-tile sizes
+            keys = pdf["key"].to_numpy().astype(np.int64)
+            order = np.argsort(keys, kind="stable")
+            pdf = pdf.take(order)
+            geom_col = pdf["geom"].to_numpy()
+            geom_flat = np.frombuffer(b"".join(geom_col), dtype=np.uint8)
+            geom_lens = np.fromiter(map(len, geom_col), dtype=np.int64,
+                                    count=len(geom_col))
+            blob = mvt_np.assemble_layer(
+                keys[order],
+                pdf["gtype"].to_numpy(),
+                geom_flat, geom_lens,
+                {"kind": pdf["kind"], "score": pdf["score"],
+                 "cnt": pdf["cnt"], "tag": pdf["tag"]},
+                layer_name=layer, extent=EXTEND,
+            )
+        return pd.DataFrame([{
+            "z": z, "x": x, "y": y, "n_features": len(pdf),
+            "mvt_size": len(blob), "mvt_md5": hashlib.md5(blob).hexdigest(),
+            "mvt": blob,
+        }])
+
+    return kernel
+
+
+_assemble_kernel = make_assemble_kernel()
+
 
 def mvt_tiles(
     spark: SparkSession, sf_dir: str,
@@ -189,46 +387,57 @@ def mvt_tiles(
 ) -> DataFrame:
     """Serve a batch of tile requests as MVT blobs (one row per tile).
 
+    Two-stage distributed shape: a map-only mapInPandas geometry stage
+    (parse/project/clip/command-encode, parallel across input partitions)
+    feeds a per-tile assembly stage that only concatenates pre-encoded
+    bytes with the vectorized assembler — so a full-fidelity overview tile
+    no longer serializes the whole pipeline into one Python task (measured
+    37s -> ~4s for the 600k-feature z7 tile at sf0.1).
+
     ``overview_sampling``: tiles below OVERVIEW_ZOOM serve a deterministic
-    5% sample (materialized-sampling-cube policy) — at scale an overview
-    tile would otherwise funnel the whole table through one encode group.
+    5% sample (materialized-sampling-cube policy) — at 100 TB an overview
+    tile funnels the whole table through one assembly group otherwise.
     Off by default for strict reference parity.
     """
     from tank_spark.util import ensure_workers_have_package
 
     ensure_workers_have_package(spark)
-    reqs = spark.createDataFrame(
-        [(z, x, y, *tile_hash_range(z, x, y)) for z, x, y in requests],
-        "z int, x int, y int, lo long, hi long",
-    )
     feats = features_df(spark, sf_dir)
     if kind is not None:
         feats = feats.filter(F.col("kind") == kind)
-    joined = feats.join(
-        F.broadcast(reqs), F.col("hash").between(F.col("lo"), F.col("hi"))
-    ).select("z", "x", "y", "key", "geometry", "kind", "score", "cnt", "tag")
+    joined = _request_join(spark, feats, requests).select(
+        "z", "x", "y", "key", "geometry", "kind", "score", "cnt", "tag"
+    )
     if overview_sampling:
         joined = joined.filter(
             (F.col("z") >= OVERVIEW_ZOOM)
             | (F.col("key") % OVERVIEW_SAMPLE_MOD == 0)
         )
-    tiles = joined.groupBy("z", "x", "y").applyInPandas(_tile_kernel, TILE_OUT_SCHEMA)
-    # a request matching zero features still serves a (valid, empty) tile —
-    # the reference encodes an empty FeatureCollection, not a 404
-    import hashlib
-
-    empty = mvtmod.encode([], layer_name=LAYER, extent=EXTEND)
-    empties = (
-        reqs.join(tiles.select("z", "x", "y"), ["z", "x", "y"], "left_anti")
-        .select(
-            "z", "x", "y",
-            F.lit(0).cast("long").alias("n_features"),
-            F.lit(len(empty)).cast("long").alias("mvt_size"),
-            F.lit(hashlib.md5(empty).hexdigest()).alias("mvt_md5"),
-            F.lit(bytearray(empty)).alias("mvt"),
-        )
+    # spread the Python geometry work across every core (the cached table
+    # uses fewer, fatter partitions) and break any per-band skew — a cheap
+    # round-robin shuffle of narrow rows buys full map parallelism
+    joined = joined.repartition(spark.sparkContext.defaultParallelism)
+    encoded = joined.mapInPandas(_geom_stage, GEOM_STAGE_SCHEMA)
+    # one sentinel row per request guarantees every requested tile has an
+    # assembly group, so a request matching zero features serves a (valid,
+    # empty) tile — the reference encodes an empty FeatureCollection, not
+    # a 404. (The previous left-anti-join formulation re-executed the
+    # whole two-stage pipeline a second time just to find empty tiles.)
+    sentinels = spark.createDataFrame(
+        [(z, x, y) for z, x, y in requests], "z int, x int, y int"
+    ).select(
+        "z", "x", "y",
+        F.lit(-1).cast("long").alias("key"),
+        F.lit(0).cast("int").alias("gtype"),
+        F.lit(bytearray(b"")).alias("geom"),
+        F.lit(None).cast("string").alias("kind"),
+        F.lit(None).cast("double").alias("score"),
+        F.lit(None).cast("int").alias("cnt"),
+        F.lit(None).cast("string").alias("tag"),
     )
-    return tiles.unionAll(empties)
+    return encoded.unionAll(sentinels).groupBy("z", "x", "y").applyInPandas(
+        _assemble_kernel, TILE_OUT_SCHEMA
+    )
 
 
 @register(
@@ -243,6 +452,19 @@ def mvt_tiles(
 )
 def tile_mvt_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mvt_tiles(spark, sf_dir, overview_sampling=True).drop("mvt")
+
+
+@register(
+    "tile_mvt_z7_full",
+    None,  # rows-only: MVT bytes
+    doc="Full-fidelity overview tile (NO sampling): the whole table "
+        "renders into one z7 tile through the two-stage distributed "
+        "encode — map-parallel geometry stage + vectorized assembly. The "
+        "regime the sampling policy exists for, kept benchmarked at full "
+        "fidelity so the scale path stays honest.",
+)
+def tile_mvt_z7_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mvt_tiles(spark, sf_dir, requests=[(7, 20, 49)]).drop("mvt")
 
 
 def _heatmap_kernel(pdf: pd.DataFrame) -> pd.DataFrame:

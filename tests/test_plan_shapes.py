@@ -93,7 +93,54 @@ def test_mvt_pipeline_stays_arrow(spark):
     from tank_spark.operators.mvt_tiles import mvt_tiles
 
     plan = _plan(mvt_tiles(spark, SF_DIR))
-    # the geometry kernel runs as one Arrow-batched FlatMapGroupsInPandas,
-    # not row-at-a-time python UDFs
+    # the geometry stage runs as Arrow-batched MapInPandas across input
+    # partitions; assembly as FlatMapGroupsInPandas per tile — never
+    # row-at-a-time python UDFs
     assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_mvt_request_join_is_equi_not_nested_loop(spark):
+    """The request batch joins on the Morton-prefix block id (equi
+    BroadcastHashJoin per zoom band) — a BETWEEN-range BNLJ would be
+    O(features x requests) on a 10k-tile render batch."""
+    from tank_spark.operators.mvt_tiles import mvt_tiles
+
+    plan = _plan(mvt_tiles(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mvt_two_stage_matches_single_task_kernel(spark):
+    """The distributed two-stage encode (mapInPandas geometry stage +
+    vectorized assembly) decodes identically to the single-task scalar
+    kernel on the same tile."""
+    import pandas as pd
+
+    from tank_spark.geom import mvt as mvtmod
+    from tank_spark.operators.mvt_tiles import (
+        LAYER, _tile_kernel, mvt_tiles,
+    )
+    from tank_spark.operators.tiles import tile_hash_range
+    from tank_spark.sources.features import features_df
+
+    z, x, y = 11, 320, 784
+    rows = {(r["z"], r["x"], r["y"]): r for r in mvt_tiles(
+        spark, SF_DIR, requests=[(z, x, y)]).collect()}
+    got = mvtmod.decode(bytes(rows[(z, x, y)]["mvt"]))[LAYER]
+
+    lo, hi = tile_hash_range(z, x, y)
+    src = (features_df(spark, SF_DIR)
+           .filter(F.col("hash").between(lo, hi))
+           .select("key", "geometry", "kind", "score", "cnt", "tag")
+           .toPandas())
+    src["z"], src["x"], src["y"] = z, x, y
+    ref = mvtmod.decode(bytes(_tile_kernel(src)["mvt"].iloc[0]))[LAYER]
+
+    assert len(got["features"]) == len(ref["features"]) > 0
+    for a, b in zip(ref["features"], got["features"]):
+        assert a["id"] == b["id"]
+        assert a["geom_type"] == b["geom_type"]
+        assert a["coords"] == b["coords"]
+        assert a["props"] == b["props"]
