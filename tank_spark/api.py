@@ -63,8 +63,39 @@ class Tank:
 
     def get_feature(self, uid: str) -> DataFrame:
         """GET /{uuid}: all rows for a feature id (uid is a clustering
-        key; reference returns the decoded feature)."""
+        key; reference returns the decoded feature — see
+        :meth:`get_feature_geojson`)."""
         return self.features().filter(F.col("uid") == uid)
+
+    def get_feature_geojson(self, uid: str) -> dict | None:
+        """GET /{uuid} response assembly: decode the stored row into a
+        typed GeoJSON Feature — geometry parsed from WKT, properties
+        typed per the declared attr schema (reference application.kt:
+        279-300: int/double stay numeric, date/text/uuid stringify).
+        Returns None when the uid has no rows (the reference 500s)."""
+        from tank_spark.geom import wkt as wktmod
+
+        rows = self.get_feature(uid).limit(1).collect()
+        if not rows:
+            return None
+        row = rows[0]
+        geometry = None
+        if row["geometry"] is not None:
+            gtype, coords = wktmod.loads(row["geometry"])
+            geometry = {"type": gtype, "coordinates": coords}
+        props: dict[str, object] = {}
+        for name, typ in self._attr_types.items():
+            v = row[name]
+            if v is None:
+                props[name] = None
+            elif typ == "int":
+                props[name] = int(v)
+            elif typ == "double":
+                props[name] = float(v)
+            else:                     # text / date -> string (LocalDate.toString)
+                props[name] = str(v)
+        return {"type": "Feature", "id": uid,
+                "geometry": geometry, "properties": props}
 
     def tile(self, z: int, x: int, y: int, filter_json: str | None = None) -> DataFrame:
         """GET /tile/{z}/{x}/{y}: pruned scan for the tile; optional

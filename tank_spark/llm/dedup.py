@@ -28,6 +28,10 @@ from pyspark.sql import functions as F
 from tank_spark.plans.registry import register
 from tank_spark.sources.tables import load
 
+# Checked (oracle) configuration — toy-sized so the DuckDB twin stays
+# cheap. Production sizing (e.g. K=128, BAND_W=4 -> 32 bands, the common
+# 0.5-threshold operating point) runs through the same parameterized
+# builders; test_minhash_production_params exercises one such config.
 K = 12        # minhash permutations
 BAND_W = 2    # band width -> 6 bands
 N_BANDS = K // BAND_W
@@ -153,10 +157,10 @@ def _sig_sql() -> str:
     return f"sigs AS (SELECT cid, {mins} FROM shingled GROUP BY cid)"
 
 
-def _sigs_df(sh: DataFrame) -> DataFrame:
+def _sigs_df(sh: DataFrame, k: int = K) -> DataFrame:
     aggs = [
         F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{i}")))).alias(f"h{i}")
-        for i in range(K)
+        for i in range(k)
     ]
     return sh.groupBy("cid").agg(*aggs)
 
@@ -182,19 +186,56 @@ def _bands_sql() -> str:
     return f"bands AS ({rows})"
 
 
-def _bands_df(sigs: DataFrame) -> DataFrame:
+def _bands_df(sigs: DataFrame, k: int = K, band_w: int = BAND_W) -> DataFrame:
     parts = [
         sigs.select(
             "cid",
             F.lit(b).alias("band_idx"),
-            F.md5(F.concat(F.col(f"h{BAND_W * b}"), F.col(f"h{BAND_W * b + 1}"))).alias("band_val"),
+            F.md5(F.concat(*[
+                F.col(f"h{band_w * b + j}") for j in range(band_w)
+            ])).alias("band_val"),
         )
-        for b in range(N_BANDS)
+        for b in range(k // band_w)
     ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str,
+    k: int = K, band_w: int = BAND_W, min_match_frac: float = 0.5,
+) -> DataFrame:
+    """Parameterized MinHash+LSH near-dup pairs: ``k`` permutations in
+    bands of ``band_w`` (s-curve threshold ~ (1/n_bands)^(1/band_w)),
+    keeping pairs whose signature agreement >= ``min_match_frac``. The
+    registered oracle query is this with the toy checked configuration."""
+    sigs = _sigs_df(_shingles_df(corpus_df(spark, sf_dir)), k).cache()
+    bands = _bands_df(sigs, k, band_w)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.cid") < F.col("b.cid")))
+        .select(F.col("a.cid").alias("cid_a"), F.col("b.cid").alias("cid_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("cid").alias("cid_a"),
+                     *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)])
+    sb = sigs.select(F.col("cid").alias("cid_b"),
+                     *[F.col(f"h{i}").alias(f"b{i}") for i in range(k)])
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
+    )
+    min_match = int(k * min_match_frac)
+    return (
+        cand.join(sa, "cid_a").join(sb, "cid_b")
+        .withColumn("n_match", matches)
+        .filter(F.col("n_match") >= min_match)
+        .select("cid_a", "cid_b",
+                (F.col("n_match").cast("double") / k).alias("est_jaccard"))
+    )
 
 
 @register(
@@ -218,27 +259,7 @@ def _bands_df(sigs: DataFrame) -> DataFrame:
         "The derived dups surface at est_jaccard = 1.0.",
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = _sigs_df(_shingles_df(corpus_df(spark, sf_dir))).cache()
-    bands = _bands_df(sigs)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
-               & (F.col("a.band_val") == F.col("b.band_val"))
-               & (F.col("a.cid") < F.col("b.cid")))
-        .select(F.col("a.cid").alias("cid_a"), F.col("b.cid").alias("cid_b"))
-        .distinct()
-    )
-    sa = sigs.select(F.col("cid").alias("cid_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(K)])
-    sb = sigs.select(F.col("cid").alias("cid_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(K)])
-    matches = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(K)
-    )
-    return (
-        cand.join(sa, "cid_a").join(sb, "cid_b")
-        .withColumn("n_match", matches)
-        .filter(F.col("n_match") >= K // 2)
-        .select("cid_a", "cid_b", (F.col("n_match").cast("double") / K).alias("est_jaccard"))
-    )
+    return minhash_lsh_pairs(spark, sf_dir)  # checked toy configuration
 
 
 # -------------------------------------------------------------- simhash
@@ -292,6 +313,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         code = term if code is None else code + term
     return sums.select("cid", code.alias("simhash16"))
+
+
+def simhash64_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-width SimHash: 64-bit codes via xxhash64 word hashes
+    (per-bit majority vote). Spark-only (DuckDB has no xxhash64 twin, so
+    the 16-bit md5 variant stays the oracle-checked configuration); the
+    plan shape is identical — one explode + one groupBy per doc."""
+    c = corpus_df(spark, sf_dir)
+    words = c.select(
+        "cid",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("word"),
+    )
+    h = F.xxhash64("word")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(64)
+    ]
+    sums = words.groupBy("cid").agg(*aggs)
+    code = None
+    for b in range(64):
+        term = F.when(
+            F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        code = term if code is None else code + term
+    return sums.select("cid", code.alias("simhash64"))
+
+
+@register(
+    "dedup_simhash64",
+    None,  # xxhash64 has no DuckDB twin -> rows-only check
+    doc="SimHash at production width: 64-bit xxhash64 per-bit majority "
+        "codes (the 16-bit md5 variant is the oracle-checked config; "
+        "same plan shape).",
+)
+def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash64_df(spark, sf_dir)
 
 
 # -------------------------------------------------------- n-gram jaccard

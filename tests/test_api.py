@@ -79,6 +79,22 @@ def test_full_route_surface(tank):
     assert layer2["features"] == []
 
 
+def test_get_feature_geojson(tank):
+    """C1 response assembly: the stored row decodes into a typed GeoJSON
+    Feature (application.kt:279-300) — WKT-parsed geometry, typed props."""
+    f = tank.get_feature_geojson("feat-8001")
+    assert f is not None and f["type"] == "Feature" and f["id"] == "feat-8001"
+    geom = f["geometry"]
+    assert geom["type"] in ("Point", "LineString", "Polygon")
+    from tank_spark.geom import wkt as wktmod
+    pts = list(wktmod.iter_points(geom["type"], geom["coordinates"]))
+    assert all(-180 <= lon <= 180 and -90 <= lat <= 90 for lon, lat in pts)
+    props = f["properties"]
+    assert isinstance(props["kind"], str) and isinstance(props["score"], float)
+    assert isinstance(props["cnt"], int) and isinstance(props["tag"], str)
+    assert tank.get_feature_geojson("no-such-uid") is None
+
+
 def test_typed_main_attr_filter(spark, tmp_path):
     """T1b: a Tank whose main attr is INT-typed binds the raw request
     value as an integer (reference application.kt:405-416)."""
