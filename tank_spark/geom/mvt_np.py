@@ -86,23 +86,33 @@ def encode_point_geoms(ix: np.ndarray, iy: np.ndarray) -> tuple[np.ndarray, np.n
     return buf, lens
 
 
-def _factorize_props(props: dict[str, pd.Series]) -> tuple[
+def _factorize_props(props) -> tuple[
         list[str], list[bytes], np.ndarray, np.ndarray]:
     """Build the layer key/value tables and per-feature packed tag arrays.
+
+    ``props``: column name -> pandas Series, OR -> ``(codes, uniques)``
+    already factorized (codes int array, -1 = null) — the pre-aggregated
+    chunk path supplies the latter.
 
     Returns (keys, value_bytes, flat_tag_varint_values, tags_per_feature)
     where flat_tag_varint_values is the raveled (key_ix, val_ix) stream
     with null-valued entries dropped per feature.
     """
-    n = len(next(iter(props.values()))) if props else 0
+    first = next(iter(props.values())) if props else None
+    n = (len(first[0]) if isinstance(first, tuple) else len(first)) if props else 0
     keys: list[str] = []
     value_bytes: list[bytes] = []
     cols = []
     for name, series in props.items():
         key_ix = len(keys)
         keys.append(name)
-        mask = series.notna().to_numpy()
-        codes, uniques = pd.factorize(series)
+        if isinstance(series, tuple):
+            codes, uniques = series
+            codes = np.asarray(codes)
+            mask = codes >= 0
+        else:
+            mask = series.notna().to_numpy()
+            codes, uniques = pd.factorize(series)
         base = len(value_bytes)
         for u in uniques:
             value_bytes.append(mvtmod._encode_value(_pyval(u)))
@@ -217,3 +227,82 @@ def split_bytes(flat: np.ndarray, lens: np.ndarray) -> list[bytes]:
     ends = np.cumsum(lens)
     starts = ends - lens
     return [mv[s:e] for s, e in zip(starts.tolist(), ends.tolist())]
+
+
+def reorder_var(flat: np.ndarray, lens: np.ndarray, order: np.ndarray
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Reorder variable-length byte records in a flat buffer by ``order``."""
+    starts = np.cumsum(lens) - lens
+    new_lens = lens[order]
+    idx = np.repeat(starts[order], new_lens) + _ranges(new_lens)
+    return flat[idx], new_lens
+
+
+# ------------------------------------------------- pre-aggregated chunks
+#
+# The distributed tile pipeline's scale problem: a full-fidelity overview
+# tile funnels EVERY feature row through the per-tile assembly group — at
+# 100x data that shuffle (and its Arrow per-row serialization) dominates.
+# Chunk packing collapses it: each geometry-stage batch packs its features
+# for a tile into ONE binary row of columnar numpy arrays (+ per-chunk
+# value tables), so the assembly group receives #batches rows, not
+# #features, and the final stage is pure numpy concatenation + remap.
+
+def pack_chunk(keys: np.ndarray, gtypes: np.ndarray, geom_objs,
+               props: dict[str, pd.Series]) -> bytes:
+    """Columnar feature arrays -> one self-contained chunk blob."""
+    import pickle
+
+    n = len(keys)
+    payload = {
+        "n": n,
+        "keys": keys.astype("<i8").tobytes(),
+        "gtypes": np.asarray(gtypes).astype("<i1").tobytes(),
+        "geom": b"".join(geom_objs),
+        "geom_lens": np.fromiter(map(len, geom_objs), "<i4", count=n).tobytes(),
+        "props": {},
+    }
+    for name, series in props.items():
+        codes, uniques = pd.factorize(series)   # -1 = null
+        payload["props"][name] = (codes.astype("<i4").tobytes(),
+                                  [_pyval(u) for u in uniques])
+    return pickle.dumps(payload, protocol=5)
+
+
+def merge_chunks(blobs) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                 np.ndarray, dict]:
+    """Chunk blobs -> (keys, gtypes, geom_flat, geom_lens, props) with
+    per-chunk value codes remapped onto merged global value tables.
+    ``props`` values are (codes, uniques) pairs ready for assemble_layer.
+    """
+    import pickle
+
+    chunks = [pickle.loads(b) for b in blobs]
+    keys = np.concatenate(
+        [np.frombuffer(c["keys"], "<i8") for c in chunks])
+    gtypes = np.concatenate(
+        [np.frombuffer(c["gtypes"], "<i1") for c in chunks])
+    geom_flat = np.frombuffer(b"".join(c["geom"] for c in chunks), np.uint8)
+    geom_lens = np.concatenate(
+        [np.frombuffer(c["geom_lens"], "<i4") for c in chunks]).astype(np.int64)
+
+    props: dict[str, tuple[np.ndarray, list]] = {}
+    names = list(chunks[0]["props"]) if chunks else []
+    for name in names:
+        uniq_lists = [c["props"][name][1] for c in chunks]
+        # the global value table is built SORTED so the blob does not
+        # depend on shuffle arrival order of the chunks (determinism)
+        global_uniques = sorted({u for lst in uniq_lists for u in lst})
+        ix = {u: i for i, u in enumerate(global_uniques)}
+        remapped = []
+        for c, lst in zip(chunks, uniq_lists):
+            codes = np.frombuffer(c["props"][name][0], "<i4").astype(np.int64)
+            m = codes >= 0
+            out = np.full(len(codes), -1, dtype=np.int64)
+            if m.any():
+                local_to_global = np.fromiter(
+                    (ix[u] for u in lst), dtype=np.int64, count=len(lst))
+                out[m] = local_to_global[codes[m]]
+            remapped.append(out)
+        props[name] = (np.concatenate(remapped), global_uniques)
+    return keys, gtypes, geom_flat, geom_lens, props

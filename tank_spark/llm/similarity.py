@@ -257,8 +257,6 @@ def _ivf_assign_sql() -> str:
         "this inventory view is the index-build health check.",
 )
 def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     e = load(spark, sf_dir, "embeddings")
     cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
@@ -268,10 +266,13 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = e.join(F.broadcast(cents)).select(
         "vec_id", "centroid_id", (-2 * dot + n_c).alias("score")
     )
-    w = Window.partitionBy("vec_id").orderBy("score", "centroid_id")
-    assign = (
-        scored.withColumn("arn", F.row_number().over(w))
-        .filter(F.col("arn") == 1)
+    # argmin as min_by over a (score, centroid_id) struct — an AGGREGATE,
+    # so the map-side combiner collapses each partition to one candidate
+    # per vector before the shuffle (the former row_number window needed a
+    # full sort of every (vec, centroid) pair); the struct's field order
+    # reproduces the (score, centroid_id) tie-break exactly
+    assign = scored.groupBy("vec_id").agg(
+        F.min_by("centroid_id", F.struct("score", "centroid_id")).alias("centroid_id")
     )
     return assign.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id")
@@ -331,11 +332,17 @@ def ivf_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = e.join(F.broadcast(cents)).select(
         "vec_id", "centroid_id", (-2 * dot + n_c).alias("score"), "embedding"
     )
+    # corpus assignment: map-side-combinable min_by argmin (see
+    # ivf_assignments); the sort-based window only ever runs over the
+    # FILTERED query vectors (8 rows), not the whole corpus
+    assign = scored.groupBy("vec_id").agg(
+        F.min_by("centroid_id", F.struct("score", "centroid_id")).alias("centroid_id")
+    )
     w = Window.partitionBy("vec_id").orderBy("score", "centroid_id")
-    ranked = scored.withColumn("arn", F.row_number().over(w))
-    assign = ranked.filter(F.col("arn") == 1).select("vec_id", "centroid_id")
     probes = (
-        ranked.filter(F.col("vec_id").isin(*_IVF_QUERY_IDS) & (F.col("arn") <= N_PROBE))
+        scored.filter(F.col("vec_id").isin(*_IVF_QUERY_IDS))
+        .withColumn("prn", F.row_number().over(w))
+        .filter(F.col("prn") <= N_PROBE)
         .select(F.col("vec_id").alias("qid"), "centroid_id")
     )
     q = e.filter(F.col("vec_id").isin(*_IVF_QUERY_IDS)).select(

@@ -180,11 +180,10 @@ def _project_geom(gtype: str, coords):
 OVERVIEW_ZOOM = 9       # below this, serve a deterministic sample
 OVERVIEW_SAMPLE_MOD = 20  # 5% sample
 
-# stage-1 output: per-feature command-encoded geometry + props
-GEOM_STAGE_SCHEMA = (
-    "z int, x int, y int, key long, gtype int, geom binary, "
-    "kind string, score double, cnt int, tag string"
-)
+# stage-1 output: one packed columnar chunk per (tile, arrow batch) — the
+# per-tile assembly group receives #batches compact rows, not #features
+# (the per-row shuffle + Arrow serialization dominated at overview sizes)
+GEOM_STAGE_SCHEMA = "z int, x int, y int, chunk binary"
 
 
 def _request_join(spark: SparkSession, feats: DataFrame,
@@ -326,13 +325,28 @@ def _geom_stage(iterator):
                     rows, columns=["z", "x", "y", "key", "gtype", "geom",
                                    "kind", "score", "cnt", "tag"]))
 
-        if out_parts:
-            yield pd.concat(out_parts, ignore_index=True)
+        if not out_parts:
+            continue
+        batch = pd.concat(out_parts, ignore_index=True)
+        # pack one columnar chunk per tile present in this arrow batch
+        packed = []
+        for (bz, bx, by), grp in batch.groupby(["z", "x", "y"], sort=False):
+            blob = mvt_np.pack_chunk(
+                grp["key"].to_numpy().astype(np.int64),
+                grp["gtype"].to_numpy(),
+                grp["geom"].to_numpy(),
+                {"kind": grp["kind"], "score": grp["score"],
+                 "cnt": grp["cnt"], "tag": grp["tag"]},
+            )
+            packed.append((int(bz), int(bx), int(by), blob))
+        yield pd.DataFrame(packed, columns=["z", "x", "y", "chunk"])
 
 
 def make_assemble_kernel(layer: str = LAYER):
-    """Stage-2 applyInPandas kernel: one (z,x,y) group of pre-encoded
-    features -> one MVT blob via the vectorized assembler."""
+    """Stage-2 applyInPandas kernel: one (z,x,y) group of packed chunks ->
+    one MVT blob. Merges the chunks' columnar arrays (global value-table
+    remap), sorts by key for determinism, and runs the vectorized
+    assembler — pure numpy end-to-end."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         import hashlib
@@ -344,31 +358,25 @@ def make_assemble_kernel(layer: str = LAYER):
         z = int(pdf["z"].iloc[0])
         x = int(pdf["x"].iloc[0])
         y = int(pdf["y"].iloc[0])
-        # drop the per-request sentinel (gtype 0) — it only guarantees this
-        # group exists so empty tiles encode in the same single pass
-        pdf = pdf[pdf["gtype"] > 0]
-        if not len(pdf):
+        # the per-request sentinel (null chunk) only guarantees this group
+        # exists so empty tiles encode in the same single pass
+        blobs = [b for b in pdf["chunk"] if b is not None]
+        n_features = 0
+        if not blobs:
             blob = mvtmod.encode([], layer_name=layer, extent=EXTEND)
         else:
-            # deterministic encode order — numpy argsort + take beats a
-            # full pandas sort_values copy at overview-tile sizes
-            keys = pdf["key"].to_numpy().astype(np.int64)
-            order = np.argsort(keys, kind="stable")
-            pdf = pdf.take(order)
-            geom_col = pdf["geom"].to_numpy()
-            geom_flat = np.frombuffer(b"".join(geom_col), dtype=np.uint8)
-            geom_lens = np.fromiter(map(len, geom_col), dtype=np.int64,
-                                    count=len(geom_col))
+            keys, gtypes, geom_flat, geom_lens, props = mvt_np.merge_chunks(blobs)
+            n_features = len(keys)
+            order = np.argsort(keys, kind="stable")  # deterministic order
+            geom_flat, geom_lens = mvt_np.reorder_var(geom_flat, geom_lens, order)
+            props = {name: (codes[order], uniques)
+                     for name, (codes, uniques) in props.items()}
             blob = mvt_np.assemble_layer(
-                keys[order],
-                pdf["gtype"].to_numpy(),
-                geom_flat, geom_lens,
-                {"kind": pdf["kind"], "score": pdf["score"],
-                 "cnt": pdf["cnt"], "tag": pdf["tag"]},
+                keys[order], gtypes[order], geom_flat, geom_lens, props,
                 layer_name=layer, extent=EXTEND,
             )
         return pd.DataFrame([{
-            "z": z, "x": x, "y": y, "n_features": len(pdf),
+            "z": z, "x": x, "y": y, "n_features": n_features,
             "mvt_size": len(blob), "mvt_md5": hashlib.md5(blob).hexdigest(),
             "mvt": blob,
         }])
@@ -425,16 +433,7 @@ def mvt_tiles(
     # whole two-stage pipeline a second time just to find empty tiles.)
     sentinels = spark.createDataFrame(
         [(z, x, y) for z, x, y in requests], "z int, x int, y int"
-    ).select(
-        "z", "x", "y",
-        F.lit(-1).cast("long").alias("key"),
-        F.lit(0).cast("int").alias("gtype"),
-        F.lit(bytearray(b"")).alias("geom"),
-        F.lit(None).cast("string").alias("kind"),
-        F.lit(None).cast("double").alias("score"),
-        F.lit(None).cast("int").alias("cnt"),
-        F.lit(None).cast("string").alias("tag"),
-    )
+    ).select("z", "x", "y", F.lit(None).cast("binary").alias("chunk"))
     return encoded.unionAll(sentinels).groupBy("z", "x", "y").applyInPandas(
         _assemble_kernel, TILE_OUT_SCHEMA
     )

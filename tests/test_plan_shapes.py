@@ -79,6 +79,17 @@ def test_heatmap_is_single_aggregation(spark):
     assert "BroadcastHashJoin" in plan           # cell grid broadcasts
 
 
+def test_ivf_assignment_is_aggregate_not_window(spark):
+    """The IVF coarse-quantizer argmin runs as a min_by AGGREGATE
+    (map-side combinable: one candidate per vector leaves each partition)
+    — not a sort-based row_number window over every (vec, centroid) pair."""
+    from tank_spark.llm.similarity import ivf_assignments
+
+    plan = _plan(ivf_assignments(spark, SF_DIR))
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2     # partial + final
+
+
 def test_asof_join_single_key_shuffle(spark):
     from tank_spark.operators.asof import asof_purchase_last_click
 
