@@ -130,9 +130,11 @@ class Tank:
 
         ensure_workers_have_package(self.spark)
 
+        attr_cols = [n for n in self._attr_types
+                     if n in self.features().columns]
         src = self.tile(z, x, y).withColumns(
             {"z": F.lit(z), "x": F.lit(x), "y": F.lit(y)}
-        ).select("z", "x", "y", "key", "geometry", "kind", "score", "cnt", "tag")
+        ).select("z", "x", "y", "key", "geometry", *attr_cols)
         # thread the configured layer name into the kernel so non-empty and
         # empty tiles serve under the same layer
         kernel = make_tile_kernel(self.base_layer)

@@ -64,6 +64,14 @@ def make_tile_kernel(layer: str = LAYER):
     return kernel
 
 
+_CORE_COLUMNS = ("z", "x", "y", "key", "geometry")
+
+
+def _pyprop(v):
+    """numpy/pandas scalar -> plain python for MVT value encoding."""
+    return v.item() if hasattr(v, "item") else v
+
+
 def _tile_kernel_impl(pdf: pd.DataFrame, layer: str) -> pd.DataFrame:
     """Kernel for one (z, x, y) group: rows with WKT + props -> one MVT.
 
@@ -72,6 +80,10 @@ def _tile_kernel_impl(pdf: pd.DataFrame, layer: str) -> pd.DataFrame:
     integer transform — measured ~20x faster than per-row WKT parsing on
     a 600k-point overview tile. Lines/polygons take the general per-row
     clip path.
+
+    Property columns are whatever non-core columns arrive — the caller
+    (api.Tank.tile_mvt) selects the layer's DECLARED attributes, so a
+    custom attr_fields schema serves through the same kernel.
     """
     import hashlib
 
@@ -84,6 +96,7 @@ def _tile_kernel_impl(pdf: pd.DataFrame, layer: str) -> pd.DataFrame:
     k1 = 0.5 * BUFFER / EXTEND
     xmin, ymin = (x - k1) / z2, (y - k1) / z2
     xmax, ymax = (x + 1 + k1) / z2, (y + 1 + k1) / z2
+    prop_cols = [c for c in pdf.columns if c not in _CORE_COLUMNS]
 
     # rows lacking geometry or key can't be rendered/keyed — skip them
     # instead of crashing the whole tile (legacy/partial appends)
@@ -106,15 +119,14 @@ def _tile_kernel_impl(pdf: pd.DataFrame, layer: str) -> pd.DataFrame:
         ix = np.rint((wx[keep] * z2 - x) * EXTEND).astype(np.int64)
         iy = np.rint((wy[keep] * z2 - y) * EXTEND).astype(np.int64)
         kept = pts.loc[keep]
-        for px, py, key, kind, score, cnt, tag in zip(
-            ix, iy, kept["key"].to_numpy(), kept["kind"].to_numpy(),
-            kept["score"].to_numpy(), kept["cnt"].to_numpy(), kept["tag"].to_numpy(),
+        prop_arrays = [(c, kept[c].to_numpy()) for c in prop_cols]
+        for i, (px, py, key) in enumerate(
+            zip(ix, iy, kept["key"].to_numpy())
         ):
             feats.append({
                 "geom_type": "Point", "coords": [int(px), int(py)],
                 "id": int(key),
-                "props": {"kind": kind, "score": float(score),
-                          "cnt": int(cnt), "tag": tag},
+                "props": {c: _pyprop(arr[i]) for c, arr in prop_arrays},
             })
 
     # ---- general path for non-point geometries
@@ -142,8 +154,7 @@ def _tile_kernel_impl(pdf: pd.DataFrame, layer: str) -> pd.DataFrame:
             c2 = [[[tx(p) for p in ring] for ring in poly] for poly in c]
         feats.append({
             "geom_type": t, "coords": c2, "id": int(row.key),
-            "props": {"kind": row.kind, "score": float(row.score),
-                      "cnt": int(row.cnt), "tag": row.tag},
+            "props": {col: _pyprop(getattr(row, col)) for col in prop_cols},
         })
 
     # fast path appended points after other geometries would break the

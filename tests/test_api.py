@@ -113,6 +113,39 @@ def test_typed_main_attr_filter(spark, tmp_path):
     assert all(r["cnt"] == 7 for r in hit.collect())
 
 
+def test_custom_attr_layer_end_to_end(spark, tmp_path):
+    """A layer declared with CUSTOM attributes (including a date) built
+    purely from ingest: features land bucket-partitioned, serve through
+    tile_mvt with the declared props, and filter by declared type."""
+    from tank_spark.api import Tank
+    from tank_spark.geom import mvt as mvtmod
+    from tank_spark.geom import tilemath
+
+    t = Tank(spark, str(tmp_path / "custom"), main_attr="rank",
+             attr_fields="label text, rank int, img_date date")
+    res = t.ingest_features([
+        json.dumps({"id": "c1", "lon": 7.1, "lat": 50.7, "label": "a",
+                    "rank": "3", "img_date": "2021-06-09"}),
+        json.dumps({"id": "c2", "lon": 7.1001, "lat": 50.7001, "label": "b",
+                    "rank": "4"}),
+    ])
+    assert res == {"accepted": 2, "rejected": 0}
+
+    ix, iy = tilemath.tile_number(50.7, 7.1, 13)
+    layer = mvtmod.decode(t.tile_mvt(13, ix, iy))["io.marauder.tank"]
+    props = {f["props"]["label"]: f["props"] for f in layer["features"]}
+    assert set(props) == {"a", "b"}
+    assert props["a"]["rank"] == 3 and props["a"]["img_date"] == "2021-06-09"
+    assert props["b"]["rank"] == 4 and props["b"]["img_date"] == "1970-01-01"
+
+    # typed filter on the int main attr
+    assert t.tile(13, ix, iy, filter_json=json.dumps({"rank": "3"})).count() == 1
+    # typed GeoJSON response carries the declared schema
+    f = t.get_feature_geojson("c2")
+    assert f["properties"] == {"label": "b", "rank": 4,
+                               "img_date": "1970-01-01"}
+
+
 def test_sql_function_registration(spark):
     from tank_spark.functions.geo import register_sql_functions
     from tank_spark.geom import morton
