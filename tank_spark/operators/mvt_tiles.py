@@ -1,19 +1,23 @@
 """The full tile pipeline: project -> clip -> transform -> MVT encode, as
-a distributed Arrow-vectorized kernel (reference application.kt:420-467,
+a distributed Arrow-vectorized pipeline (reference application.kt:420-467,
 SURVEY.md §2.3 T1e-T1j).
 
-Spark shape: tile requests (a small DataFrame) broadcast-join the feature
-table on the Morton range predicate; ``applyInPandas`` groups by tile and
-runs the geometry kernel per group — one Python batch per tile, Arrow in/
-out, nothing row-at-a-time on the JVM side. This is the one place SQL
-genuinely can't express the semantics (stateful polygon clipping +
-protobuf encoding), so it's isolated here per SURVEY.md §7.3.
+Spark shape (batch path): tile requests equi-join the feature table on
+the Morton-prefix block id (one BroadcastHashJoin per zoom band — never
+a nested-loop range join); a map-only ``mapInPandas`` geometry stage
+parses/projects/clips/command-encodes features on every input partition
+and packs columnar chunks; a per-tile ``applyInPandas`` assembly stage
+merges the chunks and emits the protobuf layer through the vectorized
+assembler (geom/mvt_np.py). This is the one place SQL genuinely can't
+express the semantics (stateful polygon clipping + protobuf encoding),
+so it's isolated here per SURVEY.md §7.3.
 
-At 100 TB: the join is a broadcast of the request list against the
-hash-clustered feature table (partition-pruned per request); each tile
-group is independent — parallelism = #tiles, no shuffle besides the
-group-by-tile exchange. Kernel output is one MVT blob per tile (bounded
-size), so the collect/serve stage is tiny.
+At 100 TB: geometry work scales with input partitions (map-only, no
+driver involvement); the per-tile shuffle moves #arrow-batches compact
+binary chunks, not per-feature rows; assembly parallelism = #tiles and
+each output blob is bounded. The single-group scalar kernel
+(``make_tile_kernel``) remains for one-tile serving (api.Tank.tile_mvt)
+and as the decode-parity reference for the distributed path.
 
 Reference constants: extent 4096, buffer 64 (application.conf:33-36);
 layer name io.marauder.tank (application.conf:31); heatmap cells carry a
