@@ -26,8 +26,11 @@ HEADLINE = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_nation_volume",
     "q6_forecast_revenue", "topk_orders_per_priority",
     # llm pipeline
-    "dedup_exact", "dedup_minhash_lsh_pairs", "knn_brute_cosine",
+    "dedup_exact", "dedup_minhash_lsh_pairs", "dedup_lsh_clusters",
+    "knn_brute_cosine",
     "sessionize_events", "tumbling_hourly_counts", "text_stats",
+    "text_repetition_signals", "sample_stratified_sources",
+    "pack_token_budget",
     # custom operators / scale paths
     "asof_purchase_last_click", "ivf_probe_search", "token_count_bpe",
     "tile_mvt_batch", "tile_mvt_z7_full",

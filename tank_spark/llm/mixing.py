@@ -1,0 +1,152 @@
+"""Corpus mixing for training-data pipelines: deterministic stratified
+sampling across sources, and token-budget sequence packing.
+
+Both are the operations that turn a filtered/deduped document pool into
+an actual training mix: per-source sampling rates implement the data-mix
+recipe (web 10%, code 50%, curated 100%, ...), and packing assigns every
+document a position in the fixed-length token-sequence stream a trainer
+consumes.
+
+Scale posture (100 TB):
+- Sampling is a map-only filter fused into the scan — zero shuffles,
+  trivially parallel, and *deterministic*: membership is a pure function
+  of doc_id (md5-derived uniform), so re-runs, resumed jobs, and
+  downstream audits all see the same sample without any persisted state.
+- Packing is one window shuffle keyed on source. Production pins the
+  unit of packing to (source, shard) — shard = a bounded doc_id bucket —
+  so no single window partition exceeds a worker; the arithmetic is
+  unchanged. Token offsets are exact integer running sums: every engine
+  agrees bit-for-bit, and a document's (seq_first, seq_last) span is
+  reproducible from the table alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tank_spark.plans.registry import register
+from tank_spark.sources.tables import load
+
+# ------------------------------------------------------------- sampling
+
+# The data-mix recipe: sampling rate per source group. Groups are spelled
+# out as literals so the Spark and DuckDB expressions are generated from
+# the same spec (no drift).
+RATE_GROUPS: tuple[tuple[float, tuple[str, ...]], ...] = (
+    (1.0, ("src0", "src1", "src2", "src3")),
+    (0.5, ("src4", "src5", "src6", "src7")),
+    (0.25, ("src8", "src9", "src10", "src11")),
+)
+DEFAULT_RATE = 0.1
+
+# u in [0, 1): first 8 md5 hex chars of a salted doc_id, scaled by 2^32.
+# Both engines hash identical bytes and divide exact integers, so the
+# double is bit-identical — the sample is engine-independent.
+_U_SALT = "mix:"
+
+
+def _rate_col() -> F.Column:
+    rate = None
+    for r, sources in RATE_GROUPS:
+        cond = F.col("source").isin(*sources)
+        rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
+    return rate.otherwise(F.lit(DEFAULT_RATE))
+
+
+def _rate_sql() -> str:
+    whens = " ".join(
+        "WHEN source IN ({}) THEN {}".format(
+            ", ".join(f"'{s}'" for s in sources), r
+        )
+        for r, sources in RATE_GROUPS
+    )
+    return f"CASE {whens} ELSE {DEFAULT_RATE} END"
+
+
+def _u_col() -> F.Column:
+    h8 = F.substring(F.md5(F.concat(F.lit(_U_SALT), F.col("doc_id").cast("string"))), 1, 8)
+    return F.conv(h8, 16, 10).cast("bigint") / F.lit(4294967296.0)
+
+
+_U_SQL = (
+    f"('0x' || substr(md5('{_U_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT"
+    " / 4294967296.0"
+)
+
+
+@register(
+    "sample_stratified_sources",
+    f"""
+    SELECT doc_id, source, CAST({_rate_sql()} AS DOUBLE) AS rate,
+           CAST(1.0 / ({_rate_sql()}) AS DOUBLE) AS weight
+    FROM documents
+    WHERE {_U_SQL} < {_rate_sql()}
+    """,
+    doc="Deterministic stratified sampling: keep a doc iff its md5-derived "
+        "uniform falls under its source's mix rate; weight = 1/rate for "
+        "unbiased downstream stats. Map-only, no shuffle, reproducible.",
+)
+def sample_stratified_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    rate = _rate_col()
+    return (
+        d.filter(_u_col() < rate)
+        .select(
+            "doc_id", "source", rate.alias("rate"),
+            (F.lit(1.0) / rate).cast("double").alias("weight"),
+        )
+    )
+
+
+# -------------------------------------------------------------- packing
+
+SEQ_BUDGET = 256  # tokens per training sequence (checked configuration)
+
+_NTOK_SQL = r"len(regexp_extract_all(text, '\S+'))"
+
+
+@register(
+    "pack_token_budget",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_NTOK_SQL} AS n_tokens FROM documents
+    ),
+    off AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
+      FROM tok
+    )
+    SELECT doc_id, source, n_tokens, start_off,
+           start_off // {SEQ_BUDGET} AS seq_first,
+           (start_off + n_tokens - 1) // {SEQ_BUDGET} AS seq_last,
+           (start_off + n_tokens - 1) // {SEQ_BUDGET}
+             - start_off // {SEQ_BUDGET} + 1 AS n_seqs
+    FROM off
+    """,
+    doc=f"GPT-style sequence packing: concatenate each source's doc stream "
+        f"in doc_id order and chunk into {SEQ_BUDGET}-token sequences; "
+        "every doc gets its exact token offset and the sequence span it "
+        "lands in (docs straddle boundaries, as trainers pack them). One "
+        "window shuffle on source; production shards the window key.",
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0))).cast("long")
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tok = d.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    off = tok.withColumn(
+        "start_off", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    )
+    seq_first = F.expr(f"start_off DIV {SEQ_BUDGET}")
+    seq_last = F.expr(f"(start_off + n_tokens - 1) DIV {SEQ_BUDGET}")
+    return off.select(
+        "doc_id", "source", "n_tokens", "start_off",
+        seq_first.alias("seq_first"),
+        seq_last.alias("seq_last"),
+        (seq_last - seq_first + 1).alias("n_seqs"),
+    )

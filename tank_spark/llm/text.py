@@ -236,6 +236,84 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition_signals",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      FROM documents
+    ),
+    wc AS (SELECT doc_id, word, COUNT(*) AS c FROM words GROUP BY doc_id, word),
+    ws AS (
+      SELECT doc_id, COUNT(*) AS n_distinct, MAX(c) AS max_wc,
+             CAST(SUM(c) AS BIGINT) AS n_words
+      FROM wc GROUP BY doc_id
+    ),
+    bigrams AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, GREATEST(len(w) - 1, 0)),
+               j -> w[j] || ' ' || w[j+1])) AS bigram
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+            FROM documents)
+    ),
+    bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bigram),
+    bs AS (
+      SELECT doc_id, MAX(c) AS max_bc, CAST(SUM(c) AS BIGINT) AS n_bigrams
+      FROM bc GROUP BY doc_id
+    )
+    SELECT ws.doc_id, n_words,
+           CAST(n_words - n_distinct AS DOUBLE) / n_words AS dup_word_frac,
+           CAST(max_wc AS DOUBLE) / n_words AS top_word_frac,
+           CASE WHEN n_bigrams > 0
+                THEN CAST(max_bc AS DOUBLE) / n_bigrams ELSE 0.0 END
+             AS top_bigram_frac
+    FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+    """,
+    doc="Gopher-style repetition signals per doc: duplicate-word fraction, "
+        "top-word fraction, top-bigram fraction — the filters that catch "
+        "boilerplate/spam the length and stopword heuristics miss. Two "
+        "explode->count aggregations, both partial-aggregated on doc_id.",
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    warr = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD), F.lit(0))
+    # one posexplode feeds both unigram counts and (via lead over the
+    # doc window) bigram counts — never transform+element_at, which
+    # Catalyst inlines into per-element regex recomputation
+    words = d.select("doc_id", F.posexplode(warr).alias("pos", "word"))
+    wc = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    ws = wc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("max_wc"),
+        F.sum("c").alias("n_words"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    nxt = F.lead("word", 1).over(w)
+    bigrams = (
+        words.select("doc_id", F.concat_ws(" ", "word", nxt).alias("bigram"),
+                     nxt.alias("_n"))
+        .filter(F.col("_n").isNotNull())
+        .drop("_n")
+    )
+    bc = bigrams.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    bs = bc.groupBy("doc_id").agg(
+        F.max("c").alias("max_bc"), F.sum("c").alias("n_bigrams")
+    )
+    out = ws.join(bs, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.col("n_words"),
+        ((F.col("n_words") - F.col("n_distinct")).cast("double") / F.col("n_words"))
+        .alias("dup_word_frac"),
+        (F.col("max_wc").cast("double") / F.col("n_words")).alias("top_word_frac"),
+        F.when(F.col("n_bigrams") > 0,
+               F.col("max_bc").cast("double") / F.col("n_bigrams"))
+        .otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+    )
+
+
+@register(
     "top_words_per_lang",
     """
     SELECT lang, word, n, rnk FROM (

@@ -58,23 +58,30 @@ PRIORITY: tuple[str, ...] = (
     "tile_filter_int", "tile_filter_date",
     # heatmap (3 z-regimes)
     "heatmap_z9", "heatmap_z11", "heatmap_z14",
-    # crud
-    "point_lookup_uid", "delete_by_uid", "delete_tile", "update_by_uid",
+    # crud (read path; the three mutation variants delete_by_uid /
+    # update_by_uid / delete_tile were green in r1 on code unchanged
+    # since, so they yield their slots to the new r2 mixing/clustering
+    # queries — pytest oracle parity still sweeps them every run)
+    "point_lookup_uid",
     # ingest (incl. declared-schema parity)
     "ingest_json_props", "ingest_coerce_defaults", "ingest_bucket_stats",
     "ingest_declared_schema",
-    # custom join operators
-    "asof_purchase_last_click", "range_join_value_bands",
+    # custom join operators (range_join_value_bands: green r1, unchanged,
+    # rotated out for the same reason as the mutations)
+    "asof_purchase_last_click",
     "spatial_join_points_in_boxes",
     # red in r1 (driver hasher died on the list column) — refreshed row
     "array_agg_statuses",
     # LLM north star: text analysis
     "text_stats", "text_quality_score", "lang_id_stopwords",
     "doc_fingerprint", "token_count_bpe", "doc_rolling_hash",
-    "top_words_per_lang",
-    # dedup
+    "top_words_per_lang", "text_repetition_signals",
+    # dedup (pair generation -> cluster formation)
     "dedup_exact", "dedup_exact_survivors", "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh_pairs", "dedup_lsh_clusters", "dedup_simhash",
+    "dedup_ngram_jaccard",
+    # corpus mixing (sampling + packing)
+    "sample_stratified_sources", "pack_token_budget",
     # similarity / ANN
     "embedding_norms", "knn_brute_cosine", "ann_lsh_buckets",
     "neardup_cosine_pairs", "ivf_assignments", "ivf_probe_search",
@@ -113,6 +120,7 @@ def load_all() -> dict[str, QueryDef]:
         "tank_spark.llm.dedup",
         "tank_spark.llm.similarity",
         "tank_spark.llm.events",
+        "tank_spark.llm.mixing",
         "tank_spark.llm.multimodal",
         "tank_spark.operators.mvt_tiles",
     ]

@@ -1,0 +1,126 @@
+"""Behavior tests for cluster formation (connected components), stratified
+sampling, and sequence packing — invariants beyond the oracle parity sweep
+(which covers exact values; these cover semantics on controlled inputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_components_chain_and_islands(spark):
+    """Min-label propagation must cross multi-hop chains (diameter > 1),
+    not just direct pairs — the over-delete/under-delete distinction."""
+    from tank_spark.llm.dedup import lsh_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "cid_a long, cid_b long",
+    )
+    got = {r["cid"]: (r["component"], r["is_canonical"])
+           for r in lsh_components(pairs).collect()}
+    assert got == {
+        1: (1, 1), 2: (1, 0), 3: (1, 0), 4: (1, 0),
+        10: (10, 1), 11: (10, 0),
+        20: (20, 1), 21: (20, 0), 22: (20, 0),
+    }
+
+
+def test_components_empty_pairs(spark):
+    from tank_spark.llm.dedup import lsh_components
+
+    pairs = spark.createDataFrame([], "cid_a long, cid_b long")
+    assert lsh_components(pairs).count() == 0
+
+
+def test_clusters_cover_derived_dups(spark):
+    """Every derived exact-dup (cid, cid+1M) must land in one cluster with
+    the original as the canonical survivor."""
+    from tank_spark.llm.dedup import dedup_lsh_clusters
+
+    rows = {r["cid"]: r for r in dedup_lsh_clusters(spark, SF_DIR).collect()}
+    dup_cids = [c for c in rows if c >= 1_000_000]
+    assert dup_cids, "derived corpus should produce near-dup clusters"
+    for c in dup_cids:
+        # the dup's component is led by a real (< 1M) doc
+        assert rows[c]["component"] < 1_000_000
+        assert rows[c]["is_canonical"] == 0
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    from tank_spark.llm.mixing import RATE_GROUPS, sample_stratified_sources
+    from tank_spark.sources.tables import load
+
+    a = sorted(r["doc_id"] for r in sample_stratified_sources(spark, SF_DIR).collect())
+    b = sorted(r["doc_id"] for r in sample_stratified_sources(spark, SF_DIR).collect())
+    assert a == b and len(a) > 0
+
+    # rate-1.0 sources are kept in full
+    full_sources = [s for r, grp in RATE_GROUPS if r == 1.0 for s in grp]
+    docs = load(spark, SF_DIR, "documents")
+    n_full = docs.filter(F.col("source").isin(full_sources)).count()
+    sampled = sample_stratified_sources(spark, SF_DIR)
+    assert sampled.filter(F.col("source").isin(full_sources)).count() == n_full
+    # weight = 1/rate on every row
+    bad = sampled.filter(F.abs(F.col("weight") * F.col("rate") - 1.0) > 1e-12)
+    assert bad.count() == 0
+
+
+def test_pack_token_budget_invariants(spark):
+    from tank_spark.llm.mixing import SEQ_BUDGET, pack_token_budget
+
+    rows = pack_token_budget(spark, SF_DIR).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    assert by_source
+    for source, docs in by_source.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in docs:
+            # offsets are the exact running concatenation, no gaps
+            assert r["start_off"] == off
+            assert r["seq_first"] == r["start_off"] // SEQ_BUDGET
+            end = r["start_off"] + r["n_tokens"] - 1
+            assert r["seq_last"] == end // SEQ_BUDGET
+            assert r["n_seqs"] == r["seq_last"] - r["seq_first"] + 1
+            off += r["n_tokens"]
+
+
+def test_repetition_signals_bounds(spark):
+    from tank_spark.llm.text import text_repetition_signals
+
+    rows = text_repetition_signals(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_words"] > 0
+        assert 0.0 <= r["dup_word_frac"] < 1.0
+        assert 0.0 < r["top_word_frac"] <= 1.0
+        assert 0.0 <= r["top_bigram_frac"] <= 1.0
+
+
+def test_repetition_signals_synthetic(spark):
+    """A maximally repetitive doc vs an all-distinct doc, checked against
+    hand-computed fractions through a temp view of the documents schema."""
+    from tank_spark.llm import text as text_mod
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam", "en", "s", 19),
+         (2, "one two three four", "en", "s", 18)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = text_mod.load  # text.py binds `load` at import time
+    try:
+        text_mod.load = lambda spark_, sf_, name, **kw: df
+        rows = {r["doc_id"]: r
+                for r in text_mod.text_repetition_signals(spark, "ignored").collect()}
+    finally:
+        text_mod.load = orig
+    assert rows[1]["dup_word_frac"] == 0.75      # 4 words, 1 distinct
+    assert rows[1]["top_word_frac"] == 1.0
+    assert rows[1]["top_bigram_frac"] == 1.0     # "spam spam" x3
+    assert rows[2]["dup_word_frac"] == 0.0
+    assert rows[2]["top_word_frac"] == 0.25
+    assert abs(rows[2]["top_bigram_frac"] - 1 / 3) < 1e-15
