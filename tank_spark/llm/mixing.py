@@ -150,3 +150,80 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq_last.alias("seq_last"),
         (seq_last - seq_first + 1).alias("n_seqs"),
     )
+
+
+# ---------------------------------------------------- end-to-end pipeline
+
+QUALITY_MIN = 0.5
+
+_NORM_FP_SQL = "md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+from tank_spark.llm.text import QUALITY_SQL  # noqa: E402  (shared formula)
+
+
+@register(
+    "training_mix_pipeline",
+    f"""
+    WITH q AS (
+      SELECT doc_id, source, text,
+             {QUALITY_SQL} AS quality,
+             {_NORM_FP_SQL} AS fp
+      FROM documents
+    ),
+    qf AS (SELECT * FROM q WHERE quality >= {QUALITY_MIN}),
+    dedup AS (
+      SELECT qf.* FROM qf
+      JOIN (SELECT fp, MIN(doc_id) AS doc_id FROM qf GROUP BY fp) s
+        ON qf.fp = s.fp AND qf.doc_id = s.doc_id
+    ),
+    samp AS (
+      SELECT doc_id, source, quality, text FROM dedup
+      WHERE {_U_SQL} < {_rate_sql()}
+    ),
+    tok AS (
+      SELECT doc_id, source, quality, {_NTOK_SQL} AS n_tokens FROM samp
+    ),
+    off AS (
+      SELECT doc_id, source, quality, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
+      FROM tok
+    )
+    SELECT doc_id, source, quality, n_tokens, start_off,
+           start_off // {SEQ_BUDGET} AS seq_first
+    FROM off
+    """,
+    doc="The whole training-data pipeline as ONE declarative plan: quality "
+        "filter -> exact-dedup survivors -> stratified mix sample -> "
+        "sequence packing. Catalyst fuses the filter/sample stages into "
+        "the scan; the only shuffles are the dedup fingerprint aggregate/"
+        "join and the packing window.",
+)
+def training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tank_spark.llm.text import quality_col
+
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    q = d.select(
+        "doc_id", "source", "text",
+        quality_col().alias("quality"), fp.alias("fp"),
+    ).filter(F.col("quality") >= QUALITY_MIN)
+    # survivors via aggregate + equi-join (map-side combinable; a window
+    # over fp would pile every copy of one boilerplate fingerprint onto
+    # a single sorted task at 100 TB — AQE skew-split handles the join)
+    survivors = q.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    dedup = q.join(survivors, ["fp", "doc_id"])
+    samp = dedup.filter(_u_col() < _rate_col())
+    n_tokens = F.size(F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0))).cast("long")
+    tok = samp.select("doc_id", "source", "quality", n_tokens.alias("n_tokens"))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    off = tok.withColumn(
+        "start_off", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    )
+    return off.select(
+        "doc_id", "source", "quality", "n_tokens", "start_off",
+        F.expr(f"start_off DIV {SEQ_BUDGET}").alias("seq_first"),
+    )

@@ -71,29 +71,32 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_quality_score",
-    f"""
-    SELECT doc_id,
-           CAST(LEAST({_n_matches_sql("lower(text)", _WORD)}, 200) AS DOUBLE) / 200.0 * 0.4
+# the quality formula, exported for composition (training_mix_pipeline)
+QUALITY_SQL = f"""CAST(LEAST({_n_matches_sql("lower(text)", _WORD)}, 200) AS DOUBLE) / 200.0 * 0.4
          + CAST({_n_matches_sql("lower(text)", _EN_STOP)} AS DOUBLE)
              / GREATEST({_n_matches_sql("lower(text)", _WORD)}, 1) * 0.4
-         + CASE WHEN LENGTH(text) >= 100 THEN 0.2 ELSE 0.0 END AS quality
-    FROM documents
-    """,
+         + CASE WHEN LENGTH(text) >= 100 THEN 0.2 ELSE 0.0 END"""
+
+
+def quality_col() -> F.Column:
+    low = F.lower(F.col("text"))
+    n_words = _n_matches(low, _WORD)
+    return (
+        F.least(n_words, F.lit(200)).cast("double") / F.lit(200.0) * F.lit(0.4)
+        + _n_matches(low, _EN_STOP).cast("double") / F.greatest(n_words, F.lit(1)) * F.lit(0.4)
+        + F.when(F.length("text") >= 100, F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+
+
+@register(
+    "text_quality_score",
+    f"SELECT doc_id, {QUALITY_SQL} AS quality FROM documents",
     doc="Composite quality score: length saturation + stopword density + "
         "minimum-length bonus (the usual pretraining-filter shape).",
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    low = F.lower(F.col("text"))
-    n_words = _n_matches(low, _WORD)
-    score = (
-        F.least(n_words, F.lit(200)).cast("double") / F.lit(200.0) * F.lit(0.4)
-        + _n_matches(low, _EN_STOP).cast("double") / F.greatest(n_words, F.lit(1)) * F.lit(0.4)
-        + F.when(F.length("text") >= 100, F.lit(0.2)).otherwise(F.lit(0.0))
-    )
-    return d.select("doc_id", score.alias("quality"))
+    return d.select("doc_id", quality_col().alias("quality"))
 
 
 def _lang_id_sql() -> str:

@@ -123,6 +123,32 @@ def test_mvt_request_join_is_equi_not_nested_loop(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_stratified_sample_is_map_only(spark):
+    """Mix sampling is a pure filter+project over the scan — any Exchange
+    means the deterministic-hash design got broken."""
+    from tank_spark.llm.mixing import sample_stratified_sources
+    from tank_spark.sources.tables import load
+
+    load(spark, SF_DIR, "documents").count()  # build the session cache
+    plan = _plan(sample_stratified_sources(spark, SF_DIR))
+    query_part = plan.split("InMemoryRelation")[0]
+    assert "Exchange" not in query_part
+    assert "BatchEvalPython" not in plan     # hash is engine-side md5
+
+
+def test_pack_token_budget_single_window_shuffle(spark):
+    """Packing = one hash exchange on the window key + one sort + one
+    Window; everything after the running sum is projection arithmetic."""
+    from tank_spark.llm.mixing import pack_token_budget
+    from tank_spark.sources.tables import load
+
+    load(spark, SF_DIR, "documents").count()
+    plan = _plan(pack_token_budget(spark, SF_DIR))
+    query_part = plan.split("InMemoryRelation")[0]
+    assert query_part.count("Exchange") == 1
+    assert plan.count("Window") == 1
+
+
 def test_mvt_two_stage_matches_single_task_kernel(spark):
     """The distributed two-stage encode (mapInPandas geometry stage +
     vectorized assembly) decodes identically to the single-task scalar
