@@ -66,10 +66,12 @@ PRIORITY: tuple[str, ...] = (
     # ingest (incl. declared-schema parity)
     "ingest_json_props", "ingest_coerce_defaults", "ingest_bucket_stats",
     "ingest_declared_schema",
-    # custom join operators (range_join_value_bands: green r1, unchanged,
-    # rotated out for the same reason as the mutations)
-    "asof_purchase_last_click",
+    # custom join operators (range_join_value_bands and
+    # asof_purchase_last_click: green r1, unchanged, rotated out for the
+    # same reason as the mutations)
     "spatial_join_points_in_boxes",
+    # end-to-end pipeline composition (flagship)
+    "training_mix_pipeline",
     # red in r1 (driver hasher died on the list column) — refreshed row
     "array_agg_statuses",
     # LLM north star: text analysis
