@@ -364,3 +364,82 @@ def ivf_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w2).cast("long"))
         .filter(F.col("rn") <= 3)
     )
+
+
+# ------------------------------------------------------- k-means training
+
+KMEANS_ROUNDS = 4
+
+
+def train_kmeans(spark: SparkSession, sf_dir: str,
+                 k: int = N_CENTROIDS, rounds: int = KMEANS_ROUNDS) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus — the training step that
+    produces the IVF coarse quantizer ``ivf_assignments`` consumes.
+    Returns (centroid_id, c_emb: array<double>, n_members).
+
+    Spark shape per round: assignment is a broadcast of the k-row
+    centroid table against the corpus + a ``min_by`` argmin AGGREGATE
+    (map-side combinable — one candidate per vector leaves each
+    partition, same shape as ivf_assignments); the update step explodes
+    members to (centroid_id, dim) cells and partial-aggregates the mean,
+    so the shuffle carries k*64 cells, not vectors. Centroids are
+    ``localCheckpoint``-ed each round — lineage truncation, without which
+    round N re-analyzes N copies of the whole pipeline (see
+    lsh_components).
+
+    Rows-only check (no DuckDB twin): distributed float means depend on
+    partition-order summation, so centroid values are not bit-portable
+    across engines — unlike every fold in this module's search queries.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents = (
+        vecs.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        dot = _dot_cols(F.col("embedding"), F.col("c_emb"))
+        n_c = _dot_cols(F.col("c_emb"), F.col("c_emb"))
+        scored = vecs.join(F.broadcast(cents)).select(
+            "vec_id", "embedding", "centroid_id", (-2 * dot + n_c).alias("score")
+        )
+        assign = scored.groupBy("vec_id").agg(
+            F.min_by(
+                F.struct("centroid_id", "embedding"),
+                F.struct("score", "centroid_id"),
+            ).alias("best")
+        ).select(F.col("best.centroid_id").alias("centroid_id"),
+                 F.col("best.embedding").alias("embedding"))
+        dims = (
+            assign.select("centroid_id", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("m"))
+        )
+        counts = assign.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n_members"))
+        cents = (
+            dims.groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("c_emb")
+            )
+            .join(counts, "centroid_id")
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+@register(
+    "ivf_train_kmeans",
+    None,  # distributed float means are not bit-portable -> rows-only
+    doc=f"IVF index training: {KMEANS_ROUNDS} Lloyd's rounds over the "
+        f"corpus (k={N_CENTROIDS}); broadcast-assign argmin aggregate + "
+        "exploded-dimension mean update. Emits final inverted-list sizes.",
+)
+def ivf_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return train_kmeans(spark, sf_dir).select("centroid_id", "n_members")

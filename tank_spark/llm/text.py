@@ -349,3 +349,69 @@ def top_words_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 5)
     )
+
+
+# ----------------------------------------------------------- PII masking
+
+# The driver's synthetic corpus carries no PII, so the query derives one:
+# every doc_id % 3 == 0 doc gets an email appended, every doc_id % 5 == 0
+# a phone number — giving detection/masking a known, oracle-checkable
+# answer (same derived-corpus pattern as llm/dedup.py).
+_EMAIL_PAT = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_PAT = r"\+1-555-[0-9]{4}"
+
+_PII_CORPUS_SQL = """
+pii_corpus AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact doc' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS t
+  FROM documents
+)
+"""
+
+
+@register(
+    "pii_detect_mask",
+    f"""
+    WITH {_PII_CORPUS_SQL}
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_EMAIL_PAT}')) AS n_emails,
+           len(regexp_extract_all(t, '{_PHONE_PAT}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                              '{_PHONE_PAT}', '<PHONE>', 'g')) AS masked_fp
+    FROM pii_corpus
+    """,
+    doc="PII detection + redaction: regex email/phone counts and the "
+        "fingerprint of the masked text (compared as md5 so the oracle "
+        "row stays compact). Map-only, codegen'd — the standard "
+        "pre-training scrub pass.",
+)
+def pii_detect_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact doc"), F.col("doc_id").cast("string"),
+                     F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" call +1-555-"),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    masked = F.regexp_replace(
+        F.regexp_replace(t, _EMAIL_PAT, "<EMAIL>"), _PHONE_PAT, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        _n_matches(t, _EMAIL_PAT).alias("n_emails"),
+        _n_matches(t, _PHONE_PAT).alias("n_phones"),
+        F.md5(masked).alias("masked_fp"),
+    )

@@ -124,3 +124,29 @@ def test_repetition_signals_synthetic(spark):
     assert rows[2]["dup_word_frac"] == 0.0
     assert rows[2]["top_word_frac"] == 0.25
     assert abs(rows[2]["top_bigram_frac"] - 1 / 3) < 1e-15
+
+
+def test_kmeans_partitions_corpus(spark):
+    """Every vector lands in exactly one inverted list; lists are
+    non-empty with the seeded init; c_emb keeps the declared dim."""
+    from tank_spark.llm.similarity import N_CENTROIDS, train_kmeans
+    from tank_spark.sources.tables import load
+
+    n_vecs = load(spark, SF_DIR, "embeddings").count()
+    cents = train_kmeans(spark, SF_DIR).collect()
+    assert len(cents) == N_CENTROIDS
+    assert sum(r["n_members"] for r in cents) == n_vecs
+    assert all(len(r["c_emb"]) == 64 for r in cents)
+    assert all(r["n_members"] > 0 for r in cents)
+
+
+def test_kmeans_deterministic_assignment_counts(spark):
+    """Two runs produce identical list sizes (argmin ties broken by
+    centroid_id; the corpus and init are deterministic)."""
+    from tank_spark.llm.similarity import ivf_train_kmeans
+
+    a = sorted((r["centroid_id"], r["n_members"])
+               for r in ivf_train_kmeans(spark, SF_DIR).collect())
+    b = sorted((r["centroid_id"], r["n_members"])
+               for r in ivf_train_kmeans(spark, SF_DIR).collect())
+    assert a == b
