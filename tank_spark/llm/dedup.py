@@ -483,6 +483,41 @@ def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_components(minhash_lsh_pairs(spark, sf_dir).select("cid_a", "cid_b"))
 
 
+@register(
+    "dedup_lsh_survivors",
+    f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    und AS (
+      SELECT cid_a AS src, cid_b AS dst FROM pairs
+      UNION SELECT cid_b, cid_a FROM pairs
+    ),
+    reach(cid, r) AS (
+      SELECT DISTINCT src, src FROM und
+      UNION
+      SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.cid
+    ),
+    comp AS (SELECT cid, MIN(r) AS component FROM reach GROUP BY cid)
+    SELECT COUNT(*) AS n_kept, MIN(cid) AS min_cid, MAX(cid) AS max_cid
+    FROM corpus
+    WHERE cid NOT IN (SELECT cid FROM comp WHERE cid <> component)
+    """,
+    doc="The deduped corpus: drop every non-canonical cluster member "
+        "(keep one doc per connected near-dup component plus all "
+        "singletons) — the end state of the pair -> cluster -> survivor "
+        "pipeline. Summary projection keeps the oracle row compact.",
+)
+def dedup_lsh_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus_df(spark, sf_dir)
+    clusters = lsh_components(minhash_lsh_pairs(spark, sf_dir).select("cid_a", "cid_b"))
+    removed = clusters.filter(F.col("is_canonical") == 0).select("cid")
+    kept = c.join(removed, "cid", "left_anti")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("cid").alias("min_cid"),
+        F.max("cid").alias("max_cid"),
+    )
+
+
 # -------------------------------------------------------- n-gram jaccard
 
 @register(

@@ -238,3 +238,44 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     ids = [r["event_id"] for r in got]
     assert len(ids) == len(set(ids))  # no duplicates emitted
     assert len(ids) == 200            # every distinct event survived
+
+
+def test_streaming_scrub_sample_matches_batch(spark, tmp_path):
+    """The PII-mask and stratified-sample expressions are pure column
+    functions, so the SAME code runs over a stream unchanged (batch/
+    stream unification) — a streamed documents table must yield exactly
+    the batch sample with identical masked fingerprints."""
+    from pyspark.sql import functions as F
+
+    from tank_spark.llm.mixing import _rate_col, _u_col
+    from tank_spark.sources.tables import load
+
+    docs = load(spark, SF_DIR, "documents")
+    drop = tmp_path / "docs"
+    docs.coalesce(2).write.parquet(str(drop))
+
+    def scrub_sample(df):
+        masked = F.regexp_replace(
+            df["text"], r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"
+        )
+        return df.filter(_u_col() < _rate_col()).select(
+            "doc_id", "source", F.md5(masked).alias("masked_fp")
+        )
+
+    batch = {(r["doc_id"], r["masked_fp"]) for r in scrub_sample(docs).collect()}
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    q = (
+        scrub_sample(stream)
+        .writeStream.format("memory").queryName("scrub_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["doc_id"], r["masked_fp"])
+           for r in spark.sql("SELECT doc_id, masked_fp FROM scrub_out").collect()}
+    assert got == batch and len(got) > 0
