@@ -152,6 +152,58 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------- decontamination
+
+EVAL_MOD = 97  # doc_id % EVAL_MOD == 0 -> held-out eval split (~1%)
+
+
+@register(
+    "decontaminate_train_eval",
+    f"""
+    WITH corpus AS (SELECT doc_id AS cid, text FROM documents),
+    shingled AS (
+      SELECT cid, unnest(list_transform(
+               generate_series(1, GREATEST(len(w) - 2, 0)),
+               j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2])) AS shingle
+      FROM (SELECT cid, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+            FROM corpus)
+    ),
+    ds AS (SELECT DISTINCT cid, shingle FROM shingled),
+    ev AS (SELECT cid AS ecid, shingle FROM ds WHERE cid % {EVAL_MOD} = 0),
+    tr AS (SELECT cid, shingle FROM ds WHERE cid % {EVAL_MOD} <> 0)
+    SELECT tr.cid AS doc_id,
+           COUNT(DISTINCT ev.ecid) AS n_eval_docs,
+           COUNT(DISTINCT tr.shingle) AS n_shared_shingles
+    FROM tr JOIN ev ON tr.shingle = ev.shingle
+    GROUP BY tr.cid
+    """,
+    doc="Eval-set decontamination: flag every training doc sharing a "
+        "3-word shingle with the held-out split (doc_id % 97 == 0), with "
+        "how many eval docs and distinct shingles it collides on. The "
+        "standard pre-training hygiene pass; the eval shingle set is tiny "
+        "and broadcast, so the scan stays map-side.",
+)
+def decontaminate_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tank_spark.llm.dedup import _shingles_df
+
+    d = load(spark, sf_dir, "documents")
+    c = d.select(F.col("doc_id").alias("cid"), "text")
+    ds = _shingles_df(c).distinct()
+    ev = (
+        ds.filter(F.col("cid") % EVAL_MOD == 0)
+        .select(F.col("cid").alias("ecid"), "shingle")
+    )
+    tr = ds.filter(F.col("cid") % EVAL_MOD != 0)
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy(F.col("cid").alias("doc_id"))
+        .agg(
+            F.countDistinct("ecid").alias("n_eval_docs"),
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+        )
+    )
+
+
 # ---------------------------------------------------- end-to-end pipeline
 
 QUALITY_MIN = 0.5
