@@ -108,6 +108,53 @@ def delete_tile(spark: SparkSession, table_dir: str, z: int, x: int, y: int) -> 
     )
 
 
+def compact_table(spark: SparkSession, table_dir: str,
+                  min_files: int = 2) -> dict[int, int]:
+    """Compaction: rewrite every bucket fragmented into >= ``min_files``
+    parquet files as one hash-sorted file. Streaming/bulk ingest appends
+    one file per micro-batch per bucket (streaming/ingest.py), so an
+    ingest-heavy table degrades into many small row groups — the classic
+    small-files problem; this is the OPTIMIZE/rewrite_data_files analogue
+    (and the Cassandra-compaction parity point: the reference's store
+    compacts SSTables in the background, application.conf's cluster side).
+
+    Returns {bucket: n_files_before} for the buckets rewritten.
+
+    At 100 TB: each bucket rewrite is an independent coalesce-and-sort of
+    one directory — schedulable bucket-by-bucket (here: a loop, on a
+    cluster: parallel jobs), never a full-table shuffle. File listing
+    uses the local filesystem; a cluster deployment swaps in the Hadoop
+    FileSystem API, the rewrite is unchanged.
+    """
+    import os
+
+    fragmented: dict[int, int] = {}
+    for entry in sorted(os.listdir(table_dir)):
+        if not entry.startswith("bucket="):
+            continue
+        files = [
+            f for f in os.listdir(os.path.join(table_dir, entry))
+            if f.endswith(".parquet")
+        ]
+        if len(files) >= min_files:
+            fragmented[int(entry.split("=", 1)[1])] = len(files)
+    for b in fragmented:
+        part_dir = f"{table_dir}/bucket={b}"
+        # checkpoint cuts lineage from the files about to be overwritten
+        # (same FileNotFound hazard as delete_where)
+        rows = spark.read.parquet(part_dir).localCheckpoint(eager=True)
+        (
+            rows.coalesce(1)
+            .sortWithinPartitions("hash")  # coalesce first -> globally sorted file
+            .write.mode("overwrite")
+            .parquet(part_dir)
+        )
+        rows.unpersist()
+    if fragmented:
+        spark.catalog.refreshByPath(table_dir)
+    return fragmented
+
+
 def update_by_uid(spark: SparkSession, table_dir: str, uid: str,
                   updates: dict[str, object]) -> int:
     """C3: update = delete + re-insert under the same uid (the reference's

@@ -87,3 +87,54 @@ def test_update_by_uid(spark, table_dir):
     # untouched rows keep their values; row count unchanged
     other = df.filter(F.col("uid") == "feat-8001").collect()[0]
     assert other["tag"].startswith("tag") and other["tag"] != "tag-upd"
+
+
+def test_compact_table_merges_ingest_fragments(spark, table_dir):
+    """Micro-batch appends fragment buckets into many small files;
+    compaction rewrites each fragmented bucket to one hash-sorted file
+    with the row set unchanged."""
+    import os
+
+    from tank_spark.operators.table_ops import (
+        compact_table, read_feature_table,
+    )
+
+    base = read_feature_table(spark, table_dir)
+    # simulate three streaming micro-batch appends (one file per batch
+    # per touched bucket, exactly like the foreachBatch sink)
+    extra = base.limit(30).withColumn("uid", F.concat(F.lit("frag-"), F.col("uid")))
+    for _ in range(3):
+        (extra.repartition(1).write.mode("append")
+         .partitionBy("bucket").parquet(table_dir))
+    spark.catalog.refreshByPath(table_dir)
+
+    def files_per_bucket():
+        out = {}
+        for e in os.listdir(table_dir):
+            if e.startswith("bucket="):
+                out[int(e.split("=")[1])] = len([
+                    f for f in os.listdir(os.path.join(table_dir, e))
+                    if f.endswith(".parquet")
+                ])
+        return out
+
+    before_rows = sorted(
+        (r["uid"], r["hash"]) for r in read_feature_table(spark, table_dir)
+        .select("uid", "hash").collect()
+    )
+    before_files = files_per_bucket()
+    assert any(n >= 2 for n in before_files.values())
+
+    compacted = compact_table(spark, table_dir)
+    assert set(compacted) == {b for b, n in before_files.items() if n >= 2}
+
+    after_files = files_per_bucket()
+    assert all(n == 1 for n in after_files.values())
+    after_rows = sorted(
+        (r["uid"], r["hash"]) for r in read_feature_table(spark, table_dir)
+        .select("uid", "hash").collect()
+    )
+    assert after_rows == before_rows
+
+    # idempotent: nothing left to compact
+    assert compact_table(spark, table_dir) == {}
