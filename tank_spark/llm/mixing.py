@@ -110,7 +110,11 @@ _NTOK_SQL = r"len(regexp_extract_all(text, '\S+'))"
     "pack_token_budget",
     f"""
     WITH tok AS (
+      -- 0-token docs occupy no sequence; excluding them also dodges the
+      -- Spark-DIV (truncate) vs DuckDB-// (floor) divergence at
+      -- start_off + n_tokens - 1 = -1
       SELECT doc_id, source, {_NTOK_SQL} AS n_tokens FROM documents
+      WHERE {_NTOK_SQL} > 0
     ),
     off AS (
       SELECT doc_id, source, n_tokens,
@@ -138,7 +142,10 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    tok = d.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    tok = (
+        d.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
     off = tok.withColumn(
         "start_off", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
     )

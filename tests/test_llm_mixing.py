@@ -150,3 +150,26 @@ def test_kmeans_deterministic_assignment_counts(spark):
     b = sorted((r["centroid_id"], r["n_members"])
                for r in ivf_train_kmeans(spark, SF_DIR).collect())
     assert a == b
+
+
+def test_pack_excludes_empty_docs(spark):
+    """0-token docs occupy no sequence and must not emit a packing row
+    (also guards the Spark-DIV-vs-DuckDB-floor divergence at offset -1)."""
+    from tank_spark.llm import mixing as mixing_mod
+
+    df = spark.createDataFrame(
+        [(1, "   ", "en", "s", 3),          # whitespace only: 0 tokens
+         (2, "one two", "en", "s", 7),
+         (3, "three four five", "en", "s", 15)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = mixing_mod.load
+    try:
+        mixing_mod.load = lambda spark_, sf_, name, **kw: df
+        rows = {r["doc_id"]: r
+                for r in mixing_mod.pack_token_budget(spark, "ignored").collect()}
+    finally:
+        mixing_mod.load = orig
+    assert set(rows) == {2, 3}
+    assert rows[2]["start_off"] == 0 and rows[2]["n_tokens"] == 2
+    assert rows[3]["start_off"] == 2  # empty doc contributed nothing
