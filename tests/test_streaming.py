@@ -279,3 +279,52 @@ def test_streaming_scrub_sample_matches_batch(spark, tmp_path):
     got = {(r["doc_id"], r["masked_fp"])
            for r in spark.sql("SELECT doc_id, masked_fp FROM scrub_out").collect()}
     assert got == batch and len(got) > 0
+
+
+def test_feature_lifecycle_ingest_compact_serve_delete(spark, tmp_dirs):
+    """The whole engine as a system: seed table -> streaming bulk ingest
+    (3 micro-batches) -> fragmented bucket -> compaction -> the ingested
+    features RENDER in their tile's MVT -> delete -> they stop rendering.
+    """
+    import os
+
+    from tank_spark.api import Tank
+    from tank_spark.geom import mvt as mvtmod
+    from tank_spark.geom import tilemath
+    from tank_spark.operators.table_ops import compact_table, write_feature_table
+    from tank_spark.sources.features import features_df
+
+    table = tmp_dirs["table"]
+    write_feature_table(features_df(spark, SF_DIR).drop("ts"), table)
+    tank = Tank(spark, table)
+
+    lon, lat = -123.7, 38.7
+    for i in range(3):  # one file per micro-batch -> fragmentation
+        _write_ndjson(f"{tmp_dirs['drop']}/b{i}.ndjson", [
+            {"id": f"bulk-{i}", "lon": lon, "lat": lat, "kind": "bulkpoi",
+             "score": "1", "cnt": str(i), "tag": "lc"},
+        ])
+    q = tank.ingest_bulk(tmp_dirs["drop"], tmp_dirs["ckpt"])
+    q.awaitTermination(120)
+    spark.catalog.refreshByPath(table)
+
+    from tank_spark.geom import morton
+    xt, yt = tilemath.tile_number(lat, lon, 13)
+    bucket = morton.interleave(xt, yt) % 64
+    bdir = os.path.join(table, f"bucket={bucket}")
+    n_files = len([f for f in os.listdir(bdir) if f.endswith(".parquet")])
+    assert n_files >= 3  # fragmented by the appends
+
+    compacted = compact_table(spark, table)
+    assert bucket in compacted
+    assert len([f for f in os.listdir(bdir) if f.endswith(".parquet")]) == 1
+
+    def bulk_feats():
+        layer = mvtmod.decode(tank.tile_mvt(13, xt, yt))["io.marauder.tank"]
+        return [f for f in layer["features"]
+                if f["props"].get("kind") == "bulkpoi"]
+
+    assert len(bulk_feats()) == 3  # ingested features serve after compaction
+
+    assert tank.delete_feature("bulk-1") == 1
+    assert len(bulk_feats()) == 2  # and stop serving once deleted
