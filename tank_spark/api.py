@@ -45,14 +45,46 @@ class Tank:
         self.main_attr = main_attr          # reference application.conf:39
         self.base_layer = base_layer        # reference application.conf:31
         # declared attribute schema (reference application.conf:51) drives
-        # wire parsing, ingest coercion, and typed filter binding
-        self.attr_fields = attr_fields or DEFAULT_ATTR_FIELDS
+        # wire parsing, ingest coercion, and typed filter binding. The
+        # declaration persists with the table (`_layer.json`) the way the
+        # reference pins it in application.conf: pass attr_fields once at
+        # layer creation; later Tank(spark, dir) constructions reload it.
+        self.attr_fields = attr_fields or self._load_layer_config() or DEFAULT_ATTR_FIELDS
         self._attr_types = dict(parse_attr_fields(self.attr_fields))
+        if attr_fields is not None:
+            self._save_layer_config()
         self._cache = None
         if cache_dir is not None:
             from tank_spark.operators.tile_cache import TileCache
 
             self._cache = TileCache(spark, cache_dir)
+
+    def _layer_config_path(self) -> str:
+        import os
+
+        return os.path.join(self.table_dir, "_layer.json")
+
+    def _load_layer_config(self) -> str | None:
+        import json
+        import os
+
+        p = self._layer_config_path()
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f).get("attr_fields")
+
+    def _save_layer_config(self) -> None:
+        import json
+        import os
+
+        os.makedirs(self.table_dir, exist_ok=True)
+        with open(self._layer_config_path(), "w") as f:
+            json.dump({
+                "attr_fields": self.attr_fields,
+                "main_attr": self.main_attr,
+                "base_layer": self.base_layer,
+            }, f)
 
     # ------------------------------------------------------------- reads
 

@@ -182,3 +182,27 @@ def test_tile_cache_roundtrip_and_invalidation(spark, tmp_path):
     from tank_spark.geom import mvt as mvtmod
     assert mvtmod.decode(blob3)["io.marauder.tank"]["features"] == []
     assert blob3 != blob1
+
+
+def test_layer_config_persists_with_table(spark, tmp_path):
+    """attr_fields declared once at layer creation reload on later Tank
+    constructions (the reference pins the declaration in application.conf;
+    here it travels with the table as _layer.json, which Spark's file
+    index ignores like _SUCCESS)."""
+    import json as _json
+
+    from tank_spark.api import Tank
+
+    d = str(tmp_path / "layer")
+    decl = "category text, rank int, seen date"
+    t1 = Tank(spark, d, attr_fields=decl)
+    t1.ingest_features([
+        _json.dumps({"id": "p1", "lon": 10.0, "lat": 50.0,
+                     "category": "poi", "rank": "3", "seen": "2024-05-01"}),
+    ])
+
+    t2 = Tank(spark, d)  # no declaration passed
+    assert t2.attr_fields == decl
+    feat = t2.get_feature_geojson("p1")
+    assert feat["properties"]["rank"] == 3
+    assert str(feat["properties"]["seen"]) == "2024-05-01"
