@@ -443,3 +443,36 @@ def train_kmeans(spark: SparkSession, sf_dir: str,
 )
 def ivf_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_kmeans(spark, sf_dir).select("centroid_id", "n_members")
+
+
+@register(
+    "neardup_embedding_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_neardup_sql()}),
+    und AS (
+      SELECT vec_a AS src, vec_b AS dst FROM pairs
+      UNION SELECT vec_b, vec_a FROM pairs
+    ),
+    reach(vid, r) AS (
+      SELECT DISTINCT src, src FROM und
+      UNION
+      SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.vid
+    )
+    SELECT vid AS vec_id, MIN(r) AS component,
+           CAST(CASE WHEN MIN(r) = vid THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+    FROM reach GROUP BY vid
+    """,
+    doc="Embedding-side cluster formation: connected components over the "
+        "cosine near-dup pair graph (same pointer-jumping propagation as "
+        "dedup_lsh_clusters — pairs are engine-exact, so the clusters "
+        "are too). component = min vec_id; is_canonical marks survivors.",
+)
+def neardup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tank_spark.llm.dedup import lsh_components
+
+    pairs = neardup_cosine_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("cid_a"), F.col("vec_b").alias("cid_b")
+    )
+    return lsh_components(pairs).select(
+        F.col("cid").alias("vec_id"), "component", "is_canonical"
+    )
