@@ -476,3 +476,65 @@ def neardup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_components(pairs).select(
         F.col("cid").alias("vec_id"), "component", "is_canonical"
     )
+
+
+@register(
+    "semantic_vs_lexical",
+    f"""
+    WITH pairs AS ({_neardup_sql()}),
+    ds AS (
+      SELECT DISTINCT doc_id, word FROM (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        FROM documents
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+    inter AS (
+      SELECT p.vec_a, p.vec_b, COUNT(*) AS n_common
+      FROM pairs p
+      JOIN ds wa ON wa.doc_id = p.vec_a
+      JOIN ds wb ON wb.doc_id = p.vec_b AND wb.word = wa.word
+      GROUP BY p.vec_a, p.vec_b
+    )
+    SELECT p.vec_a, p.vec_b, p.cosine,
+           CAST(COALESCE(n_common, 0) AS DOUBLE)
+             / (sa.n + sb.n - COALESCE(n_common, 0)) AS word_jaccard
+    FROM pairs p
+    LEFT JOIN inter ON inter.vec_a = p.vec_a AND inter.vec_b = p.vec_b
+    JOIN sizes sa ON sa.doc_id = p.vec_a
+    JOIN sizes sb ON sb.doc_id = p.vec_b
+    """,
+    doc="Semantic-vs-lexical similarity: every embedding-cosine near-dup "
+        "pair annotated with the word-set Jaccard of the two documents "
+        "(vec_id aligns with doc_id) — separates paraphrase-style "
+        "semantic dups from lexical copies. The pair set is small and "
+        "broadcasts into the word join; word sets aggregate map-side.",
+)
+def semantic_vs_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pairs = neardup_cosine_pairs(spark, sf_dir)
+    ds = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("word"),
+    ).distinct()
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    wa = ds.select(F.col("doc_id").alias("vec_a"), "word")
+    wb = ds.select(F.col("doc_id").alias("vec_b"), "word")
+    inter = (
+        wa.join(F.broadcast(pairs.select("vec_a", "vec_b")), "vec_a")
+        .join(wb, ["vec_b", "word"])
+        .groupBy("vec_a", "vec_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    return (
+        pairs.join(inter, ["vec_a", "vec_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("vec_a"), F.col("n").alias("na")), "vec_a")
+        .join(sizes.select(F.col("doc_id").alias("vec_b"), F.col("n").alias("nb")), "vec_b")
+        .select(
+            "vec_a", "vec_b", "cosine",
+            (nc.cast("double") / (F.col("na") + F.col("nb") - nc)).alias("word_jaccard"),
+        )
+    )
