@@ -415,3 +415,45 @@ def pii_detect_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         _n_matches(t, _PHONE_PAT).alias("n_phones"),
         F.md5(masked).alias("masked_fp"),
     )
+
+
+@register(
+    "lang_id_confusion",
+    f"""
+    WITH pred AS ({_lang_id_sql()})
+    SELECT lang_label, lang_pred, COUNT(*) AS n
+    FROM pred GROUP BY lang_label, lang_pred
+    """,
+    doc="Language-ID evaluation: confusion matrix of predicted vs labeled "
+        "language — the classifier-quality view a filtering pipeline "
+        "monitors. One partial-aggregated groupBy.",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        lang_id_stopwords(spark, sf_dir)
+        .groupBy("lang_label", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "corpus_mix_report",
+    f"""
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM({_n_matches_sql("text", _TOKEN)}) AS BIGINT) AS n_tokens,
+           COUNT(*) FILTER (WHERE ({QUALITY_SQL}) >= 0.5) AS n_high_quality
+    FROM documents
+    GROUP BY source, lang
+    """,
+    doc="Per-(source, lang) corpus inventory: doc count, total tokens, "
+        "high-quality count — the mix dashboard a data team watches. All "
+        "integer aggregates (exact at any parallelism; a float mean would "
+        "depend on partition summation order).",
+)
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(_n_matches(F.col("text"), _TOKEN)).alias("n_tokens"),
+        F.count_if(quality_col() >= 0.5).alias("n_high_quality"),
+    )

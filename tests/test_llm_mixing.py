@@ -173,3 +173,80 @@ def test_pack_excludes_empty_docs(spark):
     assert set(rows) == {2, 3}
     assert rows[2]["start_off"] == 0 and rows[2]["n_tokens"] == 2
     assert rows[3]["start_off"] == 2  # empty doc contributed nothing
+
+
+def test_components_match_union_find_on_random_graph(spark):
+    """One seeded 300-edge random graph: the distributed pointer-jumping
+    result must equal a pure-Python union-find ground truth."""
+    import random
+
+    from tank_spark.llm.dedup import lsh_components
+
+    rng = random.Random(42)
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(300)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(120))
+
+    def find(v):
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {v for e in edges for v in e}
+    truth = {v: find(v) for v in nodes}
+    # union-find roots are not guaranteed minimal; canonicalize per class
+    by_root: dict[int, int] = {}
+    for v in sorted(nodes):
+        by_root.setdefault(truth[v], v)
+    truth = {v: by_root[truth[v]] for v in nodes}
+
+    pairs = spark.createDataFrame(edges, "cid_a long, cid_b long")
+    got = {r["cid"]: r["component"] for r in lsh_components(pairs).collect()}
+    assert got == truth
+
+
+def test_pack_invariants_random_corpus(spark):
+    """Randomized doc lengths across sources: offsets must be the exact
+    running concatenation and sequence spans the exact integer math."""
+    import random
+
+    from tank_spark.llm import mixing as mixing_mod
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join("w" for _ in range(rng.randrange(0, 600))),
+         "en", f"s{rng.randrange(4)}", 0)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = mixing_mod.load
+    try:
+        mixing_mod.load = lambda spark_, sf_, name, **kw: df
+        got = mixing_mod.pack_token_budget(spark, "ignored").collect()
+    finally:
+        mixing_mod.load = orig
+
+    budget = mixing_mod.SEQ_BUDGET
+    expected_tokens = {i: len(t.split()) for i, t, *_ in rows}
+    by_source: dict[str, list] = {}
+    for r in got:
+        assert r["n_tokens"] == expected_tokens[r["doc_id"]] > 0
+        by_source.setdefault(r["source"], []).append(r)
+    n_nonempty = sum(1 for t in expected_tokens.values() if t > 0)
+    assert sum(len(v) for v in by_source.values()) == n_nonempty
+    for docs in by_source.values():
+        docs.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in docs:
+            assert r["start_off"] == off
+            assert r["seq_first"] == off // budget
+            assert r["seq_last"] == (off + r["n_tokens"] - 1) // budget
+            off += r["n_tokens"]
