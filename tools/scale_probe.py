@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Measure how the key operators scale with input size: run each probe
+query at sf0.1 and at the 10x directory (tools/make_scale10.py), report
+median-of-3 warm times and the 10x/1x ratio. A plan that survives 100 TB
+shows a ratio near the data ratio (~10) or below (broadcast/pruned
+paths); a superlinear ratio flags a shuffle or pairwise blowup.
+
+Usage: python tools/scale_probe.py [SCALED_DIR]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+
+PROBES = [
+    # scans / aggregation / joins
+    "q1_pricing_summary", "q3_shipping_priority", "topk_orders_per_priority",
+    # tile/heatmap (features derive from lineitem -> 10x density)
+    "tile_z9_range", "heatmap_z9",
+    # llm pipeline
+    "dedup_exact", "dedup_minhash_lsh_pairs", "text_repetition_signals",
+    "sample_stratified_sources", "pack_token_budget", "token_count_bpe",
+    "knn_brute_cosine", "ivf_probe_search", "sessionize_events",
+]
+
+
+def time_queries(spark, reg, sf_dir):
+    times = {}
+    for name in PROBES:
+        q = reg[name]
+        q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        times[name] = runs[1]
+    return times
+
+
+def main() -> None:
+    scaled = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale10"
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("scale_probe")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from tank_spark.plans.registry import load_all
+
+    reg = load_all()
+    base = time_queries(spark, reg, "/root/testdata/sf0.1")
+    big = time_queries(spark, reg, scaled)
+    print(f"{'query':34s} {'1x':>7s} {'10x':>7s} {'ratio':>6s}")
+    for n in PROBES:
+        r = big[n] / base[n] if base[n] > 0 else float("nan")
+        print(f"{n:34s} {base[n]:7.2f} {big[n]:7.2f} {r:6.1f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
