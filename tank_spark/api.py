@@ -247,14 +247,19 @@ class Tank:
             geom = f.get("geometry") or {}
             gtype = geom.get("type")
             coords = geom.get("coordinates")
+            wkt_str = None
             if gtype == "Point" and coords:
                 lon, lat = float(coords[0]), float(coords[1])
             elif gtype and coords:
                 lon, lat = _wkt.centroid(gtype, coords)
+                # store the FULL geometry (the reference binds the WKT at
+                # ingest, Tyler.kt); the centroid only drives bucketing
+                wkt_str = _wkt.dumps(gtype, coords)
             else:
                 lon = lat = None
             props = f.get("properties") or {}
-            row = {"id": f.get("id"), "lon": lon, "lat": lat}
+            row = {"id": f.get("id"), "lon": lon, "lat": lat,
+                   "geometry": wkt_str}
             for name, _typ in parse_attr_fields(self.attr_fields):
                 v = props.get(name)
                 row[name] = None if v is None else str(v)

@@ -75,6 +75,9 @@ def attr_wire_schema(attr_fields: str = DEFAULT_ATTR_FIELDS) -> T.StructType:
         T.StructField("id", T.StringType()),
         T.StructField("lon", T.DoubleType()),
         T.StructField("lat", T.DoubleType()),
+        # optional full geometry WKT (non-point GeoJSON ingest); absent ->
+        # a POINT is synthesized from lon/lat
+        T.StructField("geometry", T.StringType()),
     ]
     fields += [T.StructField(n, T.StringType()) for n, _ in parse_attr_fields(attr_fields)]
     return T.StructType(fields)
@@ -122,6 +125,7 @@ def coerce_features(raw: DataFrame, attr_fields: str = DEFAULT_ATTR_FIELDS) -> D
     df = raw.select(
         F.coalesce(F.col("id"), F.expr("uuid()")).alias("uid"),
         "lon", "lat",
+        F.col("geometry").alias("_wire_geometry"),
         *[expr.alias(name) for name, expr in attr_values.items()],
         (attr_rejected | ~ok_geo).alias("rejected"),
     )
@@ -151,10 +155,16 @@ def coerce_features(raw: DataFrame, attr_fields: str = DEFAULT_ATTR_FIELDS) -> D
         # derived table's ts column plays, so appends stay schema-identical
         "ts": F.current_timestamp().cast("timestamp_ntz"),
         "qty": F.lit(0.0),
-        "geometry": F.when(
-            ok_geo,
-            F.concat(F.lit("POINT ("), F.col("lon").cast("string"), F.lit(" "),
-                     F.col("lat").cast("string"), F.lit(")")),
+        # full WKT when the wire carried one (non-point GeoJSON ingest,
+        # stored verbatim like the reference's bound geometry column);
+        # else a POINT synthesized from lon/lat
+        "geometry": F.coalesce(
+            F.col("_wire_geometry"),
+            F.when(
+                ok_geo,
+                F.concat(F.lit("POINT ("), F.col("lon").cast("string"), F.lit(" "),
+                         F.col("lat").cast("string"), F.lit(")")),
+            ),
         ),
     })
     # serve-path column order (sources/features.py schema) + ingest extras

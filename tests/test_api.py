@@ -206,3 +206,36 @@ def test_layer_config_persists_with_table(spark, tmp_path):
     feat = t2.get_feature_geojson("p1")
     assert feat["properties"]["rank"] == 3
     assert str(feat["properties"]["seen"]) == "2024-05-01"
+
+
+def test_geojson_polygon_ingest_serves_full_geometry(tank):
+    """A Polygon ingested via GeoJSON must store and RENDER the polygon
+    (the reference binds the full WKT at ingest; the centroid only picks
+    the bucket) — not collapse to its centroid point."""
+    import json as _json
+
+    from tank_spark.geom import mvt as mvtmod
+    from tank_spark.geom import tilemath
+
+    ring = [[-123.72, 38.69], [-123.68, 38.69], [-123.68, 38.72],
+            [-123.72, 38.72], [-123.72, 38.69]]
+    fc = {"type": "FeatureCollection", "features": [{
+        "type": "Feature", "id": "poly-1",
+        "geometry": {"type": "Polygon", "coordinates": [ring]},
+        "properties": {"kind": "zone", "score": "1", "cnt": "1", "tag": "g"},
+    }]}
+    res = tank.ingest_geojson(_json.dumps(fc))
+    assert res == {"accepted": 1, "rejected": 0}
+
+    row = tank.get_feature("poly-1").collect()[0]
+    assert row["geometry"].startswith("POLYGON ((")
+
+    # centroid picks the bucket tile; the polygon must decode as one
+    cx = sum(p[0] for p in ring[:-1]) / 4
+    cy = sum(p[1] for p in ring[:-1]) / 4
+    xt, yt = tilemath.tile_number(cy, cx, 13)
+    layer = mvtmod.decode(tank.tile_mvt(13, xt, yt))["io.marauder.tank"]
+    polys = [f for f in layer["features"]
+             if f["props"].get("kind") == "zone"]
+    assert len(polys) == 1
+    assert polys[0]["geom_type"] == "Polygon"
