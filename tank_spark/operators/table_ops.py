@@ -169,8 +169,13 @@ def update_by_uid(spark: SparkSession, table_dir: str, uid: str,
     buckets = sorted({r["bucket"] for r in rows})
     hit = F.col("uid") == uid
     target = df.filter(_buckets_of(buckets))
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
     for col, val in updates.items():
-        target = target.withColumn(col, F.when(hit, F.lit(val)).otherwise(F.col(col)))
+        # cast the literal to the COLUMN's type: when/otherwise would
+        # otherwise coerce a typed column (int/date attr) up to string and
+        # silently rewrite the bucket with a drifted schema
+        lit = F.lit(val).cast(dtypes[col])
+        target = target.withColumn(col, F.when(hit, lit).otherwise(F.col(col)))
     target = target.localCheckpoint(eager=True)  # cut lineage before overwrite
     for b in buckets:
         (

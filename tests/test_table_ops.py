@@ -138,3 +138,32 @@ def test_compact_table_merges_ingest_fragments(spark, table_dir):
 
     # idempotent: nothing left to compact
     assert compact_table(spark, table_dir) == {}
+
+
+def test_update_by_uid_preserves_typed_column_schema(spark, tmp_path):
+    """Updating a declared date/int attribute with a string value must not
+    coerce the column to string in the rewritten bucket (schema drift
+    across buckets breaks the next table read)."""
+    import json as _json
+
+    from tank_spark.api import Tank
+    from tank_spark.operators.table_ops import read_feature_table
+
+    d = str(tmp_path / "layer")
+    t = Tank(spark, d, attr_fields="category text, rank int, seen date")
+    t.ingest_features([
+        _json.dumps({"id": "u1", "lon": 10.0, "lat": 50.0,
+                     "category": "a", "rank": "1", "seen": "2024-01-01"}),
+        _json.dumps({"id": "u2", "lon": 10.0, "lat": 50.0,
+                     "category": "b", "rank": "2", "seen": "2024-02-02"}),
+    ])
+    before = dict(read_feature_table(spark, d).dtypes)
+    assert t.update_feature("u1", {"rank": "7", "seen": "2025-03-04"}) == 1
+    after = read_feature_table(spark, d)
+    assert dict(after.dtypes) == before          # no type drift
+    row = after.filter(after["uid"] == "u1").collect()[0]
+    assert row["rank"] == 7
+    assert str(row["seen"]) == "2025-03-04"
+    # the untouched row is intact
+    other = after.filter(after["uid"] == "u2").collect()[0]
+    assert other["rank"] == 2 and str(other["seen"]) == "2024-02-02"
