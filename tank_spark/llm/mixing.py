@@ -159,6 +159,42 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "global_sequence_ids",
+    """
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (ORDER BY source, doc_id) - 1 AS seq_id
+    FROM documents
+    """,
+    doc="Dense global ordinal over (source, doc_id) WITHOUT a global "
+        "single-partition window: per-source row_number (distributed) + "
+        "driver-side cumulative offsets over the tiny per-source counts — "
+        "the scale-safe zipWithIndex for exporting an ordered dataset. "
+        "Oracle = the naive global ROW_NUMBER.",
+)
+def global_sequence_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    counts = {
+        r["source"]: r["n"]
+        for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for s in sorted(counts):
+        offsets[s] = acc
+        acc += counts[s]
+    off_df = spark.createDataFrame(
+        list(offsets.items()), "source string, _off long"
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        d.join(F.broadcast(off_df), "source")
+        .select(
+            "doc_id", "source",
+            (F.row_number().over(w) - 1 + F.col("_off")).cast("long").alias("seq_id"),
+        )
+    )
+
+
 # -------------------------------------------------------- decontamination
 
 EVAL_MOD = 97  # doc_id % EVAL_MOD == 0 -> held-out eval split (~1%)
