@@ -181,3 +181,27 @@ def test_mvt_two_stage_matches_single_task_kernel(spark):
         assert a["geom_type"] == b["geom_type"]
         assert a["coords"] == b["coords"]
         assert a["props"] == b["props"]
+
+
+def test_decontamination_broadcasts_eval_side(spark):
+    """The held-out shingle set must broadcast — a shuffled join here
+    means the whole corpus reshuffles per decontamination run."""
+    from tank_spark.llm.mixing import decontaminate_train_eval
+    from tank_spark.sources.tables import load
+
+    load(spark, SF_DIR, "documents").count()
+    plan = _plan(decontaminate_train_eval(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_global_sequence_ids_no_global_window(spark):
+    """The export ordinal must come from per-source windows, never a
+    single-partition global sort."""
+    from tank_spark.llm.mixing import global_sequence_ids
+    from tank_spark.sources.tables import load
+
+    load(spark, SF_DIR, "documents").count()
+    plan = _plan(global_sequence_ids(spark, SF_DIR))
+    assert "Window" in plan
+    # a global window shows as an Exchange SinglePartition feeding a sort
+    assert "SinglePartition" not in plan
