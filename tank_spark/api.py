@@ -181,6 +181,27 @@ class Tank:
             self._cache.put("tile", z, x, y, blob)
         return blob
 
+    def tile_mvt_batch(
+        self, requests: list[tuple[int, int, int]],
+        overview_sampling: bool = False,
+    ) -> DataFrame:
+        """Render a BATCH of tile requests through the two-stage
+        distributed pipeline (Morton-prefix request join -> map-parallel
+        geometry stage -> per-tile assembly), with this layer's DECLARED
+        attribute schema as the MVT properties — the bulk/seed companion
+        to the single-tile ``tile_mvt``. Returns one row per request
+        (z, x, y, n_features, mvt_size, mvt_md5, mvt)."""
+        from tank_spark.operators.mvt_tiles import mvt_tiles_for
+
+        attr_cols = tuple(
+            n for n in self._attr_types if n in self.features().columns
+        )
+        return mvt_tiles_for(
+            self.spark, self.features(), requests,
+            prop_cols=attr_cols, layer=self.base_layer,
+            overview_sampling=overview_sampling,
+        )
+
     def heatmap(self, z: int, x: int, y: int) -> DataFrame:
         """GET /heatmap/{z}/{x}/{y}: grid cells with counts > 0
         (degree-space cell planning per application.kt:549-566)."""

@@ -86,20 +86,18 @@ def encode_point_geoms(ix: np.ndarray, iy: np.ndarray) -> tuple[np.ndarray, np.n
     return buf, lens
 
 
-def _factorize_props(props) -> tuple[
+def _factorize_props(props, n: int) -> tuple[
         list[str], list[bytes], np.ndarray, np.ndarray]:
     """Build the layer key/value tables and per-feature packed tag arrays.
 
     ``props``: column name -> pandas Series, OR -> ``(codes, uniques)``
     already factorized (codes int array, -1 = null) — the pre-aggregated
-    chunk path supplies the latter.
+    chunk path supplies the latter. ``n`` is the feature count.
 
     Returns (keys, value_bytes, flat_tag_varint_values, tags_per_feature)
     where flat_tag_varint_values is the raveled (key_ix, val_ix) stream
     with null-valued entries dropped per feature.
     """
-    first = next(iter(props.values())) if props else None
-    n = (len(first[0]) if isinstance(first, tuple) else len(first)) if props else 0
     keys: list[str] = []
     value_bytes: list[bytes] = []
     cols = []
@@ -162,7 +160,7 @@ def assemble_layer(
     skipped per feature, like the scalar encoder).
     """
     n = len(ids)
-    keys, value_bytes, tag_flat, tags_per_feat = _factorize_props(props)
+    keys, value_bytes, tag_flat, tags_per_feat = _factorize_props(props, n)
 
     id_buf, id_lens = varints_np(ids.astype(np.uint64))
     tag_buf, tag_lens_each = varints_np(tag_flat.astype(np.uint64))

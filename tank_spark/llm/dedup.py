@@ -421,6 +421,7 @@ def lsh_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         prev_sum = labels.agg(F.sum("component")).first()[0]
+        converged = False
         for _ in range(max_iter):
             prop = und.join(labels, und["src"] == labels["cid"]).select(
                 F.col("dst").alias("cid"), F.col("component").alias("component")
@@ -447,8 +448,18 @@ def lsh_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             )
             cur_sum = labels.agg(F.sum("component")).first()[0]
             if cur_sum == prev_sum:
+                converged = True
                 break
             prev_sum = cur_sum
+        if not converged:
+            # silently returning split components would be a wrong answer;
+            # with pointer jumping, max_iter rounds cover diameters up to
+            # ~2^max_iter, so hitting this means the input graph (or a
+            # lowered max_iter) is pathological — surface it.
+            raise RuntimeError(
+                f"lsh_components did not converge in {max_iter} rounds; "
+                "components may be split — raise max_iter"
+            )
     finally:
         spark.conf.set(_cp_key, _cp_prev)
     return labels.select(

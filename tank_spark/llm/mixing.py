@@ -249,11 +249,11 @@ def decontaminate_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------- end-to-end pipeline
 
-QUALITY_MIN = 0.5
-
 _NORM_FP_SQL = "md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))"
 
-from tank_spark.llm.text import QUALITY_SQL  # noqa: E402  (shared formula)
+# shared formula + keep threshold (0.3: the corpus max is ~0.43, so any
+# higher cut silently empties the pipeline and its oracle check)
+from tank_spark.llm.text import QUALITY_MIN, QUALITY_SQL  # noqa: E402
 
 
 @register(

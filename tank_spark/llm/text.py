@@ -77,6 +77,12 @@ QUALITY_SQL = f"""CAST(LEAST({_n_matches_sql("lower(text)", _WORD)}, 200) AS DOU
              / GREATEST({_n_matches_sql("lower(text)", _WORD)}, 1) * 0.4
          + CASE WHEN LENGTH(text) >= 100 THEN 0.2 ELSE 0.0 END"""
 
+# The shared keep/high-quality threshold. The score's reachable range on
+# the synthetic corpus tops out near 0.43 (length saturation + stopword
+# density rarely co-max), so a 0.5 cut would select nothing; 0.3 sits
+# just under the corpus median and keeps a meaningful majority.
+QUALITY_MIN = 0.3
+
 
 def quality_col() -> F.Column:
     low = F.lower(F.col("text"))
@@ -441,7 +447,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT source, lang, COUNT(*) AS n_docs,
            CAST(SUM({_n_matches_sql("text", _TOKEN)}) AS BIGINT) AS n_tokens,
-           COUNT(*) FILTER (WHERE ({QUALITY_SQL}) >= 0.5) AS n_high_quality
+           COUNT(*) FILTER (WHERE ({QUALITY_SQL}) >= {QUALITY_MIN}) AS n_high_quality
     FROM documents
     GROUP BY source, lang
     """,
@@ -455,5 +461,5 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(_n_matches(F.col("text"), _TOKEN)).alias("n_tokens"),
-        F.count_if(quality_col() >= 0.5).alias("n_high_quality"),
+        F.count_if(quality_col() >= QUALITY_MIN).alias("n_high_quality"),
     )

@@ -216,6 +216,15 @@ def _request_join(spark: SparkSession, feats: DataFrame,
     from tank_spark.geom import morton
     from tank_spark.sources.features import HASH_LEVEL
 
+    if not requests:
+        # empty batch -> empty result with the joined schema, not IndexError
+        req_df = spark.createDataFrame([], "z int, x int, y int, blk long")
+        return (
+            feats.filter(F.lit(False))
+            .withColumn("blk", F.col("hash"))
+            .join(F.broadcast(req_df), "blk")
+        )
+
     bands: dict[int, list[tuple[int, int, int, int]]] = {}
     for z, x, y in requests:
         if z >= HASH_LEVEL:
@@ -245,116 +254,131 @@ def _request_join(spark: SparkSession, feats: DataFrame,
     return out
 
 
-def _geom_stage(iterator):
-    """mapInPandas stage: project -> clip -> transform -> command-encode
-    every feature against its request tile. Map-only (no shuffle), runs on
-    every input partition in parallel — the per-tile funnel only sees
-    pre-encoded compact bytes. Points take a fully-vectorized numpy path;
-    lines/polygons run the general per-row clip."""
-    import numpy as np
+# the derived benchmark table's property columns; a Tank layer passes its
+# DECLARED attr_fields instead (make_geom_stage closes over the list)
+DEFAULT_PROPS = ("kind", "score", "cnt", "tag")
 
-    from tank_spark.geom import mvt_np
 
-    for pdf in iterator:
-        # rows lacking geometry or key can't be rendered/keyed — skip them
-        # instead of crashing the tile (legacy/partial appends)
-        pdf = pdf[pdf["geometry"].notna() & pdf["key"].notna()]
-        if not len(pdf):
-            continue
-        z = pdf["z"].to_numpy()
-        x = pdf["x"].to_numpy()
-        y = pdf["y"].to_numpy()
-        z2 = (1 << z.astype(np.int64)).astype(np.float64)
-        k1 = 0.5 * BUFFER / EXTEND
-        xmin, ymin = (x - k1) / z2, (y - k1) / z2
-        xmax, ymax = (x + 1 + k1) / z2, (y + 1 + k1) / z2
+def make_geom_stage(prop_cols: tuple[str, ...] = DEFAULT_PROPS):
+    """Build the mapInPandas stage-1 function bound to a property-column
+    list: project -> clip -> transform -> command-encode every feature
+    against its request tile. Map-only (no shuffle), runs on every input
+    partition in parallel — the per-tile funnel only sees pre-encoded
+    compact bytes. Points take a fully-vectorized numpy path;
+    lines/polygons run the general per-row clip.
 
-        coords_pt = pdf["geometry"].str.extract(_POINT_RE)
-        is_point = coords_pt[0].notna().to_numpy()
+    ``prop_cols`` is whatever attribute schema the layer declares — the
+    batch path serves custom ``attr_fields`` layers through the same
+    code as the default benchmark table."""
+    prop_cols = tuple(prop_cols)
 
-        out_parts = []
+    def geom_stage(iterator):
+        import numpy as np
 
-        if is_point.any():
-            lon = coords_pt.loc[is_point, 0].astype(float).to_numpy()
-            lat = coords_pt.loc[is_point, 1].astype(float).to_numpy()
-            wx, wy = tilemath.project_np(lon, lat)
-            m = is_point.copy()
-            keep = (
-                (wx >= xmin[is_point]) & (wx <= xmax[is_point])
-                & (wy >= ymin[is_point]) & (wy <= ymax[is_point])
-            )
-            m[is_point] = keep
-            ix = np.rint((wx[keep] * z2[m] - x[m]) * EXTEND).astype(np.int64)
-            iy = np.rint((wy[keep] * z2[m] - y[m]) * EXTEND).astype(np.int64)
-            gbuf, glens = mvt_np.encode_point_geoms(ix, iy)
-            kept = pdf.loc[m]
-            out_parts.append(pd.DataFrame({
-                "z": kept["z"].to_numpy(), "x": kept["x"].to_numpy(),
-                "y": kept["y"].to_numpy(), "key": kept["key"].to_numpy(),
-                "gtype": np.full(int(m.sum()), 1, dtype=np.int32),
-                "geom": mvt_np.split_bytes(gbuf, glens),
-                "kind": kept["kind"].to_numpy(),
-                "score": kept["score"].to_numpy(),
-                "cnt": kept["cnt"].to_numpy(),
-                "tag": kept["tag"].to_numpy(),
-            }))
+        from tank_spark.geom import mvt_np
 
-        gen = pdf.loc[~is_point]
-        if len(gen):
-            rows = []
-            for pos, row in enumerate(gen.itertuples(index=False)):
-                if row.geometry is None or row.key is None:
-                    continue
-                try:
-                    gtype, coords = wkt.loads(row.geometry)
-                except ValueError:
-                    continue  # unparseable geometry (dead-letter at ingest)
-                rz2 = 1 << int(row.z)
-                bxmin, bymin = (row.x - k1) / rz2, (row.y - k1) / rz2
-                bxmax, bymax = (row.x + 1 + k1) / rz2, (row.y + 1 + k1) / rz2
-                proj = _project_geom(gtype, coords)
-                clipped = clipmod.clip(proj[0], proj[1], bxmin, bymin, bxmax, bymax)
-                if clipped is None:
-                    continue
-                t, c = clipped
+        for pdf in iterator:
+            # rows lacking geometry or key can't be rendered/keyed — skip
+            # them instead of crashing the tile (legacy/partial appends)
+            pdf = pdf[pdf["geometry"].notna() & pdf["key"].notna()]
+            if not len(pdf):
+                continue
+            z = pdf["z"].to_numpy()
+            x = pdf["x"].to_numpy()
+            y = pdf["y"].to_numpy()
+            z2 = (1 << z.astype(np.int64)).astype(np.float64)
+            k1 = 0.5 * BUFFER / EXTEND
+            xmin, ymin = (x - k1) / z2, (y - k1) / z2
+            xmax, ymax = (x + 1 + k1) / z2, (y + 1 + k1) / z2
 
-                def tx(p, _z2=rz2, _x=row.x, _y=row.y):
-                    return [round((p[0] * _z2 - _x) * EXTEND),
-                            round((p[1] * _z2 - _y) * EXTEND)]
+            coords_pt = pdf["geometry"].str.extract(_POINT_RE)
+            is_point = coords_pt[0].notna().to_numpy()
 
-                if t == "Point":
-                    c2 = tx(c)
-                elif t in ("LineString", "MultiPoint"):
-                    c2 = [tx(p) for p in c]
-                elif t in ("Polygon", "MultiLineString"):
-                    c2 = [[tx(p) for p in part] for part in c]
-                else:
-                    c2 = [[[tx(p) for p in ring] for ring in poly] for poly in c]
-                cmds = mvtmod._encode_geometry(t, c2)
-                geom = b"".join(mvtmod._varint(cc) for cc in cmds)
-                rows.append((row.z, row.x, row.y, row.key,
-                             mvtmod.GEOM_TYPES[t], geom,
-                             row.kind, row.score, row.cnt, row.tag))
-            if rows:
-                out_parts.append(pd.DataFrame(
-                    rows, columns=["z", "x", "y", "key", "gtype", "geom",
-                                   "kind", "score", "cnt", "tag"]))
+            out_parts = []
 
-        if not out_parts:
-            continue
-        batch = pd.concat(out_parts, ignore_index=True)
-        # pack one columnar chunk per tile present in this arrow batch
-        packed = []
-        for (bz, bx, by), grp in batch.groupby(["z", "x", "y"], sort=False):
-            blob = mvt_np.pack_chunk(
-                grp["key"].to_numpy().astype(np.int64),
-                grp["gtype"].to_numpy(),
-                grp["geom"].to_numpy(),
-                {"kind": grp["kind"], "score": grp["score"],
-                 "cnt": grp["cnt"], "tag": grp["tag"]},
-            )
-            packed.append((int(bz), int(bx), int(by), blob))
-        yield pd.DataFrame(packed, columns=["z", "x", "y", "chunk"])
+            if is_point.any():
+                lon = coords_pt.loc[is_point, 0].astype(float).to_numpy()
+                lat = coords_pt.loc[is_point, 1].astype(float).to_numpy()
+                wx, wy = tilemath.project_np(lon, lat)
+                m = is_point.copy()
+                keep = (
+                    (wx >= xmin[is_point]) & (wx <= xmax[is_point])
+                    & (wy >= ymin[is_point]) & (wy <= ymax[is_point])
+                )
+                m[is_point] = keep
+                ix = np.rint((wx[keep] * z2[m] - x[m]) * EXTEND).astype(np.int64)
+                iy = np.rint((wy[keep] * z2[m] - y[m]) * EXTEND).astype(np.int64)
+                gbuf, glens = mvt_np.encode_point_geoms(ix, iy)
+                kept = pdf.loc[m]
+                out_parts.append(pd.DataFrame({
+                    "z": kept["z"].to_numpy(), "x": kept["x"].to_numpy(),
+                    "y": kept["y"].to_numpy(), "key": kept["key"].to_numpy(),
+                    "gtype": np.full(int(m.sum()), 1, dtype=np.int32),
+                    "geom": mvt_np.split_bytes(gbuf, glens),
+                    **{c: kept[c].to_numpy() for c in prop_cols},
+                }))
+
+            gen = pdf.loc[~is_point]
+            if len(gen):
+                rows = []
+                for row in gen.itertuples(index=False):
+                    if row.geometry is None or row.key is None:
+                        continue
+                    try:
+                        gtype, coords = wkt.loads(row.geometry)
+                    except ValueError:
+                        continue  # unparseable geometry (dead-letter at ingest)
+                    rz2 = 1 << int(row.z)
+                    bxmin, bymin = (row.x - k1) / rz2, (row.y - k1) / rz2
+                    bxmax, bymax = (row.x + 1 + k1) / rz2, (row.y + 1 + k1) / rz2
+                    proj = _project_geom(gtype, coords)
+                    clipped = clipmod.clip(proj[0], proj[1], bxmin, bymin, bxmax, bymax)
+                    if clipped is None:
+                        continue
+                    t, c = clipped
+
+                    def tx(p, _z2=rz2, _x=row.x, _y=row.y):
+                        return [round((p[0] * _z2 - _x) * EXTEND),
+                                round((p[1] * _z2 - _y) * EXTEND)]
+
+                    if t == "Point":
+                        c2 = tx(c)
+                    elif t in ("LineString", "MultiPoint"):
+                        c2 = [tx(p) for p in c]
+                    elif t in ("Polygon", "MultiLineString"):
+                        c2 = [[tx(p) for p in part] for part in c]
+                    else:
+                        c2 = [[[tx(p) for p in ring] for ring in poly] for poly in c]
+                    cmds = mvtmod._encode_geometry(t, c2)
+                    geom = b"".join(mvtmod._varint(cc) for cc in cmds)
+                    rows.append((row.z, row.x, row.y, row.key,
+                                 mvtmod.GEOM_TYPES[t], geom,
+                                 *[getattr(row, col) for col in prop_cols]))
+                if rows:
+                    out_parts.append(pd.DataFrame(
+                        rows, columns=["z", "x", "y", "key", "gtype", "geom",
+                                       *prop_cols]))
+
+            if not out_parts:
+                continue
+            batch = pd.concat(out_parts, ignore_index=True)
+            # pack one columnar chunk per tile present in this arrow batch
+            packed = []
+            for (bz, bx, by), grp in batch.groupby(["z", "x", "y"], sort=False):
+                blob = mvt_np.pack_chunk(
+                    grp["key"].to_numpy().astype(np.int64),
+                    grp["gtype"].to_numpy(),
+                    grp["geom"].to_numpy(),
+                    {c: grp[c] for c in prop_cols},
+                )
+                packed.append((int(bz), int(bx), int(by), blob))
+            yield pd.DataFrame(packed, columns=["z", "x", "y", "chunk"])
+
+    return geom_stage
+
+
+# default-props stage (the registered batch queries and tests use this)
+_geom_stage = make_geom_stage()
 
 
 def make_assemble_kernel(layer: str = LAYER):
@@ -402,13 +426,18 @@ def make_assemble_kernel(layer: str = LAYER):
 _assemble_kernel = make_assemble_kernel()
 
 
-def mvt_tiles(
-    spark: SparkSession, sf_dir: str,
-    requests: list[tuple[int, int, int]] = DEFAULT_REQUESTS,
-    kind: str | None = None,
+def mvt_tiles_for(
+    spark: SparkSession, feats: DataFrame,
+    requests: list[tuple[int, int, int]],
+    prop_cols: tuple[str, ...] = DEFAULT_PROPS,
+    layer: str = LAYER,
     overview_sampling: bool = False,
 ) -> DataFrame:
-    """Serve a batch of tile requests as MVT blobs (one row per tile).
+    """Serve a batch of tile requests over an arbitrary feature table as
+    MVT blobs (one row per tile). ``feats`` needs hash/key/geometry plus
+    whatever ``prop_cols`` the layer declares — Tank.tile_mvt_batch passes
+    its declared attr_fields here, so custom-schema layers serve through
+    the same two-stage distributed pipeline as the benchmark table.
 
     Two-stage distributed shape: a map-only mapInPandas geometry stage
     (parse/project/clip/command-encode, parallel across input partitions)
@@ -425,11 +454,8 @@ def mvt_tiles(
     from tank_spark.util import ensure_workers_have_package
 
     ensure_workers_have_package(spark)
-    feats = features_df(spark, sf_dir)
-    if kind is not None:
-        feats = feats.filter(F.col("kind") == kind)
     joined = _request_join(spark, feats, requests).select(
-        "z", "x", "y", "key", "geometry", "kind", "score", "cnt", "tag"
+        "z", "x", "y", "key", "geometry", *prop_cols
     )
     if overview_sampling:
         joined = joined.filter(
@@ -440,7 +466,7 @@ def mvt_tiles(
     # uses fewer, fatter partitions) and break any per-band skew — a cheap
     # round-robin shuffle of narrow rows buys full map parallelism
     joined = joined.repartition(spark.sparkContext.defaultParallelism)
-    encoded = joined.mapInPandas(_geom_stage, GEOM_STAGE_SCHEMA)
+    encoded = joined.mapInPandas(make_geom_stage(prop_cols), GEOM_STAGE_SCHEMA)
     # one sentinel row per request guarantees every requested tile has an
     # assembly group, so a request matching zero features serves a (valid,
     # empty) tile — the reference encodes an empty FeatureCollection, not
@@ -450,7 +476,23 @@ def mvt_tiles(
         [(z, x, y) for z, x, y in requests], "z int, x int, y int"
     ).select("z", "x", "y", F.lit(None).cast("binary").alias("chunk"))
     return encoded.unionAll(sentinels).groupBy("z", "x", "y").applyInPandas(
-        _assemble_kernel, TILE_OUT_SCHEMA
+        make_assemble_kernel(layer), TILE_OUT_SCHEMA
+    )
+
+
+def mvt_tiles(
+    spark: SparkSession, sf_dir: str,
+    requests: list[tuple[int, int, int]] = DEFAULT_REQUESTS,
+    kind: str | None = None,
+    overview_sampling: bool = False,
+) -> DataFrame:
+    """The benchmark-table entry: mvt_tiles_for over the derived feature
+    block with its default property columns."""
+    feats = features_df(spark, sf_dir)
+    if kind is not None:
+        feats = feats.filter(F.col("kind") == kind)
+    return mvt_tiles_for(
+        spark, feats, requests, overview_sampling=overview_sampling
     )
 
 

@@ -146,6 +146,46 @@ def test_custom_attr_layer_end_to_end(spark, tmp_path):
                                "img_date": "1970-01-01"}
 
 
+def test_custom_attr_layer_batch_render(spark, tmp_path):
+    """The two-stage distributed BATCH pipeline serves a layer with custom
+    attr_fields (not the benchmark kind/score/cnt/tag columns): decoded
+    feature sets match the single-tile kernel, and a no-match request
+    still yields a valid empty tile (VERDICT r2 item 2)."""
+    from tank_spark.api import Tank
+    from tank_spark.geom import mvt as mvtmod
+    from tank_spark.geom import tilemath
+
+    t = Tank(spark, str(tmp_path / "customb"), main_attr="rank",
+             attr_fields="label text, rank int, img_date date")
+    res = t.ingest_features([
+        json.dumps({"id": "b1", "lon": 7.1, "lat": 50.7, "label": "a",
+                    "rank": "3", "img_date": "2021-06-09"}),
+        json.dumps({"id": "b2", "lon": 7.1001, "lat": 50.7001, "label": "b",
+                    "rank": "4"}),
+    ])
+    assert res == {"accepted": 2, "rejected": 0}
+
+    ix, iy = tilemath.tile_number(50.7, 7.1, 13)
+    out = {(r["z"], r["x"], r["y"]): r
+           for r in t.tile_mvt_batch([(13, ix, iy), (13, 0, 0)]).collect()}
+    assert set(out) == {(13, ix, iy), (13, 0, 0)}
+
+    row = out[(13, ix, iy)]
+    assert row["n_features"] == 2
+    layer = mvtmod.decode(bytes(row["mvt"]))["io.marauder.tank"]
+    props = {f["props"]["label"]: f["props"] for f in layer["features"]}
+    assert props["a"]["rank"] == 3 and props["a"]["img_date"] == "2021-06-09"
+    assert props["b"]["rank"] == 4 and props["b"]["img_date"] == "1970-01-01"
+    # decode parity with the single-tile scalar kernel on the same layer
+    single = mvtmod.decode(t.tile_mvt(13, ix, iy))["io.marauder.tank"]
+    sprops = {f["props"]["label"]: f["props"] for f in single["features"]}
+    assert sprops == props
+
+    empty = out[(13, 0, 0)]
+    assert empty["n_features"] == 0
+    assert "io.marauder.tank" in mvtmod.decode(bytes(empty["mvt"]))
+
+
 def test_sql_function_registration(spark):
     from tank_spark.functions.geo import register_sql_functions
     from tank_spark.geom import morton

@@ -250,3 +250,18 @@ def test_pack_invariants_random_corpus(spark):
             assert r["seq_first"] == off // budget
             assert r["seq_last"] == (off + r["n_tokens"] - 1) // budget
             off += r["n_tokens"]
+
+
+def test_training_mix_pipeline_nonempty(spark):
+    """The flagship pipeline must actually KEEP documents at the checked
+    scale — a quality cut above the corpus max would pass its oracle
+    check vacuously on two empty results (ADVICE r2, medium)."""
+    from tank_spark.llm.mixing import training_mix_pipeline
+    from tank_spark.sources.tables import load
+
+    rows = training_mix_pipeline(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    # and the stages did real work: the kept set is a strict subset
+    n_docs = load(spark, SF_DIR, "documents").count()
+    assert len(rows) < n_docs
+    assert all(r["n_tokens"] > 0 and r["start_off"] >= 0 for r in rows)

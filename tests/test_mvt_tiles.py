@@ -67,6 +67,38 @@ def test_tile_mvt_determinism(spark):
     assert a == b
 
 
+def test_assemble_layer_empty_props():
+    """A layer declaring ZERO attributes still assembles: every feature
+    gets an empty tag list, not a crashed length mismatch (ADVICE r2)."""
+    import numpy as np
+
+    from tank_spark.geom import mvt as mvtmod
+    from tank_spark.geom import mvt_np
+
+    ids = np.array([3, 7, 11], dtype=np.int64)
+    gbuf, glens = mvt_np.encode_point_geoms(
+        np.array([10, 20, 30], dtype=np.int64),
+        np.array([40, 50, 60], dtype=np.int64),
+    )
+    blob = mvt_np.assemble_layer(
+        ids, np.array([1, 1, 1]), gbuf, glens, {}, layer_name="empty.props"
+    )
+    layer = mvtmod.decode(blob)["empty.props"]
+    assert [f["id"] for f in layer["features"]] == [3, 7, 11]
+    assert all(f["props"] == {} for f in layer["features"])
+
+
+def test_request_join_empty_batch(spark):
+    """An empty request batch returns an empty joined frame with the
+    normal schema instead of raising (ADVICE r2)."""
+    from tank_spark.operators.mvt_tiles import _request_join
+    from tank_spark.sources.features import features_df
+
+    out = _request_join(spark, features_df(spark, SF_DIR), [])
+    assert out.count() == 0
+    assert {"z", "x", "y", "blk", "key", "geometry"} <= set(out.columns)
+
+
 def test_heatmap_mvt_counts_match(spark):
     from tank_spark.geom import mvt as mvtmod
     from tank_spark.operators.heatmap import heatmap
