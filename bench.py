@@ -26,7 +26,8 @@ HEADLINE = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_nation_volume",
     "q6_forecast_revenue", "topk_orders_per_priority",
     # llm pipeline
-    "dedup_exact", "dedup_minhash_lsh_pairs", "dedup_lsh_clusters",
+    "dedup_exact", "dedup_minhash_lsh_pairs", "dedup_minhash_lsh_pairs_k128",
+    "dedup_lsh_clusters",
     "knn_brute_cosine",
     "sessionize_events", "tumbling_hourly_counts", "text_stats",
     "text_repetition_signals", "sample_stratified_sources",

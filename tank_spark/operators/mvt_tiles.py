@@ -195,10 +195,16 @@ def _project_geom(gtype: str, coords):
 OVERVIEW_ZOOM = 9       # below this, serve a deterministic sample
 OVERVIEW_SAMPLE_MOD = 20  # 5% sample
 
-# stage-1 output: one packed columnar chunk per (tile, arrow batch) — the
-# per-tile assembly group receives #batches compact rows, not #features
-# (the per-row shuffle + Arrow serialization dominated at overview sizes)
-GEOM_STAGE_SCHEMA = "z int, x int, y int, chunk binary"
+# stage-1 output: one packed columnar chunk per (tile, sub-group, arrow
+# batch) — the per-tile assembly group receives #batches compact rows, not
+# #features (the per-row shuffle + Arrow serialization dominated at
+# overview sizes). ``sub`` is the merge-tree fan-out salt (key % NSUB for
+# the tree path, constant 0 for the direct path).
+GEOM_STAGE_SCHEMA = "z int, x int, y int, sub int, chunk binary"
+
+# merge-tree fan-out: a full-fidelity overview tile's value-table encoding
+# runs as NSUB parallel sub-merge tasks instead of one assembly task
+NSUB = 16
 
 
 def _request_join(spark: SparkSession, feats: DataFrame,
@@ -259,7 +265,8 @@ def _request_join(spark: SparkSession, feats: DataFrame,
 DEFAULT_PROPS = ("kind", "score", "cnt", "tag")
 
 
-def make_geom_stage(prop_cols: tuple[str, ...] = DEFAULT_PROPS):
+def make_geom_stage(prop_cols: tuple[str, ...] = DEFAULT_PROPS,
+                    n_sub: int = 1):
     """Build the mapInPandas stage-1 function bound to a property-column
     list: project -> clip -> transform -> command-encode every feature
     against its request tile. Map-only (no shuffle), runs on every input
@@ -269,7 +276,8 @@ def make_geom_stage(prop_cols: tuple[str, ...] = DEFAULT_PROPS):
 
     ``prop_cols`` is whatever attribute schema the layer declares — the
     batch path serves custom ``attr_fields`` layers through the same
-    code as the default benchmark table."""
+    code as the default benchmark table. ``n_sub`` > 1 salts chunks by
+    key % n_sub so the merge tree can sub-merge them in parallel."""
     prop_cols = tuple(prop_cols)
 
     def geom_stage(iterator):
@@ -362,17 +370,25 @@ def make_geom_stage(prop_cols: tuple[str, ...] = DEFAULT_PROPS):
             if not out_parts:
                 continue
             batch = pd.concat(out_parts, ignore_index=True)
-            # pack one columnar chunk per tile present in this arrow batch
+            batch["sub"] = (
+                batch["key"].to_numpy().astype(np.int64) % n_sub
+                if n_sub > 1 else 0
+            )
+            # pack one columnar chunk per (tile, sub) in this arrow batch
             packed = []
-            for (bz, bx, by), grp in batch.groupby(["z", "x", "y"], sort=False):
+            for (bz, bx, by, bs), grp in batch.groupby(
+                ["z", "x", "y", "sub"], sort=False
+            ):
                 blob = mvt_np.pack_chunk(
                     grp["key"].to_numpy().astype(np.int64),
                     grp["gtype"].to_numpy(),
                     grp["geom"].to_numpy(),
                     {c: grp[c] for c in prop_cols},
                 )
-                packed.append((int(bz), int(bx), int(by), blob))
-            yield pd.DataFrame(packed, columns=["z", "x", "y", "chunk"])
+                packed.append((int(bz), int(bx), int(by), int(bs), blob))
+            yield pd.DataFrame(
+                packed, columns=["z", "x", "y", "sub", "chunk"]
+            )
 
     return geom_stage
 
@@ -426,6 +442,64 @@ def make_assemble_kernel(layer: str = LAYER):
 _assemble_kernel = make_assemble_kernel()
 
 
+def _submerge_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Merge-tree middle stage: one (z,x,y,sub) group of stage-1 chunks ->
+    one merged payload with the value tables already protobuf-encoded.
+    Runs NSUB-way parallel per tile — this is where the per-unique Python
+    value encoding (the old single-task assembly's serial cost) happens."""
+    from tank_spark.geom import mvt_np
+
+    return pd.DataFrame([{
+        "z": int(pdf["z"].iloc[0]), "x": int(pdf["x"].iloc[0]),
+        "y": int(pdf["y"].iloc[0]), "sub": int(pdf["sub"].iloc[0]),
+        "chunk": mvt_np.merge_chunks_sorted_encoded(list(pdf["chunk"])),
+    }])
+
+
+def make_tree_final_kernel(layer: str = LAYER):
+    """Merge-tree final stage: concatenate <= NSUB pre-encoded payloads
+    into the tile blob. O(blob) numpy work — byte-table dedup + vectorized
+    index remap + varint framing; no per-value Python encoding left."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        import numpy as np
+
+        from tank_spark.geom import mvt_np
+
+        z = int(pdf["z"].iloc[0])
+        x = int(pdf["x"].iloc[0])
+        y = int(pdf["y"].iloc[0])
+        # deterministic blob: payload order = sub order (arrival order is
+        # shuffle-dependent); the sentinel row (null chunk) sorts first
+        pdf = pdf.sort_values("sub")
+        blobs = [b for b in pdf["chunk"] if b is not None]
+        n_features = 0
+        if not blobs:
+            blob = mvtmod.encode([], layer_name=layer, extent=EXTEND)
+        else:
+            keys, gtypes, geom_flat, geom_lens, props = (
+                mvt_np.merge_encoded(blobs)
+            )
+            n_features = len(keys)
+            order = np.argsort(keys, kind="stable")
+            geom_flat, geom_lens = mvt_np.reorder_var(geom_flat, geom_lens, order)
+            props = {name: (codes[order], vbytes)
+                     for name, (codes, vbytes) in props.items()}
+            blob = mvt_np.assemble_layer(
+                keys[order], gtypes[order], geom_flat, geom_lens, props,
+                layer_name=layer, extent=EXTEND,
+            )
+        return pd.DataFrame([{
+            "z": z, "x": x, "y": y, "n_features": n_features,
+            "mvt_size": len(blob), "mvt_md5": hashlib.md5(blob).hexdigest(),
+            "mvt": blob,
+        }])
+
+    return kernel
+
+
 def mvt_tiles_for(
     spark: SparkSession, feats: DataFrame,
     requests: list[tuple[int, int, int]],
@@ -454,30 +528,70 @@ def mvt_tiles_for(
     from tank_spark.util import ensure_workers_have_package
 
     ensure_workers_have_package(spark)
-    joined = _request_join(spark, feats, requests).select(
-        "z", "x", "y", "key", "geometry", *prop_cols
-    )
-    if overview_sampling:
-        joined = joined.filter(
-            (F.col("z") >= OVERVIEW_ZOOM)
-            | (F.col("key") % OVERVIEW_SAMPLE_MOD == 0)
+
+    def encoded_stage(reqs: list[tuple[int, int, int]], n_sub: int):
+        joined = _request_join(spark, feats, reqs).select(
+            "z", "x", "y", "key", "geometry", *prop_cols
         )
-    # spread the Python geometry work across every core (the cached table
-    # uses fewer, fatter partitions) and break any per-band skew — a cheap
-    # round-robin shuffle of narrow rows buys full map parallelism
-    joined = joined.repartition(spark.sparkContext.defaultParallelism)
-    encoded = joined.mapInPandas(make_geom_stage(prop_cols), GEOM_STAGE_SCHEMA)
+        if overview_sampling:
+            joined = joined.filter(
+                (F.col("z") >= OVERVIEW_ZOOM)
+                | (F.col("key") % OVERVIEW_SAMPLE_MOD == 0)
+            )
+        # spread the Python geometry work across every core (the cached
+        # table uses fewer, fatter partitions) and break any per-band skew
+        # — a cheap round-robin shuffle of narrow rows buys full map
+        # parallelism
+        joined = joined.repartition(spark.sparkContext.defaultParallelism)
+        return joined.mapInPandas(
+            make_geom_stage(prop_cols, n_sub), GEOM_STAGE_SCHEMA
+        )
+
     # one sentinel row per request guarantees every requested tile has an
     # assembly group, so a request matching zero features serves a (valid,
     # empty) tile — the reference encodes an empty FeatureCollection, not
     # a 404. (The previous left-anti-join formulation re-executed the
     # whole two-stage pipeline a second time just to find empty tiles.)
-    sentinels = spark.createDataFrame(
-        [(z, x, y) for z, x, y in requests], "z int, x int, y int"
-    ).select("z", "x", "y", F.lit(None).cast("binary").alias("chunk"))
-    return encoded.unionAll(sentinels).groupBy("z", "x", "y").applyInPandas(
-        make_assemble_kernel(layer), TILE_OUT_SCHEMA
-    )
+    def sentinels(reqs: list[tuple[int, int, int]], sub: int):
+        return spark.createDataFrame(
+            [(z, x, y) for z, x, y in reqs], "z int, x int, y int"
+        ).select(
+            "z", "x", "y", F.lit(sub).alias("sub"),
+            F.lit(None).cast("binary").alias("chunk"),
+        )
+
+    # FULL-FIDELITY overview tiles (z < OVERVIEW_ZOOM, unsampled) funnel
+    # every feature into one tile group — route them through the sub-tile
+    # merge tree so the value-table encoding runs NSUB-way parallel and
+    # the final task does O(blob) work. Everything else (normal zooms,
+    # sampled overviews) keeps the cheaper direct two-stage shape.
+    tree_reqs = ([] if overview_sampling
+                 else [r for r in requests if r[0] < OVERVIEW_ZOOM])
+    direct_reqs = [r for r in requests if r not in tree_reqs]
+
+    parts = []
+    if direct_reqs or not tree_reqs:
+        enc = encoded_stage(direct_reqs, 1)
+        parts.append(
+            enc.unionAll(sentinels(direct_reqs, 0))
+            .groupBy("z", "x", "y")
+            .applyInPandas(make_assemble_kernel(layer), TILE_OUT_SCHEMA)
+        )
+    if tree_reqs:
+        merged = (
+            encoded_stage(tree_reqs, NSUB)
+            .groupBy("z", "x", "y", "sub")
+            .applyInPandas(_submerge_kernel, GEOM_STAGE_SCHEMA)
+        )
+        parts.append(
+            merged.unionAll(sentinels(tree_reqs, -1))
+            .groupBy("z", "x", "y")
+            .applyInPandas(make_tree_final_kernel(layer), TILE_OUT_SCHEMA)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 def mvt_tiles(

@@ -50,51 +50,59 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # in this order; everything else follows in registration order. Queries
 # outside the window stay registered (full pytest oracle-parity sweep
 # still covers them) — they just rely on prior-round driver rows.
+#
+# Round-3 rotation: the 9 round-2 queries that have NEVER had a driver row
+# (pii_detect_mask, lang_id_confusion, corpus_mix_report,
+# dedup_lsh_survivors, decontaminate_train_eval, global_sequence_ids,
+# neardup_embedding_clusters, semantic_vs_lexical, ivf_train_kmeans) plus
+# the two new streaming batch twins enter; eleven r2-green queries whose
+# code is unchanged this round rotate out (tile_z15_parent, heatmap_z14,
+# token_count_bpe, doc_rolling_hash, dedup_simhash, embedding_norms,
+# tumbling_hourly_counts, event_type_rates, salted_user_event_counts,
+# media_frame_sample, heatmap_mvt_z9). Rotated-out queries cycle back in
+# later rounds so every oracle gets a periodic fresh row (ADVICE r2).
 PRIORITY: tuple[str, ...] = (
-    # reference core: tile read path (3 planner regimes + typed filters).
-    # tile_sample_overview was green in r1 and its code is unchanged, so it
-    # yields its slot to array_agg_statuses (red in r1 — needs a fresh row).
-    "tile_z9_range", "tile_z13_single", "tile_z15_parent",
+    # reference core: tile read path (planner regimes + typed filters)
+    "tile_z9_range", "tile_z13_single",
     "tile_filter_int", "tile_filter_date",
-    # heatmap (3 z-regimes)
-    "heatmap_z9", "heatmap_z11", "heatmap_z14",
-    # crud (read path; the three mutation variants delete_by_uid /
-    # update_by_uid / delete_tile were green in r1 on code unchanged
-    # since, so they yield their slots to the new r2 mixing/clustering
-    # queries — pytest oracle parity still sweeps them every run)
+    # heatmap (2 of 3 z-regimes; all three green r1+r2)
+    "heatmap_z9", "heatmap_z11",
+    # crud read path (mutations green r1, pytest-swept since)
     "point_lookup_uid",
     # ingest (incl. declared-schema parity)
     "ingest_json_props", "ingest_coerce_defaults", "ingest_bucket_stats",
     "ingest_declared_schema",
-    # custom join operators (range_join_value_bands and
-    # asof_purchase_last_click: green r1, unchanged, rotated out for the
-    # same reason as the mutations)
+    # custom join operators
     "spatial_join_points_in_boxes",
-    # end-to-end pipeline composition (flagship)
+    # end-to-end pipeline composition (flagship; quality cut changed r3)
     "training_mix_pipeline",
-    # red in r1 (driver hasher died on the list column) — refreshed row
+    # complex-type projection (red r1, green r2 — keep one more round)
     "array_agg_statuses",
     # LLM north star: text analysis
     "text_stats", "text_quality_score", "lang_id_stopwords",
-    "doc_fingerprint", "token_count_bpe", "doc_rolling_hash",
-    "top_words_per_lang", "text_repetition_signals",
-    # dedup (pair generation -> cluster formation)
+    "doc_fingerprint", "top_words_per_lang", "text_repetition_signals",
+    "pii_detect_mask", "lang_id_confusion", "corpus_mix_report",
+    # dedup (pair generation -> cluster formation -> survivors)
     "dedup_exact", "dedup_exact_survivors", "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs", "dedup_lsh_clusters", "dedup_simhash",
+    "dedup_minhash_lsh_pairs", "dedup_lsh_clusters", "dedup_lsh_survivors",
     "dedup_ngram_jaccard",
-    # corpus mixing (sampling + packing)
+    # corpus mixing (sampling + packing + hygiene + export ids)
     "sample_stratified_sources", "pack_token_budget",
+    "decontaminate_train_eval", "global_sequence_ids",
     # similarity / ANN
-    "embedding_norms", "knn_brute_cosine", "ann_lsh_buckets",
-    "neardup_cosine_pairs", "ivf_assignments", "ivf_probe_search",
-    # events
-    "sessionize_events", "tumbling_hourly_counts",
-    "user_funnel_signup_purchase", "event_type_rates",
-    "salted_user_event_counts", "weekly_retention_cohorts",
+    "knn_brute_cosine", "ann_lsh_buckets",
+    "neardup_cosine_pairs", "neardup_embedding_clusters",
+    "semantic_vs_lexical",
+    "ivf_assignments", "ivf_probe_search", "ivf_train_kmeans",
+    # events (batch) + the streaming twins (same code path as the
+    # Structured Streaming operators, run as batch plans)
+    "sessionize_events", "user_funnel_signup_purchase",
+    "weekly_retention_cohorts",
+    "streaming_windowed_counts", "streaming_session_windows",
     # multimodal
-    "media_metadata", "media_extract_features", "media_frame_sample",
+    "media_metadata", "media_extract_features",
     # MVT pipeline (rows-only)
-    "tile_mvt_batch", "heatmap_mvt_z9",
+    "tile_mvt_batch",
 )
 
 
@@ -125,6 +133,7 @@ def load_all() -> dict[str, QueryDef]:
         "tank_spark.llm.mixing",
         "tank_spark.llm.multimodal",
         "tank_spark.operators.mvt_tiles",
+        "tank_spark.streaming.windows",
     ]
     for m in modules:
         try:

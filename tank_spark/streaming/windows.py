@@ -63,6 +63,86 @@ def session_windows_stream(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+# ------------------------------------------------ oracle-checked batch twins
+#
+# F.window / F.session_window are plain Catalyst expressions: the SAME
+# functions above run as batch plans when fed a batch DataFrame (the
+# watermark is a no-op in batch). Registering the batch runs with DuckDB
+# oracles turns the streaming operators' pytest-only coverage into hard
+# driver rows — the logic checked is literally the streaming code path.
+
+from tank_spark.plans.registry import register  # noqa: E402
+from tank_spark.sources.tables import read_events  # noqa: E402
+
+_GAP_US = 30 * 60 * 1_000_000  # 30 min, matches session_windows_stream
+_HOUR_US = 3_600_000_000
+
+
+@register(
+    "streaming_windowed_counts",
+    f"""
+    WITH e AS (
+      SELECT event_type, value,
+             (epoch_us(CAST(ts AS TIMESTAMP)) // {_HOUR_US}) * {_HOUR_US} AS w0
+      FROM events
+    )
+    SELECT w0 AS window_start_us, w0 + {_HOUR_US} AS window_end_us,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM e GROUP BY w0, event_type
+    """,
+    doc="The watermarked tumbling-window STREAMING aggregation run as a "
+        "batch plan (F.window is the same expression in both modes) — "
+        "oracle-checks the exact code the stream executes.",
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = windowed_counts_stream(read_events(spark, sf_dir))
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        F.unix_micros("window_end").alias("window_end_us"),
+        "event_type", "n", "sum_value",
+    )
+
+
+@register(
+    "streaming_session_windows",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events
+    ),
+    flagged AS (
+      -- session_window merges while diff < gap: an event exactly gap
+      -- after the last one starts a NEW session (window ends are open)
+      SELECT user_id, t,
+             CASE WHEN LAG(t) OVER w IS NULL
+                   OR t - LAG(t) OVER w >= {_GAP_US} THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    ),
+    sess AS (
+      SELECT user_id, t,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(t) AS session_start_us,
+           MAX(t) + {_GAP_US} AS session_end_us, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="The native session-window STREAMING aggregation run as a batch "
+        "plan; oracle reconstructs gap-close semantics (start = first "
+        "event, end = last event + gap, split at diff >= gap) with "
+        "lag + cumulative-flag SQL.",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = session_windows_stream(read_events(spark, sf_dir))
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )
+
+
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a bounded stream to completion into a memory sink; returns the
     finished query (results via ``spark.sql(f"SELECT * FROM {name}")``)."""

@@ -67,6 +67,35 @@ def test_tile_mvt_determinism(spark):
     assert a == b
 
 
+def test_tree_path_decode_parity(spark):
+    """The z7 full-fidelity tile goes through the sub-tile MERGE TREE
+    (key-salted sub-merges -> byte-concat final); its decoded feature set
+    must equal the whole table, with props intact and ids key-sorted."""
+    from tank_spark.geom import mvt as mvtmod
+    from tank_spark.operators.mvt_tiles import LAYER, mvt_tiles
+    from tank_spark.sources.features import features_df
+
+    from collections import Counter
+
+    row = mvt_tiles(spark, SF_DIR, requests=[(7, 20, 49)]).collect()[0]
+    exp = features_df(spark, SF_DIR).collect()  # keys are NOT unique
+    assert row["n_features"] == len(exp)
+
+    layer = mvtmod.decode(bytes(row["mvt"]))[LAYER]
+    feats = layer["features"]
+    assert [f["id"] for f in feats] == sorted(e["key"] for e in exp)
+    got = Counter(
+        (f["id"], f["props"]["kind"], f["props"]["cnt"], f["props"]["tag"],
+         round(f["props"]["score"], 9))
+        for f in feats
+    )
+    want = Counter(
+        (e["key"], e["kind"], e["cnt"], e["tag"], round(e["score"], 9))
+        for e in exp
+    )
+    assert got == want
+
+
 def test_assemble_layer_empty_props():
     """A layer declaring ZERO attributes still assembles: every feature
     gets an empty tag list, not a crashed length mismatch (ADVICE r2)."""
