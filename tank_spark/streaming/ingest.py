@@ -44,6 +44,12 @@ from tank_spark.sources.features import HASH_LEVEL
 
 ATTR_TYPES = ("int", "double", "text", "date")
 
+# declarable but server-assigned: the reference write-path skips these
+# (Tyler.kt:71 `filter { it[1] != "uuid" && it[1] != "timestamp" }` shape —
+# uid comes from uuid()-on-missing, ts is stamped at ingest). Accepted in a
+# declaration for application.conf parity, never stored as user attrs.
+SKIPPED_ATTR_TYPES = ("uuid", "timestamp")
+
 # the repo's stock layer (plays application.conf:51's role)
 DEFAULT_ATTR_FIELDS = "kind text, score double, cnt int, tag text"
 
@@ -51,8 +57,9 @@ DEFAULT_ATTR_FIELDS = "kind text, score double, cnt int, tag text"
 def parse_attr_fields(spec: str) -> list[tuple[str, str]]:
     """``"kind text, score double"`` -> ``[("kind", "text"), ...]``
     (reference Tyler.kt:36 `attrFields.map { it.split(" ") }`).
-    uuid/timestamp declarations are server-assigned in the reference
-    (Tyler.kt:68 skips them) — rejected here to keep the surface honest."""
+    uuid/timestamp declarations parse but are DROPPED from the storable
+    set — the reference's write path skips them as server-assigned
+    (uid/ts here); only genuinely unknown types raise."""
     out = []
     for part in spec.split(","):
         part = part.strip()
@@ -60,9 +67,11 @@ def parse_attr_fields(spec: str) -> list[tuple[str, str]]:
             continue
         name, _, typ = part.partition(" ")
         typ = typ.strip()
+        if typ in SKIPPED_ATTR_TYPES:
+            continue
         if typ not in ATTR_TYPES:
             raise ValueError(f"unsupported attr type {typ!r} for {name!r} "
-                             f"(supported: {ATTR_TYPES})")
+                             f"(supported: {ATTR_TYPES + SKIPPED_ATTR_TYPES})")
         out.append((name, typ))
     return out
 

@@ -106,6 +106,33 @@ def test_ingest_stream_declared_schema(spark, tmp_dirs):
     assert [r["uid"] for r in rej.collect()] == ["x"]
 
 
+def test_attr_declaration_uuid_timestamp_skipped(spark):
+    """application.conf parity: `uuid`/`timestamp` attr declarations are
+    accepted but server-assigned — the reference's write path filters them
+    out of the stored attr set (Tyler.kt skips both types); here uid comes
+    from uuid()-on-missing and ts is stamped at ingest. Unknown types
+    still raise."""
+    from tank_spark.streaming.ingest import coerce_features, parse_attr_fields
+
+    decl = "sid uuid, created timestamp, label text, rank int"
+    assert parse_attr_fields(decl) == [("label", "text"), ("rank", "int")]
+    with pytest.raises(ValueError, match="unsupported attr type"):
+        parse_attr_fields("label varchar")
+
+    raw = spark.createDataFrame(
+        [("a", 1.0, 2.0, None, "ok", "3")],
+        "id string, lon double, lat double, geometry string, "
+        "label string, rank string",
+    )
+    out = coerce_features(raw, decl).collect()[0]
+    assert out["label"] == "ok" and out["rank"] == 3
+    # server-assigned columns exist under their engine names, not the
+    # declared ones — the declaration's uuid/timestamp names are dropped
+    cols = coerce_features(raw, decl).columns
+    assert "sid" not in cols and "created" not in cols
+    assert out["uid"] == "a" and out["ts"] is not None
+
+
 def test_ingest_stream_incremental_files(spark, tmp_dirs):
     """Second file dropped later is picked up; checkpoint prevents
     reprocessing (the reference's .lock protocol, done right)."""
