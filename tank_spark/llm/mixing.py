@@ -322,3 +322,72 @@ def training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "quality", "n_tokens", "start_off",
         F.expr(f"start_off DIV {SEQ_BUDGET}").alias("seq_first"),
     )
+
+
+# ------------------------------------------------------ budget planning
+
+# integer mix weights (rate x100) so the weight total is exact in both
+# engines (a float sum over sources would be accumulation-order-dependent)
+TOKEN_BUDGET_TOTAL = 2_000_000
+
+_W_SQL = (
+    "CASE "
+    + " ".join(
+        "WHEN source IN ({}) THEN {}".format(
+            ", ".join(f"'{s}'" for s in sources), int(r * 100)
+        )
+        for r, sources in RATE_GROUPS
+    )
+    + f" ELSE {int(DEFAULT_RATE * 100)} END"
+)
+
+
+def _w_col() -> F.Column:
+    w = None
+    for r, sources in RATE_GROUPS:
+        cond = F.col("source").isin(*sources)
+        lit = F.lit(int(r * 100))
+        w = F.when(cond, lit) if w is None else w.when(cond, lit)
+    return w.otherwise(F.lit(int(DEFAULT_RATE * 100)))
+
+
+@register(
+    "token_budget_planning",
+    f"""
+    WITH per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM({_NTOK_SQL}) AS BIGINT) AS n_tokens_avail,
+             {_W_SQL} AS w
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(w) AS w_total FROM per_src)
+    SELECT source, n_docs, n_tokens_avail, w,
+           CAST({TOKEN_BUDGET_TOTAL} * w AS DOUBLE) / w_total AS target_tokens,
+           (CAST({TOKEN_BUDGET_TOTAL} * w AS DOUBLE) / w_total)
+             / n_tokens_avail AS epochs
+    FROM per_src, tot
+    """,
+    doc=f"Mix planning for a {TOKEN_BUDGET_TOTAL}-token training budget: "
+        "per-source token inventory, the budget share its mix weight "
+        "earns, and the epoch factor (>1 = the source must repeat to "
+        "fill its share — the up-sampling signal; <1 = subsample). One "
+        "map-side-combined aggregate plus a broadcast 1-row total; "
+        "weights are exact integers so every engine agrees bit-for-bit.",
+)
+def token_budget_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ntok = F.size(F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0)))
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok).cast("bigint").alias("n_tokens_avail"),
+    ).withColumn("w", _w_col())
+    tot = per_src.agg(F.sum("w").alias("w_total"))
+    target = (F.lit(TOKEN_BUDGET_TOTAL) * F.col("w")).cast("double") / F.col("w_total")
+    return (
+        per_src.crossJoin(F.broadcast(tot))  # 1-row total
+        .select(
+            "source", "n_docs", "n_tokens_avail", "w",
+            target.alias("target_tokens"),
+            (target / F.col("n_tokens_avail")).alias("epochs"),
+        )
+    )

@@ -61,6 +61,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # tumbling_hourly_counts, event_type_rates, salted_user_event_counts,
 # media_frame_sample, heatmap_mvt_z9). Rotated-out queries cycle back in
 # later rounds so every oracle gets a periodic fresh row (ADVICE r2).
+#
+# Round-4 rotation queue (registered r3, driver-row pending):
+# lsh_recall_eval, dedup_prefix_containment, cross_source_duplication,
+# token_budget_planning — swap against r3-green unchanged entries.
 PRIORITY: tuple[str, ...] = (
     # reference core: tile read path (planner regimes + typed filters)
     "tile_z9_range", "tile_z13_single",

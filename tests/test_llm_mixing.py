@@ -265,3 +265,64 @@ def test_training_mix_pipeline_nonempty(spark):
     n_docs = load(spark, SF_DIR, "documents").count()
     assert len(rows) < n_docs
     assert all(r["n_tokens"] > 0 and r["start_off"] >= 0 for r in rows)
+
+
+def test_lsh_recall_eval_bounds(spark):
+    """Recall/precision are well-defined and the checked config actually
+    finds the synthesized exact dups (recall = 1.0 on them)."""
+    from tank_spark.llm.dedup import lsh_recall_eval
+
+    r = lsh_recall_eval(spark, SF_DIR).collect()[0]
+    assert r["n_truth"] > 0, "vacuous eval: no ground-truth pairs"
+    assert 0.0 <= r["recall"] <= 1.0 and 0.0 <= r["precision"] <= 1.0
+    assert r["n_hit"] <= min(r["n_truth"], r["n_pred"])
+    # every synthesized dup (upper() copy) is jaccard-1.0 — an LSH config
+    # that misses those is broken
+    assert r["recall"] == 1.0
+
+
+def test_prefix_containment_finds_truncations(spark):
+    """Every synthesized half-length truncation is detected against its
+    parent doc, and each detected pair is a true character prefix."""
+    from tank_spark.llm.dedup import dedup_prefix_containment, _prefix_corpus_df
+
+    pairs = dedup_prefix_containment(spark, SF_DIR).collect()
+    assert pairs, "vacuous: no prefix pairs at checked scale"
+    got = {(r["cid_removed"], r["cid_kept"]) for r in pairs}
+    # parent relation: truncated copy cid = doc_id + 2000000
+    n_trunc = _prefix_corpus_df(spark, SF_DIR).filter("cid >= 2000000").count()
+    parents = {(c, c - 2000000) for c, _ in
+               ((r["cid_removed"], r) for r in pairs) if c >= 2000000}
+    assert len(parents) == n_trunc, "a synthesized truncation went undetected"
+    for r in pairs:
+        assert r["len_short"] < r["len_long"]
+
+
+def test_token_budget_planning_shares(spark):
+    """Budget shares are proportional to weights and sum to the budget."""
+    from tank_spark.llm.mixing import TOKEN_BUDGET_TOTAL, token_budget_planning
+
+    rows = token_budget_planning(spark, SF_DIR).collect()
+    assert rows
+    total_target = sum(r["target_tokens"] for r in rows)
+    assert abs(total_target - TOKEN_BUDGET_TOTAL) < 1e-6 * TOKEN_BUDGET_TOTAL
+    for r in rows:
+        assert r["epochs"] > 0
+        # target/weight ratio constant across sources
+    base = rows[0]["target_tokens"] / rows[0]["w"]
+    for r in rows:
+        assert abs(r["target_tokens"] / r["w"] - base) < 1e-9 * base
+
+
+def test_cross_source_duplication_symmetry(spark):
+    """Containment fractions are consistent with the shared counts and
+    the pair grid is upper-triangular (source_a < source_b)."""
+    from tank_spark.llm.dedup import cross_source_duplication
+
+    rows = cross_source_duplication(spark, "/root/testdata/sf0.01").collect()
+    assert rows, "vacuous: no cross-source prefix overlap at sf0.01"
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0 < r["n_shared"] <= min(r["n_fp_a"], r["n_fp_b"])
+        assert abs(r["frac_of_a"] - r["n_shared"] / r["n_fp_a"]) < 1e-12
+        assert abs(r["frac_of_b"] - r["n_shared"] / r["n_fp_b"]) < 1e-12
