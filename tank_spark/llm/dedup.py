@@ -820,3 +820,72 @@ def cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_shared").cast("double") / F.col("n_fp_b")).alias("frac_of_b"),
         )
     )
+
+
+# ------------------------------------------------- passage-level dedup
+
+_PASSAGE_W = 16  # words per passage window
+
+
+@register(
+    "passage_dedup",
+    f"""
+    WITH {_CORPUS_CTE},
+    d AS (SELECT cid, string_split(lower(text), ' ') AS w FROM corpus),
+    g AS (
+      SELECT cid, w,
+             unnest(generate_series(
+               0, CAST(ceil(len(w) / {_PASSAGE_W}.0) AS BIGINT) - 1)) AS grp
+      FROM d
+    ),
+    c AS (
+      SELECT cid, grp,
+             md5(array_to_string(
+               w[grp*{_PASSAGE_W}+1 : grp*{_PASSAGE_W}+{_PASSAGE_W}], ' ')) AS chash
+      FROM g
+    ),
+    freq AS (SELECT chash, COUNT(DISTINCT cid) AS ndocs FROM c GROUP BY chash)
+    SELECT cid, COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) * 1000 // COUNT(*)
+                AS BIGINT) AS dup_permille
+    FROM c JOIN freq USING (chash)
+    GROUP BY cid
+    """,
+    doc="Passage-level exact dedup (the scalable stand-in for suffix-array "
+        "ExactSubstr, Lee et al. 2022): each doc splits into fixed "
+        f"{_PASSAGE_W}-word windows; a window shared verbatim by more than "
+        "one doc marks duplicated spanage. Per-doc output: window count, "
+        "duplicated-window count, and an integer per-mille fraction (DIV, "
+        "engine-exact). Scale: windows are generated inside one projection "
+        "(array transform — no explode of words, only of windows), the "
+        "frequency table is a hash groupBy with map-side combine, and the "
+        "join back is hash-partitioned on the window digest; nothing is "
+        "ever pairwise. Skewed boilerplate windows are AQE-split.",
+)
+def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W = _PASSAGE_W
+    c = corpus_df(spark, sf_dir)
+    w = F.split(F.lower(F.col("text")), " ")
+    n_win = F.ceil(F.size(w) / F.lit(float(W))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.md5(F.array_join(F.slice(w, i * W + 1, W), " ")),
+    )
+    exploded = c.select("cid", F.posexplode(chunks).alias("grp", "chash"))
+    freq = exploded.groupBy("chash").agg(
+        F.countDistinct("cid").alias("ndocs"))
+    dup = F.when(F.col("ndocs") > 1, 1).otherwise(0)
+    return (
+        exploded.join(freq, "chash")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(dup).alias("n_dup_chunks"),
+            F.expr(
+                "CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) * 1000"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("dup_permille"),
+        )
+    )

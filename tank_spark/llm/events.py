@@ -220,3 +220,96 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).cast("long").alias("weeks_since"))
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+# ------------------------------------------------------ anomaly detection
+
+@register(
+    "event_value_outliers",
+    """
+    WITH m AS (
+      SELECT event_id, user_id, event_type,
+             CAST(round(value * 1000000.0, 0) AS BIGINT) AS v
+      FROM events
+    ),
+    st AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(v) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS q
+      FROM m GROUP BY event_type
+    )
+    SELECT event_id, user_id, event_type, v AS value_micro
+    FROM m JOIN st USING (event_type)
+    WHERE power(CAST(n AS DOUBLE) * CAST(v AS DOUBLE) - CAST(s AS DOUBLE), 2)
+          > 9.0 * (CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+    """,
+    doc="3-sigma outlier detection per event_type without ever computing a "
+        "mean or stddev in floating point aggregation order: sums S and Q "
+        "accumulate as exact integers (micro-scaled DECIMAL — order-free), "
+        "and the |v-mean| > 3*sigma test is the algebraically equivalent "
+        "(n*v - S)^2 > 9*(n*Q - S^2) evaluated in IEEE doubles from those "
+        "exact integers — deterministic across engines. Scale: one "
+        "map-side-combined agg to a per-type stats table (5 rows, "
+        "broadcast back), then a map-only filter pass — the firehose is "
+        "never shuffled.",
+)
+def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_events(spark, sf_dir)
+    m = e.select(
+        "event_id", "user_id", "event_type",
+        F.round(F.col("value") * 1000000.0, 0).cast("long").alias("v"),
+    )
+    vd = F.col("v").cast("decimal(38,0)")
+    st = m.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vd).cast("decimal(38,0)").alias("s"),
+        F.sum(vd * vd).cast("decimal(38,0)").alias("q"),
+    )
+    j = m.join(F.broadcast(st), "event_type")
+    n_d = F.col("n").cast("double")
+    v_d = F.col("v").cast("double")
+    s_d = F.col("s").cast("double")
+    q_d = F.col("q").cast("double")
+    return (
+        j.filter(
+            F.pow(n_d * v_d - s_d, F.lit(2))
+            > F.lit(9.0) * (n_d * q_d - s_d * s_d)
+        )
+        .select("event_id", "user_id", "event_type",
+                F.col("v").alias("value_micro"))
+    )
+
+
+# ------------------------------------------- stream-dedup batch twin
+
+@register(
+    "dedup_event_stream_replay",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+             AS sum_value_micro
+    FROM events GROUP BY event_type
+    """,
+    doc="Batch twin of streaming dropDuplicates: the event feed replayed "
+        "with every record delivered twice (at-least-once delivery), "
+        "deduplicated on event_id, then aggregated — the oracle is the "
+        "clean single-delivery aggregate, so the check proves the dedup "
+        "removed exactly the redelivered copies. The streaming form "
+        "(dropDuplicatesWithinWatermark, bounded state) lives in "
+        "streaming/windows.py and is pytest-exercised; this batch plan "
+        "shares its key and semantics. Scale: dedup is one hash "
+        "exchange on event_id; the aggregate is map-side combined.",
+)
+def dedup_event_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_events(spark, sf_dir).select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 1000000.0, 0).cast("long").alias("vm"),
+    )
+    redelivered = e.unionAll(e)  # exact duplicate delivery
+    deduped = redelivered.dropDuplicates(["event_id"])
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("vm").alias("sum_value_micro"),
+    )

@@ -538,3 +538,67 @@ def semantic_vs_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
             (nc.cast("double") / (F.col("na") + F.col("nb") - nc)).alias("word_jaccard"),
         )
     )
+
+
+# ------------------------------------------------- scalar quantization
+
+@register(
+    "embedding_sq_quantize",
+    f"""
+    WITH x AS (
+      SELECT vec_id, unnest(generate_series(1, {DIM})) AS dim, embedding AS emb
+      FROM embeddings
+    ),
+    xv AS (SELECT vec_id, dim, emb[dim]::DOUBLE AS v FROM x),
+    st AS (SELECT dim, min(v) AS vmin, max(v) AS vmax FROM xv GROUP BY dim),
+    q AS (
+      SELECT vec_id, v, vmin, vmax,
+             CASE WHEN vmax = vmin THEN 0
+                  ELSE CAST(least(255, floor((v - vmin) * 256.0 / (vmax - vmin)))
+                            AS INT) END AS code
+      FROM xv JOIN st USING (dim)
+    )
+    SELECT vec_id, COUNT(*) AS n_dims,
+           CAST(SUM(CAST(round(abs(v - (vmin + (code + 0.5) * (vmax - vmin) / 256.0))
+                               * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sum_err_micro,
+           MIN(code) AS min_code, MAX(code) AS max_code
+    FROM q GROUP BY vec_id
+    """,
+    doc="Int8 scalar quantization (SQ8, the FAISS/IVF-SQ storage format): "
+        "per-dimension global min/max -> 256-bucket codes + per-vector "
+        "reconstruction error. Two aggregations: the stats table is "
+        "dims-sized (64 rows -> broadcast back), the code pass is map-side "
+        "after the join — at 100 TB the vector corpus is scanned twice and "
+        "shuffled never (stats use map-side combine into 64 cells). Both "
+        "engines run the identical IEEE-double expression tree, so codes "
+        "and micro-scaled errors are engine-exact.",
+)
+def embedding_sq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select("vec_id", F.posexplode("embedding").alias("pos", "vf"))
+    xv = x.select(
+        "vec_id", (F.col("pos") + 1).alias("dim"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    stats = xv.groupBy("dim").agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    rng = F.col("vmax") - F.col("vmin")
+    code = (
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+        .otherwise(F.least(F.lit(255),
+                           F.floor((F.col("v") - F.col("vmin")) * 256.0 / rng)))
+        .cast("int")
+    )
+    q = xv.join(F.broadcast(stats), "dim").withColumn("code", code)
+    recon = F.col("vmin") + (F.col("code") + 0.5) * rng / 256.0
+    err_micro = F.round(F.abs(F.col("v") - recon) * 1000000.0, 0).cast("long")
+    return (
+        q.withColumn("err_micro", err_micro)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.sum("err_micro").alias("sum_err_micro"),
+            F.min("code").alias("min_code"),
+            F.max("code").alias("max_code"),
+        )
+    )

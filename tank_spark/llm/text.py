@@ -463,3 +463,60 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_n_matches(F.col("text"), _TOKEN)).alias("n_tokens"),
         F.count_if(quality_col() >= QUALITY_MIN).alias("n_high_quality"),
     )
+
+
+# ------------------------------------------------ corpus-statistic filters
+
+@register(
+    "rare_word_fraction",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_WORD}')) AS word
+      FROM documents
+    ),
+    freq AS (SELECT word, COUNT(*) AS f FROM w GROUP BY word),
+    tot AS (SELECT CAST(SUM(f) AS BIGINT) AS total,
+                   COUNT(*) AS vocab FROM freq)
+    SELECT doc_id, COUNT(*) AS n_words,
+           CAST(SUM(CASE WHEN f * vocab < total THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rare,
+           CAST(SUM(CASE WHEN f * vocab < total THEN 1 ELSE 0 END) * 1000
+                // COUNT(*) AS BIGINT) AS rare_permille
+    FROM w JOIN freq USING (word) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    doc="Out-of-vocabulary / rare-word rate — the CCNet-style corpus-"
+        "statistic quality filter: a word is 'rare' when its corpus "
+        "frequency is below the vocabulary mean (f < total/vocab, compared "
+        "as f*vocab < total so the test is integer-exact). Two passes over "
+        "the corpus: word frequencies aggregate with map-side combine and "
+        "the (pruned, bounded) frequency table broadcasts back into a "
+        "map-only re-scan — at 100 TB the vocab table is the only shuffled "
+        "artifact, never the documents. Totals ride along as a broadcast "
+        "one-row cross join.",
+)
+def rare_word_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD), F.lit(0))
+        ).alias("word"),
+    )
+    freq = w.groupBy("word").agg(F.count(F.lit(1)).alias("f"))
+    tot = freq.agg(
+        F.sum("f").alias("total"), F.count(F.lit(1)).alias("vocab"))
+    rare = F.when(F.col("f") * F.col("vocab") < F.col("total"), 1).otherwise(0)
+    return (
+        w.join(F.broadcast(freq), "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(rare).alias("n_rare"),
+            F.expr(
+                "CAST(SUM(CASE WHEN f * vocab < total THEN 1 ELSE 0 END) * 1000"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("rare_permille"),
+        )
+    )

@@ -53,10 +53,14 @@ _EVENTS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; read nanos as long (legacy conf, runtime-settable) and
-    surface a microsecond ``ts`` timestamp — the same truncation DuckDB
-    applies when casting ns->us, so oracle comparisons line up.
+    """events.parquet with ``ts`` normalized to a microsecond TIMESTAMP.
+
+    The driver has shipped the column two ways across testdata
+    generations: TIMESTAMP(NANOS) (which Spark's parquet reader rejects —
+    read nanos as long via the legacy conf, then truncate ns->us exactly
+    like DuckDB's ns->us cast) and native TIMESTAMP(MICROS) (surfaces as
+    TIMESTAMP_NTZ — cast to session-TZ timestamp; sessions here run UTC).
+    Detect from the actual file schema instead of assuming either.
 
     Cached per session clustered on user_id (the sessionization key), for
     the same single-row-group reason as ``load``.
@@ -65,15 +69,32 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _EVENTS_CACHE:
+        # harmless when ts is already TIMESTAMP; required to even read the
+        # schema when it is TIMESTAMP(NANOS)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        df = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
         n = max(spark.sparkContext.defaultParallelism // 2, 4)
         _EVENTS_CACHE[key] = df.repartition(n, "user_id").persist()
     return _EVENTS_CACHE[key]
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """ts long-nanos -> TIMESTAMP, TIMESTAMP_NTZ -> TIMESTAMP, TIMESTAMP
+    passes through. Shared by the batch loader and the streaming source."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def register_all(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for the SQL-string API)."""
     for name in TABLES:
-        load(spark, sf_dir, name).createOrReplaceTempView(name)
+        df = (read_events(spark, sf_dir) if name == "events"
+              else load(spark, sf_dir, name))
+        df.createOrReplaceTempView(name)

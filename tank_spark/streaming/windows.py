@@ -15,8 +15,11 @@ from pyspark.sql import functions as F
 
 
 def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a bounded stream (ns timestamps -> us, like
+    """events.parquet as a bounded stream (ts normalized to a us
+    TIMESTAMP whatever the file's physical type, like
     sources/tables.py:read_events)."""
+    from tank_spark.sources.tables import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the parquet file source wants a directory; glob-filter to the one file
@@ -25,7 +28,7 @@ def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_event_ts(raw)
 
 
 def windowed_counts_stream(events: DataFrame, window: str = "1 hour",
@@ -60,6 +63,19 @@ def session_windows_stream(events: DataFrame, gap: str = "30 minutes",
             F.col("session_window.end").alias("session_end"),
             "user_id", "n_events",
         )
+    )
+
+
+def dedup_events_stream(events: DataFrame,
+                        watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once projection of an at-least-once event feed:
+    watermark-bounded streaming dedup on the event key. State holds one
+    entry per key only within the watermark horizon — the unbounded-state
+    trap of plain ``dropDuplicates`` on a stream is avoided. Batch twin
+    (oracle-checked): llm/events.py:dedup_event_stream_replay."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
     )
 
 

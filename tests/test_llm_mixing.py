@@ -326,3 +326,88 @@ def test_cross_source_duplication_symmetry(spark):
         assert 0 < r["n_shared"] <= min(r["n_fp_a"], r["n_fp_b"])
         assert abs(r["frac_of_a"] - r["n_shared"] / r["n_fp_a"]) < 1e-12
         assert abs(r["frac_of_b"] - r["n_shared"] / r["n_fp_b"]) < 1e-12
+
+
+def test_passage_dedup_flags_twins(spark):
+    """Every upper-cased twin lowercases to its parent verbatim, so ALL
+    of both docs' windows must be flagged duplicated (permille == 1000);
+    the fraction stays consistent with the counts everywhere."""
+    from tank_spark.llm.dedup import passage_dedup
+
+    rows = {r["cid"]: r for r in passage_dedup(spark, SF_DIR).collect()}
+    twins = [cid for cid in rows if cid >= 1000000]
+    assert twins, "vacuous: derived corpus has no twins"
+    for cid in twins:
+        assert rows[cid]["dup_permille"] == 1000
+        assert rows[cid - 1000000]["dup_permille"] == 1000
+    for r in rows.values():
+        assert 0 <= r["n_dup_chunks"] <= r["n_chunks"]
+        assert r["dup_permille"] == r["n_dup_chunks"] * 1000 // r["n_chunks"]
+    assert any(r["n_dup_chunks"] < r["n_chunks"] for r in rows.values()), \
+        "vacuous: every window in the corpus is duplicated"
+
+
+def test_event_value_outliers_tail_only(spark):
+    """The 3-sigma filter keeps a real but small tail: non-empty, and
+    every kept value is beyond 3 sample sigmas of its type's mean."""
+    from tank_spark.llm.events import event_value_outliers
+    from tank_spark.sources.tables import read_events
+
+    out = event_value_outliers(spark, SF_DIR).collect()
+    assert out, "vacuous: no outliers at checked scale"
+    ev = read_events(spark, SF_DIR)
+    assert len(out) < ev.count() * 0.05
+    import statistics
+
+    by_type = {}
+    for r in ev.select("event_type", "value").collect():
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    for r in out:
+        vs = by_type[r["event_type"]]
+        mu = statistics.fmean(vs)
+        sigma = statistics.pstdev(vs)
+        assert abs(r["value_micro"] / 1e6 - mu) > 3 * sigma * 0.999999
+
+
+def test_rare_word_fraction_bounds(spark):
+    from tank_spark.llm.text import rare_word_fraction
+
+    rows = rare_word_fraction(spark, SF_DIR).collect()
+    assert rows
+    assert any(r["n_rare"] > 0 for r in rows), "vacuous: no rare words"
+    for r in rows:
+        assert 0 <= r["n_rare"] <= r["n_words"]
+        assert r["rare_permille"] == r["n_rare"] * 1000 // r["n_words"]
+
+
+def test_embedding_sq_quantize_covers_code_range(spark):
+    """Min/max are global per dimension, so some vector must hit code 0
+    and some must hit 255; reconstruction error is bounded by half a
+    bucket of the widest dimension."""
+    from tank_spark.llm.similarity import embedding_sq_quantize
+
+    rows = embedding_sq_quantize(spark, SF_DIR).collect()
+    assert rows and all(r["n_dims"] == 64 for r in rows)
+    assert min(r["min_code"] for r in rows) == 0
+    assert max(r["max_code"] for r in rows) == 255
+    for r in rows:
+        # mean abs error under half a bucket of a [-8, 8]-ish range
+        assert r["sum_err_micro"] / r["n_dims"] < (16.0 / 256 / 2) * 1e6 * 1.01
+
+
+def test_dedup_event_stream_replay_matches_clean_feed(spark):
+    """Redelivering every event twice then deduping must reproduce the
+    clean single-delivery aggregate exactly."""
+    from tank_spark.llm.events import dedup_event_stream_replay
+    from tank_spark.sources.tables import read_events
+    from pyspark.sql import functions as F
+
+    got = {r["event_type"]: (r["n_events"], r["sum_value_micro"])
+           for r in dedup_event_stream_replay(spark, SF_DIR).collect()}
+    clean = {r["event_type"]: (r["n"], r["s"]) for r in
+             read_events(spark, SF_DIR)
+             .groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.round(F.col("value") * 1000000.0, 0).cast("long")).alias("s"))
+             .collect()}
+    assert got == clean

@@ -239,6 +239,7 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from tank_spark.sources.tables import read_events
+    from tank_spark.streaming.windows import dedup_events_stream
 
     ev = read_events(spark, SF_DIR).select("event_id", "user_id", "ts", "value")
     drop = tmp_path / "drop"
@@ -251,10 +252,7 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         .option("recursiveFileLookup", "true")
         .parquet(str(drop))
     )
-    deduped = (
-        stream.withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark(["event_id"])
-    )
+    deduped = dedup_events_stream(stream, watermark="1 hour")
     q = (
         deduped.writeStream.format("memory").queryName("dedup_out")
         .outputMode("append").trigger(availableNow=True).start()
