@@ -205,3 +205,40 @@ def test_global_sequence_ids_no_global_window(spark):
     assert "Window" in plan
     # a global window shows as an Exchange SinglePartition feeding a sort
     assert "SinglePartition" not in plan
+
+
+def test_event_outliers_broadcasts_stats_table(spark):
+    """The firehose-side pass is a broadcast join against the tiny
+    per-type stats table — the events relation is never re-shuffled for
+    the filter, so the pattern stays a scan + map at 100 TB."""
+    from tank_spark.llm.events import event_value_outliers
+
+    plan = _plan(event_value_outliers(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sq_quantize_broadcasts_dim_stats(spark):
+    """Code assignment joins the 64-row per-dimension stats table by
+    broadcast; partial aggregation compresses the stats shuffle to
+    dims-many cells per task."""
+    from tank_spark.llm.similarity import embedding_sq_quantize
+
+    plan = _plan(embedding_sq_quantize(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_min" in plan or "partial" in plan.lower()
+
+
+def test_passage_dedup_no_word_explode(spark):
+    """Windows are built by an array transform inside one projection —
+    every Generate in the plan explodes the (n/W)-sized window array,
+    never the raw word array (a W-fold row blowup at scale). The windowed
+    relation legitimately appears twice (frequency agg + join back)."""
+    from tank_spark.llm.dedup import passage_dedup
+
+    plan = _plan(passage_dedup(spark, SF_DIR))
+    gen_lines = [l for l in plan.splitlines() if "Generate" in l]
+    assert gen_lines
+    for l in gen_lines:
+        assert "transform(sequence" in l  # window array, not words
