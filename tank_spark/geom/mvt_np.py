@@ -185,7 +185,13 @@ def _factorize_props(props, n: int) -> tuple[
         base = n_values
         n_values += len(uniques)
         cols.append((key_ix, base + codes, mask))
-    # interleave per feature: for each feature, (k, v) for each non-null col
+    flat, per_feat = _interleave_tags(cols, n)
+    return keys, b"".join(framed), flat, per_feat
+
+
+def _interleave_tags(cols, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Feature-major (key_ix, val_ix) tag stream from per-column
+    ``(key_ix, value_codes, non-null mask)`` triples."""
     per_feat = np.zeros(n, dtype=np.int64)
     for _, _, mask in cols:
         per_feat += mask.astype(np.int64) * 2
@@ -199,7 +205,7 @@ def _factorize_props(props, n: int) -> tuple[
         flat[pos] = key_ix
         flat[pos + 1] = val_codes[mask]
         cursor[mask] += 2
-    return keys, b"".join(framed), flat, per_feat
+    return flat, per_feat
 
 
 def _pyval(u):
@@ -231,7 +237,20 @@ def assemble_layer(
     """
     n = len(ids)
     keys, values_framed, tag_flat, tags_per_feat = _factorize_props(props, n)
+    feats = frame_features(
+        ids, gtypes, geom_flat, geom_lens, tag_flat, tags_per_feat)
+    return layer_from_framed(
+        [feats], keys, values_framed, layer_name=layer_name, extent=extent)
 
+
+def frame_features(ids: np.ndarray, gtypes: np.ndarray,
+                   geom_flat: np.ndarray, geom_lens: np.ndarray,
+                   tag_flat: np.ndarray, tags_per_feat: np.ndarray) -> bytes:
+    """Columnar features + tag stream -> the concatenated, FRAMED
+    ``Layer.features`` records (``0x12 | varint(len) | Feature``), fully
+    vectorized. The tag value indexes must already point into whatever
+    value table the final layer will carry."""
+    n = len(ids)
     id_buf, id_lens = varints_np(ids.astype(np.uint64))
     tag_buf, tag_lens_each = varints_np(tag_flat.astype(np.uint64))
     # per-feature packed-tags byte length = sum of its tag varint lengths
@@ -275,11 +294,20 @@ def assemble_layer(
     _scatter(buf, p + 1, glen_buf, glen_lens)
     _scatter(buf, p + 1 + glen_lens, geom_flat, geom_lens)
 
-    feats = buf.tobytes()
+    return buf.tobytes()
+
+
+def layer_from_framed(feats_parts: list[bytes], keys: list[str],
+                      values_framed: bytes,
+                      layer_name: str = "io.marauder.tank",
+                      extent: int = 4096) -> bytes:
+    """Pre-framed feature byte runs + ready key/value tables -> the tile
+    blob. Pure concatenation — the distributed encode's final stage."""
     layer = bytearray()
     layer += mvtmod._tag(15, 0) + mvtmod._varint(2)
     layer += mvtmod._len_delim(1, layer_name.encode("utf-8"))
-    layer += feats
+    for part in feats_parts:
+        layer += part
     for k in keys:
         layer += mvtmod._len_delim(3, k.encode("utf-8"))
     layer += values_framed
@@ -451,3 +479,70 @@ def merge_encoded(blobs) -> tuple[np.ndarray, np.ndarray, np.ndarray,
             remapped.append(out)
         props[name] = (np.concatenate(remapped), list(table))
     return keys, gtypes, geom_flat, geom_lens, props
+
+
+# --------------------------------------------- global-dictionary tree path
+#
+# The merge-tree above still leaves O(features) framing work (varints,
+# tag packing) in the ONE final task. When the layer's property columns
+# have a bounded number of distinct values (checked before running — the
+# usual case: enum-ish kinds/tags, bucketed scores), the pipeline can
+# instead broadcast a GLOBAL value dictionary, frame every feature
+# completely in the parallel sub-merge stage, and reduce the final task
+# to a byte concatenation: header + framed-features runs + key/value
+# tables. That is O(blob) memcpy — the design that survives an unsampled
+# overview tile at 100 TB.
+
+def pack_chunk_codes(keys: np.ndarray, gtypes: np.ndarray, geom_objs,
+                     codes: dict[str, np.ndarray]) -> bytes:
+    """Chunk blob for the global-dictionary path: per-prop GLOBAL value
+    codes (int32, -1 = null) instead of per-chunk local value tables."""
+    import pickle
+
+    n = len(keys)
+    payload = {
+        "n": n,
+        "keys": keys.astype("<i8").tobytes(),
+        "gtypes": np.asarray(gtypes).astype("<i1").tobytes(),
+        "geom": b"".join(geom_objs),
+        "geom_lens": np.fromiter(map(len, geom_objs), "<i4", count=n).tobytes(),
+        "codes": {name: np.asarray(c).astype("<i4").tobytes()
+                  for name, c in codes.items()},
+    }
+    return pickle.dumps(payload, protocol=5)
+
+
+def submerge_frame(blobs, dict_sizes: dict[str, int]) -> tuple[int, bytes]:
+    """Sub-merge task, global-dictionary path: code-chunk blobs -> (number
+    of features, fully-framed ``Layer.features`` bytes), features sorted
+    by key. Tag value indexes = global code + the column's base offset in
+    the concatenated global value table (``dict_sizes`` iteration order
+    defines both key_ix and base)."""
+    import pickle
+
+    chunks = [pickle.loads(b) for b in blobs]
+    keys = np.concatenate([np.frombuffer(c["keys"], "<i8") for c in chunks])
+    gtypes = np.concatenate(
+        [np.frombuffer(c["gtypes"], "<i1") for c in chunks])
+    geom_flat = np.frombuffer(b"".join(c["geom"] for c in chunks), np.uint8)
+    geom_lens = np.concatenate(
+        [np.frombuffer(c["geom_lens"], "<i4") for c in chunks]).astype(np.int64)
+
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    gtypes = gtypes[order]
+    geom_flat, geom_lens = reorder_var(geom_flat, geom_lens, order)
+
+    cols = []
+    base = 0
+    for key_ix, (name, size) in enumerate(dict_sizes.items()):
+        codes = np.concatenate(
+            [np.frombuffer(c["codes"][name], "<i4") for c in chunks]
+        ).astype(np.int64)[order]
+        mask = codes >= 0
+        cols.append((key_ix, base + codes, mask))
+        base += size
+    tag_flat, per_feat = _interleave_tags(cols, len(keys))
+    feats = frame_features(
+        keys, gtypes, geom_flat, geom_lens, tag_flat, per_feat)
+    return len(keys), feats

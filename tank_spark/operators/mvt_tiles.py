@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from tank_spark.geom import clip as clipmod
 from tank_spark.geom import mvt as mvtmod
+from tank_spark.geom import mvt_np
 from tank_spark.geom import tilemath, wkt
 from tank_spark.operators.heatmap import grid_n
 from tank_spark.operators.tiles import tile_hash_range
@@ -266,7 +267,9 @@ DEFAULT_PROPS = ("kind", "score", "cnt", "tag")
 
 
 def make_geom_stage(prop_cols: tuple[str, ...] = DEFAULT_PROPS,
-                    n_sub: int = 1):
+                    n_sub: int = 1,
+                    dicts: dict[str, list] | None = None,
+                    key_bounds: tuple[int, int] | None = None):
     """Build the mapInPandas stage-1 function bound to a property-column
     list: project -> clip -> transform -> command-encode every feature
     against its request tile. Map-only (no shuffle), runs on every input
@@ -277,7 +280,14 @@ def make_geom_stage(prop_cols: tuple[str, ...] = DEFAULT_PROPS,
     ``prop_cols`` is whatever attribute schema the layer declares — the
     batch path serves custom ``attr_fields`` layers through the same
     code as the default benchmark table. ``n_sub`` > 1 salts chunks by
-    key % n_sub so the merge tree can sub-merge them in parallel."""
+    key % n_sub so the merge tree can sub-merge them in parallel.
+
+    ``dicts`` switches chunks to the GLOBAL-dictionary format: prop
+    values resolve to broadcast dictionary codes here (pack_chunk_codes),
+    so downstream stages never build value tables. ``key_bounds``
+    = (kmin, span) then assigns ``sub`` by contiguous key RANGE instead
+    of modulo — sub-merges each sort locally and the final stage's
+    sub-order concatenation is globally key-sorted."""
     prop_cols = tuple(prop_cols)
 
     def geom_stage(iterator):
@@ -370,21 +380,36 @@ def make_geom_stage(prop_cols: tuple[str, ...] = DEFAULT_PROPS,
             if not out_parts:
                 continue
             batch = pd.concat(out_parts, ignore_index=True)
-            batch["sub"] = (
-                batch["key"].to_numpy().astype(np.int64) % n_sub
-                if n_sub > 1 else 0
-            )
+            bkeys = batch["key"].to_numpy().astype(np.int64)
+            if n_sub > 1 and key_bounds is not None:
+                kmin, span = key_bounds
+                batch["sub"] = np.clip(
+                    (bkeys - kmin) * n_sub // span, 0, n_sub - 1)
+            elif n_sub > 1:
+                batch["sub"] = bkeys % n_sub
+            else:
+                batch["sub"] = 0
             # pack one columnar chunk per (tile, sub) in this arrow batch
             packed = []
             for (bz, bx, by, bs), grp in batch.groupby(
                 ["z", "x", "y", "sub"], sort=False
             ):
-                blob = mvt_np.pack_chunk(
-                    grp["key"].to_numpy().astype(np.int64),
-                    grp["gtype"].to_numpy(),
-                    grp["geom"].to_numpy(),
-                    {c: grp[c] for c in prop_cols},
-                )
+                if dicts is not None:
+                    blob = mvt_np.pack_chunk_codes(
+                        grp["key"].to_numpy().astype(np.int64),
+                        grp["gtype"].to_numpy(),
+                        grp["geom"].to_numpy(),
+                        {c: pd.Categorical(
+                            grp[c], categories=dicts[c]).codes
+                         for c in prop_cols},
+                    )
+                else:
+                    blob = mvt_np.pack_chunk(
+                        grp["key"].to_numpy().astype(np.int64),
+                        grp["gtype"].to_numpy(),
+                        grp["geom"].to_numpy(),
+                        {c: grp[c] for c in prop_cols},
+                    )
                 packed.append((int(bz), int(bx), int(by), int(bs), blob))
             yield pd.DataFrame(
                 packed, columns=["z", "x", "y", "sub", "chunk"]
@@ -500,6 +525,117 @@ def make_tree_final_kernel(layer: str = LAYER):
     return kernel
 
 
+# global-dictionary tree path: per-sub FRAMED feature bytes + counts
+TREE_FRAMED_SCHEMA = "z int, x int, y int, sub int, n long, chunk binary"
+
+# a layer value table larger than this stops being a dictionary — fall
+# back to the merge-tree path that builds value tables bottom-up
+DICT_CAP = 65536
+
+
+_DICT_CACHE: dict[tuple, tuple] = {}
+
+
+def _collect_global_dicts(joined: DataFrame, prop_cols: tuple[str, ...],
+                          cap: int = DICT_CAP):
+    """ONE aggregation job -> (per-column sorted distinct values, key
+    min, key span) for the requests' feature set — the broadcast value
+    dictionary of the concat-only tree path. Dictionary part is None when
+    any column exceeds ``cap`` distinct values (fall back to the
+    bottom-up value-table merge). collect_set aggregates are parallel
+    with bounded driver transfer (sliced at cap+1); at 100 TB this is
+    the same pattern as building a parquet dictionary page. Memoized on
+    the joined plan's semantic hash — repeated serves of the same
+    request batch skip the stats job entirely."""
+    key = (joined.sparkSession.sparkContext.applicationId,
+           joined._jdf.queryExecution().analyzed().semanticHash(),
+           prop_cols, cap)
+    if key in _DICT_CACHE:
+        return _DICT_CACHE[key]
+    row = joined.agg(
+        *[F.slice(F.sort_array(F.collect_set(c)), 1, cap + 1).alias(c)
+          for c in prop_cols],
+        F.min("key").alias("_kmin"), F.max("key").alias("_kmax"),
+    ).first()
+    dicts: dict[str, list] | None = {}
+    for c in prop_cols:
+        vals = list(row[c])
+        if len(vals) > cap:
+            dicts = None
+            break
+        dicts[c] = vals            # sort_array already ordered them
+    kmin = 0 if row["_kmin"] is None else int(row["_kmin"])
+    span = max((0 if row["_kmax"] is None else int(row["_kmax"])) - kmin + 1, 1)
+    _DICT_CACHE[key] = (dicts, kmin, span)
+    return _DICT_CACHE[key]
+
+
+def _dict_values_array(vals: list):
+    """Dictionary values -> numpy array with the dtype frame_values
+    expects (numeric kinds vectorize; strings go through the scalar
+    value encoder)."""
+    import numpy as np
+
+    if vals and all(isinstance(v, bool) for v in vals):
+        return np.array(vals, dtype=bool)
+    if vals and all(isinstance(v, int) and not isinstance(v, bool)
+                    for v in vals):
+        return np.array(vals, dtype=np.int64)
+    if vals and all(isinstance(v, float) for v in vals):
+        return np.array(vals, dtype=np.float64)
+    return np.array(vals, dtype=object)
+
+
+def make_submerge_frame_kernel(dict_sizes: dict[str, int]):
+    """Sub-merge, global-dictionary path: this sub's code-chunks -> ONE
+    row carrying the fully-framed (key-sorted) Layer.features bytes and
+    the feature count. All per-feature work ends here, NSUB-way parallel."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        from tank_spark.geom import mvt_np
+
+        n, feats = mvt_np.submerge_frame(list(pdf["chunk"]), dict_sizes)
+        return pd.DataFrame([{
+            "z": int(pdf["z"].iloc[0]), "x": int(pdf["x"].iloc[0]),
+            "y": int(pdf["y"].iloc[0]), "sub": int(pdf["sub"].iloc[0]),
+            "n": n, "chunk": feats,
+        }])
+
+    return kernel
+
+
+def make_concat_final_kernel(layer: str, key_names: list[str],
+                             values_framed: bytes):
+    """Final stage, global-dictionary path: concatenate the sub-framed
+    feature runs (sub order == global key order under range fan-out) with
+    the broadcast key/value tables — O(blob) memcpy, no per-feature work."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        from tank_spark.geom import mvt_np
+
+        z = int(pdf["z"].iloc[0])
+        x = int(pdf["x"].iloc[0])
+        y = int(pdf["y"].iloc[0])
+        pdf = pdf.sort_values("sub")      # sentinel (sub=-1, null) first
+        parts = [bytes(b) for b in pdf["chunk"] if b is not None]
+        n_features = int(pdf["n"].fillna(0).sum())
+        if not parts:
+            blob = mvtmod.encode([], layer_name=layer, extent=EXTEND)
+        else:
+            blob = mvt_np.layer_from_framed(
+                parts, key_names, values_framed,
+                layer_name=layer, extent=EXTEND)
+        return pd.DataFrame([{
+            "z": z, "x": x, "y": y, "n_features": n_features,
+            "mvt_size": len(blob), "mvt_md5": hashlib.md5(blob).hexdigest(),
+            "mvt": blob,
+        }])
+
+    return kernel
+
+
 def mvt_tiles_for(
     spark: SparkSession, feats: DataFrame,
     requests: list[tuple[int, int, int]],
@@ -562,9 +698,9 @@ def mvt_tiles_for(
 
     # FULL-FIDELITY overview tiles (z < OVERVIEW_ZOOM, unsampled) funnel
     # every feature into one tile group — route them through the sub-tile
-    # merge tree so the value-table encoding runs NSUB-way parallel and
-    # the final task does O(blob) work. Everything else (normal zooms,
-    # sampled overviews) keeps the cheaper direct two-stage shape.
+    # merge tree so per-feature work runs NSUB-way parallel and the final
+    # task does O(blob) work. Everything else (normal zooms, sampled
+    # overviews) keeps the cheaper direct two-stage shape.
     tree_reqs = ([] if overview_sampling
                  else [r for r in requests if r[0] < OVERVIEW_ZOOM])
     direct_reqs = [r for r in requests if r not in tree_reqs]
@@ -578,16 +714,61 @@ def mvt_tiles_for(
             .applyInPandas(make_assemble_kernel(layer), TILE_OUT_SCHEMA)
         )
     if tree_reqs:
-        merged = (
-            encoded_stage(tree_reqs, NSUB)
-            .groupBy("z", "x", "y", "sub")
-            .applyInPandas(_submerge_kernel, GEOM_STAGE_SCHEMA)
+        # Preferred: GLOBAL-DICTIONARY tree — broadcast per-column value
+        # dictionaries (bounded distinct values, checked), frame every
+        # feature in the parallel sub-merges, concat-only final task.
+        # Range (not modulo) sub fan-out keeps sub order == key order.
+        joined = _request_join(spark, feats, tree_reqs).select(
+            "z", "x", "y", "key", "geometry", *prop_cols
         )
-        parts.append(
-            merged.unionAll(sentinels(tree_reqs, -1))
-            .groupBy("z", "x", "y")
-            .applyInPandas(make_tree_final_kernel(layer), TILE_OUT_SCHEMA)
-        )
+        dicts, kmin, span = _collect_global_dicts(joined, prop_cols)
+        if dicts is not None:
+            geom = (
+                joined.repartition(spark.sparkContext.defaultParallelism)
+                .mapInPandas(
+                    make_geom_stage(prop_cols, NSUB, dicts=dicts,
+                                    key_bounds=(kmin, span)),
+                    GEOM_STAGE_SCHEMA,
+                )
+            )
+            dict_sizes = {c: len(dicts[c]) for c in prop_cols}
+            merged = (
+                geom.groupBy("z", "x", "y", "sub")
+                .applyInPandas(make_submerge_frame_kernel(dict_sizes),
+                               TREE_FRAMED_SCHEMA)
+            )
+            tree_sentinels = spark.createDataFrame(
+                [(z, x, y) for z, x, y in tree_reqs], "z int, x int, y int"
+            ).select(
+                "z", "x", "y", F.lit(-1).alias("sub"),
+                F.lit(None).cast("long").alias("n"),
+                F.lit(None).cast("binary").alias("chunk"),
+            )
+            values_framed = b"".join(
+                mvt_np.frame_values(_dict_values_array(dicts[c]))
+                for c in prop_cols
+            )
+            parts.append(
+                merged.unionAll(tree_sentinels)
+                .groupBy("z", "x", "y")
+                .applyInPandas(
+                    make_concat_final_kernel(
+                        layer, list(prop_cols), values_framed),
+                    TILE_OUT_SCHEMA,
+                )
+            )
+        else:
+            # dictionary overflow: bottom-up value-table merge tree
+            merged = (
+                encoded_stage(tree_reqs, NSUB)
+                .groupBy("z", "x", "y", "sub")
+                .applyInPandas(_submerge_kernel, GEOM_STAGE_SCHEMA)
+            )
+            parts.append(
+                merged.unionAll(sentinels(tree_reqs, -1))
+                .groupBy("z", "x", "y")
+                .applyInPandas(make_tree_final_kernel(layer), TILE_OUT_SCHEMA)
+            )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
