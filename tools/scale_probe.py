@@ -19,10 +19,14 @@ PROBES = [
     "q1_pricing_summary", "q3_shipping_priority", "topk_orders_per_priority",
     # tile/heatmap (features derive from lineitem -> 10x density)
     "tile_z9_range", "heatmap_z9",
+    # the full-fidelity overview encode — the designed-for scale ceiling
+    "tile_mvt_z7_full",
     # llm pipeline
-    "dedup_exact", "dedup_minhash_lsh_pairs", "text_repetition_signals",
+    "dedup_exact", "dedup_minhash_lsh_pairs", "dedup_minhash_lsh_pairs_k128",
+    "passage_dedup", "rare_word_fraction", "text_repetition_signals",
     "sample_stratified_sources", "pack_token_budget", "token_count_bpe",
-    "knn_brute_cosine", "ivf_probe_search", "sessionize_events",
+    "knn_brute_cosine", "ivf_probe_search", "embedding_sq_quantize",
+    "sessionize_events", "event_value_outliers",
 ]
 
 
