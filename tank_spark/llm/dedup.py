@@ -211,12 +211,26 @@ _SIGS_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _sig_array(spark: SparkSession, sf_dir: str, k: int,
-               lanes: int) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, k, lanes)
+               lanes: int, band_w: int) -> DataFrame:
+    """(cid, sig: array[k], bands: array[k/band_w]) — signatures AND their
+    per-band digests, persisted together. Band digests live in the cache
+    because every pairs/clusters run re-reads them: recomputing 32 md5 +
+    array slices per doc per run measured 73x data-ratio scaling at 100x
+    (the only superlinear probe); stored, the per-run cost is the
+    candidate join itself."""
+    key = (spark.sparkContext.applicationId, sf_dir, k, lanes, band_w)
     if key not in _SIGS_CACHE:
         sigs = _sigs_df(_shingles_df(corpus_df(spark, sf_dir)), k, lanes)
-        arr = sigs.select(
-            "cid", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"))
+        n_bands = k // band_w
+        sig_col = F.array(*[F.col(f"h{i}") for i in range(k)])
+        arr = sigs.select("cid", sig_col.alias("sig")).select(
+            "cid", "sig",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda bi: F.md5(F.concat_ws("", F.slice(
+                    "sig", bi * band_w + 1, band_w))),
+            ).alias("bands"),
+        )
         cached = arr.persist()
         # materialize NOW: the pairs query consumes this relation three
         # times (band explode + both join sides); against a lazy persist
@@ -244,14 +258,8 @@ def minhash_lsh_pairs(
     agreement count is a zip_with/filter over two arrays — constant-size
     generated code regardless of K, where per-column h0..h127 plans
     compile K-term expressions (~60 s of janino at K=128)."""
-    sig = _sig_array(spark, sf_dir, k, lanes)
-    n_bands = k // band_w
-    band_digest = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda bi: F.md5(F.concat_ws("", F.slice(
-            "sig", bi * band_w + 1, band_w))),
-    )
-    bands = sig.select("cid", F.posexplode(band_digest)
+    sig = _sig_array(spark, sf_dir, k, lanes, band_w)
+    bands = sig.select("cid", F.posexplode("bands")
                        .alias("band_idx", "band_val"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

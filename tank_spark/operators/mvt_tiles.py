@@ -721,7 +721,7 @@ def mvt_tiles_for(
         joined = _request_join(spark, feats, tree_reqs).select(
             "z", "x", "y", "key", "geometry", *prop_cols
         )
-        dicts, kmin, span = _collect_global_dicts(joined, prop_cols)
+        dicts, kmin, span = _collect_global_dicts(joined, prop_cols, DICT_CAP)
         if dicts is not None:
             geom = (
                 joined.repartition(spark.sparkContext.defaultParallelism)

@@ -144,3 +144,30 @@ def test_heatmap_mvt_counts_match(spark):
     for f in layer["features"]:
         ring = f["coords"][0]
         assert ring[0] == ring[-1] and len(ring) == 5
+
+
+def test_tree_path_dict_overflow_fallback(spark, monkeypatch):
+    """When a prop column exceeds the dictionary cap, the tree path must
+    fall back to the bottom-up value-table merge and still produce a
+    decode-identical tile (the dictionary path is an optimization, never
+    a semantics change)."""
+    from tank_spark.geom import mvt as mvtmod
+    from tank_spark.operators import mvt_tiles as mt
+
+    # capture the default-path blob first (global dictionaries)
+    fast = {r["mvt_md5"]: r for r in
+            mt.mvt_tiles(spark, SF_DIR, requests=[(7, 20, 49)]).collect()}
+    # force overflow: every column has > 0 distinct values
+    monkeypatch.setattr(mt, "DICT_CAP", 0)
+    mt._DICT_CACHE.clear()
+    slow = mt.mvt_tiles(spark, SF_DIR, requests=[(7, 20, 49)]).collect()
+    monkeypatch.undo()
+    mt._DICT_CACHE.clear()
+    assert len(slow) == 1 and len(fast) == 1
+    a = mvtmod.decode(bytes(next(iter(fast.values()))["mvt"]))[mt.LAYER]
+    b = mvtmod.decode(bytes(slow[0]["mvt"]))[mt.LAYER]
+    assert len(a["features"]) == len(b["features"]) > 0
+    for fa, fb in zip(a["features"], b["features"]):
+        assert fa["id"] == fb["id"]
+        assert fa["coords"] == fb["coords"]
+        assert fa["props"] == fb["props"]
