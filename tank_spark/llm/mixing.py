@@ -391,3 +391,68 @@ def token_budget_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
             (target / F.col("n_tokens_avail")).alias("epochs"),
         )
     )
+
+
+@register(
+    "temperature_mix_weights",
+    f"""
+    WITH per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM({_NTOK_SQL}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0, 0)
+                  AS BIGINT) AS w_micro
+      FROM per_src
+    ),
+    tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS w_sum,
+                   CAST(SUM(n_tokens) AS BIGINT) AS tok_sum FROM w)
+    SELECT source, n_docs, n_tokens, w_micro,
+           CAST(w_micro * 1000000 // w_sum AS BIGINT) AS share_permicro,
+           CAST((w_micro * 1000000 // w_sum) * tok_sum // 1000000
+                AS BIGINT) AS target_tokens,
+           CAST(((w_micro * 1000000 // w_sum) * tok_sum // 1000000) * 1000
+                // n_tokens AS BIGINT) AS epochs_permille
+    FROM w CROSS JOIN tot
+    """,
+    doc="Temperature-based mix reweighting at tau=2: source weight = "
+        "sqrt(token count), the standard multilingual-LLM upsampling that "
+        "flattens the head/tail imbalance (smaller sources train more "
+        "epochs, larger fewer). sqrt is IEEE-754 correctly-rounded — the "
+        "one power law both engines compute bit-identically — and every "
+        "derived figure (per-source share, target tokens, effective "
+        "epochs) is integer micro/permille arithmetic from it, so the "
+        "plan is engine-exact end-to-end. Scale: one map-side-combined "
+        "aggregate to #sources rows; the totals ride a broadcast one-row "
+        "cross join. At petabyte token counts the *1e6 share products "
+        "approach int64 — production widens to DECIMAL(38,0) there.",
+)
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ntok = F.size(F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0)))
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok).cast("bigint").alias("n_tokens"),
+    )
+    w = per_src.withColumn(
+        "w_micro",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")) * 1000000.0, 0)
+        .cast("long"),
+    )
+    tot = w.agg(F.sum("w_micro").cast("long").alias("w_sum"),
+                F.sum("n_tokens").cast("long").alias("tok_sum"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs", "n_tokens", "w_micro",
+            F.expr("CAST(w_micro * 1000000 DIV w_sum AS BIGINT)")
+            .alias("share_permicro"),
+            F.expr("CAST((w_micro * 1000000 DIV w_sum) * tok_sum "
+                   "DIV 1000000 AS BIGINT)").alias("target_tokens"),
+            F.expr("CAST(((w_micro * 1000000 DIV w_sum) * tok_sum "
+                   "DIV 1000000) * 1000 DIV n_tokens AS BIGINT)")
+            .alias("epochs_permille"),
+        )
+    )

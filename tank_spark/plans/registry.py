@@ -65,8 +65,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # Round-4 rotation queue (registered r3, driver-row pending):
 # lsh_recall_eval, dedup_prefix_containment, cross_source_duplication,
 # token_budget_planning, passage_dedup, rare_word_fraction,
-# embedding_sq_quantize, event_value_outliers, dedup_event_stream_replay
-# — swap against r3-green unchanged entries.
+# embedding_sq_quantize, event_value_outliers, dedup_event_stream_replay,
+# temperature_mix_weights — swap against r3-green unchanged entries.
 PRIORITY: tuple[str, ...] = (
     # reference core: tile read path (planner regimes + typed filters)
     "tile_z9_range", "tile_z13_single",

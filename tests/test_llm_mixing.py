@@ -411,3 +411,27 @@ def test_dedup_event_stream_replay_matches_clean_feed(spark):
                   F.sum(F.round(F.col("value") * 1000000.0, 0).cast("long")).alias("s"))
              .collect()}
     assert got == clean
+
+
+def test_temperature_mix_weights_flattens(spark):
+    """tau=2 reweighting: shares sum to ~1e6, every derived figure is
+    consistent, and the share imbalance is the square root of the token
+    imbalance (flattening, the point of temperature sampling)."""
+    import math
+
+    from tank_spark.llm.mixing import temperature_mix_weights
+
+    rows = temperature_mix_weights(spark, SF_DIR).collect()
+    assert rows
+    assert abs(sum(r["share_permicro"] for r in rows) - 1_000_000) <= len(rows)
+    tok_sum = sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        assert r["w_micro"] == round(math.sqrt(r["n_tokens"]) * 1e6)
+        assert r["target_tokens"] == r["share_permicro"] * tok_sum // 1_000_000
+        assert r["epochs_permille"] == r["target_tokens"] * 1000 // r["n_tokens"]
+    big = max(rows, key=lambda r: r["n_tokens"])
+    small = min(rows, key=lambda r: r["n_tokens"])
+    tok_ratio = big["n_tokens"] / small["n_tokens"]
+    share_ratio = big["share_permicro"] / small["share_permicro"]
+    assert 1.0 < share_ratio < tok_ratio  # flattened but order-preserving
+    assert abs(share_ratio - math.sqrt(tok_ratio)) < 0.01 * math.sqrt(tok_ratio)
