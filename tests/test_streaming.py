@@ -353,3 +353,32 @@ def test_feature_lifecycle_ingest_compact_serve_delete(spark, tmp_dirs):
 
     assert tank.delete_feature("bulk-1") == 1
     assert len(bulk_feats()) == 2  # and stop serving once deleted
+
+
+def test_normalize_event_ts_all_physical_types(spark, tmp_path):
+    """The driver has shipped events.ts as TIMESTAMP(NANOS) and as
+    TIMESTAMP(MICROS) across testdata generations; normalize_event_ts
+    must surface the same microsecond TIMESTAMP for long-nanos,
+    TIMESTAMP_NTZ, and TIMESTAMP inputs (the ns branch truncates like
+    DuckDB's ns->us cast)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from tank_spark.sources.tables import normalize_event_ts
+
+    us = 1_700_000_000_123_456  # epoch micros with sub-ms precision
+    for unit, vals in (("ns", [us * 1000 + 789]), ("us", [us])):
+        d = tmp_path / f"ts_{unit}"
+        d.mkdir()
+        t = pa.table({
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array(vals, pa.timestamp(unit)),
+        })
+        pq.write_table(t, str(d / "events.parquet"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = normalize_event_ts(
+            spark.read.parquet(str(d / "events.parquet")))
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        got = df.select(F.unix_micros("ts").alias("us")).first()["us"]
+        assert got == us  # ns truncates, us passes through
