@@ -112,11 +112,13 @@ def tile_z13_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_query(spark, sf_dir, 13, 1281, 3137)
 
 
-@register("tile_z15_parent", _oracle(15, 5126, 12550, "water"),
+@register("tile_z15_parent", _oracle(15, 5126, 12550, "building"),
           doc="tile query, z>hash_level regime: centroid's zoom-13 parent bucket")
 def tile_z15_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # (5126 >> 2, 12550 >> 2) = (1281, 3137): same parent partition as z13
-    return tile_query(spark, sf_dir, 15, 5126, 12550, kind="water")
+    # (5126 >> 2, 12550 >> 2) = (1281, 3137): same parent partition as z13.
+    # kind='building' is the attr value present in this bucket at every SF
+    # (the original 'water' matched zero rows — a vacuous driver check).
+    return tile_query(spark, sf_dir, 15, 5126, 12550, kind="building")
 
 
 @register(

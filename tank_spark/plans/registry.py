@@ -62,52 +62,69 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # media_frame_sample, heatmap_mvt_z9). Rotated-out queries cycle back in
 # later rounds so every oracle gets a periodic fresh row (ADVICE r2).
 #
-# Round-4 rotation queue (registered r3, driver-row pending):
-# lsh_recall_eval, dedup_prefix_containment, cross_source_duplication,
+# Round-4 rotation (VERDICT r3 #1): the 10 round-3-new operators that
+# have NEVER had a driver row enter (lsh_recall_eval,
+# dedup_prefix_containment, cross_source_duplication,
 # token_budget_planning, passage_dedup, rare_word_fraction,
 # embedding_sq_quantize, event_value_outliers, dedup_event_stream_replay,
-# temperature_mix_weights — swap against r3-green unchanged entries.
+# temperature_mix_weights), plus the three longest-rotated-out cycle back
+# for a fresh row (delete_by_uid, update_by_uid, tile_z15_parent — green
+# r1, unchecked since). Thirteen r3-green entries whose code is unchanged
+# this round rotate out (text_stats, text_quality_score,
+# lang_id_stopwords, doc_fingerprint, top_words_per_lang,
+# sessionize_events, user_funnel_signup_purchase, weekly_retention_cohorts,
+# knn_brute_cosine, ann_lsh_buckets, neardup_cosine_pairs,
+# array_agg_statuses, spatial_join_points_in_boxes). Entries whose code
+# CHANGES in round 4 (rare_word_fraction broadcast fix, mixing DECIMAL
+# widening, dedup sig-cache laziness, mvt overview budget) stay in or
+# enter the window so the changes get hard driver signal.
+#
+# Round-5 rotation queue (green r3, rotated out r4 — cycle back):
+# heatmap_z14, token_count_bpe, doc_rolling_hash, dedup_simhash,
+# embedding_norms, tumbling_hourly_counts, event_type_rates,
+# salted_user_event_counts, media_frame_sample, heatmap_mvt_z9 (out since
+# r2), then the 13 named above (out since r4).
 PRIORITY: tuple[str, ...] = (
     # reference core: tile read path (planner regimes + typed filters)
-    "tile_z9_range", "tile_z13_single",
+    "tile_z9_range", "tile_z13_single", "tile_z15_parent",
     "tile_filter_int", "tile_filter_date",
     # heatmap (2 of 3 z-regimes; all three green r1+r2)
     "heatmap_z9", "heatmap_z11",
-    # crud read path (mutations green r1, pytest-swept since)
-    "point_lookup_uid",
+    # crud: read + the two longest-unchecked mutation rewrites (r1 green)
+    "point_lookup_uid", "delete_by_uid", "update_by_uid",
     # ingest (incl. declared-schema parity)
     "ingest_json_props", "ingest_coerce_defaults", "ingest_bucket_stats",
     "ingest_declared_schema",
-    # custom join operators
-    "spatial_join_points_in_boxes",
     # end-to-end pipeline composition (flagship; quality cut changed r3)
     "training_mix_pipeline",
-    # complex-type projection (red r1, green r2 — keep one more round)
-    "array_agg_statuses",
-    # LLM north star: text analysis
-    "text_stats", "text_quality_score", "lang_id_stopwords",
-    "doc_fingerprint", "top_words_per_lang", "text_repetition_signals",
+    # LLM north star: text analysis (incl. r3-new rare_word_fraction,
+    # whose broadcast policy changes this round)
+    "text_repetition_signals",
     "pii_detect_mask", "lang_id_confusion", "corpus_mix_report",
-    # dedup (pair generation -> cluster formation -> survivors)
+    "rare_word_fraction",
+    # dedup (pair generation -> cluster formation -> survivors; incl. the
+    # four r3-new entries and the sig-cache laziness change)
     "dedup_exact", "dedup_exact_survivors", "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs", "dedup_lsh_clusters", "dedup_lsh_survivors",
     "dedup_ngram_jaccard",
-    # corpus mixing (sampling + packing + hygiene + export ids)
+    "lsh_recall_eval", "dedup_prefix_containment",
+    "cross_source_duplication", "passage_dedup",
+    # corpus mixing (sampling + packing + hygiene + export ids + the two
+    # r3-new planning entries, widened to DECIMAL this round)
     "sample_stratified_sources", "pack_token_budget",
     "decontaminate_train_eval", "global_sequence_ids",
-    # similarity / ANN
-    "knn_brute_cosine", "ann_lsh_buckets",
-    "neardup_cosine_pairs", "neardup_embedding_clusters",
-    "semantic_vs_lexical",
+    "token_budget_planning", "temperature_mix_weights",
+    # similarity / ANN (incl. r3-new embedding_sq_quantize)
+    "neardup_embedding_clusters", "semantic_vs_lexical",
     "ivf_assignments", "ivf_probe_search", "ivf_train_kmeans",
+    "embedding_sq_quantize",
     # events (batch) + the streaming twins (same code path as the
-    # Structured Streaming operators, run as batch plans)
-    "sessionize_events", "user_funnel_signup_purchase",
-    "weekly_retention_cohorts",
+    # Structured Streaming operators, run as batch plans) + r3-new
+    "event_value_outliers", "dedup_event_stream_replay",
     "streaming_windowed_counts", "streaming_session_windows",
-    # multimodal
+    # multimodal (extract kernel gains the import-guarded real decode)
     "media_metadata", "media_extract_features",
-    # MVT pipeline (rows-only)
+    # MVT pipeline (rows-only; overview budget policy changes this round)
     "tile_mvt_batch",
 )
 
