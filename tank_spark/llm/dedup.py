@@ -207,7 +207,26 @@ def _bands_sql() -> str:
 # cache miss, ~tens of seconds at K=128). Reusing the SAME DataFrame
 # object makes repeated executions hit both the persisted data and the
 # compiled code — execution cost, not planning cost, is what scales.
-_SIGS_CACHE: dict[tuple, DataFrame] = {}
+# Entry: key -> [fingerprint, DataFrame, materialized?]; entries are
+# evicted (unpersisted) when the sf_dir's parquet is regenerated.
+_SIGS_CACHE: dict[tuple, list] = {}
+
+# Plan-inspection tools (explain/plan-dump flows) set this True so
+# building a pairs plan never runs the signature job; execution paths
+# leave it False and materialize eagerly on first build (see below).
+PLAN_ONLY = False
+
+
+def _docs_fingerprint(sf_dir: str) -> tuple:
+    """(mtime_ns, size) of the corpus parquet — detects in-session data
+    regeneration so memoized signatures can't go stale."""
+    import os
+
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (0, 0)
 
 
 def _sig_array(spark: SparkSession, sf_dir: str, k: int,
@@ -219,7 +238,15 @@ def _sig_array(spark: SparkSession, sf_dir: str, k: int,
     (the only superlinear probe); stored, the per-run cost is the
     candidate join itself."""
     key = (spark.sparkContext.applicationId, sf_dir, k, lanes, band_w)
-    if key not in _SIGS_CACHE:
+    fp = _docs_fingerprint(sf_dir)
+    entry = _SIGS_CACHE.get(key)
+    if entry is not None and entry[0] != fp:
+        # data regenerated under the same path: unpersist the stale
+        # relation (executor storage is not free) and rebuild
+        entry[1].unpersist()
+        del _SIGS_CACHE[key]
+        entry = None
+    if entry is None:
         sigs = _sigs_df(_shingles_df(corpus_df(spark, sf_dir)), k, lanes)
         n_bands = k // band_w
         sig_col = F.array(*[F.col(f"h{i}") for i in range(k)])
@@ -231,14 +258,18 @@ def _sig_array(spark: SparkSession, sf_dir: str, k: int,
                     "sig", bi * band_w + 1, band_w))),
             ).alias("bands"),
         )
-        cached = arr.persist()
-        # materialize NOW: the pairs query consumes this relation three
-        # times (band explode + both join sides); against a lazy persist
-        # those subtrees race to fill the cache and the signature compute
-        # runs up to 3x (measured 26 s vs 2 s at sf0.1, K=128)
-        cached.count()
-        _SIGS_CACHE[key] = cached
-    return _SIGS_CACHE[key]
+        entry = [fp, arr.persist(), False]
+        _SIGS_CACHE[key] = entry
+    if not PLAN_ONLY and not entry[2]:
+        # materialize before first use: the pairs query consumes this
+        # relation three times (band explode + both join sides); against
+        # a lazy persist those subtrees race to fill the cache and the
+        # signature compute runs up to 3x (measured 26 s vs 2 s at
+        # sf0.1, K=128). PLAN_ONLY defers it so explain-only flows
+        # (tools/dump_plans.py) can build the plan without running it.
+        entry[1].count()
+        entry[2] = True
+    return entry[1]
 
 
 def minhash_lsh_pairs(

@@ -489,11 +489,12 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "statistic quality filter: a word is 'rare' when its corpus "
         "frequency is below the vocabulary mean (f < total/vocab, compared "
         "as f*vocab < total so the test is integer-exact). Two passes over "
-        "the corpus: word frequencies aggregate with map-side combine and "
-        "the (pruned, bounded) frequency table broadcasts back into a "
-        "map-only re-scan — at 100 TB the vocab table is the only shuffled "
-        "artifact, never the documents. Totals ride along as a broadcast "
-        "one-row cross join.",
+        "the corpus: word frequencies aggregate with map-side combine, "
+        "then join back on `word`. The full vocabulary is unbounded at "
+        "100 TB, so the join carries NO broadcast hint — AQE broadcasts it "
+        "while it fits and falls back to a shuffled hash join when it "
+        "doesn't (a forced broadcast would OOM the driver instead of "
+        "scaling). Totals ride along as a broadcast one-row cross join.",
 )
 def rare_word_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -508,7 +509,7 @@ def rare_word_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("f").alias("total"), F.count(F.lit(1)).alias("vocab"))
     rare = F.when(F.col("f") * F.col("vocab") < F.col("total"), 1).otherwise(0)
     return (
-        w.join(F.broadcast(freq), "word")
+        w.join(freq, "word")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(

@@ -208,6 +208,22 @@ GEOM_STAGE_SCHEMA = "z int, x int, y int, sub int, chunk binary"
 NSUB = 16
 
 
+def range_sub_assign(bkeys, kmin: int, span: int, n_sub: int):
+    """Contiguous-range sub-group assignment for the merge tree, ordering-
+    preserving and int64-overflow-free: divide by a fixed bucket width
+    instead of multiplying first ((bkeys - kmin) * n_sub wraps for key
+    domains wider than 2^63/n_sub — e.g. hash-derived keys in a custom
+    attr_fields layer — which would scramble the final concat order).
+    The offset itself is computed in uint64: a full-width int64 domain's
+    (key - kmin) exceeds int64 too, but the true difference is always
+    < 2^64, so mod-2^64 wraparound arithmetic is exact."""
+    import numpy as np
+
+    bucket_w = np.uint64((span + n_sub - 1) // n_sub)
+    off = bkeys.astype(np.uint64) - np.uint64(np.int64(kmin).view(np.uint64))
+    return np.minimum(off // bucket_w, n_sub - 1).astype(np.int64)
+
+
 def _request_join(spark: SparkSession, feats: DataFrame,
                   requests: list[tuple[int, int, int]]) -> DataFrame:
     """Join the feature table to a tile-request batch as Morton-prefix
@@ -383,8 +399,7 @@ def make_geom_stage(prop_cols: tuple[str, ...] = DEFAULT_PROPS,
             bkeys = batch["key"].to_numpy().astype(np.int64)
             if n_sub > 1 and key_bounds is not None:
                 kmin, span = key_bounds
-                batch["sub"] = np.clip(
-                    (bkeys - kmin) * n_sub // span, 0, n_sub - 1)
+                batch["sub"] = range_sub_assign(bkeys, kmin, span, n_sub)
             elif n_sub > 1:
                 batch["sub"] = bkeys % n_sub
             else:
@@ -395,13 +410,25 @@ def make_geom_stage(prop_cols: tuple[str, ...] = DEFAULT_PROPS,
                 ["z", "x", "y", "sub"], sort=False
             ):
                 if dicts is not None:
+                    codes = {}
+                    for c in prop_cols:
+                        cd = pd.Categorical(grp[c], categories=dicts[c]).codes
+                        # a non-null value absent from the broadcast
+                        # dictionary means the dictionary is stale (data
+                        # regenerated under a memoized plan) — failing
+                        # loudly beats silently dropping the property tag
+                        bad = (cd < 0) & grp[c].notna().to_numpy()
+                        if bad.any():
+                            raise ValueError(
+                                f"prop {c!r}: {int(bad.sum())} value(s) "
+                                "absent from the global dictionary — "
+                                "stale dictionary cache?")
+                        codes[c] = cd
                     blob = mvt_np.pack_chunk_codes(
                         grp["key"].to_numpy().astype(np.int64),
                         grp["gtype"].to_numpy(),
                         grp["geom"].to_numpy(),
-                        {c: pd.Categorical(
-                            grp[c], categories=dicts[c]).codes
-                         for c in prop_cols},
+                        codes,
                     )
                 else:
                     blob = mvt_np.pack_chunk(
@@ -536,19 +563,43 @@ DICT_CAP = 65536
 _DICT_CACHE: dict[tuple, tuple] = {}
 
 
+def _input_fingerprint(df: DataFrame) -> str:
+    """Fingerprint of the plan's underlying data files (path, mtime,
+    size). A plan's semanticHash does NOT change when the parquet files
+    it reads are regenerated in-session — the fingerprint does, so caches
+    keyed on it can't serve stale derived state. Metadata-only (no job)."""
+    import hashlib
+    import os
+    from urllib.parse import urlparse
+
+    parts = []
+    for uri in sorted(df.inputFiles()):
+        path = urlparse(uri).path or uri
+        try:
+            st = os.stat(path)
+            parts.append(f"{path}:{st.st_mtime_ns}:{st.st_size}")
+        except OSError:
+            parts.append(uri)
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+
 def _collect_global_dicts(joined: DataFrame, prop_cols: tuple[str, ...],
                           cap: int = DICT_CAP):
     """ONE aggregation job -> (per-column sorted distinct values, key
     min, key span) for the requests' feature set — the broadcast value
     dictionary of the concat-only tree path. Dictionary part is None when
-    any column exceeds ``cap`` distinct values (fall back to the
-    bottom-up value-table merge). collect_set aggregates are parallel
-    with bounded driver transfer (sliced at cap+1); at 100 TB this is
-    the same pattern as building a parquet dictionary page. Memoized on
-    the joined plan's semantic hash — repeated serves of the same
-    request batch skip the stats job entirely."""
+    any column exceeds ``cap`` distinct values OR contains float NaN
+    (collect_set keeps NaN — it is not null — and NaN can't be a
+    Categorical category; such a column falls back to the bottom-up
+    value-table merge). collect_set aggregates are parallel with bounded
+    driver transfer (sliced at cap+1); at 100 TB this is the same pattern
+    as building a parquet dictionary page. Memoized on the joined plan's
+    semantic hash PLUS the input-file fingerprint — repeated serves of
+    the same request batch skip the stats job, while regenerating the
+    underlying parquet invalidates the entry."""
     key = (joined.sparkSession.sparkContext.applicationId,
            joined._jdf.queryExecution().analyzed().semanticHash(),
+           _input_fingerprint(joined),
            prop_cols, cap)
     if key in _DICT_CACHE:
         return _DICT_CACHE[key]
@@ -562,6 +613,9 @@ def _collect_global_dicts(joined: DataFrame, prop_cols: tuple[str, ...],
         vals = list(row[c])
         if len(vals) > cap:
             dicts = None
+            break
+        if any(isinstance(v, float) and v != v for v in vals):
+            dicts = None       # NaN present -> dictionary-ineligible
             break
         dicts[c] = vals            # sort_array already ordered them
     kmin = 0 if row["_kmin"] is None else int(row["_kmin"])

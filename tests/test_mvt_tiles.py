@@ -171,3 +171,83 @@ def test_tree_path_dict_overflow_fallback(spark, monkeypatch):
         assert fa["id"] == fb["id"]
         assert fa["coords"] == fb["coords"]
         assert fa["props"] == fb["props"]
+
+
+def test_range_sub_assign_overflow_free():
+    """Sub assignment must stay ordering-preserving for ANY int64 key
+    domain — the multiply-first formula wrapped for hash-derived keys
+    (span > 2^63/NSUB) and scrambled the final concat order."""
+    import numpy as np
+
+    from tank_spark.operators.mvt_tiles import range_sub_assign
+
+    # normal domain: monotone, in range
+    keys = np.array([0, 5, 999, 1000, 5000, 9999], dtype=np.int64)
+    sub = range_sub_assign(keys, 0, 10000, 16)
+    assert (np.diff(sub) >= 0).all() and 0 <= sub.min() and sub.max() <= 15
+
+    # hash-derived domain the old formula wrapped on
+    keys = np.array([-(2**62), -(2**61), 0, 2**61, 2**62], dtype=np.int64)
+    kmin = int(keys.min())
+    span = int(keys.max()) - kmin + 1
+    sub = range_sub_assign(keys, kmin, span, 16)
+    assert (np.diff(sub) >= 0).all()
+    assert sub[0] == 0 and sub[-1] == 15
+
+    # full-width domain: even (key - kmin) exceeds int64
+    info = np.iinfo(np.int64)
+    keys = np.array([info.min, -1, 0, info.max], dtype=np.int64)
+    kmin = int(keys.min())
+    span = int(keys.max()) - kmin + 1
+    sub = range_sub_assign(keys, kmin, span, 16)
+    assert (np.diff(sub) >= 0).all()
+    assert sub[0] == 0 and sub[-1] == 15
+
+
+def test_dict_nan_prop_falls_back(spark):
+    """A float prop column containing NaN is dictionary-ineligible
+    (collect_set keeps NaN; pd.Categorical rejects NaN categories): the
+    dict must come back None so the tree path falls back to the value-
+    table merge instead of crashing the tile job."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tank_spark.operators import mvt_tiles as mt
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan")), (3, 2.5)], "key long, score double"
+    )
+    dicts, kmin, span = mt._collect_global_dicts(df, ("score",))
+    assert dicts is None
+    assert kmin == 1 and span == 3
+    # and a NaN-free column still dictionary-encodes
+    clean = spark.createDataFrame([(1, 1.0), (2, 2.5)], "key long, score double")
+    dicts2, _, _ = mt._collect_global_dicts(clean, ("score",))
+    assert dicts2 == {"score": [1.0, 2.5]}
+    assert not any(isinstance(v, float) and math.isnan(v)
+                   for v in dicts2["score"])
+    mt._DICT_CACHE.clear()
+
+
+def test_stale_dictionary_raises():
+    """A non-null prop value absent from the broadcast dictionary means
+    the memoized dictionary went stale — the geom stage must raise, not
+    silently drop the property tag."""
+    import pandas as pd
+    import pytest
+
+    from tank_spark.geom.tilemath import tile_bbox
+    from tank_spark.operators.mvt_tiles import make_geom_stage
+
+    stage = make_geom_stage(
+        ("kind",), n_sub=16, dicts={"kind": ["road"]}, key_bounds=(0, 10)
+    )
+    lon0, lat0, lon1, lat1 = tile_bbox(13, 1281, 3137)
+    pdf = pd.DataFrame({
+        "z": [13], "x": [1281], "y": [3137], "key": [1],
+        "geometry": [f"POINT ({(lon0 + lon1) / 2} {(lat0 + lat1) / 2})"],
+        "kind": ["building"],
+    })
+    with pytest.raises(ValueError, match="absent from the global dictionary"):
+        list(stage(iter([pdf])))
