@@ -362,9 +362,10 @@ def _w_col() -> F.Column:
     ),
     tot AS (SELECT SUM(w) AS w_total FROM per_src)
     SELECT source, n_docs, n_tokens_avail, w,
-           CAST({TOKEN_BUDGET_TOTAL} * w AS DOUBLE) / w_total AS target_tokens,
-           (CAST({TOKEN_BUDGET_TOTAL} * w AS DOUBLE) / w_total)
-             / n_tokens_avail AS epochs
+           CAST(CAST({TOKEN_BUDGET_TOTAL} AS DECIMAL(38,0)) * w AS DOUBLE)
+             / w_total AS target_tokens,
+           (CAST(CAST({TOKEN_BUDGET_TOTAL} AS DECIMAL(38,0)) * w AS DOUBLE)
+             / w_total) / n_tokens_avail AS epochs
     FROM per_src, tot
     """,
     doc=f"Mix planning for a {TOKEN_BUDGET_TOTAL}-token training budget: "
@@ -372,7 +373,9 @@ def _w_col() -> F.Column:
         "earns, and the epoch factor (>1 = the source must repeat to "
         "fill its share — the up-sampling signal; <1 = subsample). One "
         "map-side-combined aggregate plus a broadcast 1-row total; "
-        "weights are exact integers so every engine agrees bit-for-bit.",
+        "weights are exact integers so every engine agrees bit-for-bit. "
+        "The budget-times-weight product runs in DECIMAL(38,0), so a "
+        "petabyte-scale budget constant can't wrap int64.",
 )
 def token_budget_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -382,7 +385,9 @@ def token_budget_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(ntok).cast("bigint").alias("n_tokens_avail"),
     ).withColumn("w", _w_col())
     tot = per_src.agg(F.sum("w").alias("w_total"))
-    target = (F.lit(TOKEN_BUDGET_TOTAL) * F.col("w")).cast("double") / F.col("w_total")
+    target = (
+        F.lit(TOKEN_BUDGET_TOTAL).cast("decimal(38,0)") * F.col("w")
+    ).cast("double") / F.col("w_total")
     return (
         per_src.crossJoin(F.broadcast(tot))  # 1-row total
         .select(
@@ -408,14 +413,25 @@ def token_budget_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_src
     ),
     tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS w_sum,
-                   CAST(SUM(n_tokens) AS BIGINT) AS tok_sum FROM w)
-    SELECT source, n_docs, n_tokens, w_micro,
-           CAST(w_micro * 1000000 // w_sum AS BIGINT) AS share_permicro,
-           CAST((w_micro * 1000000 // w_sum) * tok_sum // 1000000
-                AS BIGINT) AS target_tokens,
-           CAST(((w_micro * 1000000 // w_sum) * tok_sum // 1000000) * 1000
-                // n_tokens AS BIGINT) AS epochs_permille
-    FROM w CROSS JOIN tot
+                   CAST(SUM(n_tokens) AS BIGINT) AS tok_sum FROM w),
+    shares AS (
+      -- HUGEINT (int128) is DuckDB's exact wide-integer twin of Spark's
+      -- DECIMAL(38,0) intermediates; decimal // degrades to DOUBLE there
+      SELECT source, n_docs, n_tokens, w_micro, tok_sum,
+             CAST(CAST(w_micro AS HUGEINT) * 1000000 // w_sum
+                  AS BIGINT) AS share_permicro
+      FROM w CROSS JOIN tot
+    ),
+    targets AS (
+      SELECT source, n_docs, n_tokens, w_micro, share_permicro,
+             CAST(CAST(share_permicro AS HUGEINT) * tok_sum // 1000000
+                  AS BIGINT) AS target_tokens
+      FROM shares
+    )
+    SELECT source, n_docs, n_tokens, w_micro, share_permicro, target_tokens,
+           CAST(CAST(target_tokens AS HUGEINT) * 1000 // n_tokens
+                AS BIGINT) AS epochs_permille
+    FROM targets
     """,
     doc="Temperature-based mix reweighting at tau=2: source weight = "
         "sqrt(token count), the standard multilingual-LLM upsampling that "
@@ -424,10 +440,11 @@ def token_budget_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "one power law both engines compute bit-identically — and every "
         "derived figure (per-source share, target tokens, effective "
         "epochs) is integer micro/permille arithmetic from it, so the "
-        "plan is engine-exact end-to-end. Scale: one map-side-combined "
-        "aggregate to #sources rows; the totals ride a broadcast one-row "
-        "cross join. At petabyte token counts the *1e6 share products "
-        "approach int64 — production widens to DECIMAL(38,0) there.",
+        "plan is engine-exact end-to-end. The share/target/epoch products "
+        "run in DECIMAL(38,0) (floor-divided back to BIGINT results), so "
+        "petabyte token counts can't wrap the intermediates. Scale: one "
+        "map-side-combined aggregate to #sources rows; the totals ride a "
+        "broadcast one-row cross join.",
 )
 def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -445,14 +462,18 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("n_tokens").cast("long").alias("tok_sum"))
     return (
         w.crossJoin(F.broadcast(tot))
-        .select(
-            "source", "n_docs", "n_tokens", "w_micro",
-            F.expr("CAST(w_micro * 1000000 DIV w_sum AS BIGINT)")
-            .alias("share_permicro"),
-            F.expr("CAST((w_micro * 1000000 DIV w_sum) * tok_sum "
-                   "DIV 1000000 AS BIGINT)").alias("target_tokens"),
-            F.expr("CAST(((w_micro * 1000000 DIV w_sum) * tok_sum "
-                   "DIV 1000000) * 1000 DIV n_tokens AS BIGINT)")
-            .alias("epochs_permille"),
-        )
+        .withColumn(
+            "share_permicro",
+            F.expr("CAST(CAST(w_micro AS DECIMAL(38,0)) * 1000000 "
+                   "DIV w_sum AS BIGINT)"))
+        .withColumn(
+            "target_tokens",
+            F.expr("CAST(CAST(share_permicro AS DECIMAL(38,0)) * tok_sum "
+                   "DIV 1000000 AS BIGINT)"))
+        .withColumn(
+            "epochs_permille",
+            F.expr("CAST(CAST(target_tokens AS DECIMAL(38,0)) * 1000 "
+                   "DIV n_tokens AS BIGINT)"))
+        .select("source", "n_docs", "n_tokens", "w_micro",
+                "share_permicro", "target_tokens", "epochs_permille")
     )

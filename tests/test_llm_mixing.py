@@ -435,3 +435,45 @@ def test_temperature_mix_weights_flattens(spark):
     share_ratio = big["share_permicro"] / small["share_permicro"]
     assert 1.0 < share_ratio < tok_ratio  # flattened but order-preserving
     assert abs(share_ratio - math.sqrt(tok_ratio)) < 0.01 * math.sqrt(tok_ratio)
+
+
+def test_temperature_weights_petabyte_no_overflow(spark):
+    """The share/target/epoch intermediates run in DECIMAL(38,0): at
+    petabyte token counts the old BIGINT products (w_micro * 1e6) raised
+    ARITHMETIC_OVERFLOW under ANSI mode. Expected values are computed in
+    Python big-int arithmetic (exact)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    rows = [("a", 10**18), ("b", 4 * 10**16)]
+    df = spark.createDataFrame(rows, "source string, n_tokens long")
+    w = df.withColumn(
+        "w_micro",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")) * 1e6, 0).cast("long"),
+    )
+    tot = w.agg(F.sum("w_micro").cast("long").alias("w_sum"),
+                F.sum("n_tokens").cast("long").alias("tok_sum"))
+    out = {
+        r["source"]: r
+        for r in (
+            w.crossJoin(F.broadcast(tot))
+            .withColumn("share_permicro", F.expr(
+                "CAST(CAST(w_micro AS DECIMAL(38,0)) * 1000000 DIV w_sum AS BIGINT)"))
+            .withColumn("target_tokens", F.expr(
+                "CAST(CAST(share_permicro AS DECIMAL(38,0)) * tok_sum DIV 1000000 AS BIGINT)"))
+            .withColumn("epochs_permille", F.expr(
+                "CAST(CAST(target_tokens AS DECIMAL(38,0)) * 1000 DIV n_tokens AS BIGINT)"))
+            .collect()
+        )
+    }
+    w_micro = {s: round(math.sqrt(float(n)) * 1e6) for s, n in rows}
+    w_sum = sum(w_micro.values())
+    tok_sum = sum(n for _, n in rows)
+    for s, n in rows:
+        share = w_micro[s] * 10**6 // w_sum
+        target = share * tok_sum // 10**6
+        epochs = target * 1000 // n
+        assert out[s]["share_permicro"] == share
+        assert out[s]["target_tokens"] == target
+        assert out[s]["epochs_permille"] == epochs
