@@ -1,13 +1,14 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata, processed by Arrow-batched ``mapInPandas`` kernels.
 
-The real decode step (PIL/ffmpeg/torchcodec) is STUBBED — those libraries
-are not in this environment — behind ``_decode_image_stub``, which is a
-clearly-marked deterministic fake. Everything AROUND the stub is the real
-production plumbing this module exists to exercise: binary column schema,
-metadata struct, batch-iterator UDF signature, per-batch vectorization,
-partition sizing. Swapping the stub for a real decoder changes one
-function.
+The decode step is IMPORT-GUARDED (``get_image_decoder``): when Pillow is
+importable on the executor the real PIL decode runs; otherwise the
+clearly-marked deterministic fake ``_decode_image_stub`` stands in (this
+container ships no imaging libraries, so the stub branch is what local
+tests exercise — plus the real branch via an injected fake PIL).
+Everything AROUND the decoder is the real production plumbing this module
+exists to exercise: binary column schema, metadata struct, batch-iterator
+UDF signature, per-batch vectorization, partition sizing.
 
 The driver ships no binary table, so ``media_df`` derives one: each
 document gets a synthetic payload whose bytes are the md5 keystream of its
@@ -87,13 +88,11 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _decode_image_stub(payload: bytes) -> dict:
-    """STUB — deterministic fake for the image decode step.
-
-    A real deployment replaces this body with e.g. PIL.Image.open +
-    numpy conversion; the container has no imaging libraries, so decode
-    is simulated by treating the payload bytes as a tiny luma plane.
-    Raises ValueError for payloads that are "corrupt" (too short), so the
-    error path is real.
+    """STUB — deterministic fake for the image decode step (the fallback
+    when Pillow is not importable; see ``get_image_decoder``). Decode is
+    simulated by treating the payload bytes as a tiny luma plane. Raises
+    ValueError for payloads that are "corrupt" (too short), so the error
+    path is real.
     """
     if len(payload) < 8:
         raise ValueError("corrupt payload")
@@ -106,6 +105,44 @@ def _decode_image_stub(payload: bytes) -> dict:
     }
 
 
+def _decode_image_pil(payload: bytes) -> dict:
+    """Real decode path: PIL open -> greyscale numpy plane -> the same
+    feature dict the stub emits. Only reachable when Pillow imports
+    (``get_image_decoder``); bytes that are not a decodable image raise
+    ValueError so they land in ``decode_error`` like any corrupt row."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    if len(payload) < 8:
+        raise ValueError("corrupt payload")
+    try:
+        img = Image.open(io.BytesIO(payload))
+        arr = np.asarray(img.convert("L"), dtype=np.float64)
+    except Exception as exc:  # PIL raises a zoo of types for bad bytes
+        raise ValueError(f"decode failed: {exc}") from None
+    return {
+        "mean_luma": float(arr.mean()) / 255.0,
+        "max_byte": int(arr.max()),
+        "decoded_w": int(img.width),
+        "decoded_h": int(img.height),
+    }
+
+
+def get_image_decoder():
+    """The decode step, import-guarded: the REAL Pillow decoder wherever
+    the dependency exists, the deterministic stub otherwise. Resolved at
+    kernel start ON THE EXECUTOR (each worker process probes its own
+    environment), so a cluster with Pillow installed gets real features
+    with zero code changes."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        return _decode_image_stub
+    return _decode_image_pil
+
+
 MEDIA_FEATURES_SCHEMA = (
     "doc_id long, media_type string, mean_luma double, max_byte int, "
     "decoded_w int, decoded_h int, decode_error string"
@@ -115,7 +152,9 @@ MEDIA_FEATURES_SCHEMA = (
 def _extract_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: per Arrow batch, decode payloads and emit
     feature rows; decode failures become rows with ``decode_error`` set
-    (dead-letter-in-band, like ingest coercion)."""
+    (dead-letter-in-band, like ingest coercion). The decoder resolves
+    once per kernel invocation — real PIL when importable, stub when not."""
+    decode = get_image_decoder()
     for pdf in batches:
         out = []
         for row in pdf.itertuples(index=False):
@@ -124,7 +163,7 @@ def _extract_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                    "mean_luma": None, "max_byte": None,
                    "decoded_w": None, "decoded_h": None, "decode_error": None}
             try:
-                rec.update(_decode_image_stub(bytes(row.payload)))
+                rec.update(decode(bytes(row.payload)))
             except ValueError as e:
                 rec["decode_error"] = str(e)
             out.append(rec)
