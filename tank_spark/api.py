@@ -183,14 +183,21 @@ class Tank:
 
     def tile_mvt_batch(
         self, requests: list[tuple[int, int, int]],
-        overview_sampling: bool = False,
+        overview_sampling: bool = True,
     ) -> DataFrame:
         """Render a BATCH of tile requests through the two-stage
         distributed pipeline (Morton-prefix request join -> map-parallel
         geometry stage -> per-tile assembly), with this layer's DECLARED
         attribute schema as the MVT properties — the bulk/seed companion
         to the single-tile ``tile_mvt``. Returns one row per request
-        (z, x, y, n_features, mvt_size, mvt_md5, mvt)."""
+        (z, x, y, n_features, mvt_size, mvt_md5, mvt).
+
+        SERVING POLICY (default): zooms below OVERVIEW_ZOOM serve the
+        per-tile-budgeted deterministic sample — a full-fidelity overview
+        blob grows linearly with the table and blows the MVT format's
+        practical ceiling at 100 TB (SCALE.md). Pass
+        ``overview_sampling=False`` for strict reference parity /
+        full-fidelity rendering at every zoom."""
         from tank_spark.operators.mvt_tiles import mvt_tiles_for
 
         attr_cols = tuple(

@@ -36,7 +36,7 @@ from tank_spark.geom import mvt as mvtmod
 from tank_spark.geom import mvt_np
 from tank_spark.geom import tilemath, wkt
 from tank_spark.operators.heatmap import grid_n
-from tank_spark.operators.tiles import tile_hash_range
+from tank_spark.operators.tiles import OVERVIEW_FEATURE_BUDGET, tile_hash_range
 from tank_spark.plans.registry import register
 from tank_spark.sources.features import features_df
 
@@ -193,8 +193,26 @@ def _project_geom(gtype: str, coords):
     ]
 
 
-OVERVIEW_ZOOM = 9       # below this, serve a deterministic sample
-OVERVIEW_SAMPLE_MOD = 20  # 5% sample
+OVERVIEW_ZOOM = 9       # below this, serve a deterministic
+                        # OVERVIEW_FEATURE_BUDGET-bounded sample (tiles.py)
+
+
+def overview_sample_mods(spark: SparkSession, feats: DataFrame,
+                         ov_reqs: list[tuple[int, int, int]]) -> DataFrame:
+    """One bounded count job (<= #requests result rows, hash-range-pruned
+    scan) -> per-tile deterministic sampling modulus ceil(n / budget).
+    Tiles matching zero features simply don't appear (they serve empty)."""
+    counts = (
+        _request_join(spark, feats, ov_reqs)
+        .groupBy("z", "x", "y").agg(F.count("*").alias("n")).collect()
+    )
+    rows = [
+        (int(r["z"]), int(r["x"]), int(r["y"]),
+         max(1, (int(r["n"]) + OVERVIEW_FEATURE_BUDGET - 1)
+             // OVERVIEW_FEATURE_BUDGET))
+        for r in counts
+    ]
+    return spark.createDataFrame(rows, "z int, x int, y int, mod long")
 
 # stage-1 output: one packed columnar chunk per (tile, sub-group, arrow
 # batch) — the per-tile assembly group receives #batches compact rows, not
@@ -711,22 +729,33 @@ def mvt_tiles_for(
     37s -> ~4s for the 600k-feature z7 tile at sf0.1).
 
     ``overview_sampling``: tiles below OVERVIEW_ZOOM serve a deterministic
-    5% sample (materialized-sampling-cube policy) — at 100 TB an overview
-    tile funnels the whole table through one assembly group otherwise.
-    Off by default for strict reference parity.
+    per-tile-budgeted sample (materialized-sampling-cube policy, modulus =
+    ceil(count / OVERVIEW_FEATURE_BUDGET) so the blob is constant-size at
+    any table size) — at 100 TB an overview tile funnels the whole table
+    through one assembly group otherwise. Costs one bounded count job per
+    batch when overview requests are present.
     """
     from tank_spark.util import ensure_workers_have_package
 
     ensure_workers_have_package(spark)
 
+    ov_reqs = ([r for r in requests if r[0] < OVERVIEW_ZOOM]
+               if overview_sampling else [])
+    mod_df = overview_sample_mods(spark, feats, ov_reqs) if ov_reqs else None
+
     def encoded_stage(reqs: list[tuple[int, int, int]], n_sub: int):
         joined = _request_join(spark, feats, reqs).select(
             "z", "x", "y", "key", "geometry", *prop_cols
         )
-        if overview_sampling:
-            joined = joined.filter(
-                (F.col("z") >= OVERVIEW_ZOOM)
-                | (F.col("key") % OVERVIEW_SAMPLE_MOD == 0)
+        if mod_df is not None:
+            joined = (
+                joined.join(F.broadcast(mod_df), ["z", "x", "y"], "left")
+                .filter(
+                    (F.col("z") >= OVERVIEW_ZOOM)
+                    | (F.col("key")
+                       % F.coalesce(F.col("mod"), F.lit(1)) == 0)
+                )
+                .drop("mod")
             )
         # spread the Python geometry work across every core (the cached
         # table uses fewer, fatter partitions) and break any per-band skew
@@ -852,7 +881,8 @@ def mvt_tiles(
         "buffered clip, integer transform, MVT encode) for the six default "
         "requests across all three planner regimes. applyInPandas kernel; "
         "deterministic blobs (features sorted by key). Overview zooms "
-        "(z<9) serve the 5% deterministic sample — the sampling-cube "
+        "(z<9) serve the per-tile-budgeted deterministic sample "
+        "(mod=ceil(count/OVERVIEW_FEATURE_BUDGET)) — the sampling-cube "
         "policy; full-fidelity encode stays available via mvt_tiles().",
 )
 def tile_mvt_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -862,11 +892,14 @@ def tile_mvt_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tile_mvt_z7_full",
     None,  # rows-only: MVT bytes
-    doc="Full-fidelity overview tile (NO sampling): the whole table "
-        "renders into one z7 tile through the two-stage distributed "
-        "encode — map-parallel geometry stage + vectorized assembly. The "
-        "regime the sampling policy exists for, kept benchmarked at full "
-        "fidelity so the scale path stays honest.",
+    doc="BENCH-ONLY, not a serving path: full-fidelity overview tile (NO "
+        "sampling) — the whole table renders into one z7 tile through the "
+        "two-stage distributed encode. SERVING POLICY: full fidelity is "
+        "served only for z >= OVERVIEW_ZOOM; below that the budgeted "
+        "sample is the product (SCALE.md measured the full-fidelity z7 "
+        "blob at ~1.8 GB at 100x — past the MVT format's practical "
+        "ceiling, Arrow's 2 GB cell limit). Kept benchmarked at full "
+        "fidelity so the distributed-encode scale path stays honest.",
 )
 def tile_mvt_z7_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mvt_tiles(spark, sf_dir, requests=[(7, 20, 49)]).drop("mvt")

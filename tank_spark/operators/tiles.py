@@ -27,6 +27,16 @@ from tank_spark.geom import morton
 from tank_spark.plans.registry import register
 from tank_spark.sources.features import FEATURES_CTE, HASH_LEVEL, features_df
 
+# Per-tile feature budget for sampled overview tiles (z < OVERVIEW_ZOOM in
+# mvt_tiles). The sampling modulus is DERIVED per tile as ceil(n / budget),
+# so the served payload stays constant-size no matter how big the table
+# grows (a fixed `key % 20` sample scales the overview payload linearly
+# with the table — measured at 100x in SCALE.md before this policy).
+# 30k point features encode to ~1-2 MB of MVT; at sf0.1 (~600k features in
+# the z7 tile) this reproduces the former 5% sample exactly (mod=20), and
+# at 100x it self-scales to mod~2000.
+OVERVIEW_FEATURE_BUDGET = 30_000
+
 SERVE_COLUMNS = ("uid", "hash", "kind", "score", "cnt", "tag", "lon", "qty")
 
 
@@ -148,22 +158,40 @@ def tile_filter_date(spark: SparkSession, sf_dir: str) -> DataFrame:
                       attr_filter=("ts", "date", "1996-12-24"))
 
 
+def _overview_oracle() -> str:
+    B = OVERVIEW_FEATURE_BUDGET
+    lo, hi = tile_hash_range(7, 20, 49)
+    cols = ", ".join(SERVE_COLUMNS + ("key",))
+    return (
+        f"{FEATURES_CTE} SELECT {cols} FROM features "
+        f"WHERE hash BETWEEN {lo} AND {hi} AND key % GREATEST(1, "
+        f"((SELECT COUNT(*) FROM features WHERE hash BETWEEN {lo} AND {hi})"
+        f" + {B - 1}) // {B}) = 0"
+    )
+
+
 @register(
     "tile_sample_overview",
-    f"{{cte}} SELECT {{cols}} FROM features WHERE hash BETWEEN {{lo}} AND {{hi}} AND key % 20 = 0".format(
-        cte=FEATURES_CTE, cols=", ".join(SERVE_COLUMNS + ("key",)),
-        lo=tile_hash_range(7, 20, 49)[0], hi=tile_hash_range(7, 20, 49)[1],
-    ),
-    doc="Sampled overview tile: low-zoom tiles serve a deterministic 5% "
-        "sample instead of every feature — the materialized-sampling-cube "
-        "idea (Turbocharging Geospatial Visualization Dashboards, ICDE "
-        "2020) applied to tank's tile read path; at 100 TB overview zooms "
-        "would otherwise return the whole table.",
+    _overview_oracle(),
+    doc="Budget-sampled overview tile: low-zoom tiles serve a "
+        "deterministic sample whose modulus is DERIVED from the tile's "
+        "feature count (mod = ceil(n / OVERVIEW_FEATURE_BUDGET)) so the "
+        "payload is constant-size at any table size — the materialized-"
+        "sampling-cube idea (Turbocharging Geospatial Visualization "
+        "Dashboards, ICDE 2020) applied to tank's tile read path; at "
+        "100 TB overview zooms would otherwise return the whole table. "
+        "The modulus is computed lazily in-plan (1-row broadcast count, "
+        "no driver-side count job).",
 )
 def tile_sample_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    B = OVERVIEW_FEATURE_BUDGET
     lo, hi = tile_hash_range(7, 20, 49)
+    in_tile = features_df(spark, sf_dir).filter(F.col("hash").between(lo, hi))
+    mod = in_tile.agg(
+        F.expr(f"greatest(1L, (count(*) + {B - 1}) div {B})").alias("mod")
+    )
     return (
-        features_df(spark, sf_dir)
-        .filter(F.col("hash").between(lo, hi) & (F.col("key") % 20 == 0))
+        in_tile.join(F.broadcast(mod))
+        .filter(F.col("key") % F.col("mod") == 0)
         .select(*SERVE_COLUMNS, "key")
     )

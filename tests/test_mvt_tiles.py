@@ -251,3 +251,37 @@ def test_stale_dictionary_raises():
     })
     with pytest.raises(ValueError, match="absent from the global dictionary"):
         list(stage(iter([pdf])))
+
+
+def test_overview_budget_bounds_features(spark, monkeypatch):
+    """The budgeted overview policy: with a deliberately tiny budget the
+    served sample's feature count stays O(budget) no matter the table
+    size, and the modulus is derived as ceil(n / budget) per tile."""
+    from tank_spark.operators import mvt_tiles as mt
+    from tank_spark.sources.features import features_df
+
+    budget = 1000
+    monkeypatch.setattr(mt, "OVERVIEW_FEATURE_BUDGET", budget)
+
+    req = [(7, 20, 49)]
+    feats = features_df(spark, SF_DIR)
+    n = feats.count()
+
+    mods = {(r["z"], r["x"], r["y"]): r["mod"]
+            for r in mt.overview_sample_mods(spark, feats, req).collect()}
+    assert mods[(7, 20, 49)] == (n + budget - 1) // budget > 1
+
+    out = mt.mvt_tiles(spark, SF_DIR, requests=req,
+                       overview_sampling=True).collect()
+    served = out[0]["n_features"]
+    # keys are not perfectly uniform mod m, allow slack — the point is
+    # O(budget), not O(table)
+    assert 0 < served <= 2 * budget
+    assert served < n
+
+    # normal zooms are untouched by the sampling policy
+    full = mt.mvt_tiles(spark, SF_DIR, requests=[(13, 1281, 3137)],
+                        overview_sampling=True).collect()[0]
+    ref = mt.mvt_tiles(spark, SF_DIR,
+                       requests=[(13, 1281, 3137)]).collect()[0]
+    assert full["mvt_md5"] == ref["mvt_md5"]

@@ -21,6 +21,8 @@ PROBES = [
     "tile_z9_range", "heatmap_z9",
     # the full-fidelity overview encode — the designed-for scale ceiling
     "tile_mvt_z7_full",
+    # the SERVING policy: budget-sampled overview + mid/high zooms
+    "tile_mvt_batch",
     # llm pipeline
     "dedup_exact", "dedup_minhash_lsh_pairs", "dedup_minhash_lsh_pairs_k128",
     "passage_dedup", "rare_word_fraction", "text_repetition_signals",
