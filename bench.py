@@ -27,6 +27,7 @@ HEADLINE = [
     "q6_forecast_revenue", "topk_orders_per_priority",
     # llm pipeline
     "dedup_exact", "dedup_minhash_lsh_pairs", "dedup_minhash_lsh_pairs_k128",
+    "dedup_lsh_pairs_capped",  # skew guard: ~free on an unskewed corpus
     "dedup_lsh_clusters",
     "knn_brute_cosine",
     "sessionize_events", "tumbling_hourly_counts", "text_stats",
@@ -34,7 +35,12 @@ HEADLINE = [
     "pack_token_budget",
     # custom operators / scale paths
     "asof_purchase_last_click", "ivf_probe_search", "token_count_bpe",
-    "tile_mvt_batch", "tile_mvt_z7_full",
+    "tile_mvt_batch",
+    # BENCH-ONLY entry: full-fidelity z7 overview encode. NOT a serving
+    # path (serving uses the budgeted sample below OVERVIEW_ZOOM — the
+    # full blob hits the MVT format ceiling at 100x, see SCALE.md);
+    # benchmarked to keep the distributed encode pipeline honest.
+    "tile_mvt_z7_full",
 ]
 
 

@@ -275,7 +275,7 @@ def _sig_array(spark: SparkSession, sf_dir: str, k: int,
 def minhash_lsh_pairs(
     spark: SparkSession, sf_dir: str,
     k: int = K, band_w: int = BAND_W, min_match_frac: float = 0.5,
-    lanes: int = 1,
+    lanes: int = 1, max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Parameterized MinHash+LSH near-dup pairs: ``k`` permutations in
     bands of ``band_w`` (s-curve threshold ~ (1/n_bands)^(1/band_w)),
@@ -283,6 +283,17 @@ def minhash_lsh_pairs(
     registered oracle query is this with the toy checked configuration;
     ``lanes`` > 1 packs that many 32-bit permutations per md5 (see
     _sigs_df) for the production-K sizing.
+
+    ``max_band_bucket`` is the SKEW guard: a band bucket holding m docs
+    emits m(m-1)/2 candidate pairs — AQE can split the hot shuffle
+    partition, but the OUTPUT is inherently quadratic in the bucket, so
+    a 1% boilerplate slice of a billion-doc corpus means ~10^13 pairs
+    from one bucket. Buckets larger than the cap are dropped via a
+    broadcast anti-join (the oversized-bucket list is tiny by
+    construction); their content is boilerplate that exact dedup /
+    cross-bucket bands still cover. Standard practice in production
+    near-dedup (e.g. SlimPajama's and BigCode's LSH pipelines cap or
+    split oversized buckets). tools/skew_probe.py measures both modes.
 
     Downstream of the signature aggregate, the signature is ONE array
     column: banding is a single posexplode of per-band digests and the
@@ -292,6 +303,16 @@ def minhash_lsh_pairs(
     sig = _sig_array(spark, sf_dir, k, lanes, band_w)
     bands = sig.select("cid", F.posexplode("bands")
                        .alias("band_idx", "band_val"))
+    if max_band_bucket is not None:
+        oversized = (
+            bands.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_band_bucket)
+            .select("band_idx", "band_val")
+        )
+        bands = bands.join(
+            F.broadcast(oversized), ["band_idx", "band_val"], "left_anti"
+        )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -344,6 +365,35 @@ _PAIRS_CTES = f"""{_CORPUS_CTE}, {_SHINGLES_SQL}, {_sig_sql()}, {_bands_sql()},
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(spark, sf_dir)  # checked toy configuration
+
+
+LSH_BUCKET_CAP = 50
+
+
+@register(
+    "dedup_lsh_pairs_capped",
+    f"""
+    WITH {_PAIRS_CTES.replace("cand AS (", f'''sizes AS (
+      SELECT band_idx, band_val FROM bands
+      GROUP BY band_idx, band_val HAVING COUNT(*) <= {LSH_BUCKET_CAP}
+    ),
+    kept AS (
+      SELECT b.cid, b.band_idx, b.band_val FROM bands b
+      JOIN sizes s ON b.band_idx = s.band_idx AND b.band_val = s.band_val
+    ),
+    cand AS (''').replace("FROM bands a JOIN bands b", "FROM kept a JOIN kept b")}
+    SELECT cid_a, cid_b, est_jaccard FROM pairs
+    """,
+    doc=f"Skew-guarded LSH pairs: band buckets larger than "
+        f"{LSH_BUCKET_CAP} docs are dropped before the candidate "
+        "self-join (broadcast anti-join on the tiny oversized-bucket "
+        "list) — the production posture for boilerplate-heavy corpora, "
+        "where one hot bucket otherwise emits O(m^2) pairs no matter how "
+        "AQE splits the shuffle. See tools/skew_probe.py + SCALE.md for "
+        "the measured blowup this caps.",
+)
+def dedup_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(spark, sf_dir, max_band_bucket=LSH_BUCKET_CAP)
 
 
 def _pairs_sql_for(k: int, band_w: int, min_match_frac: float = 0.5,

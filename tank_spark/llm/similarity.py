@@ -602,3 +602,95 @@ def embedding_sq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("code").alias("max_code"),
         )
     )
+
+
+# --------------------------------------------- SemDeDup-style prune
+
+# Production SemDeDup runs tau ~0.95 on real embeddings; the synthetic
+# corpus's cosine ceiling is ~0.48 (verified by sweep), so the checked
+# configuration uses a tau inside the actual density — a 0.95 cut
+# would prune nothing and the driver row would be vacuous.
+SEMDEDUP_TAU = 0.42
+
+
+def _semdedup_sql(tau: float) -> str:
+    dot = _dot_sql("ea.embedding", "eb.embedding")
+    na = _dot_sql("ea.embedding", "ea.embedding")
+    nb = _dot_sql("eb.embedding", "eb.embedding")
+    return f"""
+    WITH {_ivf_assign_sql()},
+    pairs AS (
+      SELECT b.vec_id AS prune_id
+      FROM assign a JOIN assign b ON a.centroid_id = b.centroid_id
+                                 AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE {dot} / (sqrt({na}) * sqrt({nb})) >= {tau}
+    ),
+    pruned AS (SELECT DISTINCT prune_id FROM pairs)
+    SELECT a.vec_id, a.centroid_id,
+           CAST(p.prune_id IS NOT NULL AS INTEGER) AS is_pruned
+    FROM assign a LEFT JOIN pruned p ON p.prune_id = a.vec_id
+    """
+
+
+@register(
+    "semdedup_prune",
+    _semdedup_sql(SEMDEDUP_TAU),
+    doc=f"SemDeDup-style semantic dedup (Abbas et al. 2023): assign every "
+        f"embedding to its coarse cluster (the SQL-expressible IVF initial "
+        f"quantizer, see ivf_assignments), form WITHIN-CLUSTER cosine "
+        f"pairs only, and prune the higher vec_id of any pair with cosine "
+        f">= {SEMDEDUP_TAU} (keep-lowest, deterministic). The cluster "
+        "blocking bounds the pair join to cluster-local candidates — at "
+        "100 TB the centroid set broadcasts, assignment is map-only, and "
+        "the pair join shuffles on centroid_id; a skewed mega-cluster is "
+        "the same hazard as a hot LSH band and takes the same cap "
+        "(dedup.minhash_lsh_pairs max_band_bucket pattern). Cosines are "
+        "sequential-fold exact, so the prune set matches DuckDB "
+        "bit-for-bit.",
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    dot = _dot_cols(F.col("embedding"), F.col("c_emb"))
+    n_c = _dot_cols(F.col("c_emb"), F.col("c_emb"))
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id", "embedding", "centroid_id", (-2 * dot + n_c).alias("score")
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.min_by(
+            F.struct("centroid_id", "embedding"), F.struct("score", "centroid_id")
+        ).alias("best")
+    ).select(
+        "vec_id", F.col("best.centroid_id").alias("centroid_id"),
+        F.col("best.embedding").alias("embedding"),
+    )
+    a = assign.select(
+        F.col("centroid_id"), F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = assign.select(
+        F.col("centroid_id"), F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    dab = _dot_cols(F.col("emb_a"), F.col("emb_b"))
+    na = _dot_cols(F.col("emb_a"), F.col("emb_a"))
+    nb = _dot_cols(F.col("emb_b"), F.col("emb_b"))
+    pruned = (
+        a.join(b, ["centroid_id"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dab / (F.sqrt(na) * F.sqrt(nb)) >= SEMDEDUP_TAU)
+        .select(F.col("id_b").alias("prune_id"))
+        .distinct()
+    )
+    return (
+        assign.select("vec_id", "centroid_id")
+        .join(pruned, assign.vec_id == pruned.prune_id, "left")
+        .select(
+            "vec_id", "centroid_id",
+            F.col("prune_id").isNotNull().cast("int").alias("is_pruned"),
+        )
+    )

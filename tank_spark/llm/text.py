@@ -521,3 +521,70 @@ def rare_word_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rare_permille"),
         )
     )
+
+
+@register(
+    "gopher_quality_rules",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             {_n_matches_sql("lower(text)", _WORD)} AS n_words,
+             len(list_distinct(regexp_extract_all(lower(text), '{_WORD}')))
+               AS n_distinct,
+             CAST(LENGTH(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                  AS BIGINT) AS word_chars,
+             {_n_matches_sql("lower(text)", _EN_STOP)} AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_words,
+           CAST(word_chars AS DOUBLE) / GREATEST(n_words, 1) AS mean_word_len,
+           CAST(n_words - n_distinct AS DOUBLE) / GREATEST(n_words, 1)
+             AS dup_word_frac,
+           n_stop,
+           CAST(n_words >= 20 AS INTEGER) AS ok_min_words,
+           CAST(CAST(word_chars AS DOUBLE) / GREATEST(n_words, 1)
+                BETWEEN 2 AND 10 AS INTEGER) AS ok_word_len,
+           CAST(CAST(n_words - n_distinct AS DOUBLE) / GREATEST(n_words, 1)
+                <= 0.8 AS INTEGER) AS ok_dup_words,
+           CAST(n_stop >= 2 AS INTEGER) AS ok_stopwords,
+           CAST(n_words >= 20
+                AND CAST(word_chars AS DOUBLE) / GREATEST(n_words, 1)
+                    BETWEEN 2 AND 10
+                AND CAST(n_words - n_distinct AS DOUBLE) / GREATEST(n_words, 1)
+                    <= 0.8
+                AND n_stop >= 2 AS INTEGER) AS passes
+    FROM s
+    """,
+    doc="Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1, "
+        "adapted thresholds): minimum word count, mean-word-length band, "
+        "duplicate-word fraction cap, minimum stopword count — per-rule "
+        "verdict columns plus the conjunction. Map-only column "
+        "expressions fused into the scan (no shuffle, no UDF); every "
+        "ratio is a division of exact integers so the DuckDB twin hashes "
+        "bit-identically. Complements text_quality_score (soft score) "
+        "with the hard-cutoff filter real pretraining pipelines apply "
+        "first.",
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    words = F.regexp_extract_all(low, F.lit(_WORD), F.lit(0))
+    n_words = F.size(words).cast("long")
+    n_distinct = F.size(F.array_distinct(words)).cast("long")
+    word_chars = F.length(F.regexp_replace(low, "[^a-z0-9]", "")).cast("long")
+    n_stop = _n_matches(low, _EN_STOP)
+    denom = F.greatest(n_words, F.lit(1))
+    mean_len = word_chars.cast("double") / denom
+    dup_frac = (n_words - n_distinct).cast("double") / denom
+    ok_min = (n_words >= 20).cast("int")
+    ok_len = ((mean_len >= 2) & (mean_len <= 10)).cast("int")
+    ok_dup = (dup_frac <= 0.8).cast("int")
+    ok_stop = (n_stop >= 2).cast("int")
+    return d.select(
+        "doc_id", n_words.alias("n_words"), mean_len.alias("mean_word_len"),
+        dup_frac.alias("dup_word_frac"), n_stop.alias("n_stop"),
+        ok_min.alias("ok_min_words"), ok_len.alias("ok_word_len"),
+        ok_dup.alias("ok_dup_words"), ok_stop.alias("ok_stopwords"),
+        ((n_words >= 20) & (mean_len >= 2) & (mean_len <= 10)
+         & (dup_frac <= 0.8) & (n_stop >= 2)).cast("int").alias("passes"),
+    )

@@ -79,11 +79,18 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # widening, dedup sig-cache laziness, mvt overview budget) stay in or
 # enter the window so the changes get hard driver signal.
 #
+# Round-4 mid-round adjustment: two queries whose code/oracle CHANGED in
+# round 4 enter for hard signal — tile_sample_overview (budget-derived
+# modulus, new in-plan count + new SQL oracle) and dedup_lsh_pairs_capped
+# (new skew-guard operator). Two r3-green unchanged entries rotate out to
+# make room (ivf_assignments, streaming_session_windows).
+#
 # Round-5 rotation queue (green r3, rotated out r4 — cycle back):
 # heatmap_z14, token_count_bpe, doc_rolling_hash, dedup_simhash,
 # embedding_norms, tumbling_hourly_counts, event_type_rates,
 # salted_user_event_counts, media_frame_sample, heatmap_mvt_z9 (out since
-# r2), then the 13 named above (out since r4).
+# r2), then the 13 named above plus ivf_assignments and
+# streaming_session_windows (out since r4).
 PRIORITY: tuple[str, ...] = (
     # reference core: tile read path (planner regimes + typed filters)
     "tile_z9_range", "tile_z13_single", "tile_z15_parent",
@@ -109,6 +116,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "lsh_recall_eval", "dedup_prefix_containment",
     "cross_source_duplication", "passage_dedup",
+    "dedup_lsh_pairs_capped",
     # corpus mixing (sampling + packing + hygiene + export ids + the two
     # r3-new planning entries, widened to DECIMAL this round)
     "sample_stratified_sources", "pack_token_budget",
@@ -116,16 +124,17 @@ PRIORITY: tuple[str, ...] = (
     "token_budget_planning", "temperature_mix_weights",
     # similarity / ANN (incl. r3-new embedding_sq_quantize)
     "neardup_embedding_clusters", "semantic_vs_lexical",
-    "ivf_assignments", "ivf_probe_search", "ivf_train_kmeans",
+    "ivf_probe_search", "ivf_train_kmeans",
     "embedding_sq_quantize",
     # events (batch) + the streaming twins (same code path as the
     # Structured Streaming operators, run as batch plans) + r3-new
     "event_value_outliers", "dedup_event_stream_replay",
-    "streaming_windowed_counts", "streaming_session_windows",
+    "streaming_windowed_counts",
     # multimodal (extract kernel gains the import-guarded real decode)
     "media_metadata", "media_extract_features",
-    # MVT pipeline (rows-only; overview budget policy changes this round)
-    "tile_mvt_batch",
+    # MVT pipeline (rows-only; overview budget policy changes this round,
+    # incl. the budget-derived tile_sample_overview modulus)
+    "tile_sample_overview", "tile_mvt_batch",
 )
 
 

@@ -48,3 +48,46 @@ def test_simhash64_dup_invariance(spark):
         assert codes[cid] == codes[cid - 1000000]
     originals = [codes[c] for c in codes if c < 1000000]
     assert len(set(originals)) > 0.9 * len(originals)
+
+
+def test_band_bucket_cap_drops_hot_buckets(spark, tmp_path):
+    """Skew guard: a boilerplate-dominated slice lands in mega band
+    buckets whose pair output is quadratic; with max_band_bucket the hot
+    buckets are dropped while pairs among normal docs are untouched."""
+    import pandas as pd
+
+    from tank_spark.llm.dedup import minhash_lsh_pairs
+
+    base = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    boiler = " ".join(f"boiler{w} lorem{w} ipsum{w} dolor{w}"
+                      for w in range(15))
+    hot = base["doc_id"] < 80
+    base.loc[hot, "text"] = [
+        f"{boiler} tlu{d} tlv{d} tlw{d} tlx{d}"
+        for d in base.loc[hot, "doc_id"]
+    ]
+    base["n_chars"] = base["text"].str.len()
+    d = tmp_path / "skew"
+    d.mkdir()
+    base.to_parquet(d / "documents.parquet", index=False)
+
+    def pair_sets(cap):
+        df = minhash_lsh_pairs(spark, str(d), max_band_bucket=cap)
+        return {(r["cid_a"], r["cid_b"]) for r in df.collect()}
+
+    def is_hot(cid):
+        return (cid % 1000000) < 80  # +1e6 = the upper-cased corpus twin
+
+    uncapped = pair_sets(None)
+    capped = pair_sets(50)
+    hot_un = {p for p in uncapped if is_hot(p[0]) and is_hot(p[1])}
+    hot_cap = {p for p in capped if is_hot(p[0]) and is_hot(p[1])}
+
+    # ~120 hot docs (80 + 40 upper twins) -> thousands of quadratic pairs
+    assert len(hot_un) > 2000
+    # the cap removes the mega buckets (a few sub-cap stragglers may stay)
+    assert len(hot_cap) < len(hot_un) / 5
+    # pairs among NORMAL docs are identical — the guard is surgical
+    assert (uncapped - hot_un) == (capped - hot_cap)

@@ -9,7 +9,15 @@ copy suffix) so the dedup operators see K independent sub-corpora —
 runtime then measures input-size scaling, not an artificial explosion of
 duplicate pairs.
 
-Usage: python tools/make_scale10.py [K] [OUT_DIR] [SRC_DIR]
+With HOT_PCT > 0, that percent of the scaled documents become BOILERPLATE:
+half exact copies of one fixed text (a hot dedup_exact fingerprint), half
+the same boilerplate plus a short unique tail (hot MinHash band buckets —
+the minima are dominated by the shared shingles, so the docs land in the
+same LSH buckets without being exact copies). This is the skew corpus for
+tools/skew_probe.py: constant-density salting elsewhere keeps the rest of
+the corpus duplicate-free, so any blowup is attributable to the hot slice.
+
+Usage: python tools/make_scale10.py [K] [OUT_DIR] [SRC_DIR] [HOT_PCT]
 """
 
 from __future__ import annotations
@@ -21,6 +29,7 @@ def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale10"
     src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    hot_pct = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -75,12 +84,30 @@ def main() -> None:
     }), "orders")
     wr(copies(li, {"l_orderkey": lambda i: F.col("l_orderkey") + i * s_ord}),
        "lineitem", parts=16)
-    wr(copies(docs, {
+    docs_scaled = copies(docs, {
         "doc_id": lambda i: F.col("doc_id") + i * s_doc,
         # salt every word with the copy index: sub-corpora share no
         # shingles, so dedup scales with input size, not dup density
         "text": lambda i: F.regexp_replace("text", r"(\S+)", f"$1c{i}"),
-    }), "documents")
+    })
+    if hot_pct:
+        boiler = " ".join(
+            f"boiler{w} lorem{w} ipsum{w} dolor{w}" for w in range(15)
+        )  # 60 shared words -> shared shingle minima -> hot LSH bands
+        tail = F.concat_ws(" ", *[
+            F.concat(F.lit(f"tl{j}u"), F.col("doc_id").cast("string"))
+            for j in range(4)
+        ])
+        docs_scaled = docs_scaled.withColumn(
+            "text",
+            # half the hot slice: EXACT copies (hot dedup_exact group)
+            F.when(F.col("doc_id") % 200 < hot_pct, F.lit(boiler))
+            # other half: boilerplate + unique tail (hot LSH buckets only)
+            .when(F.col("doc_id") % 100 < hot_pct,
+                  F.concat_ws(" ", F.lit(boiler), tail))
+            .otherwise(F.col("text")),
+        )
+    wr(docs_scaled, "documents")
     wr(copies(emb, {"vec_id": lambda i: F.col("vec_id") + i * s_vec}),
        "embeddings")
     wr(copies(ev, {
