@@ -79,18 +79,21 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # widening, dedup sig-cache laziness, mvt overview budget) stay in or
 # enter the window so the changes get hard driver signal.
 #
-# Round-4 mid-round adjustment: two queries whose code/oracle CHANGED in
-# round 4 enter for hard signal — tile_sample_overview (budget-derived
-# modulus, new in-plan count + new SQL oracle) and dedup_lsh_pairs_capped
-# (new skew-guard operator). Two r3-green unchanged entries rotate out to
-# make room (ivf_assignments, streaming_session_windows).
+# Round-4 mid-round adjustment: four queries whose code/oracle is NEW or
+# CHANGED in round 4 enter for hard signal — tile_sample_overview
+# (budget-derived modulus, new in-plan count + new SQL oracle),
+# dedup_lsh_pairs_capped (new skew-guard operator), semdedup_prune (new),
+# gopher_quality_rules (new). Four r3-green unchanged entries rotate out
+# to make room (ivf_assignments, streaming_session_windows,
+# streaming_windowed_counts, media_metadata).
 #
 # Round-5 rotation queue (green r3, rotated out r4 — cycle back):
 # heatmap_z14, token_count_bpe, doc_rolling_hash, dedup_simhash,
 # embedding_norms, tumbling_hourly_counts, event_type_rates,
 # salted_user_event_counts, media_frame_sample, heatmap_mvt_z9 (out since
-# r2), then the 13 named above plus ivf_assignments and
-# streaming_session_windows (out since r4).
+# r2), then the 13 named above plus ivf_assignments,
+# streaming_session_windows, streaming_windowed_counts, and
+# media_metadata (out since r4).
 PRIORITY: tuple[str, ...] = (
     # reference core: tile read path (planner regimes + typed filters)
     "tile_z9_range", "tile_z13_single", "tile_z15_parent",
@@ -108,7 +111,7 @@ PRIORITY: tuple[str, ...] = (
     # whose broadcast policy changes this round)
     "text_repetition_signals",
     "pii_detect_mask", "lang_id_confusion", "corpus_mix_report",
-    "rare_word_fraction",
+    "rare_word_fraction", "gopher_quality_rules",
     # dedup (pair generation -> cluster formation -> survivors; incl. the
     # four r3-new entries and the sig-cache laziness change)
     "dedup_exact", "dedup_exact_survivors", "dedup_minhash_signatures",
@@ -125,13 +128,11 @@ PRIORITY: tuple[str, ...] = (
     # similarity / ANN (incl. r3-new embedding_sq_quantize)
     "neardup_embedding_clusters", "semantic_vs_lexical",
     "ivf_probe_search", "ivf_train_kmeans",
-    "embedding_sq_quantize",
-    # events (batch) + the streaming twins (same code path as the
-    # Structured Streaming operators, run as batch plans) + r3-new
+    "embedding_sq_quantize", "semdedup_prune",
+    # events (batch) + r3-new
     "event_value_outliers", "dedup_event_stream_replay",
-    "streaming_windowed_counts",
     # multimodal (extract kernel gains the import-guarded real decode)
-    "media_metadata", "media_extract_features",
+    "media_extract_features",
     # MVT pipeline (rows-only; overview budget policy changes this round,
     # incl. the budget-derived tile_sample_overview modulus)
     "tile_sample_overview", "tile_mvt_batch",
