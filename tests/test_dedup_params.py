@@ -91,3 +91,21 @@ def test_band_bucket_cap_drops_hot_buckets(spark, tmp_path):
     assert len(hot_cap) < len(hot_un) / 5
     # pairs among NORMAL docs are identical — the guard is surgical
     assert (uncapped - hot_un) == (capped - hot_cap)
+
+
+def test_new_curation_ops_non_vacuous(spark):
+    """semdedup_prune and gopher_quality_rules must exercise both sides
+    of their cut at every SF (a threshold that prunes nothing checks
+    nothing — the round-2 vacuous-cut lesson)."""
+    from tests.conftest import SF_DIR
+
+    from tank_spark.plans.registry import load_all
+
+    reg = load_all()
+    sd = reg["semdedup_prune"].spark(spark, SF_DIR).groupBy("is_pruned").count()
+    counts = {r["is_pruned"]: r["count"] for r in sd.collect()}
+    assert counts.get(0, 0) > 0 and counts.get(1, 0) > 0
+
+    gq = reg["gopher_quality_rules"].spark(spark, SF_DIR).groupBy("passes").count()
+    counts = {r["passes"]: r["count"] for r in gq.collect()}
+    assert counts.get(0, 0) > 0 and counts.get(1, 0) > 0
