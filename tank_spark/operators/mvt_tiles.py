@@ -197,22 +197,42 @@ OVERVIEW_ZOOM = 9       # below this, serve a deterministic
                         # OVERVIEW_FEATURE_BUDGET-bounded sample (tiles.py)
 
 
+# per-(data-version, request-batch) memo of derived sampling moduli — a
+# tile server derives its sampling cube once per data version, not per
+# request; keyed like _DICT_CACHE (plan semanticHash + file fingerprint)
+# so in-session data regeneration can't serve stale moduli
+_MOD_CACHE: dict[tuple, list] = {}
+
+
 def overview_sample_mods(spark: SparkSession, feats: DataFrame,
                          ov_reqs: list[tuple[int, int, int]]) -> DataFrame:
     """One bounded count job (<= #requests result rows, hash-range-pruned
-    scan) -> per-tile deterministic sampling modulus ceil(n / budget).
-    Tiles matching zero features simply don't appear (they serve empty)."""
-    counts = (
-        _request_join(spark, feats, ov_reqs)
-        .groupBy("z", "x", "y").agg(F.count("*").alias("n")).collect()
+    scan, memoized per data version) -> per-tile deterministic sampling
+    modulus ceil(n / budget). Only over-budget tiles get a row (mod > 1);
+    tiles under budget and tiles matching zero features are absent and
+    serve unsampled. The budget applies at EVERY zoom: a fixed zoom
+    boundary cannot bound the blob as the table grows (at 100x the z9
+    tile is 3.7M features / 115 MB full-fidelity — measured; OOMs a
+    32-worker local run), while per-tile counts make every served tile
+    O(budget) by construction."""
+    key = (feats._jdf.queryExecution().analyzed().semanticHash(),
+           _input_fingerprint(feats), tuple(sorted(ov_reqs)),
+           OVERVIEW_FEATURE_BUDGET)
+    if key not in _MOD_CACHE:
+        counts = (
+            _request_join(spark, feats, ov_reqs)
+            .groupBy("z", "x", "y").agg(F.count("*").alias("n")).collect()
+        )
+        _MOD_CACHE[key] = [
+            (int(r["z"]), int(r["x"]), int(r["y"]),
+             (int(r["n"]) + OVERVIEW_FEATURE_BUDGET - 1)
+             // OVERVIEW_FEATURE_BUDGET)
+            for r in counts
+            if int(r["n"]) > OVERVIEW_FEATURE_BUDGET
+        ]
+    return spark.createDataFrame(
+        _MOD_CACHE[key], "z int, x int, y int, mod long"
     )
-    rows = [
-        (int(r["z"]), int(r["x"]), int(r["y"]),
-         max(1, (int(r["n"]) + OVERVIEW_FEATURE_BUDGET - 1)
-             // OVERVIEW_FEATURE_BUDGET))
-        for r in counts
-    ]
-    return spark.createDataFrame(rows, "z int, x int, y int, mod long")
 
 # stage-1 output: one packed columnar chunk per (tile, sub-group, arrow
 # batch) — the per-tile assembly group receives #batches compact rows, not
@@ -728,33 +748,37 @@ def mvt_tiles_for(
     no longer serializes the whole pipeline into one Python task (measured
     37s -> ~4s for the 600k-feature z7 tile at sf0.1).
 
-    ``overview_sampling``: tiles below OVERVIEW_ZOOM serve a deterministic
+    ``overview_sampling``: EVERY over-budget tile serves a deterministic
     per-tile-budgeted sample (materialized-sampling-cube policy, modulus =
-    ceil(count / OVERVIEW_FEATURE_BUDGET) so the blob is constant-size at
-    any table size) — at 100 TB an overview tile funnels the whole table
-    through one assembly group otherwise. Costs one bounded count job per
-    batch when overview requests are present.
+    ceil(count / OVERVIEW_FEATURE_BUDGET) over a hashed key, so the blob
+    is O(budget) at any table size and any zoom) — a fixed zoom boundary
+    cannot bound the blob as the table grows (measured: the z9 tile is
+    3.7M features / 115 MB at 100x). Tiles under budget serve exact full
+    fidelity (mod=1 — bit-identical to unsampled). Costs one bounded
+    count job per batch.
     """
     from tank_spark.util import ensure_workers_have_package
 
     ensure_workers_have_package(spark)
 
-    ov_reqs = ([r for r in requests if r[0] < OVERVIEW_ZOOM]
-               if overview_sampling else [])
-    mod_df = overview_sample_mods(spark, feats, ov_reqs) if ov_reqs else None
+    # budget pass: count every requested tile (one bounded job), sample
+    # only the over-budget ones; mod_df empty -> skip the filter (and its
+    # per-row md5) entirely
+    mod_df = None
+    if overview_sampling and requests:
+        mods = overview_sample_mods(spark, feats, requests)
+        mod_df = mods if mods.head(1) else None
 
     def encoded_stage(reqs: list[tuple[int, int, int]], n_sub: int):
         joined = _request_join(spark, feats, reqs).select(
             "z", "x", "y", "key", "geometry", *prop_cols
         )
         if mod_df is not None:
+            from tank_spark.operators.tiles import overview_keep_col
+
             joined = (
                 joined.join(F.broadcast(mod_df), ["z", "x", "y"], "left")
-                .filter(
-                    (F.col("z") >= OVERVIEW_ZOOM)
-                    | (F.col("key")
-                       % F.coalesce(F.col("mod"), F.lit(1)) == 0)
-                )
+                .filter(overview_keep_col(F.coalesce(F.col("mod"), F.lit(1))))
                 .drop("mod")
             )
         # spread the Python geometry work across every core (the cached
@@ -880,10 +904,11 @@ def mvt_tiles(
     doc="T1e-T1j: full tile pipeline (WKT decode, mercator project, "
         "buffered clip, integer transform, MVT encode) for the six default "
         "requests across all three planner regimes. applyInPandas kernel; "
-        "deterministic blobs (features sorted by key). Overview zooms "
-        "(z<9) serve the per-tile-budgeted deterministic sample "
-        "(mod=ceil(count/OVERVIEW_FEATURE_BUDGET)) — the sampling-cube "
-        "policy; full-fidelity encode stays available via mvt_tiles().",
+        "deterministic blobs (features sorted by key). Over-budget tiles "
+        "at ANY zoom serve the per-tile-budgeted deterministic sample "
+        "(mod=ceil(count/OVERVIEW_FEATURE_BUDGET), hashed key) — the "
+        "sampling-cube policy; under-budget tiles are bit-identical to "
+        "full fidelity; unsampled encode stays available via mvt_tiles().",
 )
 def tile_mvt_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mvt_tiles(spark, sf_dir, overview_sampling=True).drop("mvt")

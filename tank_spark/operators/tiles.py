@@ -32,10 +32,31 @@ from tank_spark.sources.features import FEATURES_CTE, HASH_LEVEL, features_df
 # so the served payload stays constant-size no matter how big the table
 # grows (a fixed `key % 20` sample scales the overview payload linearly
 # with the table — measured at 100x in SCALE.md before this policy).
-# 30k point features encode to ~1-2 MB of MVT; at sf0.1 (~600k features in
-# the z7 tile) this reproduces the former 5% sample exactly (mod=20), and
-# at 100x it self-scales to mod~2000.
+# 30k point features encode to ~1-2 MB of MVT.
 OVERVIEW_FEATURE_BUDGET = 30_000
+
+# The sample predicate hashes the key BEFORE the modulus: raw `key % mod`
+# correlates with key structure (the derived feature key is
+# l_orderkey*8 + l_linenumber with l_linenumber in 1..7, so key % 8 is
+# NEVER 0 — a mod divisible by 8 selected zero rows; found by the 10x
+# probe when the derived modulus hit 200). First 8 md5 hex chars of the
+# salted key -> uniform 32-bit int, identical in both engines (the
+# sample_stratified_sources idiom).
+_OV_SALT = "ov:"
+
+
+def overview_keep_col(mod) -> "F.Column":
+    h8 = F.substring(
+        F.md5(F.concat(F.lit(_OV_SALT), F.col("key").cast("string"))), 1, 8
+    )
+    return F.conv(h8, 16, 10).cast("bigint") % mod == 0
+
+
+def overview_keep_sql(mod_expr: str) -> str:
+    return (
+        f"('0x' || substr(md5('{_OV_SALT}' || CAST(key AS VARCHAR)), 1, 8))"
+        f"::UBIGINT % ({mod_expr}) = 0"
+    )
 
 SERVE_COLUMNS = ("uid", "hash", "kind", "score", "cnt", "tag", "lon", "qty")
 
@@ -162,11 +183,13 @@ def _overview_oracle() -> str:
     B = OVERVIEW_FEATURE_BUDGET
     lo, hi = tile_hash_range(7, 20, 49)
     cols = ", ".join(SERVE_COLUMNS + ("key",))
+    mod = (
+        f"GREATEST(1, ((SELECT COUNT(*) FROM features "
+        f"WHERE hash BETWEEN {lo} AND {hi}) + {B - 1}) // {B})"
+    )
     return (
         f"{FEATURES_CTE} SELECT {cols} FROM features "
-        f"WHERE hash BETWEEN {lo} AND {hi} AND key % GREATEST(1, "
-        f"((SELECT COUNT(*) FROM features WHERE hash BETWEEN {lo} AND {hi})"
-        f" + {B - 1}) // {B}) = 0"
+        f"WHERE hash BETWEEN {lo} AND {hi} AND {overview_keep_sql(mod)}"
     )
 
 
@@ -192,6 +215,6 @@ def tile_sample_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         in_tile.join(F.broadcast(mod))
-        .filter(F.col("key") % F.col("mod") == 0)
+        .filter(overview_keep_col(F.col("mod")))
         .select(*SERVE_COLUMNS, "key")
     )

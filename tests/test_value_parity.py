@@ -89,15 +89,17 @@ def test_tile_mvt_blob_vs_duckdb(spark):
     con = duckdb_con(SF_DIR)
 
     def oracle_rows(z, x, y, sampled):
+        from tank_spark.operators.tiles import overview_keep_sql
+
         lo, hi = tile_hash_range(z, x, y)
         mod = ""
         if sampled:
-            mod = (
-                f" AND key % GREATEST(1, ((SELECT COUNT(*) FROM features "
+            mod_expr = (
+                f"GREATEST(1, ((SELECT COUNT(*) FROM features "
                 f"WHERE hash BETWEEN {lo} AND {hi}) + "
-                f"{OVERVIEW_FEATURE_BUDGET - 1}) // {OVERVIEW_FEATURE_BUDGET}"
-                f") = 0"
+                f"{OVERVIEW_FEATURE_BUDGET - 1}) // {OVERVIEW_FEATURE_BUDGET})"
             )
+            mod = f" AND {overview_keep_sql(mod_expr)}"
         return {
             r[0]: (r[1], r[2], r[3])
             for r in con.execute(
