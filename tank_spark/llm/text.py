@@ -588,3 +588,62 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((n_words >= 20) & (mean_len >= 2) & (mean_len <= 10)
          & (dup_frac <= 0.8) & (n_stop >= 2)).cast("int").alias("passes"),
     )
+
+
+# Context-window chunking: CHUNK-word windows every STRIDE words (the
+# overlap keeps sentences that straddle a boundary learnable in at least
+# one chunk — standard pretraining practice).
+CHUNK_WORDS = 64
+CHUNK_STRIDE = 56
+
+
+@register(
+    "chunk_documents",
+    f"""
+    WITH w AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{_WORD}') AS words
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           array_to_string(words[start : LEAST(start + {CHUNK_WORDS} - 1,
+                                               len(words))], ' ')
+             AS chunk_text,
+           CAST(LEAST(start + {CHUNK_WORDS} - 1, len(words)) - start + 1
+                AS BIGINT) AS n_tokens
+    FROM w, UNNEST(generate_series(1, GREATEST(len(words), 1),
+                                   {CHUNK_STRIDE})) AS t(start)
+    WHERE len(words) > 0
+    """,
+    doc=f"Context-window chunking for training: {CHUNK_WORDS}-word chunks "
+        f"every {CHUNK_STRIDE} words ({CHUNK_WORDS - CHUNK_STRIDE}-word "
+        "overlap so boundary-straddling text is learnable in one chunk). "
+        "One projection per doc — the chunk starts come from a sequence() "
+        "posexplode, the chunk text from an array slice; no self-join, no "
+        "UDF, map-only before the explode. At 100 TB this is the shape "
+        "that matters: chunking must not shuffle the corpus (it doesn't — "
+        "the explode is pipelined into the scan) and the output carries "
+        "(doc_id, chunk_id) so downstream packing/shuffling keys on it.",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD), F.lit(0))
+    w = d.select("doc_id", words.alias("words")).filter(F.size("words") > 0)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("words"), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    exploded = w.select(
+        "doc_id", "words", F.explode(starts).alias("start")
+    )
+    end = F.least(
+        F.col("start") + CHUNK_WORDS - 1, F.size("words")
+    )
+    n_tok = (end - F.col("start") + 1).cast("long")
+    return exploded.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.array_join(
+            F.slice(F.col("words"), F.col("start"), n_tok), " "
+        ).alias("chunk_text"),
+        n_tok.alias("n_tokens"),
+    )

@@ -79,13 +79,14 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # widening, dedup sig-cache laziness, mvt overview budget) stay in or
 # enter the window so the changes get hard driver signal.
 #
-# Round-4 mid-round adjustment: four queries whose code/oracle is NEW or
+# Round-4 mid-round adjustment: five queries whose code/oracle is NEW or
 # CHANGED in round 4 enter for hard signal — tile_sample_overview
-# (budget-derived modulus, new in-plan count + new SQL oracle),
+# (budget-derived hashed modulus, new in-plan count + new SQL oracle),
 # dedup_lsh_pairs_capped (new skew-guard operator), semdedup_prune (new),
-# gopher_quality_rules (new). Four r3-green unchanged entries rotate out
-# to make room (ivf_assignments, streaming_session_windows,
-# streaming_windowed_counts, media_metadata).
+# gopher_quality_rules (new), chunk_documents (new). Five r3-green
+# unchanged entries rotate out to make room (ivf_assignments,
+# streaming_session_windows, streaming_windowed_counts, media_metadata,
+# dedup_ngram_jaccard).
 #
 # Round-5 rotation queue (green r3, rotated out r4 — cycle back):
 # heatmap_z14, token_count_bpe, doc_rolling_hash, dedup_simhash,
@@ -111,12 +112,11 @@ PRIORITY: tuple[str, ...] = (
     # whose broadcast policy changes this round)
     "text_repetition_signals",
     "pii_detect_mask", "lang_id_confusion", "corpus_mix_report",
-    "rare_word_fraction", "gopher_quality_rules",
+    "rare_word_fraction", "gopher_quality_rules", "chunk_documents",
     # dedup (pair generation -> cluster formation -> survivors; incl. the
     # four r3-new entries and the sig-cache laziness change)
     "dedup_exact", "dedup_exact_survivors", "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs", "dedup_lsh_clusters", "dedup_lsh_survivors",
-    "dedup_ngram_jaccard",
     "lsh_recall_eval", "dedup_prefix_containment",
     "cross_source_duplication", "passage_dedup",
     "dedup_lsh_pairs_capped",

@@ -25,7 +25,9 @@ PROBES = [
     "tile_mvt_batch",
     # llm pipeline
     "dedup_exact", "dedup_minhash_lsh_pairs", "dedup_minhash_lsh_pairs_k128",
+    "dedup_lsh_pairs_capped",
     "passage_dedup", "rare_word_fraction", "text_repetition_signals",
+    "gopher_quality_rules", "chunk_documents", "semdedup_prune",
     "sample_stratified_sources", "pack_token_budget", "token_count_bpe",
     "knn_brute_cosine", "ivf_probe_search", "embedding_sq_quantize",
     "sessionize_events", "event_value_outliers",
