@@ -694,3 +694,65 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prune_id").isNotNull().cast("int").alias("is_pruned"),
         )
     )
+
+
+# ------------------------------------------ cluster-balanced sampling
+
+BALANCED_PER_CLUSTER = 40
+
+
+@register(
+    "cluster_balanced_sample",
+    f"""
+    WITH {_ivf_assign_sql()},
+    scored AS (
+      SELECT a.vec_id, a.centroid_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.centroid_id
+               ORDER BY -2 * {_dot_sql("e.embedding", "c.embedding")}
+                        + {_dot_sql("c.embedding", "c.embedding")}, a.vec_id
+             ) AS rn
+      FROM assign a
+      JOIN embeddings e ON e.vec_id = a.vec_id
+      JOIN embeddings c ON c.vec_id = a.centroid_id
+    )
+    SELECT vec_id, centroid_id, CAST(rn AS BIGINT) AS rn
+    FROM scored WHERE rn <= {BALANCED_PER_CLUSTER}
+    """,
+    doc=f"Cluster-balanced subset selection: keep the "
+        f"{BALANCED_PER_CLUSTER} vectors closest to their coarse centroid "
+        "in every cluster — the balanced-sampling step of DoReMi/"
+        "cluster-resampling pipelines (no cluster dominates the training "
+        "subset no matter how skewed the corpus). Assignment is the "
+        "broadcast IVF quantizer; ranking is one window per cluster whose "
+        "partitions are cluster-sized (bounded by the balance itself at "
+        "the output, and by cluster size at the shuffle — a mega-cluster "
+        "takes the same cap treatment as a hot LSH band). Distances are "
+        "exact folds, so the selection matches DuckDB exactly.",
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    dot = _dot_cols(F.col("embedding"), F.col("c_emb"))
+    n_c = _dot_cols(F.col("c_emb"), F.col("c_emb"))
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id", "centroid_id", (-2 * dot + n_c).alias("score")
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.min_by(
+            F.struct("centroid_id", "score"), F.struct("score", "centroid_id")
+        ).alias("best")
+    ).select(
+        "vec_id", F.col("best.centroid_id").alias("centroid_id"),
+        F.col("best.score").alias("score"),
+    )
+    w = Window.partitionBy("centroid_id").orderBy("score", "vec_id")
+    return (
+        assign.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= BALANCED_PER_CLUSTER)
+        .select("vec_id", "centroid_id", "rn")
+    )

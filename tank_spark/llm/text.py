@@ -647,3 +647,46 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chunk_text"),
         n_tok.alias("n_tokens"),
     )
+
+
+TOP_BIGRAMS_K = 30
+
+
+@register(
+    "top_bigrams",
+    f"""
+    WITH w AS (
+      SELECT regexp_extract_all(lower(text), '{_WORD}') AS ws FROM documents
+    ),
+    bg AS (
+      SELECT ws[j] || ' ' || ws[j + 1] AS bigram
+      FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(j)
+      WHERE len(ws) >= 2
+    )
+    SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT {TOP_BIGRAMS_K}
+    """,
+    doc=f"Corpus-wide top-{TOP_BIGRAMS_K} bigrams — the first BPE-style "
+        "merge candidates and the cheapest boilerplate detector (a "
+        "bigram whose count approaches the doc count IS boilerplate). "
+        "Bigrams form in one projection (adjacent-pair transform, no "
+        "self-join); the count is a map-side-combined groupBy and the "
+        "top-K is a TakeOrdered, so the shuffle carries one row per "
+        "distinct bigram per partition, never the corpus.",
+)
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD), F.lit(0))
+    bigrams = F.expr(
+        "transform(sequence(1, size(ws) - 1), "
+        "j -> concat(ws[j - 1], ' ', ws[j]))"
+    )
+    return (
+        d.select(ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(TOP_BIGRAMS_K)
+    )
