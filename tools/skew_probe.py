@@ -19,9 +19,10 @@ import time
 
 PROBES = [
     "dedup_exact",
-    "dedup_minhash_lsh_pairs",
-    "dedup_lsh_pairs_capped",
-    "dedup_lsh_clusters",
+    "dedup_lsh_pairs_uncapped",   # the measured hazard (pre-r5 default)
+    "dedup_minhash_lsh_pairs",    # r5 default = capped
+    "dedup_lsh_clusters_uncapped",
+    "dedup_lsh_clusters",         # r5 default = capped
 ]
 
 
