@@ -190,14 +190,18 @@ class Tank:
         geometry stage -> per-tile assembly), with this layer's DECLARED
         attribute schema as the MVT properties — the bulk/seed companion
         to the single-tile ``tile_mvt``. Returns one row per request
-        (z, x, y, n_features, mvt_size, mvt_md5, mvt).
+        (z, x, y, n_features, mvt_size, mvt_md5, mvt, sample_mod).
 
-        SERVING POLICY (default): zooms below OVERVIEW_ZOOM serve the
-        per-tile-budgeted deterministic sample — a full-fidelity overview
-        blob grows linearly with the table and blows the MVT format's
-        practical ceiling at 100 TB (SCALE.md). Pass
-        ``overview_sampling=False`` for strict reference parity /
-        full-fidelity rendering at every zoom."""
+        SERVING POLICY (default): EVERY over-budget tile — at any zoom —
+        serves a deterministic per-tile-budgeted sample (modulus =
+        ceil(count / OVERVIEW_FEATURE_BUDGET) over a hashed key); tiles
+        under budget serve bit-identical full fidelity. A fixed zoom
+        boundary cannot bound the blob as the table grows (measured: the
+        z9 tile is 3.7M features / 115 MB at 100x — SCALE.md), so the
+        budget, not the zoom, is the policy. The applied modulus is
+        emitted as the ``sample_mod`` column (1 = exact tile), so callers
+        can detect sampled blobs. Pass ``overview_sampling=False`` for
+        strict reference parity / full-fidelity rendering at every zoom."""
         from tank_spark.operators.mvt_tiles import mvt_tiles_for
 
         attr_cols = tuple(

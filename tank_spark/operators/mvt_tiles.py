@@ -193,14 +193,44 @@ def _project_geom(gtype: str, coords):
     ]
 
 
-OVERVIEW_ZOOM = 9       # below this, serve a deterministic
-                        # OVERVIEW_FEATURE_BUDGET-bounded sample (tiles.py)
+OVERVIEW_ZOOM = 9       # tree-path routing boundary ONLY: UNSAMPLED tiles
+                        # below this zoom funnel the whole table into one
+                        # assembly group and go through the merge tree.
+                        # Sampling itself is NOT zoom-gated — the per-tile
+                        # feature budget applies at EVERY zoom (see
+                        # overview_sample_mods / mvt_tiles_for docstrings).
+
+
+# Driver-side memo bound shared by _MOD_CACHE/_DICT_CACHE: both key on
+# (plan, data fingerprint, request batch), so a long-lived tile server
+# receiving varied request batches would otherwise grow them for the app
+# lifetime (ADVICE r4). Values are small driver lists/tuples — the bound
+# is about unbounded GROWTH, not size per entry; LRU keeps the hot
+# data-version/request-batch combinations resident.
+MEMO_CAP = 128
+_MEMO_MISS = object()
+
+
+def _memo_get(cache: dict, key):
+    """LRU lookup: a hit is moved to the insertion-order tail (= most
+    recently used under _memo_put's evict-from-head policy)."""
+    val = cache.pop(key, _MEMO_MISS)
+    if val is not _MEMO_MISS:
+        cache[key] = val
+    return val
+
+
+def _memo_put(cache: dict, key, value, cap: int = MEMO_CAP):
+    cache[key] = value
+    while len(cache) > cap:
+        cache.pop(next(iter(cache)))  # evict least-recently-used head
+    return value
 
 
 # per-(data-version, request-batch) memo of derived sampling moduli — a
 # tile server derives its sampling cube once per data version, not per
 # request; keyed like _DICT_CACHE (plan semanticHash + file fingerprint)
-# so in-session data regeneration can't serve stale moduli
+# so in-session data regeneration can't serve stale moduli; LRU-bounded
 _MOD_CACHE: dict[tuple, list] = {}
 
 
@@ -218,20 +248,21 @@ def overview_sample_mods(spark: SparkSession, feats: DataFrame,
     key = (feats._jdf.queryExecution().analyzed().semanticHash(),
            _input_fingerprint(feats), tuple(sorted(ov_reqs)),
            OVERVIEW_FEATURE_BUDGET)
-    if key not in _MOD_CACHE:
+    mods = _memo_get(_MOD_CACHE, key)
+    if mods is _MEMO_MISS:
         counts = (
             _request_join(spark, feats, ov_reqs)
             .groupBy("z", "x", "y").agg(F.count("*").alias("n")).collect()
         )
-        _MOD_CACHE[key] = [
+        mods = _memo_put(_MOD_CACHE, key, [
             (int(r["z"]), int(r["x"]), int(r["y"]),
              (int(r["n"]) + OVERVIEW_FEATURE_BUDGET - 1)
              // OVERVIEW_FEATURE_BUDGET)
             for r in counts
             if int(r["n"]) > OVERVIEW_FEATURE_BUDGET
-        ]
+        ])
     return spark.createDataFrame(
-        _MOD_CACHE[key], "z int, x int, y int, mod long"
+        mods, "z int, x int, y int, mod long"
     )
 
 # stage-1 output: one packed columnar chunk per (tile, sub-group, arrow
@@ -639,8 +670,9 @@ def _collect_global_dicts(joined: DataFrame, prop_cols: tuple[str, ...],
            joined._jdf.queryExecution().analyzed().semanticHash(),
            _input_fingerprint(joined),
            prop_cols, cap)
-    if key in _DICT_CACHE:
-        return _DICT_CACHE[key]
+    hit = _memo_get(_DICT_CACHE, key)
+    if hit is not _MEMO_MISS:
+        return hit
     row = joined.agg(
         *[F.slice(F.sort_array(F.collect_set(c)), 1, cap + 1).alias(c)
           for c in prop_cols],
@@ -658,8 +690,7 @@ def _collect_global_dicts(joined: DataFrame, prop_cols: tuple[str, ...],
         dicts[c] = vals            # sort_array already ordered them
     kmin = 0 if row["_kmin"] is None else int(row["_kmin"])
     span = max((0 if row["_kmax"] is None else int(row["_kmax"])) - kmin + 1, 1)
-    _DICT_CACHE[key] = (dicts, kmin, span)
-    return _DICT_CACHE[key]
+    return _memo_put(_DICT_CACHE, key, (dicts, kmin, span))
 
 
 def _dict_values_array(vals: list):
@@ -879,6 +910,17 @@ def mvt_tiles_for(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
+    # surface the applied sampling modulus (1 = exact tile) so API
+    # consumers can detect lossy blobs (ADVICE r4); broadcast join on a
+    # <= #requests-row frame, so this costs nothing at scale
+    if mod_df is not None:
+        out = (
+            out.join(F.broadcast(mod_df), ["z", "x", "y"], "left")
+            .withColumn("sample_mod", F.coalesce(F.col("mod"), F.lit(1)))
+            .drop("mod")
+        )
+    else:
+        out = out.withColumn("sample_mod", F.lit(1).cast("long"))
     return out
 
 

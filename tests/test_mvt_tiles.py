@@ -285,3 +285,30 @@ def test_overview_budget_bounds_features(spark, monkeypatch):
     ref = mt.mvt_tiles(spark, SF_DIR,
                        requests=[(13, 1281, 3137)]).collect()[0]
     assert full["mvt_md5"] == ref["mvt_md5"]
+
+
+def test_memo_caches_are_lru_bounded():
+    """_MOD_CACHE/_DICT_CACHE memo helper: a long-lived tile server over
+    many (data version, request batch) keys must not grow the driver-side
+    memos without bound — entries evict LRU at MEMO_CAP (ADVICE r4)."""
+    from tank_spark.operators.mvt_tiles import _MEMO_MISS, _memo_get, _memo_put
+
+    cache: dict = {}
+    for i in range(5):
+        _memo_put(cache, i, [i], cap=3)
+    assert len(cache) == 3
+    assert _memo_get(cache, 0) is _MEMO_MISS  # oldest evicted
+    assert _memo_get(cache, 1) is _MEMO_MISS
+    assert _memo_get(cache, 2) == [2]
+
+    # a hit refreshes recency: touch 2, insert two more -> 3/4 evict, 2 stays
+    _memo_put(cache, 5, [5], cap=3)
+    _memo_get(cache, 2)
+    _memo_put(cache, 6, [6], cap=3)
+    assert _memo_get(cache, 3) is _MEMO_MISS
+    assert _memo_get(cache, 2) == [2]
+    assert _memo_get(cache, 6) == [6]
+
+    # falsy values are legitimate cache entries, not misses
+    _memo_put(cache, "empty", [], cap=3)
+    assert _memo_get(cache, "empty") == []
