@@ -72,8 +72,19 @@ def main() -> None:
     # listing costs don't land on the first measured query
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # CONTENTION GUARD (round-5, after BENCH_r04 was recorded on a loaded
+    # machine and overstated runtime ~1.9x): record the 1-min load average
+    # around the run, and for any query whose min..max spread exceeds
+    # NOISE_RATIO re-run up to EXTRA_RUNS more times and take the median
+    # of everything measured — a genuinely-regressed query stays slow
+    # across re-runs; scheduler/GC noise collapses back to the true level.
+    NOISE_RATIO = 2.0
+    EXTRA_RUNS = 3
+    load_before = os.getloadavg()[0]
+
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    noisy: list[str] = []
     for name in HEADLINE:
         q = registry[name]
         # one untimed warm-up run (codegen/JIT compilation, file listing,
@@ -87,11 +98,18 @@ def main() -> None:
             t0 = time.perf_counter()
             q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
             runs.append(time.perf_counter() - t0)
+        if max(runs) / max(min(runs), 1e-9) > NOISE_RATIO:
+            noisy.append(name)
+            for _ in range(EXTRA_RUNS):
+                t0 = time.perf_counter()
+                q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                runs.append(time.perf_counter() - t0)
         runs.sort()
-        times[name] = round(runs[1], 3)
+        times[name] = round(runs[len(runs) // 2], 3)
         spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
         print(f"# {name}: {times[name]:.3f}s "
-              f"(spread {runs[0]:.3f}-{runs[-1]:.3f})", file=sys.stderr)
+              f"(spread {runs[0]:.3f}-{runs[-1]:.3f}, n={len(runs)})",
+              file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     print(json.dumps({
@@ -100,6 +118,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "spread": spread,
+        "noisy_reran": noisy,
+        "loadavg_1m": [round(load_before, 2), round(os.getloadavg()[0], 2)],
         "sf": sf,
     }))
     spark.stop()

@@ -276,6 +276,15 @@ GEOM_STAGE_SCHEMA = "z int, x int, y int, sub int, chunk binary"
 # runs as NSUB parallel sub-merge tasks instead of one assembly task
 NSUB = 16
 
+# Assembly routing for SAMPLED overview tiles (budget-bounded, so tile
+# size is O(OVERVIEW_FEATURE_BUDGET) regardless of table size): measured
+# at the default 30k budget on sf0.1, direct single-task assembly serves
+# the sampled z7 tile faster than the dictionary tree (the tree adds a
+# stats job + a sub-merge shuffle that a 30k-feature tile can't amortize;
+# numbers in SCALE.md §assembly-routing). Flip to True only for budgets
+# large enough (~>=100k features) that one assembly task dominates.
+ROUTE_SAMPLED_TREE = False
+
 
 def range_sub_assign(bkeys, kmin: int, span: int, n_sub: int):
     """Contiguous-range sub-group assignment for the merge tree, ordering-
@@ -800,18 +809,21 @@ def mvt_tiles_for(
         mods = overview_sample_mods(spark, feats, requests)
         mod_df = mods if mods.head(1) else None
 
-    def encoded_stage(reqs: list[tuple[int, int, int]], n_sub: int):
-        joined = _request_join(spark, feats, reqs).select(
-            "z", "x", "y", "key", "geometry", *prop_cols
-        )
-        if mod_df is not None:
-            from tank_spark.operators.tiles import overview_keep_col
+    def sample_filter(joined: DataFrame) -> DataFrame:
+        if mod_df is None:
+            return joined
+        from tank_spark.operators.tiles import overview_keep_col
 
-            joined = (
-                joined.join(F.broadcast(mod_df), ["z", "x", "y"], "left")
-                .filter(overview_keep_col(F.coalesce(F.col("mod"), F.lit(1))))
-                .drop("mod")
-            )
+        return (
+            joined.join(F.broadcast(mod_df), ["z", "x", "y"], "left")
+            .filter(overview_keep_col(F.coalesce(F.col("mod"), F.lit(1))))
+            .drop("mod")
+        )
+
+    def encoded_stage(reqs: list[tuple[int, int, int]], n_sub: int):
+        joined = sample_filter(_request_join(spark, feats, reqs).select(
+            "z", "x", "y", "key", "geometry", *prop_cols
+        ))
         # spread the Python geometry work across every core (the cached
         # table uses fewer, fatter partitions) and break any per-band skew
         # — a cheap round-robin shuffle of narrow rows buys full map
@@ -837,10 +849,16 @@ def mvt_tiles_for(
     # FULL-FIDELITY overview tiles (z < OVERVIEW_ZOOM, unsampled) funnel
     # every feature into one tile group — route them through the sub-tile
     # merge tree so per-feature work runs NSUB-way parallel and the final
-    # task does O(blob) work. Everything else (normal zooms, sampled
-    # overviews) keeps the cheaper direct two-stage shape.
-    tree_reqs = ([] if overview_sampling
-                 else [r for r in requests if r[0] < OVERVIEW_ZOOM])
+    # task does O(blob) work. SAMPLED overview tiles are O(budget) by
+    # construction and take the direct shape by default — measured at the
+    # 30k budget the direct path beats the tree (the tree's extra stats
+    # job + sub-merge shuffle outweighs single-task assembly of a
+    # budget-bounded tile; numbers in SCALE.md). ROUTE_SAMPLED_TREE flips
+    # sampled overview tiles onto the tree for budgets large enough that
+    # single-task assembly dominates again (the tree branch applies the
+    # same sampling filter, so blobs are identical either way).
+    tree_reqs = [r for r in requests if r[0] < OVERVIEW_ZOOM
+                 and (not overview_sampling or ROUTE_SAMPLED_TREE)]
     direct_reqs = [r for r in requests if r not in tree_reqs]
 
     parts = []
@@ -856,9 +874,9 @@ def mvt_tiles_for(
         # dictionaries (bounded distinct values, checked), frame every
         # feature in the parallel sub-merges, concat-only final task.
         # Range (not modulo) sub fan-out keeps sub order == key order.
-        joined = _request_join(spark, feats, tree_reqs).select(
+        joined = sample_filter(_request_join(spark, feats, tree_reqs).select(
             "z", "x", "y", "key", "geometry", *prop_cols
-        )
+        ))
         dicts, kmin, span = _collect_global_dicts(joined, prop_cols, DICT_CAP)
         if dicts is not None:
             geom = (

@@ -312,3 +312,26 @@ def test_memo_caches_are_lru_bounded():
     # falsy values are legitimate cache entries, not misses
     _memo_put(cache, "empty", [], cap=3)
     assert _memo_get(cache, "empty") == []
+
+
+def test_sampled_tree_routing_equivalent(spark, monkeypatch):
+    """ROUTE_SAMPLED_TREE flips sampled overview tiles onto the merge
+    tree; the tree branch applies the same sampling filter, so the blob
+    must be bit-identical to the default direct route (the routing choice
+    is purely a performance decision — measured in SCALE.md)."""
+    from tank_spark.operators import mvt_tiles as mt
+
+    monkeypatch.setattr(mt, "OVERVIEW_FEATURE_BUDGET", 200)
+    req = [(7, 20, 49), (13, 1281, 3137)]
+
+    monkeypatch.setattr(mt, "ROUTE_SAMPLED_TREE", False)
+    direct = {(r["z"], r["x"], r["y"]): (r["n_features"], r["mvt_md5"], r["sample_mod"])
+              for r in mt.mvt_tiles(spark, SF_DIR, requests=req,
+                                    overview_sampling=True).collect()}
+    monkeypatch.setattr(mt, "ROUTE_SAMPLED_TREE", True)
+    tree = {(r["z"], r["x"], r["y"]): (r["n_features"], r["mvt_md5"], r["sample_mod"])
+            for r in mt.mvt_tiles(spark, SF_DIR, requests=req,
+                                  overview_sampling=True).collect()}
+    assert direct == tree
+    assert direct[(7, 20, 49)][2] > 1       # the overview tile IS sampled
+    assert 0 < direct[(7, 20, 49)][0] <= 2 * 200
