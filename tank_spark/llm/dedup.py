@@ -284,6 +284,34 @@ def _sig_array(spark: SparkSession, sf_dir: str, k: int,
     return entry[1]
 
 
+def _lsh_candidates(sig: DataFrame,
+                    max_band_bucket: int | None) -> DataFrame:
+    """Band-bucket candidate pair generation shared by the Jaccard and
+    containment surfaces: posexplode per-band digests, optionally drop
+    oversized buckets (the skew cap, broadcast anti-join), same-bucket
+    self-join with cid_a < cid_b, distinct."""
+    bands = sig.select("cid", F.posexplode("bands")
+                       .alias("band_idx", "band_val"))
+    if max_band_bucket is not None:
+        oversized = (
+            bands.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_band_bucket)
+            .select("band_idx", "band_val")
+        )
+        bands = bands.join(
+            F.broadcast(oversized), ["band_idx", "band_val"], "left_anti"
+        )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.cid") < F.col("b.cid")))
+        .select(F.col("a.cid").alias("cid_a"), F.col("b.cid").alias("cid_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     spark: SparkSession, sf_dir: str,
     k: int = K, band_w: int = BAND_W, min_match_frac: float = 0.5,
@@ -315,26 +343,7 @@ def minhash_lsh_pairs(
     generated code regardless of K, where per-column h0..h127 plans
     compile K-term expressions (~60 s of janino at K=128)."""
     sig = _sig_array(spark, sf_dir, k, lanes, band_w)
-    bands = sig.select("cid", F.posexplode("bands")
-                       .alias("band_idx", "band_val"))
-    if max_band_bucket is not None:
-        oversized = (
-            bands.groupBy("band_idx", "band_val")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > max_band_bucket)
-            .select("band_idx", "band_val")
-        )
-        bands = bands.join(
-            F.broadcast(oversized), ["band_idx", "band_val"], "left_anti"
-        )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
-               & (F.col("a.band_val") == F.col("b.band_val"))
-               & (F.col("a.cid") < F.col("b.cid")))
-        .select(F.col("a.cid").alias("cid_a"), F.col("b.cid").alias("cid_b"))
-        .distinct()
-    )
+    cand = _lsh_candidates(sig, max_band_bucket)
     sa = sig.select(F.col("cid").alias("cid_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("cid").alias("cid_b"), F.col("sig").alias("sig_b"))
     agree = F.zip_with("sig_a", "sig_b", lambda x, y: x == y)
@@ -878,6 +887,89 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sa, "cid_a").join(sb, "cid_b")
         .filter(jac >= 0.05)
         .select("cid_a", "cid_b", jac.alias("jaccard"))
+    )
+
+
+# ----------------------------------------------------- containment
+
+CONTAINMENT_MIN = 0.8  # of the smaller shingle set
+
+
+@register(
+    "dedup_containment_pairs",
+    f"""
+    WITH {_CORPUS_CTE}, {_SHINGLES_SQL},
+    ds AS (SELECT DISTINCT cid, shingle FROM shingled),
+    keep AS (
+      SELECT shingle FROM ds GROUP BY shingle
+      HAVING COUNT(*) <= {LSH_BUCKET_CAP}
+    ),
+    kd AS (SELECT ds.cid, ds.shingle FROM ds JOIN keep USING (shingle)),
+    cand AS (
+      SELECT DISTINCT a.cid AS cid_a, b.cid AS cid_b
+      FROM kd a JOIN kd b ON a.shingle = b.shingle AND a.cid < b.cid
+    ),
+    ssz AS (SELECT cid, COUNT(*) AS n FROM ds GROUP BY cid),
+    inter AS (
+      SELECT c.cid_a, c.cid_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN ds a ON a.cid = c.cid_a
+      JOIN ds b ON b.cid = c.cid_b AND a.shingle = b.shingle
+      GROUP BY c.cid_a, c.cid_b
+    )
+    SELECT i.cid_a, i.cid_b, i.n_common,
+           CAST(i.n_common AS DOUBLE) / sa.n AS containment_a,
+           CAST(i.n_common AS DOUBLE) / sb.n AS containment_b
+    FROM inter i JOIN ssz sa ON i.cid_a = sa.cid JOIN ssz sb ON i.cid_b = sb.cid
+    WHERE i.n_common * 10 >= {int(CONTAINMENT_MIN * 10)} * LEAST(sa.n, sb.n)
+    """,
+    doc="ASYMMETRIC near-dup detection: shingle containment "
+        "|A intersect B| / |A| per direction — catches a short document "
+        "swallowed by a longer one, which BOTH symmetric Jaccard and "
+        "Jaccard-tuned LSH banding miss (the size gap crushes Jaccard "
+        "below the s-curve, so band minima rarely agree; value-tested). "
+        "Candidates come from an inverted-index shingle equi-join with "
+        f"hot shingles (df > {LSH_BUCKET_CAP}) excluded from BLOCKING "
+        "only — the true intersection is then recomputed over the FULL "
+        "shingle sets for candidate pairs, so scores are exact; a pair "
+        "sharing exclusively boilerplate shingles is the one case "
+        "dropped, the same trade as the LSH bucket cap. Threshold = "
+        "containment of the SMALLER set >= 0.8 as an integer "
+        "cross-multiplication (engine-exact cutoff).",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = _shingles_df(corpus_df(spark, sf_dir)).distinct()
+    keep = (
+        ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= LSH_BUCKET_CAP).select("shingle")
+    )
+    kd = ds.join(keep, "shingle")
+    cand = (
+        kd.alias("a").join(
+            kd.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.cid") < F.col("b.cid")))
+        .select(F.col("a.cid").alias("cid_a"), F.col("b.cid").alias("cid_b"))
+        .distinct()
+    )
+    sizes = ds.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    a = ds.select(F.col("cid").alias("cid_a"), "shingle")
+    b = ds.select(F.col("cid").alias("cid_b"), "shingle")
+    inter = (
+        cand.join(a, "cid_a").join(b, ["cid_b", "shingle"])
+        .groupBy("cid_a", "cid_b").agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("cid").alias("cid_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("cid").alias("cid_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "cid_a").join(sb, "cid_b")
+        .filter(F.col("n_common") * 10
+                >= int(CONTAINMENT_MIN * 10) * F.least("na", "nb"))
+        .select(
+            "cid_a", "cid_b", "n_common",
+            (F.col("n_common").cast("double") / F.col("na")).alias("containment_a"),
+            (F.col("n_common").cast("double") / F.col("nb")).alias("containment_b"),
+        )
     )
 
 

@@ -1,0 +1,210 @@
+"""Full-text search scoring over the ``documents`` table: BM25-family
+ranking and per-document distinctive-term extraction.
+
+Spark shape (the classic "search engine as a dataflow" decomposition):
+tokenization is a map-only explode; postings are filtered to the query
+vocabulary BEFORE any shuffle (broadcast ``isin`` on a tiny term list),
+so document frequencies, term frequencies, and the score join all run
+over #matching-postings rows — never the full token stream. Corpus-level
+scalars (N, avgdl) are 1-row aggregates crossJoined in (broadcast). At
+100 TB the heavy operand is the token explode, which stays fused into
+the parquet scan by whole-stage codegen; everything after the vocabulary
+filter is proportional to the postings of <=12 terms.
+
+Cross-engine exactness: the BM25 per-term score is computed in IEEE
+doubles (identical operation order in both engines -> identical bits),
+then quantized to a fixed-point BIGINT *before* the per-document sum —
+float summation order across terms is engine-dependent, integer
+summation is exact (the same ROUND(x * scale) -> BIGINT idiom as the
+relational revenue aggregates, operators/relational.py). The IDF uses
+the Robertson-Sparck-Jones RATIO (N - df + 0.5) / (df + 0.5) WITHOUT the
+log wrap: ln() is a transcendental whose last bits differ across libm
+implementations, which would break the driver's exact value hash; the
+ratio is rank-equivalent per term, and the log can be applied outside
+the engine where exactness doesn't gate. Documented as bm25_rank, not
+textbook BM25.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tank_spark.plans.registry import register
+from tank_spark.sources.tables import load
+
+_WORD = "[a-z0-9]+"
+
+# the benchmark query workload: small, fixed, broadcastable — stands in
+# for the query side of a search/retrieval pipeline
+BM25_QUERIES = [
+    (0, "hash join merge"),
+    (1, "window sort order"),
+    (2, "spark stream batch"),
+    (3, "vector scan filter"),
+]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+_SCALE = 1_000_000  # fixed-point quantum for the cross-term sum
+
+
+def _tokens(d: DataFrame) -> DataFrame:
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(_WORD), F.lit(0))
+        ).alias("word"),
+    )
+
+
+@register(
+    "bm25_rank_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_WORD}')) AS word
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    queries(qid, qtext) AS (VALUES {", ".join(f"({q}, '{t}')" for q, t in BM25_QUERIES)}),
+    qterms AS (
+      SELECT qid, unnest(string_split(qtext, ' ')) AS word FROM queries
+    ),
+    tf AS (
+      SELECT t.doc_id, t.word, COUNT(*) AS tf FROM toks t
+      JOIN (SELECT DISTINCT word FROM qterms) qt ON t.word = qt.word
+      GROUP BY t.doc_id, t.word
+    ),
+    df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    term_score AS (
+      SELECT q.qid, tf.doc_id,
+             CAST(ROUND(
+               ((CAST(s.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+               * ((tf.tf * ({BM25_K1} + 1))
+                  / (tf.tf + {BM25_K1}
+                     * (1 - {BM25_B} + {BM25_B} * (dl.dl / s.avgdl))))
+               * {_SCALE}, 0) AS BIGINT) AS s_fx
+      FROM tf
+      JOIN qterms q ON tf.word = q.word
+      JOIN df ON tf.word = df.word
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT qid, doc_id, SUM(s_fx) AS score_fx,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY SUM(s_fx) DESC, doc_id) AS rank
+      FROM term_score GROUP BY qid, doc_id
+    )
+    SELECT qid, doc_id, CAST(rank AS INTEGER) AS rank,
+           CAST(score_fx AS DOUBLE) / {_SCALE} AS score
+    FROM scored WHERE rank <= {BM25_TOPK}
+    """,
+    doc=f"BM25-family top-{BM25_TOPK} ranking of documents for "
+        f"{len(BM25_QUERIES)} fixed queries: postings filtered to the "
+        "query vocabulary before any shuffle, broadcast corpus scalars, "
+        "fixed-point per-term quantization so the cross-term sum is "
+        "integer-exact across engines; rational (log-free) RSJ idf — "
+        "rank-equivalent per term, engine-exact (module docstring).",
+)
+def bm25_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens(d)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qterms = spark.createDataFrame(
+        [(q, w) for q, t in BM25_QUERIES for w in t.split(" ")],
+        "qid int, word string",
+    )
+    vocab = [w for _, t in BM25_QUERIES for w in t.split(" ")]
+    tf = (
+        toks.filter(F.col("word").isin(*set(vocab)))
+        .groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    idf = (F.col("n_docs").cast("double") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    tf_norm = (
+        (F.col("tf") * (BM25_K1 + 1))
+        / (F.col("tf") + BM25_K1
+           * (1 - BM25_B + BM25_B * (F.col("dl") / F.col("avgdl"))))
+    )
+    term = (
+        tf.join(F.broadcast(qterms), "word")
+        .join(F.broadcast(df_t), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))  # 1-row corpus scalars
+        .select(
+            "qid", "doc_id",
+            F.round(idf * tf_norm * _SCALE, 0).cast("long").alias("s_fx"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score_fx"), F.asc("doc_id"))
+    return (
+        term.groupBy("qid", "doc_id").agg(F.sum("s_fx").alias("score_fx"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select(
+            "qid", "doc_id", "rank",
+            (F.col("score_fx").cast("double") / _SCALE).alias("score"),
+        )
+    )
+
+
+TOP_TERMS_PER_DOC = 3
+
+
+@register(
+    "top_distinctive_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_WORD}')) AS word
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY doc_id, word),
+    df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY word),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / df.df DESC, tf.word
+             ) AS rank
+      FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+    )
+    SELECT doc_id, word, CAST(rank AS INTEGER) AS rank, score
+    FROM scored WHERE rank <= {TOP_TERMS_PER_DOC}
+    """,
+    doc=f"Top-{TOP_TERMS_PER_DOC} distinctive terms per document by "
+        "tf * N/df (the log-free tf-idf variant — exact rational "
+        "arithmetic, same ranking as tf-idf for a fixed df). Keyword "
+        "extraction / corpus-drift fingerprinting building block. Two "
+        "word-keyed aggregates + one window; df table is vocabulary-"
+        "sized (broadcast), so the big operand shuffles once on word.",
+)
+def top_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens(d)
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = toks.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    score = (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        tf.join(F.broadcast(df_t), "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_TERMS_PER_DOC)
+        .select("doc_id", "word", "rank", "score")
+    )

@@ -244,6 +244,85 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", rolling.alias("rolling_hash"))
 
 
+WINNOW_K = 3   # words per k-gram
+WINNOW_W = 4   # k-gram hashes per winnowing window
+
+
+@register(
+    "doc_winnow_fingerprints",
+    f"""
+    WITH w AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    ),
+    kh AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, GREATEST(len(w) - {WINNOW_K} + 1, 0)),
+               j -> md5(array_to_string(
+                        list_slice(w, j, j + {WINNOW_K} - 1), ' '))) AS kh
+      FROM w
+    ),
+    mins AS (
+      SELECT doc_id, len(kh) AS n_kgrams,
+             list_sort(list_distinct(list_transform(
+               generate_series(1, GREATEST(len(kh) - {WINNOW_W} + 1, 0)),
+               j -> list_min(list_slice(kh, j, j + {WINNOW_W} - 1))))) AS fps
+      FROM kh
+    )
+    SELECT doc_id, CAST(n_kgrams AS BIGINT) AS n_kgrams,
+           CAST(len(fps) AS BIGINT) AS n_fps,
+           md5(array_to_string(fps, ',')) AS winnow_fp
+    FROM mins
+    """,
+    doc="Winnowing document fingerprint (Schleimer et al. 2003, the MOSS "
+        f"algorithm): {WINNOW_K}-word k-gram md5 hashes, minimum per "
+        f"sliding window of {WINNOW_W} — guarantees any shared run of "
+        f">= {WINNOW_K + WINNOW_W - 1} words contributes a common "
+        "fingerprint, with ~2/(w+1) selection density. Emitted as a "
+        "per-doc summary (count + md5 of the sorted fingerprint set) so "
+        "the row stays compact; the set itself feeds overlap joins. Pure "
+        "nested array expressions fused into the scan — ZERO shuffles, "
+        "no UDFs; hashes stay md5 hex strings (lexicographic min is "
+        "engine-exact, no numeric conversion).",
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_fps(load(spark, sf_dir, "documents")).select(
+        "doc_id", "n_kgrams",
+        F.size("fps").cast("long").alias("n_fps"),
+        F.md5(F.concat_ws(",", "fps")).alias("winnow_fp"),
+    )
+
+
+def winnow_fps(d: DataFrame, k: int = WINNOW_K,
+               w: int = WINNOW_W) -> DataFrame:
+    """(doc_id, n_kgrams, fps): the winnowed fingerprint set as an array
+    column — the joinable form (overlap joins explode this); the
+    registered query summarizes it to one compact row per doc."""
+    # Spark's sequence(1, n) DESCENDS for n < 1 (sequence(1,0) = [1,0],
+    # then slice(_, 0, k) throws) — docs shorter than one k-gram need an
+    # explicit empty branch; DuckDB's generate_series(1, 0) is just empty
+    kh = F.expr(f"""
+      CASE WHEN size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) >= {k}
+      THEN transform(
+        sequence(1, size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) - {k} + 1),
+        j -> md5(concat_ws(' ', slice(regexp_extract_all(lower(text), '[a-z0-9]+', 0), j, {k}))))
+      ELSE array() END
+    """)
+    wins = F.expr(
+        f"CASE WHEN size(kh) >= {w} THEN "
+        f"transform(sequence(1, size(kh) - {w} + 1), "
+        f"j -> array_min(slice(kh, j, {w}))) ELSE array() END"
+    )
+    return d.select("doc_id", kh.alias("kh")).select(
+        "doc_id",
+        F.size("kh").cast("long").alias("n_kgrams"),
+        F.array_sort(F.array_distinct(wins)).alias("fps"),
+    )
+
+
+
+
 @register(
     "text_repetition_signals",
     """

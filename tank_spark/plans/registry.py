@@ -88,54 +88,71 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # streaming_session_windows, streaming_windowed_counts, media_metadata,
 # dedup_ngram_jaccard).
 #
-# Round-5 rotation queue (green r3, rotated out r4 — cycle back):
-# heatmap_z14, token_count_bpe, doc_rolling_hash, dedup_simhash,
+# Round-5 rotation (VERDICT r4 #3/#5): six never-driver-checked entries
+# enter (top_bigrams, cluster_balanced_sample, dedup_lsh_clusters_capped,
+# dedup_minhash_lsh_pairs_k128, dedup_simhash64, approx_sketches_demo);
+# every query whose code/oracle CHANGED this round stays/enters for hard
+# signal (the capped-default dedup family + its new *_uncapped twins,
+# tile_mvt_batch/tile_sample_overview after the sample_mod + routing
+# refactor); the six round-5-NEW operators enter (bm25_rank_topk,
+# top_distinctive_terms, dedup_containment_pairs,
+# doc_winnow_fingerprints, dedup_lsh_pairs_uncapped,
+# dedup_lsh_clusters_uncapped); the ten out-since-r2 entries cycle back
+# (heatmap_z14, token_count_bpe, doc_rolling_hash, dedup_simhash,
 # embedding_norms, tumbling_hourly_counts, event_type_rates,
-# salted_user_event_counts, media_frame_sample, heatmap_mvt_z9 (out since
-# r2), then the 13 named above plus ivf_assignments,
-# streaming_session_windows, streaming_windowed_counts, and
-# media_metadata (out since r4).
+# salted_user_event_counts, media_frame_sample, heatmap_mvt_z9) plus the
+# eighteen out-since-r3/r4 (text_stats ... media_metadata,
+# dedup_ngram_jaccard). r4-green unchanged entries rotate out to make
+# room (tile planner/filter family, crud, ingest family, mixing family,
+# similarity family, events, gopher/chunk/pii/lang text entries — all
+# have fresh r4 rows and unchanged code).
+#
+# Round-6 rotation queue (green r4, out since r5 — cycle back):
+# tile_z9_range, tile_z13_single, tile_z15_parent, tile_filter_int,
+# tile_filter_date, heatmap_z9, heatmap_z11, point_lookup_uid,
+# delete_by_uid, update_by_uid, ingest_json_props, ingest_coerce_defaults,
+# ingest_bucket_stats, ingest_declared_schema, text_repetition_signals,
+# pii_detect_mask, lang_id_confusion, corpus_mix_report,
+# rare_word_fraction, gopher_quality_rules, chunk_documents, dedup_exact,
+# dedup_exact_survivors, dedup_minhash_signatures,
+# dedup_prefix_containment, cross_source_duplication, passage_dedup,
+# sample_stratified_sources, pack_token_budget, decontaminate_train_eval,
+# global_sequence_ids, token_budget_planning, temperature_mix_weights,
+# neardup_embedding_clusters, semantic_vs_lexical, ivf_probe_search,
+# ivf_train_kmeans, embedding_sq_quantize, semdedup_prune,
+# event_value_outliers, dedup_event_stream_replay, media_extract_features.
 PRIORITY: tuple[str, ...] = (
-    # reference core: tile read path (planner regimes + typed filters)
-    "tile_z9_range", "tile_z13_single", "tile_z15_parent",
-    "tile_filter_int", "tile_filter_date",
-    # heatmap (2 of 3 z-regimes; all three green r1+r2)
-    "heatmap_z9", "heatmap_z11",
-    # crud: read + the two longest-unchecked mutation rewrites (r1 green)
-    "point_lookup_uid", "delete_by_uid", "update_by_uid",
-    # ingest (incl. declared-schema parity)
-    "ingest_json_props", "ingest_coerce_defaults", "ingest_bucket_stats",
-    "ingest_declared_schema",
-    # end-to-end pipeline composition (flagship; quality cut changed r3)
-    "training_mix_pipeline",
-    # LLM north star: text analysis (incl. r3-new rare_word_fraction,
-    # whose broadcast policy changes this round)
-    "text_repetition_signals",
-    "pii_detect_mask", "lang_id_confusion", "corpus_mix_report",
-    "rare_word_fraction", "gopher_quality_rules", "chunk_documents",
-    # dedup (pair generation -> cluster formation -> survivors; incl. the
-    # four r3-new entries and the sig-cache laziness change)
-    "dedup_exact", "dedup_exact_survivors", "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs", "dedup_lsh_clusters", "dedup_lsh_survivors",
-    "lsh_recall_eval", "dedup_prefix_containment",
-    "cross_source_duplication", "passage_dedup",
-    "dedup_lsh_pairs_capped",
-    # corpus mixing (sampling + packing + hygiene + export ids + the two
-    # r3-new planning entries, widened to DECIMAL this round)
-    "sample_stratified_sources", "pack_token_budget",
-    "decontaminate_train_eval", "global_sequence_ids",
-    "token_budget_planning", "temperature_mix_weights",
-    # similarity / ANN (incl. r3-new embedding_sq_quantize)
-    "neardup_embedding_clusters", "semantic_vs_lexical",
-    "ivf_probe_search", "ivf_train_kmeans",
-    "embedding_sq_quantize", "semdedup_prune",
-    # events (batch) + r3-new
-    "event_value_outliers", "dedup_event_stream_replay",
-    # multimodal (extract kernel gains the import-guarded real decode)
-    "media_extract_features",
-    # MVT pipeline (rows-only; overview budget policy changes this round,
-    # incl. the budget-derived tile_sample_overview modulus)
+    # ---- changed this round: the capped-by-default dedup family
+    "dedup_minhash_lsh_pairs", "dedup_lsh_pairs_uncapped",
+    "dedup_lsh_pairs_capped", "dedup_lsh_clusters",
+    "dedup_lsh_clusters_uncapped", "dedup_lsh_clusters_capped",
+    "dedup_lsh_survivors", "lsh_recall_eval",
+    "dedup_minhash_lsh_pairs_k128",
+    # ---- changed this round: MVT serving (sample_mod column, shared
+    # sampling filter, routing knob)
     "tile_sample_overview", "tile_mvt_batch",
+    # ---- new this round
+    "bm25_rank_topk", "top_distinctive_terms",
+    "dedup_containment_pairs", "doc_winnow_fingerprints",
+    # ---- never driver-checked (born r4 after the window froze)
+    "top_bigrams", "cluster_balanced_sample", "dedup_simhash64",
+    "approx_sketches_demo",
+    # ---- out since r2, cycle back
+    "heatmap_z14", "token_count_bpe", "doc_rolling_hash", "dedup_simhash",
+    "embedding_norms", "tumbling_hourly_counts", "event_type_rates",
+    "salted_user_event_counts", "media_frame_sample", "heatmap_mvt_z9",
+    # ---- out since r3, cycle back
+    "text_stats", "text_quality_score", "lang_id_stopwords",
+    "doc_fingerprint", "top_words_per_lang", "sessionize_events",
+    "user_funnel_signup_purchase", "weekly_retention_cohorts",
+    "knn_brute_cosine", "ann_lsh_buckets", "neardup_cosine_pairs",
+    "array_agg_statuses", "spatial_join_points_in_boxes",
+    # ---- out since r4, cycle back
+    "ivf_assignments", "streaming_session_windows",
+    "streaming_windowed_counts", "media_metadata", "dedup_ngram_jaccard",
+    # ---- flagship + core refresh (asof = the custom-operator headline)
+    "training_mix_pipeline", "q1_pricing_summary",
+    "asof_purchase_last_click",
 )
 
 
@@ -160,6 +177,7 @@ def load_all() -> dict[str, QueryDef]:
         "tank_spark.operators.stats",
         "tank_spark.operators.spatial_join",
         "tank_spark.llm.text",
+        "tank_spark.llm.search",
         "tank_spark.llm.dedup",
         "tank_spark.llm.similarity",
         "tank_spark.llm.events",
