@@ -35,6 +35,8 @@ HEADLINE = [
     "pack_token_budget",
     # custom operators / scale paths
     "asof_purchase_last_click", "ivf_probe_search", "token_count_bpe",
+    # r5 additions: search scoring + winnowing fingerprint
+    "bm25_rank_topk", "doc_winnow_fingerprints",
     "tile_mvt_batch",
     # BENCH-ONLY entry: full-fidelity z7 overview encode. NOT a serving
     # path (serving uses the budgeted sample below OVERVIEW_ZOOM — the
