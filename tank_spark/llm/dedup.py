@@ -93,6 +93,45 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_multiplicity",
+    f"""
+    WITH {_CORPUS_CTE},
+    fps AS (SELECT cid, {_NORM_SQL} AS fp FROM corpus),
+    g AS (
+      SELECT fp, COUNT(*) AS multiplicity, MIN(cid) AS canonical_cid
+      FROM fps GROUP BY fp
+    )
+    SELECT f.cid, g.multiplicity,
+           CAST(CASE WHEN f.cid = g.canonical_cid THEN 1 ELSE 0 END AS INTEGER)
+             AS is_canonical,
+           CAST(1.0 AS DOUBLE) / g.multiplicity AS weight
+    FROM fps f JOIN g ON f.fp = g.fp
+    """,
+    doc="Per-document duplicate-multiplicity annotation: every doc gets "
+        "its exact-duplicate cluster size and a 1/multiplicity weight — "
+        "the 'keep everything, weight by uniqueness' alternative to hard "
+        "dedup (count-aware upsampling policies in public LLM-data "
+        "writeups keep one copy weighted by frequency instead of "
+        "dropping). One fingerprint groupBy (map-side combined) joined "
+        "back on fp — the join key is the aggregate's own output, so at "
+        "100 TB both sides are co-partitioned by the same shuffle.",
+)
+def dedup_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus_df(spark, sf_dir)
+    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    fps = c.select("cid", fp.alias("fp"))
+    g = fps.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("multiplicity"),
+        F.min("cid").alias("canonical_cid"),
+    )
+    return fps.join(g, "fp").select(
+        "cid", "multiplicity",
+        (F.col("cid") == F.col("canonical_cid")).cast("int").alias("is_canonical"),
+        (F.lit(1.0) / F.col("multiplicity")).cast("double").alias("weight"),
+    )
+
+
+@register(
     "dedup_exact_survivors",
     f"""
     WITH {_CORPUS_CTE}

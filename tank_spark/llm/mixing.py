@@ -75,6 +75,48 @@ _U_SQL = (
 )
 
 
+SPLIT_SALT = "split:"
+SPLIT_TRAIN_PCT = 98   # buckets 0..97 train, 98 valid, 99 test
+
+
+@register(
+    "train_eval_split",
+    f"""
+    SELECT doc_id, source,
+           CAST(('0x' || substr(md5('{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                % 100 AS BIGINT) AS bucket,
+           CASE
+             WHEN ('0x' || substr(md5('{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                  % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+             WHEN ('0x' || substr(md5('{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                  % 100 = {SPLIT_TRAIN_PCT} THEN 'valid'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+    doc=f"Deterministic train/valid/test assignment: salted-md5 hash "
+        f"bucket mod 100 -> {SPLIT_TRAIN_PCT}/1/1 split. Hash-based (not "
+        "row-number) so the assignment is stable under repartitioning, "
+        "ingestion order, and incremental appends — a doc's split never "
+        "changes as the corpus grows, which is what keeps eval sets "
+        "uncontaminated across dataset versions. Map-only, no shuffle; "
+        "salted so the split hash is independent of the sampling hash "
+        "(sample_stratified_sources), avoiding correlated selection.",
+)
+def train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    h8 = F.substring(
+        F.md5(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))), 1, 8)
+    bucket = (F.conv(h8, 16, 10).cast("bigint") % 100).alias("bucket")
+    split = (
+        F.when(F.col("bucket") < SPLIT_TRAIN_PCT, "train")
+        .when(F.col("bucket") == SPLIT_TRAIN_PCT, "valid")
+        .otherwise("test")
+    )
+    return d.select("doc_id", "source", bucket).withColumn("split", split)
+
+
+
 @register(
     "sample_stratified_sources",
     f"""

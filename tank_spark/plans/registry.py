@@ -134,6 +134,7 @@ PRIORITY: tuple[str, ...] = (
     # ---- new this round
     "bm25_rank_topk", "top_distinctive_terms",
     "dedup_containment_pairs", "doc_winnow_fingerprints",
+    "train_eval_split", "dedup_multiplicity",
     # ---- never driver-checked (born r4 after the window froze)
     "top_bigrams", "cluster_balanced_sample", "dedup_simhash64",
     "approx_sketches_demo",
@@ -146,7 +147,8 @@ PRIORITY: tuple[str, ...] = (
     "doc_fingerprint", "top_words_per_lang", "sessionize_events",
     "user_funnel_signup_purchase", "weekly_retention_cohorts",
     "knn_brute_cosine", "ann_lsh_buckets", "neardup_cosine_pairs",
-    "array_agg_statuses", "spatial_join_points_in_boxes",
+    # (array_agg_statuses + spatial_join_points_in_boxes yield their
+    # slots to the two late-round-5 operators; queued first for r6)
     # ---- out since r4, cycle back
     "ivf_assignments", "streaming_session_windows",
     "streaming_windowed_counts", "media_metadata", "dedup_ngram_jaccard",
