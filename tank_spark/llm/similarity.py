@@ -366,7 +366,146 @@ def ivf_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ------------------------------------------------------- k-means training
+def _ivf_recall_sql() -> str:
+    ids = ", ".join(str(i) for i in _IVF_QUERY_IDS)
+    dot_vc = _dot_sql("v.embedding", "c.embedding")
+    n_c = _dot_sql("c.embedding", "c.embedding")
+    dot_qe = _dot_sql("q.embedding", "e.embedding")
+    nq = _dot_sql("q.embedding", "q.embedding")
+    ne = _dot_sql("e.embedding", "e.embedding")
+    cos = f"{dot_qe} / (sqrt({nq}) * sqrt({ne}))"
+    return f"""
+    WITH {_ivf_assign_sql()},
+    probes AS (
+      SELECT qid, centroid_id FROM (
+        SELECT v.vec_id AS qid, c.vec_id AS centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY -2 * {dot_vc} + {n_c}, c.vec_id) AS prn
+        FROM embeddings v JOIN embeddings c ON c.vec_id < {N_CENTROIDS}
+        WHERE v.vec_id IN ({ids})
+      ) WHERE prn <= {N_PROBE}
+    ),
+    cand AS (
+      SELECT p.qid, a.vec_id FROM probes p
+      JOIN assign a ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id <> p.qid
+    ),
+    pred AS (
+      SELECT qid, vec_id FROM (
+        SELECT c.qid, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY c.qid
+                                  ORDER BY {cos} DESC, c.vec_id) AS rn
+        FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+                    JOIN embeddings q ON q.vec_id = c.qid
+      ) WHERE rn <= 3
+    ),
+    truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.vec_id AS qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos} DESC, e.vec_id) AS rn
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id IN ({ids})
+      ) WHERE rn <= 3
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM embeddings)
+    SELECT t.qid,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hit,
+           CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS recall,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand c WHERE c.qid = t.qid)
+             AS n_candidates,
+           CAST((SELECT COUNT(*) FROM cand c WHERE c.qid = t.qid) AS DOUBLE)
+             / (SELECT n_corpus - 1 FROM n) AS scan_frac
+    FROM truth t LEFT JOIN pred p ON t.qid = p.qid AND t.vec_id = p.vec_id
+    GROUP BY t.qid
+    """
+
+
+@register(
+    "ivf_recall_eval",
+    _ivf_recall_sql(),
+    doc=f"Measure the IVF configuration IN-ENGINE (the ANN twin of "
+        f"lsh_recall_eval): brute-force cosine top-3 is ground truth, "
+        f"nprobe={N_PROBE} probe search is the prediction; emit per-query "
+        "recall plus scan_frac = candidates / (corpus-1), the cost side "
+        "of the recall/cost dial. This is how a production deployment "
+        "picks nprobe on a sampled query set before committing the "
+        "full-corpus index parameters. All counts integer, divisions "
+        "exact.",
+)
+def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    pred = ivf_probe_search(spark, sf_dir).select("qid", "vec_id")
+    # candidates: probed inverted lists minus self (recompute the probe
+    # fan-out without the top-k cut)
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    dot = _dot_cols(F.col("embedding"), F.col("c_emb"))
+    n_c = _dot_cols(F.col("c_emb"), F.col("c_emb"))
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id", "centroid_id", (-2 * dot + n_c).alias("score")
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.min_by("centroid_id", F.struct("score", "centroid_id")).alias("centroid_id")
+    )
+    w = Window.partitionBy("vec_id").orderBy("score", "centroid_id")
+    probes = (
+        scored.filter(F.col("vec_id").isin(*_IVF_QUERY_IDS))
+        .withColumn("prn", F.row_number().over(w))
+        .filter(F.col("prn") <= N_PROBE)
+        .select(F.col("vec_id").alias("qid"), "centroid_id")
+    )
+    cand = (
+        probes.join(assign, "centroid_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    n_cand = cand.groupBy("qid").agg(F.count(F.lit(1)).alias("n_candidates"))
+    # truth: brute-force top-3 for the IVF query set
+    q = e.filter(F.col("vec_id").isin(*_IVF_QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    joined = e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    dq = _dot_cols(F.col("q_emb"), F.col("embedding"))
+    nq = _dot_cols(F.col("q_emb"), F.col("q_emb"))
+    ne = _dot_cols(F.col("embedding"), F.col("embedding"))
+    cos = dq / (F.sqrt(nq) * F.sqrt(ne))
+    wt = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    truth = (
+        joined.select("qid", "vec_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id")
+    )
+    n_corpus = e.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    t, p = truth.alias("t"), pred.alias("p")
+    per_q = (
+        t.join(p, (F.col("t.qid") == F.col("p.qid"))
+               & (F.col("t.vec_id") == F.col("p.vec_id")), "left")
+        .groupBy(F.col("t.qid").alias("qid"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
+            F.sum(F.when(F.col("p.vec_id").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_hit"),
+        )
+    )
+    return (
+        per_q.join(n_cand, "qid")
+        .crossJoin(F.broadcast(n_corpus))  # 1-row corpus size
+        .select(
+            "qid", "n_truth", "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_truth")).alias("recall"),
+            "n_candidates",
+            (F.col("n_candidates").cast("double")
+             / (F.col("n_corpus") - 1)).alias("scan_frac"),
+        )
+    )
 
 KMEANS_ROUNDS = 4
 
