@@ -97,3 +97,32 @@ def test_containment_catches_swallowed_doc(spark, tmp_path):
     assert p["containment_b"] < 0.5
     # symmetric Jaccard misses the same pair at the 0.5 bar
     assert minhash_lsh_pairs(spark, str(d)).count() == 0
+
+
+def test_winnow_matches_python_reference(spark):
+    """Cross-implementation check: the nested Spark array expression must
+    equal a straightforward Python reference implementation of winnowing
+    on a deterministic batch of generated word documents (uneven lengths,
+    repeated words, boundary sizes 0..k+w+3)."""
+    import hashlib
+    import random
+
+    from tank_spark.llm.text import WINNOW_K, WINNOW_W, winnow_fps
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(n)))
+            for i, n in enumerate(
+                list(range(0, WINNOW_K + WINNOW_W + 4)) + [25, 40, 63])]
+
+    def ref(text: str) -> set:
+        words = text.split()
+        kh = [hashlib.md5(" ".join(words[j:j + WINNOW_K]).encode()).hexdigest()
+              for j in range(len(words) - WINNOW_K + 1)]
+        return {min(kh[j:j + WINNOW_W])
+                for j in range(len(kh) - WINNOW_W + 1)}
+
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: set(r["fps"]) for r in winnow_fps(d).collect()}
+    for doc_id, text in docs:
+        assert got[doc_id] == ref(text), f"doc {doc_id} ({len(text.split())} words)"

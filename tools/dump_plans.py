@@ -57,6 +57,21 @@ SHOW = [
     ("embedding_sq_quantize", "Per-dim min/max aggregate (64 cells, "
                               "map-side combined) broadcast into a "
                               "map-only code/error pass"),
+    ("doc_winnow_fingerprints", "Winnowing fingerprint: pure nested array "
+                                "expressions in one shuffle-free JVM "
+                                "projection over the pruned (doc_id, "
+                                "text) scan"),
+    ("bm25_rank_topk", "Search scoring: postings filtered to the query "
+                       "vocabulary before any shuffle; qterms/df/corpus "
+                       "stats all broadcast; one final per-query window "
+                       "over <= vocabulary-postings rows"),
+    ("dedup_containment_pairs", "ONE cap-filtered shingle self-join with "
+                                "immediate partial aggregation; hot "
+                                "completion joins run only over "
+                                "prefilter survivors"),
+    ("ivf_recall_eval", "Truth (broadcast-query brute force) and "
+                        "prediction (nprobe-bounded probe) computed "
+                        "in-plan; corpus scans, never corpus shuffles"),
 ]
 
 KEEP = re.compile(
