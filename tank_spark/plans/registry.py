@@ -135,6 +135,7 @@ PRIORITY: tuple[str, ...] = (
     "bm25_rank_topk", "top_distinctive_terms",
     "dedup_containment_pairs", "doc_winnow_fingerprints",
     "train_eval_split", "dedup_multiplicity", "ivf_recall_eval",
+    "bpe_train_merges",
     # ---- never driver-checked (born r4 after the window froze)
     "top_bigrams", "cluster_balanced_sample", "dedup_simhash64",
     "approx_sketches_demo",
@@ -151,8 +152,9 @@ PRIORITY: tuple[str, ...] = (
     # slots to the two late-round-5 operators; queued first for r6)
     # ---- out since r4, cycle back
     "ivf_assignments", "streaming_session_windows",
-    "streaming_windowed_counts", "media_metadata",
-    # (dedup_ngram_jaccard yields its slot to ivf_recall_eval; first r6)
+    "streaming_windowed_counts",
+    # (dedup_ngram_jaccard + media_metadata yield their slots to
+    # ivf_recall_eval + bpe_train_merges; queued first for r6)
     # ---- flagship + core refresh (asof = the custom-operator headline)
     "training_mix_pipeline", "q1_pricing_summary",
     "asof_purchase_last_click",
@@ -186,6 +188,7 @@ def load_all() -> dict[str, QueryDef]:
         "tank_spark.llm.events",
         "tank_spark.llm.mixing",
         "tank_spark.llm.multimodal",
+        "tank_spark.llm.bpe",
         "tank_spark.operators.mvt_tiles",
         "tank_spark.streaming.windows",
     ]
