@@ -92,6 +92,13 @@ def test_band_bucket_cap_drops_hot_buckets(spark, tmp_path):
     # pairs among NORMAL docs are identical — the guard is surgical
     assert (uncapped - hot_un) == (capped - hot_cap)
 
+    # round-5 default flip: calling with NO cap argument must be the
+    # GUARDED behavior — a user reaching for the obvious name on a
+    # boilerplate corpus gets the capped plan (VERDICT r4 #2)
+    default = {(r["cid_a"], r["cid_b"])
+               for r in minhash_lsh_pairs(spark, str(d)).collect()}
+    assert default == capped
+
 
 def test_new_curation_ops_non_vacuous(spark):
     """semdedup_prune and gopher_quality_rules must exercise both sides
