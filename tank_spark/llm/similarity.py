@@ -219,6 +219,40 @@ def neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Calibrated to the synthetic corpus's cosine range (pairs land in
+# ~0.30-0.41 after the 0.3 floor; the corpus ceiling is ~0.48 — the
+# semdedup tau note). Production sweeps 0.7-0.99; a sweep whose bands
+# are all zero checks nothing (the round-2 vacuous-cut lesson).
+SWEEP_THRESHOLDS = (0.40, 0.35, 0.33, 0.32)
+
+
+@register(
+    "neardup_threshold_sweep",
+    f"""
+    WITH pairs AS ({_neardup_sql()})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN cosine >= {t} THEN 1 ELSE 0 END) AS BIGINT)"
+               f" AS ge_{str(t).replace('.', '_')}"
+               for t in SWEEP_THRESHOLDS)}
+    FROM pairs
+    """,
+    doc="Dedup-threshold calibration in ONE pass: pair counts at every "
+        "candidate cosine cutoff simultaneously (conditional sums over "
+        "the same bucketed pair set — not one job per threshold). This "
+        "is how a pipeline picks its near-dup tau: sweep first on a "
+        "sample, then run the one chosen cutoff at full scale.",
+)
+def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = neardup_cosine_pairs(spark, sf_dir)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_pairs")] + [
+        F.sum(F.when(F.col("cosine") >= t, 1).otherwise(0)).cast("long")
+        .alias(f"ge_{str(t).replace('.', '_')}")
+        for t in SWEEP_THRESHOLDS
+    ]
+    return pairs.agg(*aggs)
+
+
 # ------------------------------------------------------------------- IVF
 
 N_CENTROIDS = 8          # coarse centroids = embeddings of vec_id 0..7

@@ -769,3 +769,35 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(TOP_BIGRAMS_K)
     )
+
+
+@register(
+    "quality_percentile_rank",
+    f"""
+    SELECT doc_id, source, quality,
+           PERCENT_RANK() OVER (PARTITION BY source
+                                ORDER BY quality, doc_id) AS q_pct,
+           CAST(CASE WHEN PERCENT_RANK() OVER (PARTITION BY source
+                                               ORDER BY quality, doc_id) >= 0.9
+                THEN 1 ELSE 0 END AS INTEGER) AS top_decile
+    FROM (SELECT doc_id, source, {QUALITY_SQL} AS quality FROM documents)
+    """,
+    doc="Per-source quality percentile rank + top-decile flag — the "
+        "'keep the best X% of each source' curation cut, which an "
+        "absolute threshold cannot express when sources have different "
+        "score distributions. percent_rank = (rank-1)/(n-1): small-"
+        "integer division, engine-exact; doc_id tiebreak makes ranks "
+        "deterministic. One window shuffle on source (production shards "
+        "the key like pack_token_budget).",
+)
+def quality_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    return (
+        d.select("doc_id", "source", quality_col().alias("quality"))
+        .withColumn("q_pct", F.percent_rank().over(w))
+        .withColumn("top_decile",
+                    (F.col("q_pct") >= 0.9).cast("int"))
+    )

@@ -107,7 +107,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # similarity family, events, gopher/chunk/pii/lang text entries — all
 # have fresh r4 rows and unchanged code).
 #
-# Round-6 rotation queue (green r4, out since r5 — cycle back):
+# Round-6 rotation queue — FIRST the round-5 entries that never got a
+# driver row (registered after the r5 window was sized):
+# neardup_threshold_sweep, quality_percentile_rank (both oracle-pytest
+# green at sf0.001 + sf0.01), then array_agg_statuses,
+# spatial_join_points_in_boxes, dedup_ngram_jaccard, media_metadata
+# (displaced late in r5), then (green r4, out since r5 — cycle back):
 # tile_z9_range, tile_z13_single, tile_z15_parent, tile_filter_int,
 # tile_filter_date, heatmap_z9, heatmap_z11, point_lookup_uid,
 # delete_by_uid, update_by_uid, ingest_json_props, ingest_coerce_defaults,
