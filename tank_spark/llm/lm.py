@@ -1,0 +1,148 @@
+"""In-engine n-gram language-model quality scoring over ``documents``.
+
+The CCNet / Gopher pipelines (Wenzek 2020; Rae 2021) score web documents
+with an n-gram LM and keep the low-perplexity tail — perplexity is the
+single strongest cheap quality signal for web text. This module trains
+the LM *inside the engine* (one pass of bigram counting over the corpus)
+and scores every document against it in the same Catalyst plan: no
+external model artifact, no Python in the hot path.
+
+Engine-exact surprisal (the reason this op can carry a hard DuckDB value
+oracle, unlike a textbook float `ln p` sum): with add-one smoothing the
+per-bigram probability is the exact rational
+
+    p(w2 | w1) = (c12 + 1) / (c1 + V)
+
+and the bit surprisal floor(-log2 p) = floor(log2((c1 + V) / (c12 + 1)))
+is computed WITHOUT any transcendental as
+
+    length(bin((c1 + V) div (c12 + 1))) - 1
+
+(binary-digit count of the integer quotient). Since c1 >= c12 and V >= 1
+the quotient is >= 1, and floor(log2(a / b)) == floor(log2(a div b)) for
+a >= b > 0 — if 2^k <= a/b then a >= (2^k)b so a div b >= 2^k, and
+a div b <= a/b — so the integer form is EXACT, not an approximation of
+the floor. Both engines produce identical BIGINTs; the only float in the
+result is one final division (single operation, IEEE-identical).
+
+At 100 TB: the token/bigram explode is map-only and fused into the scan;
+the count model is two map-side-combined aggregates over the bigram key
+(one row per distinct bigram / distinct context — vocabulary-bounded,
+zipf-concentrated, NOT corpus-sized); scoring joins the per-doc distinct
+bigram table (pre-shrunk by a (doc, w1, w2) partial aggregate) against
+the model on the bigram key. Neither model table is forced broadcast —
+a web-scale vocabulary has billions of hapax contexts and AQE should
+pick the join strategy (same posture as llm/text.py rare_word_fraction).
+The exact countDistinct(vocab) is oracle-gated; production at 100 TB
+would swap in approx_count_distinct (see approx_sketches_demo) with no
+change to the plan shape.
+
+Reference parity: the reference engine (SURVEY.md §2) has no LM scoring
+surface — this is part of the training-data-pipeline extension the
+driver's north star asks for (same family as llm/text.py quality ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tank_spark.plans.registry import register
+from tank_spark.sources.tables import load
+
+_WORD = "[a-z0-9]+"
+
+# curation cutoff: docs at or above this many surprisal bits per bigram
+# are flagged (the "weird tail" a perplexity filter drops). The flag
+# compares integers (bits_total >= TH * n_bigrams) — engine-exact.
+HIGH_SURPRISAL_BITS = 12
+
+
+@register(
+    "lm_surprisal_score",
+    f"""
+    WITH w AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{_WORD}') AS ws
+      FROM documents
+    ),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v
+      FROM (SELECT unnest(ws) AS word FROM w)
+    ),
+    bg AS (
+      SELECT doc_id, ws[j] AS w1, ws[j + 1] AS w2
+      FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(j)
+      WHERE len(ws) >= 2
+    ),
+    doc_bg AS (
+      SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS k
+      FROM bg GROUP BY doc_id, w1, w2
+    ),
+    c12 AS (SELECT w1, w2, SUM(k) AS c12 FROM doc_bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+    bits AS (
+      SELECT b.doc_id, b.k,
+             CAST(length(bin((c1.c1 + v.v) // (c12.c12 + 1))) - 1
+                  AS BIGINT) AS s_bits
+      FROM doc_bg b
+      JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+      JOIN c1 ON b.w1 = c1.w1
+      CROSS JOIN vocab v
+    )
+    SELECT doc_id,
+           CAST(SUM(k) AS BIGINT) AS n_bigrams,
+           CAST(SUM(k * s_bits) AS BIGINT) AS bits_total,
+           CAST(SUM(k * s_bits) AS DOUBLE) / SUM(k) AS bits_per_bigram,
+           CAST(CASE WHEN SUM(k * s_bits) >= {HIGH_SURPRISAL_BITS} * SUM(k)
+                     THEN 1 ELSE 0 END AS INTEGER) AS flag_high_surprisal
+    FROM bits GROUP BY doc_id
+    """,
+    doc="Bigram-LM surprisal score per document (CCNet-style perplexity "
+        "quality signal, trained in-engine on the corpus itself in the "
+        "same plan). Integer bit-surprisal via binary-digit count of the "
+        "exact rational's integer quotient — engine-exact, no "
+        "transcendentals (module docstring). Docs with < 2 tokens have "
+        "no bigrams and drop out, like chunk_documents' empty docs.",
+)
+def lm_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD), F.lit(0))
+    w = d.select("doc_id", ws.alias("ws"))
+    vocab = (
+        w.select(F.explode("ws").alias("word"))
+        .agg(F.countDistinct("word").cast("long").alias("v"))
+    )
+    pairs = F.expr(
+        "transform(sequence(1, size(ws) - 1), "
+        "j -> struct(ws[j - 1] AS w1, ws[j] AS w2))"
+    )
+    doc_bg = (
+        w.filter(F.size("ws") >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    c12 = doc_bg.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    # exact integer quotient -> binary digit count - 1 == floor(log2 ratio)
+    s_bits = (
+        F.length(F.conv(F.expr("(c1 + v) div (c12 + 1)").cast("string"), 10, 2))
+        - 1
+    ).cast("long")
+    scored = (
+        doc_bg.join(c12, ["w1", "w2"])  # model join: AQE picks strategy
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))  # 1-row corpus scalar
+        .select("doc_id", "k", s_bits.alias("s_bits"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("n_bigrams"),
+        F.sum(F.col("k") * F.col("s_bits")).cast("long").alias("bits_total"),
+        (F.sum(F.col("k") * F.col("s_bits")).cast("double") / F.sum("k"))
+        .alias("bits_per_bigram"),
+        (
+            F.sum(F.col("k") * F.col("s_bits"))
+            >= HIGH_SURPRISAL_BITS * F.sum("k")
+        ).cast("int").alias("flag_high_surprisal"),
+    )

@@ -1,0 +1,93 @@
+"""Value-level tests for the in-engine bigram-LM surprisal scorer.
+
+The registered oracle (tests/test_oracle_parity.py sweep) proves
+Spark == DuckDB; these tests pin BOTH to an independent pure-Python
+reference on a hand-built corpus, so the integer-surprisal formulation
+itself (not just cross-engine agreement) is checked.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+
+from tank_spark.llm.lm import HIGH_SURPRISAL_BITS, lm_surprisal_score
+
+DOCS = [
+    # repeated boilerplate doc: low surprisal once its bigrams dominate
+    (0, "the quick fox the quick fox the quick fox"),
+    (1, "the quick fox jumps over a lazy dog"),
+    # rare-word doc: every bigram is unique -> high surprisal
+    (2, "zeta omega kappa lambda sigma"),
+    (3, "single"),           # one token: no bigrams, must drop out
+    (4, ""),                 # empty: must drop out
+    (5, "??? !!!"),           # no [a-z0-9] tokens at all: must drop out
+]
+
+
+def _reference():
+    """Pure-Python twin: add-one bigram LM, integer bit surprisal."""
+    toks = {d: re.findall(r"[a-z0-9]+", t.lower()) for d, t in DOCS}
+    vocab = {w for ws in toks.values() for w in ws}
+    v = len(vocab)
+    c12: Counter = Counter()
+    for ws in toks.values():
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] += 1
+    c1: Counter = Counter()
+    for (a, _), n in c12.items():
+        c1[a] += n
+    out = {}
+    for d, ws in toks.items():
+        bgs = list(zip(ws, ws[1:]))
+        if not bgs:
+            continue
+        bits = sum(
+            ((c1[a] + v) // (c12[(a, b)] + 1)).bit_length() - 1
+            for a, b in bgs
+        )
+        out[d] = (len(bgs), bits)
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("lm_corpus")
+    rows = [(d, t, "en", "src0", len(t)) for d, t in DOCS]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(p / "documents.parquet"))
+    return str(p)
+
+
+def test_surprisal_matches_python_reference(spark, corpus_dir):
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["bits_total"])
+        for r in lm_surprisal_score(spark, corpus_dir).collect()
+    }
+    assert got == _reference()
+
+
+def test_short_docs_drop_out(spark, corpus_dir):
+    ids = {r["doc_id"] for r in lm_surprisal_score(spark, corpus_dir).collect()}
+    assert ids.isdisjoint({3, 4, 5})
+
+
+def test_flag_and_ratio_consistent(spark, corpus_dir):
+    for r in lm_surprisal_score(spark, corpus_dir).collect():
+        assert r["bits_per_bigram"] == r["bits_total"] / r["n_bigrams"]
+        assert r["flag_high_surprisal"] == int(
+            r["bits_total"] >= HIGH_SURPRISAL_BITS * r["n_bigrams"]
+        )
+
+
+def test_boilerplate_scores_below_rare(spark, corpus_dir):
+    """The quality signal must point the right way: the repeated-bigram
+    doc scores strictly fewer bits/bigram than the all-unique doc."""
+    got = {
+        r["doc_id"]: r["bits_per_bigram"]
+        for r in lm_surprisal_score(spark, corpus_dir).collect()
+    }
+    assert got[0] < got[2]
