@@ -110,8 +110,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # Round-6 rotation queue — FIRST the round-5 entries that never got a
 # driver row (registered after the r5 window was sized):
 # neardup_threshold_sweep, quality_percentile_rank (both oracle-pytest
-# green at sf0.001 + sf0.01), heatmap_mvt_z9 (displaced late r5 by
-# lm_surprisal_score), then array_agg_statuses,
+# green at sf0.001 + sf0.01), heatmap_mvt_z9, media_frame_sample,
+# dedup_simhash, embedding_norms (displaced late r5 by
+# lm_surprisal_score + pq_encode_codes/pq_adc_topk/pq_recall_eval),
+# pq_train_subspace_kmeans (rows-only, numpy-twin-pinned, never
+# driver-checked), then array_agg_statuses,
 # spatial_join_points_in_boxes, dedup_ngram_jaccard, media_metadata
 # (displaced late in r5), then (green r4, out since r5 — cycle back):
 # tile_z9_range, tile_z13_single, tile_z15_parent, tile_filter_int,
@@ -142,15 +145,19 @@ PRIORITY: tuple[str, ...] = (
     "dedup_containment_pairs", "doc_winnow_fingerprints",
     "train_eval_split", "dedup_multiplicity", "ivf_recall_eval",
     "bpe_train_merges", "lm_surprisal_score",
+    "pq_encode_codes", "pq_adc_topk", "pq_recall_eval",
     # ---- never driver-checked (born r4 after the window froze)
     "top_bigrams", "cluster_balanced_sample", "dedup_simhash64",
     "approx_sketches_demo",
     # ---- out since r2, cycle back
-    "heatmap_z14", "token_count_bpe", "doc_rolling_hash", "dedup_simhash",
-    "embedding_norms", "tumbling_hourly_counts", "event_type_rates",
-    "salted_user_event_counts", "media_frame_sample",
-    # (heatmap_mvt_z9 — rows-only check, unchanged, pytest blob oracle —
-    # yields its slot to lm_surprisal_score; queued first for r6)
+    "heatmap_z14", "token_count_bpe", "doc_rolling_hash",
+    "tumbling_hourly_counts", "event_type_rates",
+    "salted_user_event_counts",
+    # (heatmap_mvt_z9 / media_frame_sample — rows-only checks, unchanged,
+    # pytest value oracles — plus dedup_simhash (its simhash64 twin is in
+    # window) and embedding_norms (trivial map-only, unchanged) yield
+    # their slots to lm_surprisal_score + the three PQ oracle queries;
+    # all four queued first for r6)
     # ---- out since r3, cycle back
     "text_stats", "text_quality_score", "lang_id_stopwords",
     "doc_fingerprint", "top_words_per_lang", "sessionize_events",
@@ -198,6 +205,7 @@ def load_all() -> dict[str, QueryDef]:
         "tank_spark.llm.multimodal",
         "tank_spark.llm.bpe",
         "tank_spark.llm.lm",
+        "tank_spark.llm.pq",
         "tank_spark.operators.mvt_tiles",
         "tank_spark.streaming.windows",
     ]
