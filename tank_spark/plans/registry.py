@@ -113,8 +113,9 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # green at sf0.001 + sf0.01), heatmap_mvt_z9, media_frame_sample,
 # dedup_simhash, embedding_norms (displaced late r5 by
 # lm_surprisal_score + pq_encode_codes/pq_adc_topk/pq_recall_eval),
-# pq_train_subspace_kmeans (rows-only, numpy-twin-pinned, never
-# driver-checked), then array_agg_statuses,
+# pq_train_subspace_kmeans, quality_lr_train, quality_lr_eval
+# (rows-only, numpy-twin-pinned, never driver-checked), then
+# array_agg_statuses,
 # spatial_join_points_in_boxes, dedup_ngram_jaccard, media_metadata
 # (displaced late in r5), then (green r4, out since r5 — cycle back):
 # tile_z9_range, tile_z13_single, tile_z15_parent, tile_filter_int,
@@ -206,6 +207,7 @@ def load_all() -> dict[str, QueryDef]:
         "tank_spark.llm.bpe",
         "tank_spark.llm.lm",
         "tank_spark.llm.pq",
+        "tank_spark.llm.classifier",
         "tank_spark.operators.mvt_tiles",
         "tank_spark.streaming.windows",
     ]
