@@ -37,6 +37,8 @@ HEADLINE = [
     "asof_purchase_last_click", "ivf_probe_search", "token_count_bpe",
     # r5 additions: search scoring + winnowing fingerprint
     "bm25_rank_topk", "doc_winnow_fingerprints",
+    # r5 late additions: LM quality scoring + compressed-domain ANN
+    "lm_surprisal_score", "pq_adc_topk",
     "tile_mvt_batch",
     # BENCH-ONLY entry: full-fidelity z7 overview encode. NOT a serving
     # path (serving uses the budgeted sample below OVERVIEW_ZOOM — the

@@ -26,13 +26,14 @@ Two codebook regimes, mirroring llm/similarity.py's IVF split:
   tests/test_pq.py (the ivf_train_kmeans precedent).
 
 100 TB posture: codebooks are M*K rows — always broadcast; encoding is
-one corpus scan joined against the broadcast codebook with a map-side
-combinable argmin (one candidate row per (vector, subspace) leaves each
-partition); ADC joins the byte codes against a broadcast
-(query x subspace x code) LUT and partial-aggregates the per-vector sum.
-The corpus is never shuffled by its vectors — only the final top-k
-ranking moves (qid-partitioned, K rows per query). Training shuffles
-M*K*8 mean cells per round, not vectors (train_kmeans shape).
+ZERO-shuffle (the codebook folds into an m-keyed broadcast array and
+the argmin runs inside one projection — see _codes_df); ADC joins the
+byte codes against a broadcast (query x subspace x code) LUT and
+partial-aggregates the per-vector sum. The corpus is never shuffled by
+its vectors — only the final top-k ranking moves (qid-partitioned, K
+rows per query). Training shuffles M*K*8 mean cells per round, not
+vectors (train_kmeans shape); ivf_pq_search's one shuffle keys on
+centroid_id (inverted-list locality).
 """
 
 from __future__ import annotations
@@ -166,9 +167,10 @@ def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LUT_CTES = f"""
+def _lut_ctes(qids: tuple[int, ...]) -> str:
+    return f"""
     qsub AS (SELECT vec_id AS qid, m, x AS qx FROM sub
-             WHERE vec_id IN ({', '.join(map(str, PQ_QUERY_IDS))})),
+             WHERE vec_id IN ({', '.join(map(str, qids))})),
     lut AS (
       SELECT q.qid, cb.m, cb.code,
              CAST(ROUND({_sqdist_sql('q.qx', 'cb.c')} * {_SCALE}, 0)
@@ -176,6 +178,29 @@ _LUT_CTES = f"""
       FROM qsub q JOIN cb ON q.m = cb.m
     )
 """
+
+
+_LUT_CTES = _lut_ctes(PQ_QUERY_IDS)
+
+
+def _lut_df(spark: SparkSession, sf_dir: str,
+            qids: tuple[int, ...]) -> DataFrame:
+    """(qid, m, code, d_fx) — per-query ADC lookup table, fixed-point."""
+    sub = _sub_df(spark, sf_dir)
+    cb = (
+        sub.filter(F.col("vec_id") < PQ_CODEBOOK)
+        .select("m", F.col("vec_id").alias("code"), F.col("x").alias("c"))
+    )
+    qsub = (
+        sub.filter(F.col("vec_id").isin(*qids))
+        .select(F.col("vec_id").alias("qid"), "m", F.col("x").alias("qx"))
+    )
+    return (
+        qsub.join(F.broadcast(cb), "m")
+        .select("qid", "m", "code",
+                F.round(_sqdist_cols("qx", "c") * _SCALE, 0)
+                .cast("long").alias("d_fx"))
+    )
 
 
 @register(
@@ -201,21 +226,7 @@ _LUT_CTES = f"""
         "BIGINT-exact (llm/search.py idiom).",
 )
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sub = _sub_df(spark, sf_dir)
-    cb = (
-        sub.filter(F.col("vec_id") < PQ_CODEBOOK)
-        .select("m", F.col("vec_id").alias("code"), F.col("x").alias("c"))
-    )
-    qsub = (
-        sub.filter(F.col("vec_id").isin(*PQ_QUERY_IDS))
-        .select(F.col("vec_id").alias("qid"), "m", F.col("x").alias("qx"))
-    )
-    lut = (
-        qsub.join(F.broadcast(cb), "m")
-        .select("qid", "m", "code",
-                F.round(_sqdist_cols("qx", "c") * _SCALE, 0)
-                .cast("long").alias("d_fx"))
-    )
+    lut = _lut_df(spark, sf_dir, PQ_QUERY_IDS)
     codes = _codes_df(spark, sf_dir).select("vec_id", "m", "code")
     w = Window.partitionBy("qid").orderBy("adc_fx", "vec_id")
     return (
@@ -367,3 +378,93 @@ def train_pq_codebooks(spark: SparkSession, sf_dir: str,
 )
 def pq_train_subspace_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_pq_codebooks(spark, sf_dir).select("m", "code", "n_members")
+
+
+# ------------------------------------------------------ composed index
+
+def _ivf_pq_sql() -> str:
+    from tank_spark.llm.similarity import (
+        _IVF_QUERY_IDS, N_CENTROIDS, N_PROBE, _dot_sql, _ivf_assign_sql,
+    )
+
+    ids = ", ".join(str(i) for i in _IVF_QUERY_IDS)
+    dot_vc = _dot_sql("v.embedding", "c.embedding")
+    n_c = _dot_sql("c.embedding", "c.embedding")
+    return f"""
+    WITH {_CODES_CTES}, {_lut_ctes(_IVF_QUERY_IDS)},
+    {_ivf_assign_sql()},
+    probes AS (
+      SELECT qid, centroid_id FROM (
+        SELECT v.vec_id AS qid, c.vec_id AS centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY -2 * {dot_vc} + {n_c}, c.vec_id) AS prn
+        FROM embeddings v JOIN embeddings c ON c.vec_id < {N_CENTROIDS}
+        WHERE v.vec_id IN ({ids})
+      ) WHERE prn <= {N_PROBE}
+    )
+    SELECT qid, vec_id, adc_fx, CAST(rn AS INTEGER) AS rank FROM (
+      SELECT p.qid, a.vec_id, SUM(l.d_fx) AS adc_fx,
+             ROW_NUMBER() OVER (PARTITION BY p.qid
+                                ORDER BY SUM(l.d_fx), a.vec_id) AS rn
+      FROM probes p
+      JOIN assign a ON a.centroid_id = p.centroid_id
+      JOIN codes c ON c.vec_id = a.vec_id
+      JOIN lut l ON l.qid = p.qid AND l.m = c.m AND l.code = c.code
+      WHERE a.vec_id <> p.qid
+      GROUP BY p.qid, a.vec_id
+    ) WHERE rn <= {PQ_TOPK}
+    """
+
+
+@register(
+    "ivf_pq_search",
+    _ivf_pq_sql(),
+    doc=f"IVF-PQ search — the production 100 TB ANN index shape (FAISS "
+        "IVFPQ): the coarse quantizer prunes the corpus to the query's "
+        "nprobe inverted lists, and candidates rank by compressed-domain "
+        f"ADC distance (integer LUT sums over the {PQ_M}-byte codes) — "
+        "full vectors are touched for neither storage nor scoring. "
+        "Candidates ~ corpus/centroids * nprobe; the LUT and centroid "
+        "tables broadcast; the only shuffle keys on centroid_id "
+        "(inverted-list locality — the layout a real deployment "
+        "bucket-partitions by).",
+)
+def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tank_spark.llm.similarity import (
+        _IVF_QUERY_IDS, N_CENTROIDS, N_PROBE, _dot_cols,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    dot = _dot_cols(F.col("embedding"), F.col("c_emb"))
+    n_c = _dot_cols(F.col("c_emb"), F.col("c_emb"))
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id", "centroid_id", (-2 * dot + n_c).alias("score")
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.min_by("centroid_id", F.struct("score", "centroid_id"))
+        .alias("centroid_id")
+    )
+    wp = Window.partitionBy("vec_id").orderBy("score", "centroid_id")
+    probes = (
+        scored.filter(F.col("vec_id").isin(*_IVF_QUERY_IDS))
+        .withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= N_PROBE)
+        .select(F.col("vec_id").alias("qid"), "centroid_id")
+    )
+    codes = _codes_df(spark, sf_dir).select("vec_id", "m", "code")
+    lut = _lut_df(spark, sf_dir, _IVF_QUERY_IDS)
+    w = Window.partitionBy("qid").orderBy("adc_fx", "vec_id")
+    return (
+        F.broadcast(probes).join(assign, "centroid_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(codes, "vec_id")
+        .join(F.broadcast(lut), ["qid", "m", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d_fx").alias("adc_fx"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("qid", "vec_id", "adc_fx", "rank")
+    )

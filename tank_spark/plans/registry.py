@@ -111,8 +111,9 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # driver row (registered after the r5 window was sized):
 # neardup_threshold_sweep, quality_percentile_rank (both oracle-pytest
 # green at sf0.001 + sf0.01), heatmap_mvt_z9, media_frame_sample,
-# dedup_simhash, embedding_norms (displaced late r5 by
-# lm_surprisal_score + pq_encode_codes/pq_adc_topk/pq_recall_eval),
+# dedup_simhash, embedding_norms, doc_rolling_hash (displaced late r5
+# by lm_surprisal_score + pq_encode_codes/pq_adc_topk/pq_recall_eval/
+# ivf_pq_search),
 # pq_train_subspace_kmeans, quality_lr_train, quality_lr_eval
 # (rows-only, numpy-twin-pinned, never driver-checked), then
 # array_agg_statuses,
@@ -146,14 +147,15 @@ PRIORITY: tuple[str, ...] = (
     "dedup_containment_pairs", "doc_winnow_fingerprints",
     "train_eval_split", "dedup_multiplicity", "ivf_recall_eval",
     "bpe_train_merges", "lm_surprisal_score",
-    "pq_encode_codes", "pq_adc_topk", "pq_recall_eval",
+    "pq_encode_codes", "pq_adc_topk", "pq_recall_eval", "ivf_pq_search",
     # ---- never driver-checked (born r4 after the window froze)
     "top_bigrams", "cluster_balanced_sample", "dedup_simhash64",
     "approx_sketches_demo",
     # ---- out since r2, cycle back
-    "heatmap_z14", "token_count_bpe", "doc_rolling_hash",
+    "heatmap_z14", "token_count_bpe",
     "tumbling_hourly_counts", "event_type_rates",
     "salted_user_event_counts",
+    # (doc_rolling_hash yields its slot to ivf_pq_search; queued r6)
     # (heatmap_mvt_z9 / media_frame_sample — rows-only checks, unchanged,
     # pytest value oracles — plus dedup_simhash (its simhash64 twin is in
     # window) and embedding_norms (trivial map-only, unchanged) yield

