@@ -146,3 +146,109 @@ def lm_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= HIGH_SURPRISAL_BITS * F.sum("k")
         ).cast("int").alias("flag_high_surprisal"),
     )
+
+
+@register(
+    "lm_cross_source_divergence",
+    f"""
+    WITH w AS (
+      SELECT source, regexp_extract_all(lower(text), '{_WORD}') AS ws
+      FROM documents
+    ),
+    vocab AS (
+      SELECT source AS src_t, CAST(COUNT(DISTINCT word) AS BIGINT) AS v
+      FROM (SELECT source, unnest(ws) AS word FROM w) GROUP BY source
+    ),
+    bg AS (
+      SELECT source, ws[j] AS w1, ws[j + 1] AS w2
+      FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(j)
+      WHERE len(ws) >= 2
+    ),
+    sb AS (
+      SELECT source, w1, w2, CAST(COUNT(*) AS BIGINT) AS k
+      FROM bg GROUP BY source, w1, w2
+    ),
+    c1 AS (SELECT source, w1, SUM(k) AS c1 FROM sb GROUP BY source, w1),
+    pairs AS (
+      SELECT t.src_t, e.source AS src_e, e.w1, e.w2, e.k
+      FROM sb e CROSS JOIN (SELECT DISTINCT src_t FROM vocab) t
+    ),
+    bits AS (
+      SELECT p.src_t, p.src_e, p.k,
+             CAST(length(bin((COALESCE(c1.c1, 0) + v.v)
+                             // (COALESCE(m.k, 0) + 1))) - 1
+                  AS BIGINT) AS s_bits
+      FROM pairs p
+      LEFT JOIN sb m ON m.source = p.src_t AND m.w1 = p.w1 AND m.w2 = p.w2
+      LEFT JOIN c1 ON c1.source = p.src_t AND c1.w1 = p.w1
+      JOIN vocab v ON v.src_t = p.src_t
+    )
+    SELECT src_t AS train_source, src_e AS eval_source,
+           CAST(SUM(k) AS BIGINT) AS n_bigrams,
+           CAST(SUM(k * s_bits) AS BIGINT) AS bits_total,
+           CAST(SUM(k * s_bits) AS DOUBLE) / SUM(k) AS bits_per_bigram
+    FROM bits GROUP BY src_t, src_e
+    """,
+    doc="Cross-source LM divergence matrix: each source's bigram model "
+        "scores every source's bigram stream (average surprisal bits). "
+        "Diagonal = in-domain fit; off-diagonal minus diagonal = domain "
+        "mismatch — the Moore-Lewis-style signal mixing pipelines use "
+        "to weight or select sources. Unseen bigrams/contexts smooth to "
+        "(0+1)/(0+V) via the same exact-rational bit surprisal as "
+        "lm_surprisal_score; the #sources fanout is bounded (one row "
+        "per (source, bigram type) times #sources), and model joins "
+        "key on (train_source, w1[, w2]).",
+)
+def lm_cross_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD), F.lit(0))
+    w = d.select("source", ws.alias("ws"))
+    vocab = (
+        w.select("source", F.explode("ws").alias("word"))
+        .groupBy("source")
+        .agg(F.countDistinct("word").cast("long").alias("v"))
+        .select(F.col("source").alias("src_t"), "v")
+    )
+    pairs_expr = F.expr(
+        "transform(sequence(1, size(ws) - 1), "
+        "j -> struct(ws[j - 1] AS w1, ws[j] AS w2))"
+    )
+    sb = (
+        w.filter(F.size("ws") >= 2)
+        .select("source", F.explode(pairs_expr).alias("p"))
+        .select("source", "p.w1", "p.w2")
+        .groupBy("source", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    c1 = sb.groupBy("source", "w1").agg(F.sum("k").alias("c1"))
+    train_sources = vocab.select("src_t").distinct()
+    pairs = (
+        sb.select(F.col("source").alias("src_e"), "w1", "w2", "k")
+        .crossJoin(F.broadcast(train_sources))
+    )
+    model = sb.select(
+        F.col("source").alias("src_t"), "w1", "w2", F.col("k").alias("c12")
+    )
+    ctx = c1.select(F.col("source").alias("src_t"), "w1", "c1")
+    s_bits = (
+        F.length(F.conv(
+            F.expr("(coalesce(c1, 0L) + v) div (coalesce(c12, 0L) + 1)")
+            .cast("string"), 10, 2))
+        - 1
+    ).cast("long")
+    scored = (
+        pairs.join(model, ["src_t", "w1", "w2"], "left")
+        .join(ctx, ["src_t", "w1"], "left")
+        .join(F.broadcast(vocab), "src_t")
+        .select("src_t", "src_e", "k", s_bits.alias("s_bits"))
+    )
+    return scored.groupBy("src_t", "src_e").agg(
+        F.sum("k").cast("long").alias("n_bigrams"),
+        F.sum(F.col("k") * F.col("s_bits")).cast("long").alias("bits_total"),
+        (F.sum(F.col("k") * F.col("s_bits")).cast("double") / F.sum("k"))
+        .alias("bits_per_bigram"),
+    ).select(
+        F.col("src_t").alias("train_source"),
+        F.col("src_e").alias("eval_source"),
+        "n_bigrams", "bits_total", "bits_per_bigram",
+    )

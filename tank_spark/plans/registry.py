@@ -146,16 +146,17 @@ PRIORITY: tuple[str, ...] = (
     "bm25_rank_topk", "top_distinctive_terms",
     "dedup_containment_pairs", "doc_winnow_fingerprints",
     "train_eval_split", "dedup_multiplicity", "ivf_recall_eval",
-    "bpe_train_merges", "lm_surprisal_score",
+    "bpe_train_merges", "lm_surprisal_score", "lm_cross_source_divergence",
     "pq_encode_codes", "pq_adc_topk", "pq_recall_eval", "ivf_pq_search",
     # ---- never driver-checked (born r4 after the window froze)
     "top_bigrams", "cluster_balanced_sample", "dedup_simhash64",
     "approx_sketches_demo",
     # ---- out since r2, cycle back
     "heatmap_z14", "token_count_bpe",
-    "tumbling_hourly_counts", "event_type_rates",
+    "tumbling_hourly_counts",
     "salted_user_event_counts",
-    # (doc_rolling_hash yields its slot to ivf_pq_search; queued r6)
+    # (doc_rolling_hash yields its slot to ivf_pq_search, event_type_rates
+    # to lm_cross_source_divergence; both queued r6)
     # (heatmap_mvt_z9 / media_frame_sample — rows-only checks, unchanged,
     # pytest value oracles — plus dedup_simhash (its simhash64 twin is in
     # window) and embedding_norms (trivial map-only, unchanged) yield

@@ -13,6 +13,8 @@ from collections import Counter
 
 import pytest
 
+from tests.conftest import SF_DIR
+
 from tank_spark.llm.lm import HIGH_SURPRISAL_BITS, lm_surprisal_score
 
 DOCS = [
@@ -81,6 +83,22 @@ def test_flag_and_ratio_consistent(spark, corpus_dir):
         assert r["flag_high_surprisal"] == int(
             r["bits_total"] >= HIGH_SURPRISAL_BITS * r["n_bigrams"]
         )
+
+
+def test_cross_source_divergence_direction(spark):
+    """On the real corpus the matrix must be a divergence: average
+    in-domain surprisal (diagonal) strictly below average cross-domain
+    surprisal, and every source scores every source (full matrix)."""
+    from tank_spark.llm.lm import lm_cross_source_divergence
+
+    rows = lm_cross_source_divergence(spark, SF_DIR).collect()
+    srcs = {r["train_source"] for r in rows}
+    assert len(rows) == len(srcs) ** 2
+    diag = [r["bits_per_bigram"] for r in rows
+            if r["train_source"] == r["eval_source"]]
+    off = [r["bits_per_bigram"] for r in rows
+           if r["train_source"] != r["eval_source"]]
+    assert sum(diag) / len(diag) < sum(off) / len(off)
 
 
 def test_boilerplate_scores_below_rare(spark, corpus_dir):
