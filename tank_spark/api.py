@@ -222,7 +222,8 @@ class Tank:
 
     # ------------------------------------------------------------ writes
 
-    def ingest_features(self, ndjson_rows: list[str]) -> dict:
+    def ingest_features(self, ndjson_rows: list[str],
+                        upsert: bool = False) -> dict:
         """POST /{layer}: parse + coerce + hash + append; returns counts
         (accepted/rejected — rejects appended to <table>/_rejects).
 
@@ -230,7 +231,17 @@ class Tank:
         key, tile coords — the reference stores the complete row at ingest,
         Tyler.kt's bound INSERT), projected onto the target table's actual
         schema so appended files never drift from what the tile read path
-        scans."""
+        scans.
+
+        ``upsert``: reference parity is CONFIG-dependent (application.conf:
+        47-50). The default clustering key "uid, timestamp" makes every
+        Cassandra INSERT a new version — that is this method's default
+        append behavior. A layer configured primary_keys="uid" gets
+        INSERT-is-upsert instead: pass ``upsert=True`` to replace stored
+        rows matching an incoming (hash, uid) before the append
+        (bucket-pruned CoW; a feature re-ingested at a NEW position keeps
+        its old row, exactly as a changed Cassandra partition key would).
+        The returned dict then carries a ``replaced`` count."""
         from tank_spark.streaming.ingest import attr_wire_schema, coerce_features
 
         raw = self.spark.read.schema(attr_wire_schema(self.attr_fields)).json(
@@ -253,13 +264,21 @@ class Tank:
                 for f in table_fields
             ])
         n_ok, n_bad = ok.count(), bad.count()
+        n_replaced = 0
+        if upsert and n_ok and table_fields is not None:
+            from tank_spark.operators.table_ops import delete_matching_keys
+
+            n_replaced = delete_matching_keys(self.spark, self.table_dir, ok)
         if n_ok:
             (ok.withColumn("bucket", F.pmod(F.col("hash"), F.lit(64)))
              .write.mode("append").partitionBy("bucket").parquet(self.table_dir))
         if n_bad:
             bad.write.mode("append").parquet(f"{self.table_dir}/_rejects")
         self.spark.catalog.refreshByPath(self.table_dir)
-        return {"accepted": n_ok, "rejected": n_bad}
+        res = {"accepted": n_ok, "rejected": n_bad}
+        if upsert:
+            res["replaced"] = n_replaced
+        return res
 
     def ingest_geojson(self, feature_collection_json: str) -> dict:
         """POST /_bulk/{layer}?geojson=true: whole-body FeatureCollection

@@ -108,6 +108,58 @@ def delete_tile(spark: SparkSession, table_dir: str, z: int, x: int, y: int) -> 
     )
 
 
+def delete_matching_keys(spark: SparkSession, table_dir: str,
+                         keys: DataFrame) -> int:
+    """Upsert support: delete every stored row whose (hash, uid) appears
+    in ``keys`` — the Cassandra INSERT-is-upsert semantic for a layer
+    configured WITHOUT timestamp in its clustering key (reference
+    application.conf:47-50: partition_keys="hash",
+    primary_keys="uid" variant; with the default "uid, timestamp"
+    clustering every ingest is a new version and no delete happens —
+    that default is the plain append path).
+
+    Bucket-pruned CoW like delete_where, but matching via a broadcast
+    LEFT SEMI/ANTI join on the (bounded, one-ingest-batch) key set
+    instead of a literal predicate — thousands of keys would explode an
+    isin expression tree. Returns rows deleted."""
+    df = read_feature_table(spark, table_dir)
+    k = keys.select("hash", "uid").distinct().localCheckpoint(eager=True)
+    try:
+        cand = sorted({
+            r["b"]
+            for r in k.select(
+                F.pmod(F.col("hash"), F.lit(N_BUCKETS)).alias("b")
+            ).distinct().collect()
+            if r["b"] is not None
+        })
+        if not cand:
+            return 0
+        scoped = df.filter(_buckets_of(cand))
+        hit = scoped.join(F.broadcast(k), ["hash", "uid"], "left_semi")
+        dirty = sorted({r["bucket"] for r in hit.select("bucket").distinct().collect()})
+        if not dirty:
+            return 0
+        n_deleted = hit.count()
+        survivors = (
+            df.filter(_buckets_of(dirty))
+            .join(F.broadcast(k), ["hash", "uid"], "left_anti")
+            .localCheckpoint(eager=True)  # cut lineage before overwrite
+        )
+        for b in dirty:
+            (
+                survivors.filter(F.col("bucket") == b).drop("bucket")
+                .sortWithinPartitions("hash")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{table_dir}/bucket={b}")
+            )
+        survivors.unpersist()
+        spark.catalog.refreshByPath(table_dir)
+        return n_deleted
+    finally:
+        k.unpersist()
+
+
 def compact_table(spark: SparkSession, table_dir: str,
                   min_files: int = 2) -> dict[int, int]:
     """Compaction: rewrite every bucket fragmented into >= ``min_files``

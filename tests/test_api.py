@@ -79,6 +79,39 @@ def test_full_route_surface(tank):
     assert layer2["features"] == []
 
 
+def test_ingest_upsert_replaces_matching_pk(tank):
+    """Reference parity for a primary_keys="uid" layer (application.conf:
+    47-50): INSERT-is-upsert — re-ingesting the same (hash, uid) replaces
+    the stored row; a re-ingest at a NEW position (different hash =
+    different Cassandra partition) keeps both rows; the default
+    append mode keeps versions like the "uid, timestamp" clustering."""
+    row = {"id": "ups-1", "lon": -123.7, "lat": 38.7,
+           "kind": "poi", "score": "5", "cnt": "1", "tag": "t"}
+    import json as j
+
+    assert tank.ingest_features([j.dumps(row)]) == {"accepted": 1, "rejected": 1 - 1}
+    # default append: same uid again -> two version rows
+    assert tank.ingest_features([j.dumps(row)])["accepted"] == 1
+    assert tank.get_feature("ups-1").count() == 2
+
+    # upsert: replaces BOTH stored versions with the new row
+    row2 = dict(row, score="9")
+    res = tank.ingest_features([j.dumps(row2)], upsert=True)
+    assert res == {"accepted": 1, "rejected": 0, "replaced": 2}
+    got = tank.get_feature("ups-1").collect()
+    assert len(got) == 1 and got[0]["score"] == 9.0
+
+    # moved feature: new hash = new partition -> old row survives
+    moved = dict(row2, lon=10.0, lat=10.0)
+    res = tank.ingest_features([j.dumps(moved)], upsert=True)
+    assert res["replaced"] == 0
+    assert tank.get_feature("ups-1").count() == 2
+
+    # upsert with no match on an untouched uid replaces nothing
+    fresh = dict(row, id="ups-2")
+    assert tank.ingest_features([j.dumps(fresh)], upsert=True)["replaced"] == 0
+
+
 def test_get_feature_geojson(tank):
     """C1 response assembly: the stored row decodes into a typed GeoJSON
     Feature (application.kt:279-300) — WKT-parsed geometry, typed props."""

@@ -72,6 +72,20 @@ SHOW = [
     ("ivf_recall_eval", "Truth (broadcast-query brute force) and "
                         "prediction (nprobe-bounded probe) computed "
                         "in-plan; corpus scans, never corpus shuffles"),
+    ("lm_surprisal_score", "In-engine bigram LM: model tables are two "
+                           "map-side-combined aggregates on the bigram "
+                           "key (vocabulary-bounded); scoring joins the "
+                           "pre-shrunk per-doc distinct-bigram table "
+                           "against the model — the corpus token stream "
+                           "is never shuffled raw"),
+    ("pq_encode_codes", "ZERO-shuffle PQ encode: the codebook folds into "
+                        "an m-keyed broadcast array; the per-subspace "
+                        "argmin runs inside one projection — scan -> "
+                        "explode -> BroadcastHashJoin -> project"),
+    ("ivf_pq_search", "Composed production ANN: coarse-quantizer argmin "
+                      "is a map-side-combined aggregate, probes/LUT "
+                      "broadcast, candidates rank by integer ADC sums — "
+                      "the only shuffle keys on centroid_id"),
 ]
 
 KEEP = re.compile(
