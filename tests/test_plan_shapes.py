@@ -294,3 +294,61 @@ def test_top_distinctive_terms_broadcasts_df(spark):
     plan = _plan(top_distinctive_terms(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan                # vocabulary-sized df
     assert "BroadcastNestedLoopJoin" in plan          # 1-row n_docs
+
+
+def test_pq_encode_is_zero_shuffle(spark):
+    """The corpus side of the PQ encode must be scan -> explode ->
+    BroadcastHashJoin -> project: the ONLY exchanges are the 8-row
+    codebook aggregate's and its broadcast — nothing corpus-sized
+    moves."""
+    from tank_spark.llm.pq import pq_encode_codes
+
+    pq_encode_codes(spark, SF_DIR).count()  # build the materialized cache
+    # the cached relation's one-time build plan (below InMemoryRelation)
+    # legitimately repartitions; the QUERY part must not shuffle the corpus
+    plan = _plan(pq_encode_codes(spark, SF_DIR)).split("InMemoryRelation")[0]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # every shuffle Exchange belongs to the tiny m-keyed codebook build
+    shuffle_lines = [l for l in plan.splitlines()
+                     if "Exchange hashpartitioning" in l]
+    assert all("m#" in l for l in shuffle_lines), shuffle_lines
+
+
+def test_ivf_pq_shuffles_only_on_list_and_rank_keys(spark):
+    """Composed index: probes/LUT/codes join broadcast; the shuffles are
+    the inverted-list key (centroid assignment) and the final per-query
+    rank — never a raw-vector corpus shuffle."""
+    from tank_spark.llm.pq import ivf_pq_search
+
+    plan = _plan(ivf_pq_search(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3       # probes, codes, LUT
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # ADC sum is partial-aggregated (map-side combine before the rank)
+    assert "partial_sum(d_fx" in plan
+
+
+def test_lm_model_joins_are_partial_aggregated(spark):
+    """The LM's model tables build through map-side-combined partial
+    aggregates, and the only nested-loop join is the 1-row vocabulary
+    scalar crossJoin."""
+    from tank_spark.llm.lm import lm_surprisal_score
+
+    plan = _plan(lm_surprisal_score(spark, SF_DIR))
+    assert "partial_count" in plan                     # doc_bg map combine
+    assert "partial_sum" in plan                       # c12/c1 map combine
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row vocab only
+    assert "CartesianProduct" not in plan
+
+
+def test_lr_features_are_map_only(spark):
+    """The classifier's feature relation must be a pure projection over
+    the documents scan — no shuffle, no Python."""
+    from tank_spark.llm.classifier import _features_df
+
+    _features_df(spark, SF_DIR).count()  # build the materialized cache
+    plan = _plan(_features_df(spark, SF_DIR)).split("InMemoryRelation")[0]
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
