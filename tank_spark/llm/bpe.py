@@ -131,6 +131,54 @@ def bpe_tokenize(vt: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
 
 
 @register(
+    "bpe_tokenize_corpus",
+    None,  # depends on the trained merge sequence -> rows-only; value
+           # oracle: tests/test_bpe.py reference tokenizer twin
+    doc="Tokenizer APPLY at corpus scale: the learned merges tokenize "
+        "the |vocab|-bounded word-type table ONCE (never per document "
+        "occurrence — the standard tokenizer-at-scale trick), and "
+        "per-document subword counts come from joining the doc word "
+        "stream back on the word type. Emits the real token counts the "
+        "packing/budget ops consume (pack_token_budget's whitespace "
+        "count is the cheap stand-in; this is the faithful one).",
+)
+def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges_df = train_bpe(spark, sf_dir)
+    merges = [
+        (r["left"], r["right"])
+        for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    chars = F.expr(f"concat(split(word, ''), array('{END_OF_WORD}'))")
+    vt = word_vocab(spark, sf_dir).select("word", chars.alias("tokens"))
+    vt = bpe_tokenize(vt, merges).select(
+        "word", F.size("tokens").cast("long").alias("n_sub")
+    )
+    d = load(spark, sf_dir, "documents")
+    doc_words = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+            ).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    # vocab-sized tokenized-type table joins the per-doc word aggregate;
+    # AQE picks broadcast when the vocab fits (rare_word_fraction posture)
+    return (
+        doc_words.join(vt, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_words"),
+            F.sum(F.col("k") * F.col("n_sub")).cast("long").alias("n_bpe_tokens"),
+            (F.sum(F.col("k") * F.col("n_sub")).cast("double") / F.sum("k"))
+            .alias("subwords_per_word"),
+        )
+    )
+
+
+@register(
     "bpe_train_merges",
     None,  # iterative greedy training is not SQL-expressible -> rows-only;
            # value-level oracle: tests/test_bpe.py's from-scratch Python BPE

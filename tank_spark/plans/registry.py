@@ -114,9 +114,9 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # dedup_simhash, embedding_norms, doc_rolling_hash (displaced late r5
 # by lm_surprisal_score + pq_encode_codes/pq_adc_topk/pq_recall_eval/
 # ivf_pq_search),
-# pq_train_subspace_kmeans, quality_lr_train, quality_lr_eval
-# (rows-only, numpy-twin-pinned, never driver-checked), then
-# array_agg_statuses,
+# pq_train_subspace_kmeans, quality_lr_train, quality_lr_eval,
+# bpe_tokenize_corpus (rows-only, twin-pinned, never driver-checked),
+# then array_agg_statuses,
 # spatial_join_points_in_boxes, dedup_ngram_jaccard, media_metadata
 # (displaced late in r5), then (green r4, out since r5 — cycle back):
 # tile_z9_range, tile_z13_single, tile_z15_parent, tile_filter_int,

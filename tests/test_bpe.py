@@ -93,3 +93,38 @@ def test_bpe_greedy_edge_cases(spark):
     assert out[3] == ["b", "aa", "b"]
     assert out[4] == ["a"]
     assert out[5] == []
+
+
+def test_bpe_tokenize_corpus_matches_reference(spark):
+    """Per-document subword counts must equal summing the reference
+    tokenizer's per-word lengths over each document's word stream."""
+    import re
+
+    from tank_spark.llm.bpe import (
+        END_OF_WORD, N_MERGES, bpe_tokenize_corpus, word_vocab,
+    )
+    from tests.oracle_util import duckdb_con
+
+    vocab = {r["word"]: r["cnt"] for r in word_vocab(spark, SF_DIR).collect()}
+    _, toks = _ref_bpe(vocab, N_MERGES, END_OF_WORD)
+
+    con = duckdb_con(SF_DIR)
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    con.close()
+    expected = {}
+    for doc_id, text in docs:
+        words = re.findall(r"[a-z0-9]+", text.lower())
+        if not words:
+            continue
+        n_bpe = sum(len(toks[w]) for w in words)
+        expected[doc_id] = (len(words), n_bpe)
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_tokenize_corpus(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    for r in bpe_tokenize_corpus(spark, SF_DIR).limit(50).collect():
+        # every word yields at least 1 subword, at most len(word)+1 chars
+        assert r["n_bpe_tokens"] >= r["n_words"]
+        assert r["subwords_per_word"] == r["n_bpe_tokens"] / r["n_words"]
