@@ -192,6 +192,7 @@ def start_ingest_stream(
     checkpoint_dir: str,
     max_files_per_trigger: int = 2,
     attr_fields: str = DEFAULT_ATTR_FIELDS,
+    upsert: bool = False,
 ):
     """Start the drop-dir ingest stream. Returns the StreamingQuery.
 
@@ -200,6 +201,15 @@ def start_ingest_stream(
     valid/dead-letter split the reference does per feature.
     ``attr_fields`` declares the layer's attribute schema (name + type) —
     the same declaration drives wire parsing and coercion.
+
+    ``upsert``: CDC-style apply for a primary_keys="uid" layer
+    (api.Tank.ingest_features docstring): each micro-batch first removes
+    PREVIOUSLY-stored rows matching an incoming (hash, uid) — a
+    bucket-pruned CoW anti-join — then appends. Same-key rows WITHIN one
+    batch all land, in file order, like sequential Cassandra INSERTs in
+    one epoch; the next epoch's matching key replaces them all. Default
+    False = the versioned-append parity of the reference's default
+    "uid, timestamp" clustering.
     """
     raw = (
         spark.readStream.schema(attr_wire_schema(attr_fields))
@@ -211,12 +221,22 @@ def start_ingest_stream(
     def sink(batch: DataFrame, epoch_id: int) -> None:
         batch.persist()
         try:
+            ok = batch.filter(~F.col("rejected")).drop("rejected")
+            if upsert:
+                import os
+
+                from tank_spark.operators.table_ops import delete_matching_keys
+
+                # first epoch: nothing stored yet -> nothing to replace
+                if os.path.isdir(table_dir) and any(
+                    e.startswith("bucket=") for e in os.listdir(table_dir)
+                ):
+                    delete_matching_keys(spark, table_dir, ok)
             # bucket-partitioned append, mirroring ingest_features — the
             # table dir layout is bucket=N/ subdirs; flat files at the root
             # would break partition discovery and the mutation paths that
             # filter on `bucket`
-            (batch.filter(~F.col("rejected")).drop("rejected")
-             .withColumn("bucket", F.pmod(F.col("hash"), F.lit(64)))
+            (ok.withColumn("bucket", F.pmod(F.col("hash"), F.lit(64)))
              .write.mode("append").partitionBy("bucket").parquet(table_dir))
             rejects = batch.filter(F.col("rejected")).drop("rejected", "hash")
             if rejects.limit(1).count() > 0:

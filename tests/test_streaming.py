@@ -382,3 +382,38 @@ def test_normalize_event_ts_all_physical_types(spark, tmp_path):
         assert dict(df.dtypes)["ts"] == "timestamp"
         got = df.select(F.unix_micros("ts").alias("us")).first()["us"]
         assert got == us  # ns truncates, us passes through
+
+
+def test_ingest_stream_upsert_mode(spark, tmp_dirs):
+    """CDC-style streaming upsert: a later epoch's (hash, uid) replaces
+    the stored rows; unrelated uids and moved features are untouched
+    (streaming twin of api.ingest_features(upsert=True))."""
+    from tank_spark.streaming.ingest import start_ingest_stream
+
+    row = {"id": "a", "lon": -122.4194, "lat": 37.7749, "kind": "poi",
+           "score": "1", "cnt": "7", "tag": "t1"}
+    other = {"id": "b", "lon": 13.4, "lat": 52.5, "kind": "road",
+             "score": "2", "cnt": "3", "tag": "t2"}
+    _write_ndjson(f"{tmp_dirs['drop']}/batch1.ndjson", [row, other])
+    q = start_ingest_stream(
+        spark, tmp_dirs["drop"], tmp_dirs["table"], tmp_dirs["rejects"],
+        tmp_dirs["ckpt"], upsert=True,
+    )
+    q.awaitTermination(60)
+
+    # epoch 2: new version of `a` (same position = same hash) must
+    # REPLACE; `b` untouched
+    _write_ndjson(f"{tmp_dirs['drop']}/batch2.ndjson",
+                  [dict(row, score="9")])
+    q = start_ingest_stream(
+        spark, tmp_dirs["drop"], tmp_dirs["table"], tmp_dirs["rejects"],
+        tmp_dirs["ckpt"], upsert=True,
+    )
+    q.awaitTermination(60)
+
+    rows = spark.read.parquet(tmp_dirs["table"]).collect()
+    by_uid = {}
+    for r in rows:
+        by_uid.setdefault(r["uid"], []).append(r)
+    assert len(by_uid["a"]) == 1 and by_uid["a"][0]["score"] == 9.0
+    assert len(by_uid["b"]) == 1 and by_uid["b"][0]["score"] == 2.0
