@@ -148,6 +148,118 @@ def lm_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _heldout_sql() -> str:
+    from tank_spark.llm.mixing import SPLIT_SALT, SPLIT_TRAIN_PCT
+
+    bucket = (
+        f"('0x' || substr(md5('{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))"
+        "::UBIGINT % 100"
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{_WORD}') AS ws,
+             {bucket} < {SPLIT_TRAIN_PCT} AS is_train
+      FROM documents
+    ),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v
+      FROM (SELECT unnest(ws) AS word FROM w WHERE is_train)
+    ),
+    bg AS (
+      SELECT doc_id, is_train, ws[j] AS w1, ws[j + 1] AS w2
+      FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(j)
+      WHERE len(ws) >= 2
+    ),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bg WHERE is_train GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+    eval_bg AS (
+      SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS k
+      FROM bg WHERE NOT is_train GROUP BY doc_id, w1, w2
+    ),
+    bits AS (
+      SELECT e.doc_id, e.k,
+             CAST(length(bin((COALESCE(c1.c1, 0) + v.v)
+                             // (COALESCE(c12.c12, 0) + 1))) - 1
+                  AS BIGINT) AS s_bits
+      FROM eval_bg e
+      LEFT JOIN c12 ON e.w1 = c12.w1 AND e.w2 = c12.w2
+      LEFT JOIN c1 ON e.w1 = c1.w1
+      CROSS JOIN vocab v
+    )
+    SELECT doc_id,
+           CAST(SUM(k) AS BIGINT) AS n_bigrams,
+           CAST(SUM(k * s_bits) AS BIGINT) AS bits_total,
+           CAST(SUM(k * s_bits) AS DOUBLE) / SUM(k) AS bits_per_bigram
+    FROM bits GROUP BY doc_id
+    """
+
+
+@register(
+    "lm_heldout_surprisal",
+    _heldout_sql(),
+    doc="TRUE held-out perplexity signal (the CCNet configuration): the "
+        "bigram model trains ONLY on the train_eval_split 98% train "
+        "side and scores ONLY the held-out 2% — generalization "
+        "surprisal, with unseen bigrams/contexts smoothing to "
+        "(0+1)/(0+V) exactly like lm_cross_source_divergence. The "
+        "split is the same salted-hash assignment as "
+        "llm/mixing.py:train_eval_split, so membership is stable "
+        "under corpus growth and reproducible across engines.",
+)
+def lm_heldout_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tank_spark.llm.mixing import SPLIT_SALT, SPLIT_TRAIN_PCT
+
+    d = load(spark, sf_dir, "documents")
+    h8 = F.substring(
+        F.md5(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))),
+        1, 8)
+    is_train = (F.conv(h8, 16, 10).cast("bigint") % 100) < SPLIT_TRAIN_PCT
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD), F.lit(0))
+    w = d.select("doc_id", ws.alias("ws"), is_train.alias("is_train"))
+    vocab = (
+        w.filter("is_train").select(F.explode("ws").alias("word"))
+        .agg(F.countDistinct("word").cast("long").alias("v"))
+    )
+    pairs = F.expr(
+        "transform(sequence(1, size(ws) - 1), "
+        "j -> struct(ws[j - 1] AS w1, ws[j] AS w2))"
+    )
+    bg = (
+        w.filter(F.size("ws") >= 2)
+        .select("doc_id", "is_train", F.explode(pairs).alias("p"))
+        .select("doc_id", "is_train", "p.w1", "p.w2")
+    )
+    c12 = (
+        bg.filter("is_train").groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    eval_bg = (
+        bg.filter(~F.col("is_train"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    s_bits = (
+        F.length(F.conv(
+            F.expr("(coalesce(c1, 0L) + v) div (coalesce(c12, 0L) + 1)")
+            .cast("string"), 10, 2))
+        - 1
+    ).cast("long")
+    scored = (
+        eval_bg.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", "k", s_bits.alias("s_bits"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("n_bigrams"),
+        F.sum(F.col("k") * F.col("s_bits")).cast("long").alias("bits_total"),
+        (F.sum(F.col("k") * F.col("s_bits")).cast("double") / F.sum("k"))
+        .alias("bits_per_bigram"),
+    )
+
+
 @register(
     "lm_cross_source_divergence",
     f"""

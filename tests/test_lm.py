@@ -101,6 +101,26 @@ def test_cross_source_divergence_direction(spark):
     assert sum(diag) / len(diag) < sum(off) / len(off)
 
 
+def test_heldout_bits_exceed_in_sample(spark):
+    """Generalization check: for the held-out docs, the 98%-train model
+    must average MORE surprisal bits than the all-corpus model that saw
+    those docs during counting (plus full-matrix shape sanity)."""
+    from tank_spark.llm.lm import lm_heldout_surprisal
+
+    held = {r["doc_id"]: r["bits_per_bigram"]
+            for r in lm_heldout_surprisal(spark, SF_DIR).collect()}
+    assert 0 < len(held) < 50          # the ~2% held-out slice
+    self_trained = {
+        r["doc_id"]: r["bits_per_bigram"]
+        for r in lm_surprisal_score(spark, SF_DIR).collect()
+        if r["doc_id"] in held
+    }
+    assert set(self_trained) == set(held)
+    mean_held = sum(held.values()) / len(held)
+    mean_self = sum(self_trained.values()) / len(self_trained)
+    assert mean_held >= mean_self
+
+
 def test_boilerplate_scores_below_rare(spark, corpus_dir):
     """The quality signal must point the right way: the repeated-bigram
     doc scores strictly fewer bits/bigram than the all-unique doc."""
