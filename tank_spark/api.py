@@ -275,6 +275,15 @@ class Tank:
         if n_bad:
             bad.write.mode("append").parquet(f"{self.table_dir}/_rejects")
         self.spark.catalog.refreshByPath(self.table_dir)
+        if self._cache is not None and n_ok:
+            # reference parity: every import feeds the region manager and
+            # the cache cover is invalidated (Tyler.kt:139, :183) — else a
+            # cached tile would keep serving without the new features
+            self._invalidate_feature_tiles([
+                (int(r["tile_x"]), int(r["tile_y"]))
+                for r in ok.select("tile_x", "tile_y").distinct().collect()
+                if r["tile_x"] is not None
+            ])
         res = {"accepted": n_ok, "rejected": n_bad}
         if upsert:
             res["replaced"] = n_replaced
@@ -329,16 +338,50 @@ class Tank:
         )
 
     def update_feature(self, uid: str, updates: dict) -> int:
-        """PUT /{uuid}."""
+        """PUT /{uuid} (+ cache invalidation of the feature's tile —
+        the reference pairs every write with regionManager bookkeeping,
+        Tyler.kt:139)."""
         from tank_spark.operators.table_ops import update_by_uid
 
-        return update_by_uid(self.spark, self.table_dir, uid, updates)
+        tiles = self._tiles_of_uid(uid)
+        n = update_by_uid(self.spark, self.table_dir, uid, updates)
+        if n:
+            self._invalidate_feature_tiles(tiles)
+        return n
 
     def delete_feature(self, uid: str) -> int:
-        """DELETE /{uuid}."""
+        """DELETE /{uuid} (+ cache invalidation of the feature's tile)."""
         from tank_spark.operators.table_ops import delete_by_uid
 
-        return delete_by_uid(self.spark, self.table_dir, uid)
+        tiles = self._tiles_of_uid(uid)
+        n = delete_by_uid(self.spark, self.table_dir, uid)
+        if n:
+            self._invalidate_feature_tiles(tiles)
+        return n
+
+    def _tiles_of_uid(self, uid: str) -> list[tuple[int, int]]:
+        if self._cache is None:
+            return []
+        return [
+            (int(r["tile_x"]), int(r["tile_y"]))
+            for r in self.features().filter(F.col("uid") == uid)
+            .select("tile_x", "tile_y").distinct().collect()
+            if r["tile_x"] is not None
+        ]
+
+    def _invalidate_feature_tiles(self, tiles_z13: list[tuple[int, int]]) -> None:
+        """The write-path half of the reference's cache discipline
+        (Tyler.kt:139 regionManager.add per feature + :183 flush):
+        dirty z13 tile bboxes -> V1 region clustering -> V2 quadtree
+        cover -> paired tile/heatmap cache deletes."""
+        if self._cache is None or not tiles_z13:
+            return
+        from tank_spark.geom import tilemath
+        from tank_spark.operators.invalidation import BBox
+
+        self._cache.invalidate_bboxes([
+            BBox(*tilemath.tile_bbox(13, x, y)) for x, y in tiles_z13
+        ])
 
     def delete_tile(self, z: int, x: int, y: int) -> int:
         """DELETE /tile/{z}/{x}/{y} (+ cache invalidation of the cover)."""

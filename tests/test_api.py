@@ -257,6 +257,48 @@ def test_tile_cache_roundtrip_and_invalidation(spark, tmp_path):
     assert blob3 != blob1
 
 
+def test_write_paths_invalidate_tile_cache(spark, tmp_path):
+    """Reference cache discipline (Tyler.kt:139/:183): EVERY write —
+    ingest, update, delete-by-uid — invalidates the cover of the
+    touched feature's tile, so a cached blob never serves stale."""
+    import json as _json
+
+    from tank_spark.api import Tank
+    from tank_spark.geom import mvt as mvtmod
+    from tank_spark.geom import tilemath
+    from tank_spark.operators.table_ops import write_feature_table
+    from tank_spark.sources.features import features_df
+
+    d = str(tmp_path / "layer")
+    write_feature_table(features_df(spark, SF_DIR).drop("ts"), d)
+    t = Tank(spark, d, cache_dir=str(tmp_path / "cache"))
+
+    lon, lat = -123.7, 38.7
+    ix, iy = tilemath.tile_number(lat, lon, 13)
+    blob_before = t.tile_mvt(13, ix, iy)            # fill the cache
+
+    # INGEST into the cached tile -> cache dropped -> new feature serves
+    t.ingest_features([_json.dumps(
+        {"id": "cached-1", "lon": lon, "lat": lat, "kind": "poi",
+         "score": "5", "cnt": "1", "tag": "t"})])
+    blob_after = t.tile_mvt(13, ix, iy)
+    feats = mvtmod.decode(blob_after)["io.marauder.tank"]["features"]
+    assert any(f["props"].get("kind") == "poi" for f in feats)
+    assert blob_after != blob_before
+
+    # UPDATE the feature -> cached blob dropped again
+    t.tile_mvt(13, ix, iy)                          # re-fill
+    assert t.update_feature("cached-1", {"score": 9.0}) == 1
+    feats2 = mvtmod.decode(t.tile_mvt(13, ix, iy))["io.marauder.tank"]["features"]
+    assert any(f["props"].get("score") == 9.0 for f in feats2)
+
+    # DELETE the feature -> it disappears from the served tile
+    t.tile_mvt(13, ix, iy)                          # re-fill
+    assert t.delete_feature("cached-1") == 1
+    feats3 = mvtmod.decode(t.tile_mvt(13, ix, iy))["io.marauder.tank"]["features"]
+    assert not any(f["props"].get("kind") == "poi" for f in feats3)
+
+
 def test_layer_config_persists_with_table(spark, tmp_path):
     """attr_fields declared once at layer creation reload on later Tank
     constructions (the reference pins the declaration in application.conf;
