@@ -1,0 +1,274 @@
+"""Probabilistic sketch operators with ENGINE-EXACT formulations — the
+primitives a 100 TB curation pipeline actually runs on: Bloom-filter
+membership for cross-corpus decontamination (a broadcast bit set
+replaces a shuffle join against billions of eval shingles) and
+Count-Min heavy-hitter estimation (bounded-memory frequency for an
+unbounded key space).
+
+Unlike engine-native sketches (approx_count_distinct / HLL — see
+llm/events.py approx_sketches_demo), these are built from PURE COLUMN
+MATH: every hash position derives from md5 (identical in Spark, DuckDB,
+and any engine), so both the SKETCH CONTENTS and the resulting
+decisions are bit-reproducible and carry hard DuckDB value oracles.
+That reproducibility is not academic at scale — a curation decision
+("this doc touches the eval set") must be re-derivable months later
+from the spec alone, on a different engine if needed.
+
+Representation note: the Bloom filter is materialized as the sparse SET
+of hot bit positions (<= M rows, broadcastable) rather than packed
+bitmap words — identical semantics, trivial SQL; a deployment packs the
+same positions into M/64 int64 words for constant-size broadcast. The
+CMS is its literal (depth x width) counter table.
+
+Scale shapes: building either sketch is one map-side-combined aggregate
+over the exploded key stream (output bounded by M or D*W, never by the
+corpus); probing joins the bounded sketch (broadcast) against the probe
+stream — the corpus is never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tank_spark.plans.registry import register
+from tank_spark.sources.tables import load
+
+_WORD = "[a-z0-9]+"
+
+# Bloom configuration: sized so the sf-scale corpus shows a measurable,
+# deterministic false-positive rate (fill ~0.4) — the op's point is that
+# FP behavior is measured in-engine, not assumed.
+BLOOM_M = 8192    # bit positions
+BLOOM_K = 3       # hash functions
+SHINGLE_W = 3     # words per shingle (decontaminate_train_eval parity)
+
+CMS_D = 2         # Count-Min depth (rows)
+# Width DELIBERATELY below the corpus vocabulary (31 words): a
+# well-provisioned sketch on this tiny vocab would never collide and the
+# overestimate column would be vacuously zero. Under-provisioning forces
+# real collisions so the emitted rows exercise the estimate-vs-exact gap
+# AND the one-sided bound. Production sizes w = ceil(e/epsilon) >> the
+# heavy-hitter count; the plan shape is identical at any width.
+CMS_W = 16        # Count-Min width (counters per row)
+CMS_TOPK = 20     # heavy hitters to verify against exact counts
+
+
+def _pos_sql(expr: str, mod: int) -> str:
+    """Hash position of a STRING SQL expression: md5 -> first 8 hex ->
+    uniform int in [0, mod). The expression builds the salted key."""
+    return f"('0x' || substr(md5({expr}), 1, 8))::UBIGINT % {mod}"
+
+
+def _pos_col(col, mod: int):
+    h8 = F.substring(F.md5(col), 1, 8)
+    return F.conv(h8, 16, 10).cast("bigint") % mod
+
+
+def _split_is_train_sql() -> str:
+    from tank_spark.llm.mixing import SPLIT_SALT, SPLIT_TRAIN_PCT
+
+    return (
+        f"('0x' || substr(md5('{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))"
+        f"::UBIGINT % 100 < {SPLIT_TRAIN_PCT}"
+    )
+
+
+def _split_is_train_col():
+    from tank_spark.llm.mixing import SPLIT_SALT, SPLIT_TRAIN_PCT
+
+    h8 = F.substring(
+        F.md5(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))),
+        1, 8)
+    return (F.conv(h8, 16, 10).cast("bigint") % 100) < SPLIT_TRAIN_PCT
+
+
+_SHINGLES_CTE = f"""
+    w AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{_WORD}') AS ws,
+             {_split_is_train_sql()} AS is_train
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, is_train,
+             ws[j] || ' ' || ws[j + 1] || ' ' || ws[j + 2] AS shingle
+      FROM w, UNNEST(generate_series(1, len(ws) - {SHINGLE_W - 1})) AS t(j)
+      WHERE len(ws) >= {SHINGLE_W}
+    )
+"""
+
+
+@register(
+    "bloom_decontaminate",
+    f"""
+    WITH {_SHINGLES_CTE},
+    seeds(s) AS (SELECT unnest(generate_series(0, {BLOOM_K - 1}))),
+    bloom AS (
+      SELECT DISTINCT
+             {_pos_sql("'bf' || s.s::VARCHAR || ':' || sh.shingle", BLOOM_M)} AS pos
+      FROM sh, seeds s WHERE NOT sh.is_train
+    ),
+    eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE NOT is_train),
+    train_sh AS (
+      SELECT DISTINCT doc_id, shingle FROM sh WHERE is_train
+    ),
+    probe AS (
+      SELECT t.doc_id, t.shingle,
+             COUNT(b.pos) = {BLOOM_K} AS might_contain
+      FROM train_sh t
+      CROSS JOIN seeds s
+      LEFT JOIN bloom b
+        ON b.pos = {_pos_sql("'bf' || s.s::VARCHAR || ':' || t.shingle", BLOOM_M)}
+      GROUP BY t.doc_id, t.shingle
+    ),
+    flags AS (
+      SELECT p.doc_id,
+             MAX(CASE WHEN p.might_contain THEN 1 ELSE 0 END) AS flag_bloom,
+             MAX(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS flag_exact
+      FROM probe p
+      LEFT JOIN eval_sh e ON p.shingle = e.shingle AND p.might_contain
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, CAST(flag_bloom AS INTEGER) AS flag_bloom,
+           CAST(flag_exact AS INTEGER) AS flag_exact
+    FROM flags WHERE flag_bloom = 1
+    """,
+    doc=f"Bloom-filter decontamination: the held-out split's 3-word "
+        f"shingles populate an m={BLOOM_M}, k={BLOOM_K} Bloom set; every "
+        "train doc is flagged if ANY shingle fully hits the filter. "
+        "flag_exact (true membership) rides along, so the emitted rows "
+        "MEASURE the false-positive rate — and validate the sketch's "
+        "one-sided guarantee (no false negatives: every exact hit is a "
+        "bloom hit). All hash positions are md5-derived: the sketch is "
+        "bit-reproducible on any engine (module docstring).",
+)
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD), F.lit(0))
+    shingle = F.expr(
+        f"transform(sequence(1, size(ws) - {SHINGLE_W - 1}), "
+        "j -> concat_ws(' ', slice(ws, j, 3)))"
+    )
+    sh = (
+        d.select("doc_id", ws.alias("ws"), _split_is_train_col().alias("is_train"))
+        .filter(F.size("ws") >= SHINGLE_W)
+        .select("doc_id", "is_train", F.explode(shingle).alias("shingle"))
+    )
+    seeds = spark.range(BLOOM_K).select(F.col("id").cast("int").alias("s"))
+    pos = _pos_col(
+        F.concat(F.lit("bf"), F.col("s").cast("string"), F.lit(":"),
+                 F.col("shingle")),
+        BLOOM_M,
+    )
+    bloom = (
+        sh.filter(~F.col("is_train")).crossJoin(F.broadcast(seeds))
+        .select(pos.alias("pos")).distinct()
+    )
+    eval_sh = sh.filter(~F.col("is_train")).select("shingle").distinct()
+    train_sh = sh.filter("is_train").select("doc_id", "shingle").distinct()
+    probe = (
+        train_sh.crossJoin(F.broadcast(seeds))
+        .select("doc_id", "shingle", pos.alias("pos"))
+        .join(F.broadcast(bloom.withColumn("hit", F.lit(1))), ["pos"], "left")
+        .groupBy("doc_id", "shingle")
+        .agg((F.count("hit") == BLOOM_K).alias("might_contain"))
+    )
+    flags = (
+        probe.join(
+            F.broadcast(eval_sh.withColumn("exact", F.lit(1))),
+            (probe["shingle"] == eval_sh["shingle"]) & probe["might_contain"],
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.col("might_contain").cast("int")).alias("flag_bloom"),
+            F.max(F.coalesce(F.col("exact"), F.lit(0))).alias("flag_exact"),
+        )
+    )
+    return flags.filter(F.col("flag_bloom") == 1).select(
+        "doc_id", "flag_bloom", "flag_exact"
+    )
+
+
+@register(
+    "cms_heavy_hitters",
+    f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '{_WORD}')) AS word
+      FROM documents
+    ),
+    rows_(r) AS (SELECT unnest(generate_series(0, {CMS_D - 1}))),
+    cms AS (
+      SELECT r.r,
+             {_pos_sql("'cms' || r.r::VARCHAR || ':' || word", CMS_W)} AS pos,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks, rows_ r GROUP BY r.r, pos
+    ),
+    exact AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS exact_n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS rk
+      FROM toks GROUP BY word
+    ),
+    top AS (SELECT word, exact_n, rk FROM exact WHERE rk <= {CMS_TOPK}),
+    est AS (
+      SELECT t.word, t.exact_n, t.rk, MIN(cms.c) AS cms_est
+      FROM top t
+      CROSS JOIN rows_ r
+      JOIN cms ON cms.r = r.r
+        AND cms.pos = {_pos_sql("'cms' || r.r::VARCHAR || ':' || t.word", CMS_W)}
+      GROUP BY t.word, t.exact_n, t.rk
+    )
+    SELECT word, CAST(rk AS INTEGER) AS rank, exact_n, cms_est,
+           cms_est - exact_n AS overestimate
+    FROM est
+    """,
+    doc=f"Count-Min heavy hitters: a d={CMS_D} x w={CMS_W} counter "
+        f"sketch built in one aggregate estimates the top-{CMS_TOPK} "
+        "words' frequencies; exact counts ride along so the emitted "
+        "rows verify the CMS guarantee in-engine (overestimate >= 0, "
+        "never under). The sketch table is d*w rows regardless of "
+        "corpus or vocabulary size — the bounded-memory frequency "
+        "structure streaming/firehose counting uses at 100 TB.",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(_WORD), F.lit(0))
+        ).alias("word")
+    )
+    rows = spark.range(CMS_D).select(F.col("id").cast("int").alias("r"))
+    # per-(row, position) counters — the salt embeds the row index
+    pos = _pos_col(
+        F.concat(F.lit("cms"), F.col("r").cast("string"), F.lit(":"),
+                 F.col("word")),
+        CMS_W,
+    )
+    cms = (
+        toks.crossJoin(F.broadcast(rows))
+        .select("r", pos.alias("pos"))
+        .groupBy("r", "pos")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wnd = Window.orderBy(F.desc("exact_n"), F.asc("word"))
+    top = (
+        toks.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .withColumn("rk", F.row_number().over(wnd))
+        .filter(F.col("rk") <= CMS_TOPK)
+    )
+    probe_pos = _pos_col(
+        F.concat(F.lit("cms"), F.col("r").cast("string"), F.lit(":"),
+                 F.col("word")),
+        CMS_W,
+    )
+    est = (
+        F.broadcast(top).crossJoin(F.broadcast(rows))
+        .select("word", "exact_n", "rk", "r", probe_pos.alias("pos"))
+        .join(cms, ["r", "pos"])
+        .groupBy("word", "exact_n", "rk")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "word", F.col("rk").cast("int").alias("rank"), "exact_n", "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).alias("overestimate"),
+    )

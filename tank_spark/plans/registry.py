@@ -111,9 +111,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # driver row (registered after the r5 window was sized):
 # neardup_threshold_sweep, quality_percentile_rank (both oracle-pytest
 # green at sf0.001 + sf0.01), heatmap_mvt_z9, media_frame_sample,
-# dedup_simhash, embedding_norms, doc_rolling_hash (displaced late r5
-# by lm_surprisal_score + pq_encode_codes/pq_adc_topk/pq_recall_eval/
-# ivf_pq_search),
+# dedup_simhash, embedding_norms, doc_rolling_hash, event_type_rates,
+# heatmap_z14, token_count_bpe (displaced late r5 by lm_surprisal_score
+# + lm_cross_source_divergence + pq_encode_codes/pq_adc_topk/
+# pq_recall_eval/ivf_pq_search + bloom_decontaminate/cms_heavy_hitters),
 # pq_train_subspace_kmeans, quality_lr_train, quality_lr_eval,
 # bpe_tokenize_corpus (rows-only, twin-pinned, never driver-checked),
 # lm_heldout_surprisal (oracle-checked at 2 SFs, born after the r5
@@ -152,12 +153,14 @@ PRIORITY: tuple[str, ...] = (
     # ---- never driver-checked (born r4 after the window froze)
     "top_bigrams", "cluster_balanced_sample", "dedup_simhash64",
     "approx_sketches_demo",
+    # ---- new this session: engine-exact sketches
+    "bloom_decontaminate", "cms_heavy_hitters",
     # ---- out since r2, cycle back
-    "heatmap_z14", "token_count_bpe",
     "tumbling_hourly_counts",
     "salted_user_event_counts",
     # (doc_rolling_hash yields its slot to ivf_pq_search, event_type_rates
-    # to lm_cross_source_divergence; both queued r6)
+    # to lm_cross_source_divergence, heatmap_z14 + token_count_bpe to the
+    # two sketch ops; all queued r6)
     # (heatmap_mvt_z9 / media_frame_sample — rows-only checks, unchanged,
     # pytest value oracles — plus dedup_simhash (its simhash64 twin is in
     # window) and embedding_norms (trivial map-only, unchanged) yield
@@ -212,6 +215,7 @@ def load_all() -> dict[str, QueryDef]:
         "tank_spark.llm.lm",
         "tank_spark.llm.pq",
         "tank_spark.llm.classifier",
+        "tank_spark.llm.sketches",
         "tank_spark.operators.mvt_tiles",
         "tank_spark.streaming.windows",
     ]
