@@ -36,12 +36,21 @@ from tank_spark.sources.tables import load
 
 _WORD = "[a-z0-9]+"
 
-# Bloom configuration: sized so the sf-scale corpus shows a measurable,
-# deterministic false-positive rate (fill ~0.4) — the op's point is that
-# FP behavior is measured in-engine, not assumed.
-BLOOM_M = 8192    # bit positions
-BLOOM_K = 3       # hash functions
-SHINGLE_W = 3     # words per shingle (decontaminate_train_eval parity)
+# Bloom configuration: the filter SELF-SIZES — m = BITS_PER_KEY *
+# |distinct eval shingles| (an integer count, identical in both
+# engines, so the oracle computes the same m). Proportional sizing is
+# the production rule AND the scale property: a FIXED m saturates as
+# the keyed set grows (measured: fill -> 1 at 100x made every probe
+# positive, degenerating the filter into the exact join it was meant
+# to avoid), while proportional m keeps the fill — and the measured
+# false-positive rate — constant at any corpus size. 14 bits/key with
+# k=7 gives ~0.1% per-shingle FP: low enough that the doc-level flag
+# stays selective, high enough that the emitted rows still measure
+# real FPs.
+BLOOM_BITS_PER_KEY = 14
+BLOOM_M_FLOOR = 64  # degenerate-corpus guard (empty eval split)
+BLOOM_K = 7         # hash functions
+SHINGLE_W = 3       # words per shingle (decontaminate_train_eval parity)
 
 CMS_D = 2         # Count-Min depth (rows)
 # Width DELIBERATELY below the corpus vocabulary (31 words): a
@@ -54,13 +63,14 @@ CMS_W = 16        # Count-Min width (counters per row)
 CMS_TOPK = 20     # heavy hitters to verify against exact counts
 
 
-def _pos_sql(expr: str, mod: int) -> str:
+def _pos_sql(expr: str, mod) -> str:
     """Hash position of a STRING SQL expression: md5 -> first 8 hex ->
-    uniform int in [0, mod). The expression builds the salted key."""
-    return f"('0x' || substr(md5({expr}), 1, 8))::UBIGINT % {mod}"
+    uniform int in [0, mod). ``mod`` may be an int or a SQL scalar
+    expression (e.g. the self-sizing Bloom modulus subquery)."""
+    return f"('0x' || substr(md5({expr}), 1, 8))::UBIGINT % ({mod})"
 
 
-def _pos_col(col, mod: int):
+def _pos_col(col, mod):
     h8 = F.substring(F.md5(col), 1, 8)
     return F.conv(h8, 16, 10).cast("bigint") % mod
 
@@ -98,17 +108,24 @@ _SHINGLES_CTE = f"""
 """
 
 
+_BLOOM_M_SQL = "(SELECT m FROM msize)"
+
 @register(
     "bloom_decontaminate",
     f"""
     WITH {_SHINGLES_CTE},
     seeds(s) AS (SELECT unnest(generate_series(0, {BLOOM_K - 1}))),
+    eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE NOT is_train),
+    msize AS (
+      SELECT GREATEST({BLOOM_M_FLOOR},
+                      {BLOOM_BITS_PER_KEY} * COUNT(*))::BIGINT AS m
+      FROM eval_sh
+    ),
     bloom AS (
       SELECT DISTINCT
-             {_pos_sql("'bf' || s.s::VARCHAR || ':' || sh.shingle", BLOOM_M)} AS pos
-      FROM sh, seeds s WHERE NOT sh.is_train
+             {_pos_sql("'bf' || s.s::VARCHAR || ':' || e.shingle", _BLOOM_M_SQL)} AS pos
+      FROM eval_sh e, seeds s
     ),
-    eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE NOT is_train),
     train_sh AS (
       SELECT DISTINCT doc_id, shingle FROM sh WHERE is_train
     ),
@@ -118,7 +135,7 @@ _SHINGLES_CTE = f"""
       FROM train_sh t
       CROSS JOIN seeds s
       LEFT JOIN bloom b
-        ON b.pos = {_pos_sql("'bf' || s.s::VARCHAR || ':' || t.shingle", BLOOM_M)}
+        ON b.pos = {_pos_sql("'bf' || s.s::VARCHAR || ':' || t.shingle", _BLOOM_M_SQL)}
       GROUP BY t.doc_id, t.shingle
     ),
     flags AS (
@@ -134,8 +151,10 @@ _SHINGLES_CTE = f"""
     FROM flags WHERE flag_bloom = 1
     """,
     doc=f"Bloom-filter decontamination: the held-out split's 3-word "
-        f"shingles populate an m={BLOOM_M}, k={BLOOM_K} Bloom set; every "
-        "train doc is flagged if ANY shingle fully hits the filter. "
+        f"shingles populate a SELF-SIZING Bloom set "
+        f"(m = {BLOOM_BITS_PER_KEY} bits/key, k={BLOOM_K} — constant "
+        "fill at any corpus size, see the sizing comment); every train "
+        "doc is flagged if ANY shingle fully hits the filter. "
         "flag_exact (true membership) rides along, so the emitted rows "
         "MEASURE the false-positive rate — and validate the sketch's "
         "one-sided guarantee (no false negatives: every exact hit is a "
@@ -155,16 +174,19 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "is_train", F.explode(shingle).alias("shingle"))
     )
     seeds = spark.range(BLOOM_K).select(F.col("id").cast("int").alias("s"))
+    eval_sh = sh.filter(~F.col("is_train")).select("shingle").distinct()
+    # self-sizing modulus: one bounded count job (an exact integer, so
+    # the DuckDB twin's scalar subquery lands on the same m)
+    m = max(BLOOM_M_FLOOR, BLOOM_BITS_PER_KEY * eval_sh.count())
     pos = _pos_col(
         F.concat(F.lit("bf"), F.col("s").cast("string"), F.lit(":"),
                  F.col("shingle")),
-        BLOOM_M,
+        m,
     )
     bloom = (
-        sh.filter(~F.col("is_train")).crossJoin(F.broadcast(seeds))
+        eval_sh.crossJoin(F.broadcast(seeds))
         .select(pos.alias("pos")).distinct()
     )
-    eval_sh = sh.filter(~F.col("is_train")).select("shingle").distinct()
     train_sh = sh.filter("is_train").select("doc_id", "shingle").distinct()
     probe = (
         train_sh.crossJoin(F.broadcast(seeds))
