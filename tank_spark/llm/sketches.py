@@ -294,3 +294,130 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word", F.col("rk").cast("int").alias("rank"), "exact_n", "cms_est",
         (F.col("cms_est") - F.col("exact_n")).alias("overestimate"),
     )
+
+
+# HyperLogLog configuration: 2^HLL_P registers per group. The register
+# sum is a sum of 64 exact binary fractions (2^-rho, rho <= 27) whose
+# every partial sum fits 33 bits of mantissa — order-INDEPENDENT in IEEE
+# doubles, so even the float estimate is engine-exact (verified).
+HLL_P = 6
+HLL_M = 1 << HLL_P          # 64 registers
+_HLL_REST_BITS = 32 - HLL_P  # 26 low bits feed the rho count
+# alpha_64 (Flajolet 2007 Fig. 3)
+HLL_ALPHA = 0.709
+
+# Small-range (linear counting) correction, applied exactly as the
+# paper prescribes when raw <= 2.5m and empty registers remain:
+# est = m * ln(m / V). ln() is a transcendental whose last bits differ
+# across libm builds — which would break the exact value hash — but V
+# takes only 64 possible values, so the corrected estimates are
+# PRECOMPUTED HERE and inlined as identical literals in both engines
+# (the engine-exactness contract holds: no engine evaluates ln at all).
+import math as _math
+
+_HLL_LC = [
+    HLL_M * _math.log(HLL_M / v) for v in range(1, HLL_M + 1)
+]  # index by V = empty registers (1-based)
+
+
+@register(
+    "hll_cardinality_by_source",
+    f"""
+    WITH keys AS (
+      SELECT DISTINCT source, doc_id FROM documents
+    ),
+    hashed AS (
+      SELECT source,
+             ('0x' || substr(md5('hll:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               ::UBIGINT AS h32
+      FROM keys
+    ),
+    parts AS (
+      SELECT source,
+             h32 // {1 << _HLL_REST_BITS} AS bucket,
+             h32 % {1 << _HLL_REST_BITS} AS rest
+      FROM hashed
+    ),
+    regs AS (
+      SELECT source, bucket,
+             MAX(CASE WHEN rest = 0 THEN {_HLL_REST_BITS + 1}
+                      ELSE {_HLL_REST_BITS + 1} - length(bin(rest))
+                 END) AS rho
+      FROM parts GROUP BY source, bucket
+    ),
+    est AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS regs_used,
+             SUM(POWER(2.0, -rho)) + ({HLL_M} - COUNT(*)) AS denom
+      FROM regs GROUP BY source
+    ),
+    exact AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_n FROM keys
+      GROUP BY source
+    ),
+    raw AS (
+      SELECT e.source, x.exact_n, e.regs_used,
+             {HLL_ALPHA} * {HLL_M} * {HLL_M} / e.denom AS hll_raw_est,
+             {HLL_M} - e.regs_used AS v_empty
+      FROM est e JOIN exact x ON e.source = x.source
+    )
+    SELECT source, exact_n, regs_used, hll_raw_est,
+           CASE WHEN hll_raw_est <= {2.5 * HLL_M} AND v_empty > 0
+                THEN ([{", ".join(repr(c) for c in _HLL_LC)}])[v_empty]
+                ELSE hll_raw_est END AS hll_est
+    FROM raw
+    """,
+    doc=f"HyperLogLog cardinality per source ({HLL_M} registers, "
+        "Flajolet estimator + linear-counting small-range switch): "
+        "bucket and leading-zero rank derive from md5 via exact integer "
+        "math (binary-digit count, the llm/lm.py idiom), the register "
+        "sum is all exact binary fractions, and the correction's ln "
+        "values are precomputed shared literals — so even the FLOAT "
+        "estimates hash-match across engines. Exact counts ride along "
+        "to measure estimator error in-engine. The register table is "
+        "groups x 64 rows regardless of corpus size — the mergeable "
+        "bounded-memory cardinality structure (Spark's native "
+        "approx_count_distinct is HLL++; this one is spec-reproducible "
+        "anywhere).",
+)
+def hll_cardinality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    keys = d.select("source", "doc_id").distinct()
+    h32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll:"), F.col("doc_id").cast("string"))),
+                    1, 8),
+        16, 10,
+    ).cast("bigint")
+    parts = keys.select(
+        "source",
+        (h32 / (1 << _HLL_REST_BITS)).cast("bigint").alias("bucket"),
+        (h32 % (1 << _HLL_REST_BITS)).alias("rest"),
+    )
+    rho = F.when(F.col("rest") == 0, F.lit(_HLL_REST_BITS + 1)).otherwise(
+        F.lit(_HLL_REST_BITS + 1)
+        - F.length(F.conv(F.col("rest").cast("string"), 10, 2))
+    )
+    regs = parts.groupBy("source", "bucket").agg(F.max(rho).alias("rho"))
+    est = regs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("regs_used"),
+        (F.sum(F.pow(F.lit(2.0), -F.col("rho")))
+         + (HLL_M - F.count(F.lit(1)))).alias("denom"),
+    )
+    exact = keys.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    raw = (
+        est.join(exact, "source")
+        .select(
+            "source", "exact_n", "regs_used",
+            (F.lit(HLL_ALPHA) * HLL_M * HLL_M / F.col("denom")).alias("hll_raw_est"),
+            (HLL_M - F.col("regs_used")).alias("v_empty"),
+        )
+    )
+    lc = F.element_at(
+        F.array(*[F.lit(c) for c in _HLL_LC]), F.col("v_empty").cast("int")
+    )
+    return raw.select(
+        "source", "exact_n", "regs_used", "hll_raw_est",
+        F.when(
+            (F.col("hll_raw_est") <= 2.5 * HLL_M) & (F.col("v_empty") > 0), lc
+        ).otherwise(F.col("hll_raw_est")).alias("hll_est"),
+    )

@@ -117,8 +117,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # pq_recall_eval/ivf_pq_search + bloom_decontaminate/cms_heavy_hitters),
 # pq_train_subspace_kmeans, quality_lr_train, quality_lr_eval,
 # bpe_tokenize_corpus (rows-only, twin-pinned, never driver-checked),
-# lm_heldout_surprisal (oracle-checked at 2 SFs, born after the r5
-# window froze), then array_agg_statuses,
+# lm_heldout_surprisal, hll_cardinality_by_source (oracle-checked at
+# 2 SFs, born after the r5 window froze), then array_agg_statuses,
 # spatial_join_points_in_boxes, dedup_ngram_jaccard, media_metadata
 # (displaced late in r5), then (green r4, out since r5 — cycle back):
 # tile_z9_range, tile_z13_single, tile_z15_parent, tile_filter_int,

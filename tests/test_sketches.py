@@ -62,3 +62,22 @@ def test_cms_overestimates_never_under(spark):
     assert all(r["cms_est"] == r["exact_n"] + r["overestimate"] for r in rows)
     # the deliberately under-provisioned width must show REAL error
     assert any(r["overestimate"] > 0 for r in rows)
+
+
+def test_hll_estimates_within_linear_counting_error(spark):
+    """m=64 linear counting is ~5-10% accurate in the small range; the
+    corrected estimate must beat the raw estimator and land within a
+    conservative 25% of exact for every source."""
+    from tank_spark.llm.sketches import hll_cardinality_by_source
+
+    rows = hll_cardinality_by_source(spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert 1 <= r["regs_used"] <= 64
+        rel = abs(r["hll_est"] - r["exact_n"]) / r["exact_n"]
+        assert rel <= 0.25, (r["source"], r["hll_est"], r["exact_n"])
+    mean_corr = sum(abs(r["hll_est"] - r["exact_n"]) / r["exact_n"]
+                    for r in rows) / len(rows)
+    mean_raw = sum(abs(r["hll_raw_est"] - r["exact_n"]) / r["exact_n"]
+                   for r in rows) / len(rows)
+    assert mean_corr < mean_raw
