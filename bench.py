@@ -37,8 +37,10 @@ HEADLINE = [
     "asof_purchase_last_click", "ivf_probe_search", "token_count_bpe",
     # r5 additions: search scoring + winnowing fingerprint
     "bm25_rank_topk", "doc_winnow_fingerprints",
-    # r5 late additions: LM quality scoring + compressed-domain ANN
+    # r5 late additions: LM quality scoring + compressed-domain ANN +
+    # engine-exact sketches (all probed at sf0.1 in-session: 1.3s/0.8s)
     "lm_surprisal_score", "pq_adc_topk",
+    "bloom_decontaminate", "cms_heavy_hitters",
     "tile_mvt_batch",
     # BENCH-ONLY entry: full-fidelity z7 overview encode. NOT a serving
     # path (serving uses the budgeted sample below OVERVIEW_ZOOM — the
