@@ -89,7 +89,7 @@ def test_ingest_upsert_replaces_matching_pk(tank):
            "kind": "poi", "score": "5", "cnt": "1", "tag": "t"}
     import json as j
 
-    assert tank.ingest_features([j.dumps(row)]) == {"accepted": 1, "rejected": 1 - 1}
+    assert tank.ingest_features([j.dumps(row)]) == {"accepted": 1, "rejected": 0}
     # default append: same uid again -> two version rows
     assert tank.ingest_features([j.dumps(row)])["accepted"] == 1
     assert tank.get_feature("ups-1").count() == 2
