@@ -86,6 +86,11 @@ SHOW = [
                       "is a map-side-combined aggregate, probes/LUT "
                       "broadcast, candidates rank by integer ADC sums — "
                       "the only shuffle keys on centroid_id"),
+    ("bloom_decontaminate", "Sketch probe shape: the bounded Bloom "
+                            "position set broadcasts into the train-"
+                            "shingle stream; the corpus-sized side is "
+                            "never shuffled, flags partial-aggregate "
+                            "per doc"),
 ]
 
 KEEP = re.compile(
