@@ -208,7 +208,7 @@ def _lut_df(spark: SparkSession, sf_dir: str,
     f"""
     WITH {_CODES_CTES}, {_LUT_CTES}
     SELECT qid, vec_id, adc_fx, CAST(rn AS INTEGER) AS rank FROM (
-      SELECT l.qid, c.vec_id, SUM(l.d_fx) AS adc_fx,
+      SELECT l.qid, c.vec_id, CAST(SUM(l.d_fx) AS BIGINT) AS adc_fx,
              ROW_NUMBER() OVER (PARTITION BY l.qid
                                 ORDER BY SUM(l.d_fx), c.vec_id) AS rn
       FROM codes c
@@ -403,7 +403,7 @@ def _ivf_pq_sql() -> str:
       ) WHERE prn <= {N_PROBE}
     )
     SELECT qid, vec_id, adc_fx, CAST(rn AS INTEGER) AS rank FROM (
-      SELECT p.qid, a.vec_id, SUM(l.d_fx) AS adc_fx,
+      SELECT p.qid, a.vec_id, CAST(SUM(l.d_fx) AS BIGINT) AS adc_fx,
              ROW_NUMBER() OVER (PARTITION BY p.qid
                                 ORDER BY SUM(l.d_fx), a.vec_id) AS rn
       FROM probes p

@@ -63,6 +63,32 @@ def compare(spark, sf_dir: str, name: str) -> None:
     s_rows = [tuple(_norm(row[c]) for c in s_cols) for row in sdf.collect()]
 
     con = duckdb_con(sf_dir)
+
+    # Result-type guard (VERDICT r5): _norm erases integer-width
+    # differences locally, but the driver hashes exact values — a DuckDB
+    # HUGEINT (e.g. bare SUM(BIGINT)) hash-mismatches Spark's BIGINT even
+    # when every value is equal. Reject oracle output columns whose type
+    # the Spark side cannot emit, so the bug class fails HERE, not at the
+    # driver. DECIMAL is allowed only when the Spark column is DecimalType.
+    from pyspark.sql.types import DecimalType
+
+    spark_decimals = {
+        f.name for f in sdf.schema.fields if isinstance(f.dataType, DecimalType)
+    }
+    desc = con.execute(f"DESCRIBE {q.oracle}").fetchall()
+    for col_name, col_type, *_ in desc:
+        t = col_type.upper()
+        assert "HUGEINT" not in t, (
+            f"{name}: oracle column {col_name!r} is {col_type} — DuckDB "
+            "int128 never hash-matches Spark; CAST it (e.g. AS BIGINT)"
+        )
+        if t.startswith("DECIMAL") and col_name not in spark_decimals:
+            raise AssertionError(
+                f"{name}: oracle column {col_name!r} is {col_type} but the "
+                "Spark column is not DecimalType — the driver hash will "
+                "mismatch; CAST the oracle column to the Spark type"
+            )
+
     res = con.execute(q.oracle)
     d_cols_raw = [d[0] for d in res.description]
     d_rows_raw = res.fetchall()
