@@ -143,3 +143,68 @@ def ingest_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").alias("sum_cnt"),
         )
     )
+
+
+# ---------------------------------------------------------------- upsert
+
+# A (uid, hash) pair present at every test SF (1 stored version at
+# sf0.001/sf0.01, 2 at sf0.1 — so the driver row also exercises the
+# replace-ALL-versions semantic), plus the zoom-13 tile-center lon/lat
+# that re-hashes to the same Morton bucket. Verified against all three
+# testdata dirs at registration time of this query.
+_UPS_UID = "feat-10002"
+_UPS_HASH = 11608996          # morton(z13 tile 1298, 3164)
+_UPS_LON, _UPS_LAT = -122.93701171875, 37.84015683604134
+
+
+@register(
+    "ingest_upsert_post_state",
+    f"""
+    {FEATURES_CTE}
+    SELECT uid, kind, score, cnt, tag FROM features
+    WHERE hash = {_UPS_HASH} AND uid <> '{_UPS_UID}'
+    UNION ALL
+    SELECT '{_UPS_UID}', 'poi', CAST(123.5 AS DOUBLE),
+           CAST(7 AS INTEGER), 'upserted'
+    UNION ALL
+    SELECT 'ups-new', 'road', CAST(1.5 AS DOUBLE),
+           CAST(2 AS INTEGER), 'fresh'
+    """,
+    doc="S1 upsert parity (reference application.conf:47-50, the "
+        "primary_keys='uid' INSERT-is-upsert layer): seeds a real "
+        "bucket-partitioned table with one Morton bucket of the features "
+        "table, ingests a conflicting batch through the ACTUAL API write "
+        "path (Tank.ingest_features(upsert=True) -> "
+        "table_ops.delete_matching_keys bucket-pruned CoW), and returns "
+        "the post-state rows of the bucket — the stored versions of the "
+        "conflicting uid are replaced by the incoming row, the fresh uid "
+        "appends. The oracle states the same post-state declaratively.",
+)
+def ingest_upsert_post_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import tempfile
+
+    from tank_spark.api import Tank
+    from tank_spark.operators.table_ops import write_feature_table
+
+    # fresh dir per call so the query is re-runnable; the dir must outlive
+    # this function (the returned DataFrame reads it lazily)
+    d = tempfile.mkdtemp(prefix="tank_upsert_") + "/layer"
+    write_feature_table(
+        features_df(spark, sf_dir).drop("ts").filter(F.col("hash") == _UPS_HASH), d
+    )
+    t = Tank(spark, d)
+    base = {"lon": _UPS_LON, "lat": _UPS_LAT}
+    res = t.ingest_features([
+        json.dumps({"id": _UPS_UID, "kind": "poi", "score": "123.5",
+                    "cnt": "7", "tag": "upserted", **base}),
+        json.dumps({"id": "ups-new", "kind": "road", "score": "1.5",
+                    "cnt": "2", "tag": "fresh", **base}),
+    ], upsert=True)
+    if res["accepted"] != 2 or res["rejected"] != 0:
+        raise AssertionError(f"upsert ingest did not accept cleanly: {res}")
+    return (
+        t.features()
+        .filter(F.col("hash") == _UPS_HASH)
+        .select("uid", "kind", "score", "cnt", "tag")
+    )
