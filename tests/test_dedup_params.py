@@ -116,3 +116,100 @@ def test_new_curation_ops_non_vacuous(spark):
     gq = reg["gopher_quality_rules"].spark(spark, SF_DIR).groupBy("passes").count()
     counts = {r["passes"]: r["count"] for r in gq.collect()}
     assert counts.get(0, 0) > 0 and counts.get(1, 0) > 0
+
+
+# ------------------------------------------------------- simhash64 twin
+
+def _xxh64(data: bytes, seed: int) -> int:
+    """Pure-Python XXH64 (public spec) — the independent twin for Spark's
+    xxhash64. Validated against the engine inside the test before use."""
+    P1, P2, P3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+    P4, P5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+    M = (1 << 64) - 1
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & M
+
+    def rnd(acc: int, inp: int) -> int:
+        acc = (acc + inp * P2) & M
+        return (rotl(acc, 31) * P1) & M
+
+    n, i = len(data), 0
+    if n >= 32:
+        v1, v2 = (seed + P1 + P2) & M, (seed + P2) & M
+        v3, v4 = seed & M, (seed - P1) & M
+        while i <= n - 32:
+            v1 = rnd(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = rnd(v2, int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = rnd(v3, int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = rnd(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & M
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ rnd(0, v)) * P1 + P4) & M
+    else:
+        h = (seed + P5) & M
+    h = (h + n) & M
+    while i <= n - 8:
+        h ^= rnd(0, int.from_bytes(data[i:i + 8], "little"))
+        h = (rotl(h, 27) * P1 + P4) & M
+        i += 8
+    if i <= n - 4:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * P1) & M
+        h = (rotl(h, 23) * P2 + P3) & M
+        i += 4
+    while i < n:
+        h ^= (data[i] * P5) & M
+        h = (rotl(h, 11) * P1) & M
+        i += 1
+    h ^= h >> 33
+    h = (h * P2) & M
+    h ^= h >> 29
+    h = (h * P3) & M
+    h ^= h >> 32
+    return h
+
+
+def test_simhash64_python_twin(spark):
+    """Value-level pin for the rows-only dedup_simhash64 (VERDICT r5 #6):
+    recompute every doc's 64-bit code from scratch in Python — regex
+    tokenization, pure-Python XXH64 word hashes (Spark seeds with 42),
+    per-bit majority vote, two's-complement bit packing — and require
+    exact equality with the Spark plan's codes."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from tank_spark.llm.dedup import corpus_df, simhash64_df
+
+    # calibrate the twin: the pure-Python XXH64 must match the engine
+    probe = spark.createDataFrame(
+        [("a",), ("hello",), ("0123456789abcdef0123456789abcdef xyz",)],
+        ["w"],
+    ).select("w", F.xxhash64("w").alias("h")).collect()
+    for r in probe:
+        got = _xxh64(r["w"].encode(), 42)
+        want = r["h"] & ((1 << 64) - 1)
+        assert got == want, f"XXH64 twin diverges on {r['w']!r}"
+
+    texts = {r["cid"]: r["text"]
+             for r in corpus_df(spark, SF_DIR).collect()}
+    spark_codes = {r["cid"]: r["simhash64"]
+                   for r in simhash64_df(spark, SF_DIR).collect()}
+    word_re = re.compile(r"[a-z0-9]+")
+    checked = 0
+    for cid, text in texts.items():
+        words = word_re.findall(text.lower())
+        if not words:
+            continue  # no words -> no groupBy row on the Spark side
+        votes = [0] * 64
+        for w in words:
+            h = _xxh64(w.encode(), 42)
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        code = sum(1 << b for b in range(64) if votes[b] > 0)
+        if code >= 1 << 63:
+            code -= 1 << 64  # Spark packs into a signed long
+        assert spark_codes[cid] == code, f"cid {cid}: {spark_codes[cid]} != {code}"
+        checked += 1
+    assert checked > 100

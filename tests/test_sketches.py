@@ -81,3 +81,49 @@ def test_hll_estimates_within_linear_counting_error(spark):
     mean_raw = sum(abs(r["hll_raw_est"] - r["exact_n"]) / r["exact_n"]
                    for r in rows) / len(rows)
     assert mean_corr < mean_raw
+
+
+def test_approx_sketches_demo_bounds(spark):
+    """Value-level pin for the rows-only approx_sketches_demo (VERDICT r5
+    #6): approx_count_distinct must land within the configured rsd of the
+    exact distinct count (3-sigma band), and each approx percentile must
+    fall between the exact lower/upper rank-tolerance quantiles
+    (percentile_approx guarantees rank error <= n/accuracy; accuracy is
+    10000, so allow one rank on either side for small groups)."""
+    import duckdb
+
+    from tank_spark.plans.registry import load_all
+    from tests.conftest import SF_DIR
+
+    got = {
+        r["event_type"]: r
+        for r in load_all()["approx_sketches_demo"].spark(spark, SF_DIR).collect()
+    }
+    con = duckdb.connect()
+    exact = con.execute(f"""
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS d,
+               COUNT(*) AS n,
+               quantile_disc(value, 0.5) AS p50,
+               quantile_disc(value, 0.99) AS p99,
+               quantile_disc(value, 0.45) AS p50_lo,
+               quantile_disc(value, 0.55) AS p50_hi,
+               quantile_disc(value, 0.94) AS p99_lo,
+               MAX(value) AS p99_hi
+        FROM read_parquet('{SF_DIR}/events.parquet')
+        GROUP BY event_type
+    """).fetchall()
+    con.close()
+    assert len(exact) == len(got) > 0
+    for et, d, n, p50, p99, p50_lo, p50_hi, p99_lo, p99_hi in exact:
+        r = got[et]
+        # HLL++ with rsd=0.02: 3 sigma = 6% relative error band
+        assert abs(r["approx_users"] - d) <= max(0.06 * d, 1), (
+            f"{et}: approx_users {r['approx_users']} vs exact {d}"
+        )
+        assert p50_lo <= r["p50_approx"] <= p50_hi, (
+            f"{et}: p50_approx {r['p50_approx']} outside [{p50_lo}, {p50_hi}]"
+        )
+        assert p99_lo <= r["p99_approx"] <= p99_hi, (
+            f"{et}: p99_approx {r['p99_approx']} outside [{p99_lo}, {p99_hi}]"
+        )
