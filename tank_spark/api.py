@@ -343,10 +343,17 @@ class Tank:
         Tyler.kt:139)."""
         from tank_spark.operators.table_ops import update_by_uid
 
+        # snapshot tiles BEFORE and AFTER: an update may move the feature
+        # (tile_x/tile_y/geometry are updatable columns), and invalidating
+        # only the pre-update tiles would leave the destination tile's
+        # cached blob stale (ADVICE r5)
         tiles = self._tiles_of_uid(uid)
         n = update_by_uid(self.spark, self.table_dir, uid, updates)
         if n:
-            self._invalidate_feature_tiles(tiles)
+            after = self._tiles_of_uid(uid)
+            self._invalidate_feature_tiles(
+                sorted(set(tiles) | set(after))
+            )
         return n
 
     def delete_feature(self, uid: str) -> int:

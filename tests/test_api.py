@@ -354,3 +354,59 @@ def test_geojson_polygon_ingest_serves_full_geometry(tank):
              if f["props"].get("kind") == "zone"]
     assert len(polys) == 1
     assert polys[0]["geom_type"] == "Polygon"
+
+
+def test_update_move_invalidates_destination_tile(spark, tmp_path):
+    """A position-changing update (tile_x/tile_y/hash/geometry are
+    updatable columns) must invalidate the DESTINATION tile's cached blob
+    too, not just the tiles the feature occupied before the update
+    (ADVICE r5): caching the destination, then moving a feature into it,
+    must not keep serving the pre-move blob."""
+    import json as _json
+
+    from tank_spark.api import Tank
+    from tank_spark.geom import mvt as mvtmod
+    from tank_spark.geom import tilemath
+    from tank_spark.operators.table_ops import write_feature_table
+    from tank_spark.operators.tiles import tile_hash_range
+    from tank_spark.sources.features import features_df
+
+    d = str(tmp_path / "layer")
+    write_feature_table(features_df(spark, SF_DIR).drop("ts"), d)
+    t = Tank(spark, d, cache_dir=str(tmp_path / "cache"))
+
+    lon_a, lat_a = -123.7, 38.7
+    ax, ay = tilemath.tile_number(lat_a, lon_a, 13)
+    bx, by = ax + 1, ay                      # adjacent destination tile
+    # destination-tile center coordinates
+    n = 2.0 ** 13
+    lon_b = (bx + 0.5) / n * 360.0 - 180.0
+    import math
+    lat_b = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * (by + 0.5) / n))))
+
+    t.ingest_features([_json.dumps(
+        {"id": "mv-1", "lon": lon_a, "lat": lat_a, "kind": "poi",
+         "score": "5", "cnt": "1", "tag": "mv-tag"})])
+
+    # cache BOTH tiles: source serves the feature, destination doesn't
+    def has_marker(feats):
+        return any(f["props"].get("tag") == "mv-tag" for f in feats)
+
+    feats_a0 = mvtmod.decode(t.tile_mvt(13, ax, ay))["io.marauder.tank"]["features"]
+    assert has_marker(feats_a0)
+    feats_b0 = mvtmod.decode(t.tile_mvt(13, bx, by))["io.marauder.tank"]["features"]
+    assert not has_marker(feats_b0)
+
+    new_hash = tile_hash_range(13, bx, by)[0]
+    assert t.update_feature("mv-1", {
+        "hash": new_hash, "tile_x": bx, "tile_y": by,
+        "lon": lon_b, "lat": lat_b,
+        "geometry": f"POINT ({lon_b} {lat_b})",
+    }) == 1
+
+    # destination must serve the moved feature (stale cache would not)
+    feats_b1 = mvtmod.decode(t.tile_mvt(13, bx, by))["io.marauder.tank"]["features"]
+    assert has_marker(feats_b1)
+    # source must no longer serve it
+    feats_a1 = mvtmod.decode(t.tile_mvt(13, ax, ay))["io.marauder.tank"]["features"]
+    assert not has_marker(feats_a1)
