@@ -134,50 +134,58 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # neardup_embedding_clusters, semantic_vs_lexical, ivf_probe_search,
 # ivf_train_kmeans, embedding_sq_quantize, semdedup_prune,
 # event_value_outliers, dedup_event_stream_replay, media_extract_features.
+# Round-7 rotation queue — FIRST the remaining r1-only relational
+# entries not re-checked in r6 (VERDICT r5 #4 asks for all of them by
+# r7): sort_limit_parts, small_quantity_parts, distinct_parts_per_flag,
+# corr_qty_price_by_flag, stddev_value_by_type, string_functions_demo,
+# math_functions_demo, nation_trade_balance, monthly_revenue_trend's
+# peer order_priority_late_ship is in r6 — then the r4-green cycle-backs
+# displaced again this round (tile_z9_range, tile_z13_single,
+# tile_z15_parent, tile_filter_int, tile_filter_date, heatmap_z9,
+# heatmap_z11, point_lookup_uid, delete_by_uid, update_by_uid,
+# delete_tile, ingest_json_props, ingest_coerce_defaults,
+# ingest_bucket_stats, ingest_declared_schema, text_repetition_signals,
+# pii_detect_mask, lang_id_confusion, corpus_mix_report,
+# rare_word_fraction, gopher_quality_rules, chunk_documents, dedup_exact,
+# dedup_exact_survivors, dedup_minhash_signatures,
+# dedup_prefix_containment, cross_source_duplication, passage_dedup,
+# sample_stratified_sources, pack_token_budget, decontaminate_train_eval,
+# global_sequence_ids, token_budget_planning, temperature_mix_weights,
+# neardup_embedding_clusters, semantic_vs_lexical, ivf_probe_search,
+# ivf_train_kmeans, embedding_sq_quantize, semdedup_prune,
+# event_value_outliers, dedup_event_stream_replay, media_extract_features,
+# semdedup families), then the r5-green LSH/search/LM/PQ/sketch entries
+# (all have fresh r5 rows; cycle back by r8).
 PRIORITY: tuple[str, ...] = (
-    # ---- changed this round: the capped-by-default dedup family
-    "dedup_minhash_lsh_pairs", "dedup_lsh_pairs_uncapped",
-    "dedup_lsh_pairs_capped", "dedup_lsh_clusters",
-    "dedup_lsh_clusters_uncapped", "dedup_lsh_clusters_capped",
-    "dedup_lsh_survivors", "lsh_recall_eval",
-    "dedup_minhash_lsh_pairs_k128",
-    # ---- changed this round: MVT serving (sample_mod column, shared
-    # sampling filter, routing knob)
-    "tile_sample_overview", "tile_mvt_batch",
-    # ---- new this round
-    "bm25_rank_topk", "top_distinctive_terms",
-    "dedup_containment_pairs", "doc_winnow_fingerprints",
-    "train_eval_split", "dedup_multiplicity", "ivf_recall_eval",
-    "bpe_train_merges", "lm_surprisal_score", "lm_cross_source_divergence",
-    "pq_encode_codes", "pq_adc_topk", "pq_recall_eval", "ivf_pq_search",
-    # ---- never driver-checked (born r4 after the window froze)
-    "top_bigrams", "cluster_balanced_sample", "dedup_simhash64",
-    "approx_sketches_demo",
-    # ---- new this session: engine-exact sketches
-    "bloom_decontaminate", "cms_heavy_hitters",
-    # ---- out since r2, cycle back
-    "tumbling_hourly_counts",
-    "salted_user_event_counts",
-    # (doc_rolling_hash yields its slot to ivf_pq_search, event_type_rates
-    # to lm_cross_source_divergence, heatmap_z14 + token_count_bpe to the
-    # two sketch ops; all queued r6)
-    # (heatmap_mvt_z9 / media_frame_sample — rows-only checks, unchanged,
-    # pytest value oracles — plus dedup_simhash (its simhash64 twin is in
-    # window) and embedding_norms (trivial map-only, unchanged) yield
-    # their slots to lm_surprisal_score + the three PQ oracle queries;
-    # all four queued first for r6)
-    # ---- out since r3, cycle back
-    "text_stats", "text_quality_score", "lang_id_stopwords",
-    "doc_fingerprint", "top_words_per_lang", "sessionize_events",
-    "user_funnel_signup_purchase", "weekly_retention_cohorts",
-    "knn_brute_cosine", "ann_lsh_buckets", "neardup_cosine_pairs",
-    # (array_agg_statuses + spatial_join_points_in_boxes yield their
-    # slots to the two late-round-5 operators; queued first for r6)
-    # ---- out since r4, cycle back
-    "ivf_assignments", "streaming_session_windows",
-    "streaming_windowed_counts",
-    # (dedup_ngram_jaccard + media_metadata yield their slots to
-    # ivf_recall_eval + bpe_train_merges; queued first for r6)
+    # ---- changed this round: the two r5 red rows (oracle HUGEINT cast
+    # fixed — engine values were already correct) and the new upsert
+    # post-state query driving the r5 upsert write path (VERDICT r5 #1/#7)
+    "pq_adc_topk", "ivf_pq_search", "ingest_upsert_post_state",
+    # ---- late-r5 operators that never got a driver row (VERDICT r5 #3)
+    "neardup_threshold_sweep", "quality_percentile_rank",
+    "pq_train_subspace_kmeans", "quality_lr_train", "quality_lr_eval",
+    "bpe_tokenize_corpus", "lm_heldout_surprisal",
+    "hll_cardinality_by_source",
+    # ---- displaced late in r5, queued first for r6
+    "heatmap_mvt_z9", "media_frame_sample", "dedup_simhash",
+    "embedding_norms", "doc_rolling_hash", "event_type_rates",
+    "heatmap_z14", "token_count_bpe", "array_agg_statuses",
+    "spatial_join_points_in_boxes", "dedup_ngram_jaccard",
+    "media_metadata",
+    # ---- r1 relational refresh (VERDICT r5 #4: no driver row since
+    # round 1 and the testdata generator changed twice since) — 24 of
+    # the suite now, the rest queued r7
+    "q3_shipping_priority", "q5_nation_volume", "q6_forecast_revenue",
+    "topk_orders_per_priority", "window_running_revenue",
+    "rollup_lineitem_status", "cube_order_status_priority",
+    "pivot_qty_by_status", "grouping_sets_volume",
+    "nations_customers_without_suppliers", "customers_without_big_orders",
+    "orders_above_avg", "union_all_key_space", "price_quantiles_by_flag",
+    "range_join_value_bands", "nations_with_both",
+    "parts_with_cheap_supply", "min_price_supplier_per_part",
+    "order_priority_late_ship", "monthly_revenue_trend",
+    "dense_rank_price_tiers", "top_returning_customers",
+    "promo_revenue_share", "disjunctive_predicate_revenue",
     # ---- flagship + core refresh (asof = the custom-operator headline)
     "training_mix_pipeline", "q1_pricing_summary",
     "asof_purchase_last_click",
