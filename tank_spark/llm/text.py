@@ -801,3 +801,197 @@ def quality_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("top_decile",
                     (F.col("q_pct") >= 0.9).cast("int"))
     )
+
+
+# --------------------------------------------- cross-doc boilerplate ops
+
+_SEG_W = 4  # words per segment (the testdata has no newlines/punctuation
+            # to split on, so "lines" are fixed word windows)
+
+
+def _segs_sql(w: int, sliding: bool) -> str:
+    """DuckDB CTE chain words -> segs for fixed (chunked) or sliding
+    word windows of width ``w``."""
+    if sliding:
+        rng = f"range(CAST(GREATEST(len(w) - {w - 1}, 0) AS BIGINT))"
+        lo, hi = "i + 1", f"i + {w}"
+    else:
+        rng = f"range(CAST(ceil(len(w) / {w}.0) AS BIGINT))"
+        lo, hi = f"i * {w} + 1", f"i * {w} + {w}"
+    return f"""
+    words AS (SELECT doc_id, source, str_split(text, ' ') AS w FROM documents),
+    segs AS (
+      SELECT doc_id, source, i AS seg_idx,
+             array_to_string(list_slice(w, CAST({lo} AS BIGINT),
+                                        CAST({hi} AS BIGINT)), ' ') AS seg
+      FROM words, UNNEST({rng}) AS t(i)
+    )"""
+
+
+def _segs_df(d: DataFrame, w: int, sliding: bool) -> DataFrame:
+    """(doc_id, source, seg_idx, seg) for fixed or sliding word windows —
+    one map-only explode, no shuffle."""
+    if sliding:
+        arr = (f"transform(sequence(0, cast(greatest(size(w) - {w}, -1) as int), 1), "
+               f"i -> array_join(slice(w, i + 1, {w}), ' '))")
+    else:
+        arr = (f"transform(sequence(0, cast(ceil(size(w) / {w}.0) as int) - 1, 1), "
+               f"i -> array_join(slice(w, i * {w} + 1, {w}), ' '))")
+    return (
+        d.select("doc_id", "source", F.split("text", " ").alias("w"))
+        .select("doc_id", "source",
+                F.posexplode(F.expr(arr)).alias("seg_idx", "seg"))
+    )
+
+
+@register(
+    "boilerplate_segment_removal",
+    f"""
+    WITH {_segs_sql(_SEG_W, sliding=False)},
+    hot AS (
+      SELECT source, seg FROM segs
+      GROUP BY source, seg HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    kept AS (
+      SELECT s.doc_id, s.seg_idx, s.seg FROM segs s
+      ANTI JOIN hot h ON s.source = h.source AND s.seg = h.seg
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             array_to_string(list(seg ORDER BY seg_idx), ' ') AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id, w.source,
+           CAST(ceil(len(w.w) / {_SEG_W}.0) AS BIGINT) AS n_segs,
+           COALESCE(a.n_kept, 0) AS n_kept,
+           CAST(ceil(len(w.w) / {_SEG_W}.0) AS BIGINT)
+             - COALESCE(a.n_kept, 0) AS n_removed,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM words w LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="Line-level boilerplate removal (the RefinedWeb/CCNet 'drop lines "
+        "duplicated across documents of the same source' pass, with "
+        f"{_SEG_W}-word windows standing in for lines — the testdata has "
+        "no newlines): segments appearing in >= 2 distinct docs of one "
+        "source are dropped and each doc's text is reassembled in order. "
+        "Scale shape: one explode (map-only), one combiner-friendly "
+        "aggregate to find the hot-segment list (small by construction — "
+        "only repeated text survives the HAVING), an anti-join AQE can "
+        "broadcast, and one per-doc reassembly aggregate.",
+)
+def boilerplate_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    segs = _segs_df(d, _SEG_W, sliding=False)
+    hot = (
+        segs.groupBy("source", "seg")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("source", "seg")
+    )
+    kept = segs.join(hot, ["source", "seg"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    n_segs = F.ceil(F.size(F.split("text", " ")) / F.lit(float(_SEG_W))).cast("long")
+    return (
+        d.select("doc_id", "source", n_segs.alias("n_segs"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id", "source", "n_segs",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            (F.col("n_segs") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+@register(
+    "cross_doc_dup_ngram_fraction",
+    f"""
+    WITH {_segs_sql(_SEG_W, sliding=True)},
+    hot AS (
+      SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    marked AS (
+      SELECT s.doc_id, CASE WHEN h.seg IS NULL THEN 0 ELSE 1 END AS is_dup
+      FROM segs s LEFT JOIN hot h ON s.seg = h.seg
+    )
+    SELECT doc_id, COUNT(*) AS n_windows,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dup,
+           CAST(SUM(is_dup) AS DOUBLE) / COUNT(*) AS dup_frac,
+           CAST(CASE WHEN CAST(SUM(is_dup) AS DOUBLE) / COUNT(*) >= 0.2
+                THEN 1 ELSE 0 END AS INTEGER) AS flagged
+    FROM marked GROUP BY doc_id
+    """,
+    doc="Cross-document duplicated-n-gram fraction: the per-doc share of "
+        f"sliding {_SEG_W}-word windows that also appear in another "
+        "document anywhere in the corpus — the cheap distributed stand-in "
+        "for suffix-array substring dedup (Lee et al. 2022): docs scoring "
+        "high are near-copies or template spam even when no full-doc "
+        "fingerprint matches. Docs shorter than the window legitimately "
+        "emit no row. Scale shape: explode is map-only; the hot-window "
+        "list is one combiner-friendly aggregate; the membership join "
+        "keys on the window text (AQE handles the hot keys).",
+)
+def cross_doc_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    segs = _segs_df(d, _SEG_W, sliding=True)
+    hot = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("seg", F.lit(1).alias("_hot"))
+    )
+    marked = segs.join(hot, "seg", "left").select(
+        "doc_id",
+        F.when(F.col("_hot").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("is_dup"),
+    )
+    dup_frac = F.sum("is_dup").cast("double") / F.count(F.lit(1))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("is_dup").cast("long").alias("n_dup"),
+        dup_frac.alias("dup_frac"),
+        (dup_frac >= 0.2).cast("int").alias("flagged"),
+    )
+
+
+# phrases deliberately present in the synthetic corpus so both sides of
+# the cut are exercised at every SF (the round-2 vacuous-cut lesson)
+_BLOCK_PHRASES = ("batch batch", "slow join", "spark table", "vector join")
+_BLOCK_PAT = r"\b(" + "|".join(_BLOCK_PHRASES) + r")\b"
+
+
+@register(
+    "blocklist_filter_docs",
+    f"""
+    SELECT doc_id, source,
+           len(regexp_extract_all(lower(text), '{_BLOCK_PAT}')) AS n_blocked,
+           CAST(CASE WHEN len(regexp_extract_all(lower(text), '{_BLOCK_PAT}')) > 0
+                THEN 1 ELSE 0 END AS INTEGER) AS is_blocked
+    FROM documents
+    """,
+    doc="Blocklist phrase filtering: per-doc hit count against a phrase "
+        "list compiled into ONE alternation regex evaluated JVM-side "
+        "(map-only, codegen'd, zero shuffles — the filter fuses into the "
+        "scan). A production blocklist (10k+ phrases) outgrows a regex "
+        "alternation; the same operator shape then swaps in an "
+        "Aho-Corasick automaton built once per executor inside "
+        "mapInPandas — the plan stays a map-only scan either way.",
+)
+def blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    n = _n_matches(low, _BLOCK_PAT)
+    return d.select(
+        "doc_id", "source",
+        n.alias("n_blocked"),
+        (n > 0).cast("int").alias("is_blocked"),
+    )

@@ -213,3 +213,21 @@ def test_simhash64_python_twin(spark):
         assert spark_codes[cid] == code, f"cid {cid}: {spark_codes[cid]} != {code}"
         checked += 1
     assert checked > 100
+
+
+def test_boilerplate_ops_non_vacuous(spark):
+    """The three cross-doc text ops must exercise both sides of their
+    cut at the test SF (vacuous-cut lesson): segments actually removed,
+    docs actually flagged, docs actually blocked — and their negatives."""
+    from tank_spark.plans.registry import load_all
+
+    reg = load_all()
+    for name, col in (
+        ("boilerplate_segment_removal", "n_removed"),
+        ("cross_doc_dup_ngram_fraction", "flagged"),
+        ("blocklist_filter_docs", "is_blocked"),
+    ):
+        df = reg[name].spark(spark, SF_DIR)
+        pos = df.filter(F.col(col) > 0).count()
+        neg = df.filter(F.col(col) == 0).count()
+        assert pos > 0 and neg > 0, f"{name}: {col} pos={pos} neg={neg}"
