@@ -34,6 +34,9 @@ PROBES = [
     # round-5 late additions: LM scoring, PQ family, trained classifier
     "lm_surprisal_score", "pq_encode_codes", "pq_adc_topk",
     "pq_recall_eval", "quality_lr_eval",
+    # round-6 additions: cross-doc boilerplate/blocklist surface
+    "boilerplate_segment_removal", "cross_doc_dup_ngram_fraction",
+    "blocklist_filter_docs",
 ]
 
 
