@@ -364,3 +364,133 @@ def lm_cross_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src_e").alias("eval_source"),
         "n_bigrams", "bits_total", "bits_per_bigram",
     )
+
+
+# --------------------------------------------------- DSIR data selection
+
+_DSIR_TARGET = "src0"   # the "looks like my curated domain" target slice
+
+
+@register(
+    "dsir_importance_weights",
+    f"""
+    WITH words AS (
+      SELECT doc_id, source, unnest(regexp_extract_all(lower(text), '{_WORD}')) AS word
+      FROM documents
+    ),
+    doc_w AS (
+      SELECT doc_id, source, word, CAST(COUNT(*) AS BIGINT) AS k
+      FROM words GROUP BY doc_id, source, word
+    ),
+    cr AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c_r FROM words GROUP BY word),
+    ct AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c_t FROM words
+           WHERE source = '{_DSIR_TARGET}' GROUP BY word),
+    scal AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_r,
+             CAST(COUNT(*) FILTER (WHERE source = '{_DSIR_TARGET}') AS BIGINT) AS n_t,
+             CAST(COUNT(DISTINCT word) AS BIGINT) AS v
+      FROM words
+    ),
+    bits AS (
+      SELECT d.doc_id, d.source, d.k,
+             CAST(length(bin((s.n_t + s.v) // (COALESCE(ct.c_t, 0) + 1))) - 1
+                  AS BIGINT) AS s_t,
+             CAST(length(bin((s.n_r + s.v) // (cr.c_r + 1))) - 1
+                  AS BIGINT) AS s_r
+      FROM doc_w d
+      JOIN cr ON d.word = cr.word
+      LEFT JOIN ct ON d.word = ct.word
+      CROSS JOIN scal s
+    ),
+    agg AS (
+      SELECT doc_id, source,
+             CAST(SUM(k) AS BIGINT) AS n_words,
+             CAST(SUM(k * s_t) AS BIGINT) AS bits_target,
+             CAST(SUM(k * s_r) AS BIGINT) AS bits_raw,
+             CAST(SUM(k * s_r) - SUM(k * s_t) AS BIGINT) AS weight_bits
+      FROM bits GROUP BY doc_id, source
+    )
+    SELECT doc_id, source, n_words, bits_target, bits_raw, weight_bits,
+           CAST(weight_bits AS DOUBLE) / n_words AS weight_per_word,
+           CAST(CASE WHEN PERCENT_RANK() OVER (
+                    ORDER BY CAST(weight_bits AS DOUBLE) / n_words, doc_id)
+                          >= 0.8 THEN 1 ELSE 0 END AS INTEGER) AS selected
+    FROM agg
+    """,
+    doc="DSIR-style importance weighting for data selection (Xie et al. "
+        "2023, 'Data Selection for Language Models via Importance "
+        "Resampling'): score every document by how much more likely its "
+        "unigrams are under a TARGET-domain model (here the "
+        f"'{_DSIR_TARGET}' source slice) than under the raw-corpus "
+        "model — log w(x) = sum_f k_f (log p_t(f) - log p_raw(f)), "
+        "realized engine-exactly as the integer bit-surprisal difference "
+        "with add-one smoothing over the shared vocabulary (same "
+        "digit-count-of-integer-quotient trick as lm_surprisal_score; "
+        "no transcendentals, hard value oracle). selected=1 marks the "
+        "top-20% weighted docs — the deterministic form of DSIR's "
+        "weight-proportional resampling. Scale shape: "
+        "both models are vocabulary-bounded word aggregates "
+        "(map-side-combined); the three corpus scalars come from ONE "
+        "single-row aggregate broadcast to the scoring join; the "
+        "scoring join keys on word and AQE picks the strategy (zipf-"
+        "concentrated model tables, same posture as lm_surprisal_score).",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD), F.lit(0))
+    words = d.select("doc_id", "source", F.explode(ws).alias("word"))
+    doc_w = (
+        words.groupBy("doc_id", "source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    is_t = F.col("source") == _DSIR_TARGET
+    cr = words.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("c_r"))
+    ct = (
+        words.filter(is_t).groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_t"))
+    )
+    scal = words.agg(
+        F.count(F.lit(1)).cast("long").alias("n_r"),
+        F.count(F.when(is_t, 1)).cast("long").alias("n_t"),
+        F.countDistinct("word").cast("long").alias("v"),
+    )
+
+    def digits(q):  # floor(log2 .) of an integer quotient, engine-exact
+        return (F.length(F.conv(q.cast("string"), 10, 2)) - 1).cast("long")
+
+    s_t = digits(F.expr("(n_t + v) div (coalesce(c_t, 0L) + 1)"))
+    s_r = digits(F.expr("(n_r + v) div (c_r + 1)"))
+    scored = (
+        doc_w.join(cr, "word")
+        .join(ct, "word", "left")
+        .crossJoin(F.broadcast(scal))
+        .select("doc_id", "source", "k", s_t.alias("s_t"), s_r.alias("s_r"))
+    )
+    bt = F.sum(F.col("k") * F.col("s_t"))
+    br = F.sum(F.col("k") * F.col("s_r"))
+    agg = scored.groupBy("doc_id", "source").agg(
+        F.sum("k").cast("long").alias("n_words"),
+        bt.cast("long").alias("bits_target"),
+        br.cast("long").alias("bits_raw"),
+        (br - bt).cast("long").alias("weight_bits"),
+    )
+    # DSIR keeps a target-budget's worth of the highest-weighted docs
+    # (resampling by weight); the deterministic engine form is a top-
+    # quantile cut on the PER-WORD weight (the raw sum anti-selects long
+    # docs — measured at sf0.01: per-word ranking picks target-source
+    # docs at 0.44 vs 0.19 elsewhere, the raw sum inverted that).
+    # percent_rank with a doc_id tiebreak is engine-exact
+    # (quality_percentile_rank idiom); the one division is a single IEEE
+    # op on exact integers. The global window is the oracle-checked toy;
+    # at 100 TB the threshold comes from approx quantiles and the cut
+    # becomes a map-only filter.
+    from pyspark.sql import Window
+
+    agg = agg.withColumn(
+        "weight_per_word",
+        F.col("weight_bits").cast("double") / F.col("n_words"),
+    )
+    w = Window.orderBy("weight_per_word", "doc_id")
+    return agg.withColumn(
+        "selected", (F.percent_rank().over(w) >= 0.8).cast("int")
+    )

@@ -184,13 +184,14 @@ PRIORITY: tuple[str, ...] = (
     "range_join_value_bands", "nations_with_both",
     "parts_with_cheap_supply", "min_price_supplier_per_part",
     "order_priority_late_ship", "monthly_revenue_trend",
-    "top_returning_customers",
-    # (dense_rank_price_tiers, promo_revenue_share, and
-    # disjunctive_predicate_revenue yield their slots to the three
-    # round-6-NEW cross-doc text ops below; queued first for r7)
-    # ---- new this round: cross-doc boilerplate/blocklist surface
+    # (dense_rank_price_tiers, promo_revenue_share,
+    # disjunctive_predicate_revenue, and top_returning_customers yield
+    # their slots to the four round-6-NEW operators below; queued first
+    # for r7)
+    # ---- new this round: cross-doc boilerplate/blocklist surface +
+    # DSIR data selection
     "boilerplate_segment_removal", "cross_doc_dup_ngram_fraction",
-    "blocklist_filter_docs",
+    "blocklist_filter_docs", "dsir_importance_weights",
     # ---- flagship + core refresh (asof = the custom-operator headline)
     "training_mix_pipeline", "q1_pricing_summary",
     "asof_purchase_last_click",

@@ -129,3 +129,26 @@ def test_boilerplate_scores_below_rare(spark, corpus_dir):
         for r in lm_surprisal_score(spark, corpus_dir).collect()
     }
     assert got[0] < got[2]
+
+
+def test_dsir_selects_target_like_docs(spark):
+    """DSIR semantic pin: the top-quantile cut must (a) select ~20% of
+    docs and (b) ENRICH the target source — target-source docs must be
+    selected at a strictly higher rate than the rest (they are, by
+    construction, the most target-like documents)."""
+    from pyspark.sql import functions as F
+
+    from tank_spark.plans.registry import load_all
+    from tests.conftest import SF_DIR
+
+    df = load_all()["dsir_importance_weights"].spark(spark, SF_DIR)
+    rows = df.select("source", "selected").collect()
+    n = len(rows)
+    n_sel = sum(r["selected"] for r in rows)
+    assert 0.15 * n <= n_sel <= 0.25 * n, f"{n_sel}/{n} selected"
+    t = [r["selected"] for r in rows if r["source"] == "src0"]
+    o = [r["selected"] for r in rows if r["source"] != "src0"]
+    assert t and o
+    assert sum(t) / len(t) > sum(o) / len(o), (
+        f"target rate {sum(t)/len(t):.3f} <= other rate {sum(o)/len(o):.3f}"
+    )
