@@ -352,3 +352,29 @@ def test_lr_features_are_map_only(spark):
     plan = _plan(_features_df(spark, SF_DIR)).split("InMemoryRelation")[0]
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_blocklist_filter_is_map_only(spark):
+    """blocklist_filter_docs must fuse into the (cached) scan: no
+    Exchange in the query part — the one legitimate Exchange is the
+    cached relation's one-time clustering build."""
+    from tank_spark.llm.text import blocklist_filter_docs
+
+    blocklist_filter_docs(spark, SF_DIR).count()  # build the table cache
+    plan = _plan(blocklist_filter_docs(spark, SF_DIR))
+    query_part = plan.split("InMemoryRelation")[0]
+    assert "Exchange" not in query_part
+    assert "Join" not in query_part
+
+
+def test_boilerplate_hot_list_join_broadcasts(spark):
+    """The hot-segment membership joins must resolve to broadcast joins
+    at the checked SF (the build side holds only REPEATED segments), and
+    every aggregate must have a map-side partial."""
+    from tank_spark.llm.text import boilerplate_segment_removal
+
+    df = boilerplate_segment_removal(spark, SF_DIR)
+    df.count()  # let AQE finalize strategies
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
