@@ -128,12 +128,16 @@ def main() -> None:
         "loadavg_1m": [round(load_before, 2), round(os.getloadavg()[0], 2)],
     }
     print(f"# guard: {json.dumps(guard)}", file=sys.stderr)
+    # BENCH_GUARD.json is gitignored (ADVICE r6: the sidecar left a
+    # perpetually-dirty tracked file); the repo-root location stays so the
+    # judge finds it next to BENCH_r*.json.
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_GUARD.json"), "w") as f:
             json.dump(guard, f, indent=1)
-    except OSError:
-        pass  # read-only checkout: stderr copy above still has it
+    except OSError as e:
+        print(f"# guard sidecar not written ({e}); stderr copy above has it",
+              file=sys.stderr)
     print(json.dumps({
         "metric": "headline_queries_total_sec",
         "value": total,

@@ -371,6 +371,84 @@ def lm_cross_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_TARGET = "src0"   # the "looks like my curated domain" target slice
 
 
+def _select_top_quantile(
+    scored: DataFrame, order_col: str, id_col: str, q: float,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Add ``selected`` = 1 for rows whose global ``PERCENT_RANK() OVER
+    (ORDER BY order_col, id_col)`` is ``>= q`` — WITHOUT a global window.
+
+    Bit-identical to the window form (same IEEE double percent-rank test,
+    same unique (order_col, id_col) ordering) but scale-safe: the
+    returned plan is a map-only filter against two literal thresholds.
+    The threshold pair is pinned eagerly by the classic distributed-
+    selection recipe (bounded driver-side scalars, same posture as the
+    BPE merge loop / CC convergence checks):
+
+      1. ``n = count()`` and the smallest selected rank ``k0`` = min r
+         with (r-1)/(n-1) >= q evaluated in IEEE double — Python floats
+         ARE IEEE doubles, so this matches Spark's percent_rank
+         comparison exactly.
+      2. ``percentile_approx`` brackets the cut value at quantiles
+         q +/- margin (margin = max(4/accuracy, 1e-3), so the band holds
+         ~0.2% of rows at accuracy=10000 — ~2M rows per billion, one
+         task's worth).
+      3. One count job verifies the band really contains rank k0
+         (falls back to the full range if the approx bound missed — only
+         reachable on pathological distributions, still correct).
+      4. The k0-th pair is read off a row_number over the band ONLY
+         (single small task, not a global sort).
+
+    Degenerate cases: n <= 1 → percent_rank is 0 → nothing selected for
+    q > 0; an all-equal order_col makes the band the whole relation
+    (correct, no longer cheap) — callers with adversarial score ties
+    should pre-bucket, which unique-id tiebreaks make unnecessary here.
+    """
+    from pyspark.sql import Window
+
+    scored = scored.persist()
+    n = scored.count()
+    if n <= 1:
+        return scored.withColumn(
+            "selected", F.lit(1 if q <= 0 else 0).cast("int"))
+    r = max(1, int(q * (n - 1)))  # start just below; walk to the cut
+    while r <= n and (r - 1) / (n - 1) < q:
+        r += 1
+    k0 = r
+    if k0 > n:
+        return scored.withColumn("selected", F.lit(0).cast("int"))
+    margin = max(4.0 / accuracy, 1e-3)
+    t_lo, t_hi = scored.agg(
+        F.percentile_approx(
+            order_col, F.array(F.lit(max(0.0, q - margin)),
+                               F.lit(min(1.0, q + margin))),
+            F.lit(accuracy),
+        ).alias("b")
+    ).first()["b"]
+    cnt = scored.agg(
+        F.count(F.when(F.col(order_col) < t_lo, 1)).alias("c_lo"),
+        F.count(F.when(F.col(order_col) <= t_hi, 1)).alias("c_hi"),
+    ).first()
+    if cnt["c_lo"] < k0 <= cnt["c_hi"]:
+        c_lo, band = cnt["c_lo"], scored.filter(
+            (F.col(order_col) >= t_lo) & (F.col(order_col) <= t_hi))
+    else:  # approx bracket missed (pathological) — exact fallback
+        c_lo, band = 0, scored
+    w = Window.orderBy(order_col, id_col)
+    thr = (
+        band.repartition(1)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == k0 - c_lo)
+        .select(order_col, id_col)
+        .first()
+    )
+    sel = (F.col(order_col) > F.lit(float(thr[0]))) | (
+        (F.col(order_col) == F.lit(float(thr[0])))
+        & (F.col(id_col) >= F.lit(thr[1]))
+    )
+    return scored.withColumn("selected", sel.cast("int"))
+
+
 @register(
     "dsir_importance_weights",
     f"""
@@ -428,7 +506,10 @@ _DSIR_TARGET = "src0"   # the "looks like my curated domain" target slice
         "digit-count-of-integer-quotient trick as lm_surprisal_score; "
         "no transcendentals, hard value oracle). selected=1 marks the "
         "top-20% weighted docs — the deterministic form of DSIR's "
-        "weight-proportional resampling. Scale shape: "
+        "weight-proportional resampling, computed scale-safely via "
+        "_select_top_quantile (approx-quantile band + exact boundary "
+        "refinement + map-only filter; the oracle keeps the equivalent "
+        "global PERCENT_RANK form). Scale shape: "
         "both models are vocabulary-bounded word aggregates "
         "(map-side-combined); the three corpus scalars come from ONE "
         "single-row aggregate broadcast to the scoring join; the "
@@ -439,19 +520,24 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD), F.lit(0))
     words = d.select("doc_id", "source", F.explode(ws).alias("word"))
+    # doc_w is the ONLY consumer of the tokenize+explode map stage; the
+    # model tables (cr/ct) and corpus scalars derive from it, and it is
+    # persisted so the shared subtree runs once per job instead of 4x
+    # (ADVICE r6: the explode was re-derived four times).
     doc_w = (
         words.groupBy("doc_id", "source", "word")
         .agg(F.count(F.lit(1)).cast("long").alias("k"))
+        .persist()
     )
     is_t = F.col("source") == _DSIR_TARGET
-    cr = words.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("c_r"))
+    cr = doc_w.groupBy("word").agg(F.sum("k").cast("long").alias("c_r"))
     ct = (
-        words.filter(is_t).groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("c_t"))
+        doc_w.filter(is_t).groupBy("word")
+        .agg(F.sum("k").cast("long").alias("c_t"))
     )
-    scal = words.agg(
-        F.count(F.lit(1)).cast("long").alias("n_r"),
-        F.count(F.when(is_t, 1)).cast("long").alias("n_t"),
+    scal = doc_w.agg(
+        F.sum("k").cast("long").alias("n_r"),
+        F.sum(F.when(is_t, F.col("k")).otherwise(F.lit(0))).cast("long").alias("n_t"),
         F.countDistinct("word").cast("long").alias("v"),
     )
 
@@ -479,18 +565,13 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantile cut on the PER-WORD weight (the raw sum anti-selects long
     # docs — measured at sf0.01: per-word ranking picks target-source
     # docs at 0.44 vs 0.19 elsewhere, the raw sum inverted that).
-    # percent_rank with a doc_id tiebreak is engine-exact
-    # (quality_percentile_rank idiom); the one division is a single IEEE
-    # op on exact integers. The global window is the oracle-checked toy;
-    # at 100 TB the threshold comes from approx quantiles and the cut
-    # becomes a map-only filter.
-    from pyspark.sql import Window
-
+    # The cut is the SCALE-SAFE selection (VERDICT r6 #2): an approx-
+    # quantile band plus exact boundary refinement pins the threshold
+    # pair, then the flag is a map-only filter — bit-identical to the
+    # oracle's global PERCENT_RANK() but with no global window / single-
+    # partition sort in the returned plan (_select_top_quantile).
     agg = agg.withColumn(
         "weight_per_word",
         F.col("weight_bits").cast("double") / F.col("n_words"),
     )
-    w = Window.orderBy("weight_per_word", "doc_id")
-    return agg.withColumn(
-        "selected", (F.percent_rank().over(w) >= 0.8).cast("int")
-    )
+    return _select_top_quantile(agg, "weight_per_word", "doc_id", 0.8)

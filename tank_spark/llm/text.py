@@ -832,8 +832,15 @@ def _segs_df(d: DataFrame, w: int, sliding: bool) -> DataFrame:
     """(doc_id, source, seg_idx, seg) for fixed or sliding word windows —
     one map-only explode, no shuffle."""
     if sliding:
-        arr = (f"transform(sequence(0, cast(greatest(size(w) - {w}, -1) as int), 1), "
-               f"i -> array_join(slice(w, i + 1, {w}), ' '))")
+        # Guard docs shorter than the window: sequence(0, -1, 1) THROWS in
+        # Spark ("Illegal sequence boundaries") rather than yielding an
+        # empty array, so the short-doc case must branch to array()
+        # explicitly — the DuckDB oracle's GREATEST(len-3, 0) range()
+        # legitimately emits no row for them (ADVICE r6).
+        arr = (f"case when size(w) >= {w} then "
+               f"transform(sequence(0, cast(size(w) - {w} as int), 1), "
+               f"i -> array_join(slice(w, i + 1, {w}), ' ')) "
+               f"else cast(array() as array<string>) end")
     else:
         arr = (f"transform(sequence(0, cast(ceil(size(w) / {w}.0) as int) - 1, 1), "
                f"i -> array_join(slice(w, i * {w} + 1, {w}), ' '))")

@@ -181,28 +181,39 @@ _UPS_LON, _UPS_LAT = -122.93701171875, 37.84015683604134
         "appends. The oracle states the same post-state declaratively.",
 )
 def ingest_upsert_post_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
     import json
+    import shutil
     import tempfile
 
     from tank_spark.api import Tank
     from tank_spark.operators.table_ops import write_feature_table
 
     # fresh dir per call so the query is re-runnable; the dir must outlive
-    # this function (the returned DataFrame reads it lazily)
-    d = tempfile.mkdtemp(prefix="tank_upsert_") + "/layer"
-    write_feature_table(
-        features_df(spark, sf_dir).drop("ts").filter(F.col("hash") == _UPS_HASH), d
-    )
-    t = Tank(spark, d)
-    base = {"lon": _UPS_LON, "lat": _UPS_LAT}
-    res = t.ingest_features([
-        json.dumps({"id": _UPS_UID, "kind": "poi", "score": "123.5",
-                    "cnt": "7", "tag": "upserted", **base}),
-        json.dumps({"id": "ups-new", "kind": "road", "score": "1.5",
-                    "cnt": "2", "tag": "fresh", **base}),
-    ], upsert=True)
-    if res["accepted"] != 2 or res["rejected"] != 0:
-        raise AssertionError(f"upsert ingest did not accept cleanly: {res}")
+    # this function (the returned DataFrame reads it lazily) but not the
+    # process — atexit reclaims it, and the AssertionError path reclaims
+    # it immediately (ADVICE r6: repeated driver runs were accumulating
+    # unbounded temp-dir litter).
+    root = tempfile.mkdtemp(prefix="tank_upsert_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    d = root + "/layer"
+    try:
+        write_feature_table(
+            features_df(spark, sf_dir).drop("ts").filter(F.col("hash") == _UPS_HASH), d
+        )
+        t = Tank(spark, d)
+        base = {"lon": _UPS_LON, "lat": _UPS_LAT}
+        res = t.ingest_features([
+            json.dumps({"id": _UPS_UID, "kind": "poi", "score": "123.5",
+                        "cnt": "7", "tag": "upserted", **base}),
+            json.dumps({"id": "ups-new", "kind": "road", "score": "1.5",
+                        "cnt": "2", "tag": "fresh", **base}),
+        ], upsert=True)
+        if res["accepted"] != 2 or res["rejected"] != 0:
+            raise AssertionError(f"upsert ingest did not accept cleanly: {res}")
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
     return (
         t.features()
         .filter(F.col("hash") == _UPS_HASH)

@@ -176,13 +176,18 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
       JOIN nation   ON s_nationkey = n_nationkey
       JOIN region   ON n_regionkey = r_regionkey
-    WHERE r_name = 'REGION_0'
+    WHERE r_name = 'EUROPE'
       AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
     GROUP BY n_name
     """,
     doc="TPC-H Q5 shape: 6-way star join. Scale: nation/region/supplier "
         "broadcast (dimension-sized); the customer-nation = supplier-nation "
-        "constraint prunes early via the broadcast hash join.",
+        "constraint prunes early via the broadcast hash join. Region name "
+        "is a REAL testdata value ('EUROPE' — non-empty at sf0.001 AND "
+        "sf0.01); the original 'REGION_0' literal predates a testdata-"
+        "generator change and made the r6 green row vacuous (0 rows both "
+        "engines — VERDICT r6). The non-vacuity lint in "
+        "tests/test_registry_hygiene.py now rejects that class.",
 )
 def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
@@ -192,7 +197,7 @@ def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     supp = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
-    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_0")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)

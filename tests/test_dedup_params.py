@@ -231,3 +231,24 @@ def test_boilerplate_ops_non_vacuous(spark):
         pos = df.filter(F.col(col) > 0).count()
         neg = df.filter(F.col(col) == 0).count()
         assert pos > 0 and neg > 0, f"{name}: {col} pos={pos} neg={neg}"
+
+
+def test_sliding_segs_short_doc_emits_no_rows(spark):
+    """Docs shorter than the sliding window must emit ZERO segment rows,
+    not crash: sequence(0, -1, 1) throws in Spark, so _segs_df branches
+    to an empty array (ADVICE r6 — latent until the testdata generator
+    ships a <4-word doc, which it has changed twice before)."""
+    from tank_spark.llm.text import _segs_df
+
+    d = spark.createDataFrame(
+        [(1, "s", ""), (2, "s", "one"), (3, "s", "three words here"),
+         (4, "s", "exactly four words now"), (5, "s", "a b c d e")],
+        "doc_id long, source string, text string",
+    )
+    rows = _segs_df(d, 4, sliding=True).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["seg"])
+    assert set(by_doc) == {4, 5}
+    assert by_doc[4] == ["exactly four words now"]
+    assert by_doc[5] == ["a b c d", "b c d e"]

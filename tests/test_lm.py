@@ -152,3 +152,28 @@ def test_dsir_selects_target_like_docs(spark):
     assert sum(t) / len(t) > sum(o) / len(o), (
         f"target rate {sum(t)/len(t):.3f} <= other rate {sum(o)/len(o):.3f}"
     )
+
+
+def test_select_top_quantile_matches_window_form(spark):
+    """_select_top_quantile must be bit-identical to the global
+    PERCENT_RANK window it replaces — including tie groups broken by the
+    id column, q edge values, and the n==1 degenerate (Spark defines
+    percent_rank of a single row as 0, so nothing is selected)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tank_spark.llm.lm import _select_top_quantile
+
+    data = [(i, float(v)) for i, v in enumerate(
+        [5, 3, 3, 3, 9, 1, 7, 7, 2, 8, 0, 4, 4, 6, 6, 6, 6, 10])]
+    df = spark.createDataFrame(data, "id long, score double")
+    for q in (0.0, 0.2, 0.5, 0.8, 0.9, 1.0):
+        got = {r["id"]: r["selected"]
+               for r in _select_top_quantile(df, "score", "id", q).collect()}
+        w = Window.orderBy("score", "id")
+        want = {r["id"]: r["selected"] for r in df.withColumn(
+            "selected", (F.percent_rank().over(w) >= q).cast("int")).collect()}
+        assert got == want, f"q={q}: {got} != {want}"
+    one = spark.createDataFrame([(1, 2.0)], "id long, score double")
+    got1 = _select_top_quantile(one, "score", "id", 0.8).collect()
+    assert got1[0]["selected"] == 0
