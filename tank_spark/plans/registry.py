@@ -156,45 +156,49 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # event_value_outliers, dedup_event_stream_replay, media_extract_features,
 # semdedup families), then the r5-green LSH/search/LM/PQ/sketch entries
 # (all have fresh r5 rows; cycle back by r8).
+# Round-7 window (below): the 14 remaining r1-only relational entries
+# (VERDICT r6 #1 — all of them, closing the refresh), every query whose
+# code CHANGED this round (q5 de-vacuized, DSIR scale-safe cut, the
+# _segs_df short-doc guard shared by the two cross-doc ops, upsert
+# temp-dir fix), the two round-7-NEW operators (image_phash_neardup,
+# dedup_substring_spans), then 29 of the 42 r4-green cycle-backs.
+# Round-8 queue (enforced by tests/test_registry_hygiene.py staleness
+# lint — nothing except BENCH-ONLY may go >3 rounds without a row):
+# FIRST the 13 r4 entries not cycled this round (ivf_probe_search,
+# ivf_train_kmeans, neardup_embedding_clusters, semantic_vs_lexical,
+# embedding_sq_quantize, semdedup_prune, event_value_outliers,
+# dedup_event_stream_replay, global_sequence_ids,
+# decontaminate_train_eval, token_budget_planning,
+# temperature_mix_weights, media_extract_features), then as many of the
+# 45 r5-green LSH/search/LM/PQ/sketch/streaming entries as fit (they
+# turn 3-stale after r8; the remainder lead r9).
 PRIORITY: tuple[str, ...] = (
-    # ---- changed this round: the two r5 red rows (oracle HUGEINT cast
-    # fixed — engine values were already correct) and the new upsert
-    # post-state query driving the r5 upsert write path (VERDICT r5 #1/#7)
-    "pq_adc_topk", "ivf_pq_search", "ingest_upsert_post_state",
-    # ---- late-r5 operators that never got a driver row (VERDICT r5 #3)
-    "neardup_threshold_sweep", "quality_percentile_rank",
-    "pq_train_subspace_kmeans", "quality_lr_train", "quality_lr_eval",
-    "bpe_tokenize_corpus", "lm_heldout_surprisal",
-    "hll_cardinality_by_source",
-    # ---- displaced late in r5, queued first for r6
-    "heatmap_mvt_z9", "media_frame_sample", "dedup_simhash",
-    "embedding_norms", "doc_rolling_hash", "event_type_rates",
-    "heatmap_z14", "token_count_bpe", "array_agg_statuses",
-    "spatial_join_points_in_boxes", "dedup_ngram_jaccard",
-    "media_metadata",
-    # ---- r1 relational refresh (VERDICT r5 #4: no driver row since
-    # round 1 and the testdata generator changed twice since) — 24 of
-    # the suite now, the rest queued r7
-    "q3_shipping_priority", "q5_nation_volume", "q6_forecast_revenue",
-    "topk_orders_per_priority", "window_running_revenue",
-    "rollup_lineitem_status", "cube_order_status_priority",
-    "pivot_qty_by_status", "grouping_sets_volume",
-    "nations_customers_without_suppliers", "customers_without_big_orders",
-    "orders_above_avg", "union_all_key_space", "price_quantiles_by_flag",
-    "range_join_value_bands", "nations_with_both",
-    "parts_with_cheap_supply", "min_price_supplier_per_part",
-    "order_priority_late_ship", "monthly_revenue_trend",
-    # (dense_rank_price_tiers, promo_revenue_share,
-    # disjunctive_predicate_revenue, and top_returning_customers yield
-    # their slots to the four round-6-NEW operators below; queued first
-    # for r7)
-    # ---- new this round: cross-doc boilerplate/blocklist surface +
-    # DSIR data selection
+    # ---- changed this round (hard signal for the changes)
+    "q5_nation_volume", "dsir_importance_weights",
     "boilerplate_segment_removal", "cross_doc_dup_ngram_fraction",
-    "blocklist_filter_docs", "dsir_importance_weights",
-    # ---- flagship + core refresh (asof = the custom-operator headline)
-    "training_mix_pipeline", "q1_pricing_summary",
-    "asof_purchase_last_click",
+    "ingest_upsert_post_state",
+    # ---- new this round: perceptual-hash image near-dup (VERDICT r6
+    # #3) and maximal duplicated-substring spans (VERDICT r6 #6)
+    "image_phash_neardup", "dedup_substring_spans",
+    # ---- the last 14 r1-only relational entries (VERDICT r6 #1)
+    "sort_limit_parts", "small_quantity_parts", "distinct_parts_per_flag",
+    "corr_qty_price_by_flag", "stddev_value_by_type",
+    "string_functions_demo", "math_functions_demo", "nation_trade_balance",
+    "dense_rank_price_tiers", "promo_revenue_share",
+    "disjunctive_predicate_revenue", "top_returning_customers",
+    "priority_by_ship_delay", "delete_tile",
+    # ---- r4-green cycle-backs (out since r5; 29 of 42 — see r8 queue)
+    "tile_z9_range", "tile_z13_single", "tile_z15_parent",
+    "tile_filter_int", "tile_filter_date", "heatmap_z9", "heatmap_z11",
+    "point_lookup_uid", "delete_by_uid", "update_by_uid",
+    "ingest_json_props", "ingest_coerce_defaults",
+    "ingest_declared_schema", "ingest_bucket_stats",
+    "text_repetition_signals", "pii_detect_mask", "lang_id_confusion",
+    "corpus_mix_report", "rare_word_fraction", "gopher_quality_rules",
+    "chunk_documents", "dedup_exact", "dedup_exact_survivors",
+    "dedup_minhash_signatures", "dedup_prefix_containment",
+    "cross_source_duplication", "passage_dedup",
+    "sample_stratified_sources", "pack_token_budget",
 )
 
 

@@ -252,3 +252,49 @@ def test_sliding_segs_short_doc_emits_no_rows(spark):
     assert set(by_doc) == {4, 5}
     assert by_doc[4] == ["exactly four words now"]
     assert by_doc[5] == ["a b c d", "b c d e"]
+
+
+def test_substring_spans_merge_and_offsets(spark, tmp_path):
+    """Interval-merge semantics on a crafted corpus: overlapping
+    duplicated windows coalesce into ONE maximal span per doc with
+    correct word indices and char ranges; disjoint duplicated regions
+    stay separate spans."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = [
+        (0, "s", "aa bb common run of words here tail one"),
+        (1, "s", "zz common run of words here other end"),
+        # doc 2: TWO disjoint duplicated regions (shares the run above
+        # AND the closing 4-gram of doc 3)
+        (2, "s", "common run of words here mid gap gap gap ending four gram tail"),
+        (3, "s", "xx yy zz ww ending four gram tail"),
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "source": pa.array([d[1] for d in docs]),
+        "lang": pa.array(["en"] * len(docs)),
+        "text": pa.array([d[2] for d in docs]),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    from tank_spark.llm.text import dedup_substring_spans
+
+    rows = dedup_substring_spans(spark, str(tmp_path)).collect()
+    spans = {}
+    for r in rows:
+        spans.setdefault(r["doc_id"], []).append(r)
+    assert {k: len(v) for k, v in sorted(spans.items())} == {0: 1, 1: 1, 2: 2, 3: 1}
+    a = spans[0][0]
+    assert (a["span_start_word"], a["span_end_word"]) == (2, 6)
+    assert a["span_text"] == "common run of words here"
+    assert a["start_char"] == len("aa bb ")
+    assert a["end_char"] == a["start_char"] + len(a["span_text"])
+    # every span's char range re-slices its own text exactly
+    texts = {d[0]: d[2] for d in docs}
+    for doc_spans in spans.values():
+        for r in doc_spans:
+            assert texts[r["doc_id"]][r["start_char"]:r["end_char"]] == r["span_text"]
+    # doc 2's two regions must NOT merge across the gap
+    s2 = sorted(spans[2], key=lambda r: r["span_start_word"])
+    assert s2[0]["span_text"] == "common run of words here"
+    assert s2[1]["span_text"] == "ending four gram tail"

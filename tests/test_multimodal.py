@@ -185,3 +185,109 @@ def test_pil_branch_on_real_png_via_minimal_decoder(monkeypatch):
     assert out["decoded_w"] == 2 and out["decoded_h"] == 2
     assert out["max_byte"] == 40
     assert out["mean_luma"] == pytest.approx(25 / 255.0)
+
+
+# ------------------- perceptual-hash near-dup (image dedup) ------------
+
+
+def _dhash_twin(payload: bytes) -> int:
+    """From-scratch pure-Python twin of the stub-plane dHash (no numpy):
+    block-tiled plane, 8x9 mean-pool, left-neighbour compare, MSB-first
+    signed packing. Must reproduce tank_spark.llm.multimodal exactly."""
+    assert len(payload) >= 32
+    W, H = 32, 24
+    plane = [[payload[(r // 6) * 8 + (c // 4)] for c in range(W)] for r in range(H)]
+    # linspace(0, n, k).astype(int) truncates — mirror that exactly
+    import math
+    rb = [math.floor(i * H / 8) for i in range(9)]
+    cb = [math.floor(i * W / 9) for i in range(10)]
+    g = [
+        [
+            sum(plane[r][c] for r in range(rb[i], rb[i + 1])
+                for c in range(cb[j], cb[j + 1]))
+            / ((rb[i + 1] - rb[i]) * (cb[j + 1] - cb[j]))
+            for j in range(9)
+        ]
+        for i in range(8)
+    ]
+    code = 0
+    for i in range(8):
+        for j in range(8):
+            code = (code << 1) | (1 if g[i][j + 1] > g[i][j] else 0)
+    return code - (1 << 64) if code >= 1 << 63 else code
+
+
+def test_dhash64_matches_pure_python_twin():
+    import hashlib
+
+    from tank_spark.llm.multimodal import _luma_plane_stub, dhash64
+
+    for i in range(40):
+        p = (hashlib.md5(f"t{i}".encode()).digest()
+             + hashlib.md5(f"t{i}:1".encode()).digest())
+        assert dhash64(_luma_plane_stub(p)) == _dhash_twin(p), f"payload {i}"
+
+
+def test_dhash64_known_planes():
+    import numpy as np
+
+    from tank_spark.llm.multimodal import dhash64
+
+    flat = np.zeros((24, 32))
+    assert dhash64(flat) == 0                      # no cell brighter
+    grad = np.tile(np.arange(32, dtype=float), (24, 1))
+    assert dhash64(grad) == -1                     # all 64 bits set (signed)
+    with pytest.raises(ValueError):
+        dhash64(np.zeros((4, 4)))                  # smaller than the grid
+
+
+def test_phash_neardup_catches_tweaked_copy_only(spark):
+    """E2E on crafted fixtures: a 1-byte-tweaked copy must pair with its
+    original at small Hamming; unrelated images must NOT pair."""
+    import hashlib
+
+    from tank_spark.llm.multimodal import (
+        PHASH_SCHEMA, _phash_kernel, phash_neardup_pairs)
+
+    def pay(seed: str) -> bytes:
+        return (hashlib.md5(seed.encode()).digest()
+                + hashlib.md5((seed + ":1").encode()).digest())
+
+    base = pay("imgA")
+    tweaked = base[:7] + bytes([(base[7] + 8) % 256]) + base[8:]
+    rows = [(1, base), (2, tweaked), (3, pay("imgB")), (4, pay("imgC"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashed = df.mapInPandas(_phash_kernel, PHASH_SCHEMA)
+    pairs = phash_neardup_pairs(hashed).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["hamming"] <= 3
+    # and the Hamming value is the true bit distance of the twin hashes
+    assert pairs[0]["hamming"] == bin(
+        (_dhash_twin(base) ^ _dhash_twin(tweaked)) & (2**64 - 1)).count("1")
+
+
+def test_phash_hot_bucket_cap_drops_constant_images(spark):
+    """A pile of identical images (constant logo) makes every band
+    bucket exceed the cap — the capped plan must drop them instead of
+    going quadratic (same skew posture as the LSH text family)."""
+    from tank_spark.llm.multimodal import (
+        PHASH_SCHEMA, _phash_kernel, phash_neardup_pairs)
+
+    rows = [(i, bytes(range(32))) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashed = df.mapInPandas(_phash_kernel, PHASH_SCHEMA)
+    assert phash_neardup_pairs(hashed, cap=64).count() == 0
+    assert phash_neardup_pairs(hashed, cap=10_000).count() == 100 * 99 // 2
+
+
+def test_phash_pair_plan_never_goes_cartesian(spark):
+    """The candidate join must key on (band_idx, band_val) — no
+    cartesian/nested-loop join anywhere in the pair plan."""
+    from tests.conftest import SF_DIR
+
+    from tank_spark.llm.multimodal import image_phash_neardup
+
+    plan = image_phash_neardup(spark, SF_DIR)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,119 @@
+"""Registry-wide hygiene lints (VERDICT r6 #1/#4).
+
+Two structural failure classes got through driver rounds green:
+
+* a VACUOUS green row — q5_nation_volume's predicate matched a region
+  name the regenerated testdata no longer contains, so both engines
+  returned 0 rows and the hash "match" certified nothing (r6);
+* STALE coverage — 14 r1-green relational entries went five rounds
+  without a fresh driver row while the testdata generator changed twice
+  underneath them.
+
+These lints make both classes impossible to ship silently: every oracle
+must be non-empty at the driver's correctness SF, and every entry must
+either hold a driver row from the last 3 rounds or sit in the upcoming
+window (the first 50 registry entries, which the driver checks).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+import pytest
+
+DRIVER_SF_DIR = "/root/testdata/sf0.01"   # the driver's correctness SF
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50                                # driver checks the first 50
+MAX_STALE_ROUNDS = 3                       # rotation policy (registry.py)
+
+# deliberately bench-only: full-fidelity z7 MVT assembly is a perf probe
+# whose blob output the driver's canonicalizer can't hash
+BENCH_ONLY = {"tile_mvt_z7_full"}
+
+
+def _registry():
+    from tank_spark.plans.registry import load_all
+
+    return load_all()
+
+
+def _oracle_names():
+    return [n for n, q in _registry().items() if q.oracle is not None]
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_oracle_non_vacuous_at_driver_sf(name):
+    """Every oracle-checked query must return >= 1 row at the driver SF —
+    a 0-row hash match certifies nothing (the r6 q5 lesson). DuckDB-only
+    on purpose: the Spark side equals the oracle by the parity gate, so
+    a non-empty oracle implies a non-empty green row, and skipping Spark
+    keeps this a sub-second-per-query lint."""
+    from tests.oracle_util import duckdb_con
+
+    q = _registry()[name]
+    con = duckdb_con(DRIVER_SF_DIR)
+    k = con.execute(f"SELECT count(*) FROM ({q.oracle})").fetchone()[0]
+    assert k >= 1, f"{name}: oracle returns 0 rows at {DRIVER_SF_DIR}"
+
+
+def _driver_history():
+    """name -> latest round with a driver correctness row, plus the
+    latest round number seen on disk."""
+    last: dict[str, int] = {}
+    rounds = [0]
+    for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        if not m:
+            continue
+        r = int(m.group(1))
+        rounds.append(r)
+        try:
+            data = json.load(open(p))
+        except (OSError, json.JSONDecodeError):
+            continue
+        for k in data:
+            last[k] = max(last.get(k, 0), r)
+    return last, max(rounds)
+
+
+def test_no_entry_goes_stale_without_rotation():
+    """Rotation policy as code: except BENCH_ONLY, every registered
+    query must have a driver row within the last MAX_STALE_ROUNDS
+    rounds *after the upcoming round runs* — i.e. a row newer than
+    (latest_round - MAX_STALE_ROUNDS + 1), or a slot in the upcoming
+    window. Never-checked entries (new registrations) must be in the
+    window unconditionally."""
+    last, latest = _driver_history()
+    if latest == 0:
+        pytest.skip("no CORRECTNESS_r*.json history on disk")
+    reg = _registry()
+    window = set(list(reg)[:WINDOW])
+    offenders = []
+    for name in reg:
+        if name in BENCH_ONLY or name in window:
+            continue
+        seen = last.get(name)
+        if seen is None:
+            offenders.append(f"{name}: never driver-checked and not in window")
+        elif latest - seen >= MAX_STALE_ROUNDS:
+            offenders.append(
+                f"{name}: last row r{seen}, {latest - seen} rounds ago — "
+                f"must be in the r{latest + 1} window")
+    assert not offenders, "stale driver coverage:\n  " + "\n  ".join(offenders)
+
+
+def test_window_is_exactly_the_priority_tuple():
+    """The driver checks the FIRST 50 load_all() entries; every PRIORITY
+    name must resolve (a typo'd name silently falls out of the window
+    and some other entry drifts in)."""
+    from tank_spark.plans.registry import PRIORITY
+
+    reg = _registry()
+    assert len(PRIORITY) == WINDOW
+    assert len(set(PRIORITY)) == WINDOW, "duplicate names in PRIORITY"
+    missing = [n for n in PRIORITY if n not in reg]
+    assert not missing, f"PRIORITY names not registered: {missing}"
+    assert list(reg)[:WINDOW] == list(PRIORITY)

@@ -37,6 +37,10 @@ PROBES = [
     # round-6 additions: cross-doc boilerplate/blocklist surface
     "boilerplate_segment_removal", "cross_doc_dup_ngram_fraction",
     "blocklist_filter_docs",
+    # round-7 additions: scale-safe DSIR cut, per-source rank window
+    # (documented-measured), pHash image near-dup, substring spans
+    "dsir_importance_weights", "quality_percentile_rank",
+    "image_phash_neardup", "dedup_substring_spans",
 ]
 
 
