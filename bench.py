@@ -41,6 +41,11 @@ HEADLINE = [
     # engine-exact sketches (all probed at sf0.1 in-session: 1.3s/0.8s)
     "lm_surprisal_score", "pq_adc_topk",
     "bloom_decontaminate", "cms_heavy_hitters",
+    # r7 additions: DSIR with the scale-safe selection cut (the eager
+    # threshold jobs are part of its honest cost), pHash image near-dup,
+    # maximal duplicated-substring spans
+    "dsir_importance_weights", "image_phash_neardup",
+    "dedup_substring_spans",
     "tile_mvt_batch",
     # BENCH-ONLY entry: full-fidelity z7 overview encode. NOT a serving
     # path (serving uses the budgeted sample below OVERVIEW_ZOOM — the
