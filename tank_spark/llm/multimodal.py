@@ -419,3 +419,37 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_workers_have_package(spark)
     hashed = phash_media(spark, sf_dir).mapInPandas(_phash_kernel, PHASH_SCHEMA)
     return phash_neardup_pairs(hashed)
+
+
+@register(
+    "image_phash_survivors",
+    None,  # phash values come from the Python kernel -> rows-only check
+    doc="Image dedup END-TO-END: dHash -> banded near-dup pairs -> "
+        "connected components (reusing dedup.lsh_components — pointer-"
+        "jumped min-label propagation, the same cluster policy as the "
+        "text LSH family) -> one survivor per cluster (min doc_id). "
+        "Every image appears in the output: keep=1 for cluster "
+        "canonicals and untouched singletons, keep=0 for the near-"
+        "duplicate copies a curation pass drops. Scale shape: the pair "
+        "stage is image_phash_neardup's banded plan; CC iterates on the "
+        "pair graph only (near-dup pairs, a tiny fraction of the "
+        "corpus), never on the full image table.",
+)
+def image_phash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tank_spark.llm.dedup import lsh_components
+    from tank_spark.util import ensure_workers_have_package
+
+    ensure_workers_have_package(spark)
+    hashed = phash_media(spark, sf_dir).mapInPandas(_phash_kernel, PHASH_SCHEMA)
+    pairs = phash_neardup_pairs(hashed).select(
+        F.col("doc_a").alias("cid_a"), F.col("doc_b").alias("cid_b"))
+    comp = lsh_components(pairs)
+    return (
+        hashed.select("doc_id")
+        .join(comp, F.col("doc_id") == F.col("cid"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
+            F.coalesce(F.col("is_canonical"), F.lit(1)).cast("int").alias("keep"),
+        )
+    )

@@ -1125,3 +1125,101 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (start_char + F.length(span_text)).cast("long").alias("end_char"),
         span_text.alias("span_text"),
     )
+
+
+@register(
+    "dedup_substring_removal",
+    f"""
+    WITH {_segs_sql(_SEG_W, sliding=True)},
+    hot AS (
+      SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    dup AS (SELECT s.doc_id, s.seg_idx AS s FROM segs s JOIN hot USING (seg)),
+    m AS (
+      SELECT doc_id, s,
+             MAX(s + {_SEG_W - 1}) OVER (
+               PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM dup
+    ),
+    g AS (
+      SELECT doc_id, s,
+             CAST(SUM(CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS grp
+      FROM m
+    ),
+    spans AS (
+      SELECT doc_id, grp, CAST(MIN(s) AS BIGINT) AS sw,
+             CAST(MAX(s) + {_SEG_W - 1} AS BIGINT) AS ew
+      FROM g GROUP BY doc_id, grp
+    ),
+    wp AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             w[CAST(i + 1 AS INTEGER)] AS word
+      FROM words, UNNEST(range(CAST(len(w) AS BIGINT))) AS t(i)
+    ),
+    kept AS (
+      SELECT wp.doc_id, wp.pos, wp.word FROM wp
+      ANTI JOIN spans s ON wp.doc_id = s.doc_id
+                       AND wp.pos BETWEEN s.sw AND s.ew
+    ),
+    ka AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             array_to_string(list(word ORDER BY pos), ' ') AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_words,
+           COALESCE(ka.n_kept, 0) AS n_kept,
+           CAST(len(w.w) AS BIGINT) - COALESCE(ka.n_kept, 0) AS n_removed,
+           COALESCE(ka.clean_text, '') AS clean_text
+    FROM words w LEFT JOIN ka USING (doc_id)
+    """,
+    doc="Cross-document duplicated-substring REMOVAL — the apply step on "
+        "top of dedup_substring_spans (Lee et al. 2022 policy made "
+        "deterministic: every occurrence of a cross-doc-duplicated "
+        "maximal span is spliced out and the doc reassembled from the "
+        "surviving words in order). Every document appears in the output "
+        "with its kept/removed word counts, so the operator is the "
+        "drop-in cleaning stage of a pretraining pipeline. Scale shape: "
+        "the span derivation is the dedup_substring_spans plan; the "
+        "splice is a per-doc range anti-join on doc_id (AQE-planned, "
+        "span list per doc is small) plus one per-doc reassembly "
+        "aggregate — no global sort anywhere.",
+)
+def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    spans = dedup_substring_spans(spark, sf_dir).select(
+        "doc_id", "span_start_word", "span_end_word")
+    words = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+    kept = words.alias("w").join(
+        spans.alias("s"),
+        (F.col("w.doc_id") == F.col("s.doc_id"))
+        & (F.col("w.pos") >= F.col("s.span_start_word"))
+        & (F.col("w.pos") <= F.col("s.span_end_word")),
+        "left_anti",
+    )
+    ka = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    n_words = F.size(F.split("text", " ")).cast("long")
+    return (
+        d.select("doc_id", n_words.alias("n_words"))
+        .join(ka, "doc_id", "left")
+        .select(
+            "doc_id", "n_words",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            (F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -298,3 +298,33 @@ def test_substring_spans_merge_and_offsets(spark, tmp_path):
     s2 = sorted(spans[2], key=lambda r: r["span_start_word"])
     assert s2[0]["span_text"] == "common run of words here"
     assert s2[1]["span_text"] == "ending four gram tail"
+
+
+def test_substring_removal_splices_spans_exactly(spark, tmp_path):
+    """The apply step: every word covered by a duplicated span is gone,
+    every other word survives in order — and untouched docs pass through
+    verbatim."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = [
+        (0, "s", "aa bb common run of words here tail one"),
+        (1, "s", "zz common run of words here other end"),
+        (2, "s", "totally unrelated content with plenty unique words"),
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "source": pa.array([d[1] for d in docs]),
+        "lang": pa.array(["en"] * len(docs)),
+        "text": pa.array([d[2] for d in docs]),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    from tank_spark.llm.text import dedup_substring_removal
+
+    got = {r["doc_id"]: r for r in
+           dedup_substring_removal(spark, str(tmp_path)).collect()}
+    assert got[0]["clean_text"] == "aa bb tail one"
+    assert (got[0]["n_words"], got[0]["n_kept"], got[0]["n_removed"]) == (9, 4, 5)
+    assert got[1]["clean_text"] == "zz other end"
+    assert got[2]["clean_text"] == docs[2][2]
+    assert got[2]["n_removed"] == 0

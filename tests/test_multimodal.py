@@ -291,3 +291,42 @@ def test_phash_pair_plan_never_goes_cartesian(spark):
     ).executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phash_survivors_keep_one_per_cluster(spark, tmp_path):
+    """hash -> pairs -> components -> survivors: near-dup copies get
+    keep=0, cluster canonicals and singletons keep=1, and every input
+    image appears exactly once."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def pay(seed: str) -> bytes:
+        return (hashlib.md5(seed.encode()).digest()
+                + hashlib.md5((seed + ":1").encode()).digest())
+
+    # survivors runs on phash_media(sf_dir): write a tiny documents
+    # table whose derived image payloads we control via the text column.
+    # image rows are doc_id % 3 == 0; docs 0 and 3 share identical text
+    # -> identical payloads -> Hamming 0; docs 6, 9 are unrelated.
+    docs = [(i, "s", "en", f"unique text {i}") for i in range(12)]
+    docs[3] = (3, "s", "en", docs[0][3])  # 3 is a copy of 0, but 3%3==0
+    tbl = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "source": pa.array([d[1] for d in docs]),
+        "lang": pa.array([d[2] for d in docs]),
+        "text": pa.array([d[3] for d in docs]),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    from tank_spark.llm.multimodal import image_phash_survivors
+
+    got = {r["doc_id"]: r for r in
+           image_phash_survivors(spark, str(tmp_path)).collect()}
+    # images only, each once — plus doc 0's deterministic tweaked
+    # variant (phash_media re-emits every 5th image as a near-dup copy)
+    assert set(got) == {0, 3, 6, 9, 1_000_000}
+    assert got[0]["keep"] == 1 and got[0]["cluster"] == 0
+    assert got[3]["keep"] == 0 and got[3]["cluster"] == 0
+    assert got[1_000_000]["keep"] == 0 and got[1_000_000]["cluster"] == 0
+    assert got[6]["keep"] == 1 and got[9]["keep"] == 1
