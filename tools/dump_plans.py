@@ -91,6 +91,23 @@ SHOW = [
                             "shingle stream; the corpus-sized side is "
                             "never shuffled, flags partial-aggregate "
                             "per doc"),
+    ("dsir_importance_weights", "Scale-safe top-quantile cut (r7): the "
+                                "selection flag is a map-only filter on "
+                                "two literal thresholds — NO Window "
+                                "operator anywhere in the executed plan "
+                                "(the exact boundary refinement ran "
+                                "eagerly over an approx-quantile band "
+                                "at build time)"),
+    ("image_phash_neardup", "Banded Hamming blocking (r7): hash stage "
+                            "is map-only mapInPandas; the candidate "
+                            "self-join keys on (band_idx, band_val) — "
+                            "no cartesian/nested-loop join; hot "
+                            "buckets capped before the join"),
+    ("dedup_substring_spans", "Maximal duplicated spans (r7): hot-list "
+                              "membership join on window text; interval "
+                              "merge is two PER-DOC windows "
+                              "(partitionBy doc_id — no global sort); "
+                              "char offsets are map-side array folds"),
 ]
 
 KEEP = re.compile(
