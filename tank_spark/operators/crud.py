@@ -24,7 +24,12 @@ from tank_spark.sources.features import FEATURES_CTE, features_df
 
 _LOOKUP_UID = "feat-8001"
 _DELETE_UID = "feat-12345"
-_UPDATE_UID = "feat-16009"
+# must exist at EVERY SF and be UNIQUE at every SF (feat-16009 existed
+# only at sf0.01+, leaving the sf0.001 pytest parity row vacuous — same
+# class as the r6 q5 finding; a non-unique uid fans the partition join
+# out); feat-101 is unique at all 3 SFs and its partition holds >= 5
+# rows, so the CASE rewrite exercises updated AND untouched branches
+_UPDATE_UID = "feat-101"
 
 
 @register(

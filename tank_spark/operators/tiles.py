@@ -169,14 +169,16 @@ def tile_filter_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tile_filter_date",
     f"{FEATURES_CTE} SELECT {', '.join(SERVE_COLUMNS)} FROM features "
     f"WHERE hash BETWEEN {tile_hash_range(9, 80, 196)[0]} AND "
-    f"{tile_hash_range(9, 80, 196)[1]} AND CAST(ts AS DATE) = DATE '1996-12-24'",
+    f"{tile_hash_range(9, 80, 196)[1]} AND CAST(ts AS DATE) = DATE '1996-12-06'",
     doc="T1b: tile query with a DATE-typed main-attr filter — the raw "
         "request value 'YYYY-MM-DD' parses to a date literal per the "
-        "declared type (application.kt:408-411)",
+        "declared type (application.kt:408-411). The date is one with "
+        "matching rows at EVERY SF ('1996-12-24' matched nothing at "
+        "sf0.001, leaving that parity row vacuous).",
 )
 def tile_filter_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_query(spark, sf_dir, 9, 80, 196,
-                      attr_filter=("ts", "date", "1996-12-24"))
+                      attr_filter=("ts", "date", "1996-12-06"))
 
 
 def _overview_oracle() -> str:

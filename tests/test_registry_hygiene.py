@@ -46,17 +46,21 @@ def _oracle_names():
 
 @pytest.mark.parametrize("name", _oracle_names())
 def test_oracle_non_vacuous_at_driver_sf(name):
-    """Every oracle-checked query must return >= 1 row at the driver SF —
-    a 0-row hash match certifies nothing (the r6 q5 lesson). DuckDB-only
-    on purpose: the Spark side equals the oracle by the parity gate, so
-    a non-empty oracle implies a non-empty green row, and skipping Spark
-    keeps this a sub-second-per-query lint."""
+    """Every oracle-checked query must return >= 1 row at the driver SF
+    AND at the pytest-parity SF (sf0.001) — a 0-row hash match certifies
+    nothing (the r6 q5 lesson; tile_filter_date/update_by_uid had the
+    sf0.001 variant of it). DuckDB-only on purpose: the Spark side
+    equals the oracle by the parity gate, so a non-empty oracle implies
+    a non-empty green row, and skipping Spark keeps this a sub-second-
+    per-query lint."""
+    from tests.conftest import SF_DIR
     from tests.oracle_util import duckdb_con
 
     q = _registry()[name]
-    con = duckdb_con(DRIVER_SF_DIR)
-    k = con.execute(f"SELECT count(*) FROM ({q.oracle})").fetchone()[0]
-    assert k >= 1, f"{name}: oracle returns 0 rows at {DRIVER_SF_DIR}"
+    for sf_dir in (DRIVER_SF_DIR, SF_DIR):
+        con = duckdb_con(sf_dir)
+        k = con.execute(f"SELECT count(*) FROM ({q.oracle})").fetchone()[0]
+        assert k >= 1, f"{name}: oracle returns 0 rows at {sf_dir}"
 
 
 def _driver_history():
