@@ -394,3 +394,25 @@ def test_dsir_selection_cut_has_no_global_window(spark):
     # and the flag really is selective both ways at this SF
     agg = df.agg(F.sum("selected").alias("s"), F.count(F.lit(1)).alias("n")).first()
     assert 0 < agg["s"] < agg["n"]
+
+
+def test_substring_ops_never_go_nested_loop(spark):
+    """spans: the hot-list membership join must broadcast (the build
+    side holds only cross-doc-repeated windows); removal: the per-doc
+    range anti-join must key on doc_id (SortMergeJoin/BHJ with the range
+    as a join filter) — NEVER a nested-loop/cartesian, which a non-equi
+    anti-join silently degrades to if the equi key is lost."""
+    from tank_spark.llm.text import dedup_substring_removal, dedup_substring_spans
+
+    df = dedup_substring_spans(spark, SF_DIR)
+    df.count()  # let AQE finalize
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    df2 = dedup_substring_removal(spark, SF_DIR)
+    df2.count()
+    plan2 = _plan(df2)
+    assert "BroadcastNestedLoopJoin" not in plan2
+    assert "CartesianProduct" not in plan2
