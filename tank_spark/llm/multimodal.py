@@ -453,3 +453,78 @@ def image_phash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("is_canonical"), F.lit(1)).cast("int").alias("keep"),
         )
     )
+
+
+# ------------------------------------------------------- image resize
+
+RESIZE_W, RESIZE_H = 16, 8  # target thumbnail dims (training-set norm)
+RESIZE_SCHEMA = ("doc_id long, in_w int, in_h int, out_w int, out_h int, "
+                 "resized binary, resize_error string")
+
+
+def block_mean_resize(plane, out_h: int, out_w: int):
+    """Deterministic block-mean downsample of a 2-D luma plane to
+    (out_h, out_w) — the same truncated-linspace block boundaries as the
+    dHash pooling grid, rounded back to uint8 bytes. Raises ValueError
+    when the plane is smaller than the target grid (upsampling is a
+    different operator)."""
+    import numpy as np
+
+    h, w = plane.shape
+    if h < out_h or w < out_w:
+        raise ValueError(f"plane {h}x{w} smaller than target {out_h}x{out_w}")
+    rows = np.linspace(0, h, out_h + 1).astype(int)
+    cols = np.linspace(0, w, out_w + 1).astype(int)
+    g = np.add.reduceat(np.add.reduceat(plane, rows[:-1], axis=0), cols[:-1], axis=1)
+    g = g / np.outer(np.diff(rows), np.diff(cols))
+    return np.clip(np.rint(g), 0, 255).astype(np.uint8)
+
+
+def _resize_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, payload) -> resized thumbnail bytes
+    (row-major uint8 luma), with errors in-band like media_extract
+    (resize_error set, other fields null) so corrupt images surface as
+    data, not task failures. Decode resolves per-executor
+    (get_plane_decoder): real PIL where it imports, stub plane here."""
+    decode = get_plane_decoder()
+    for pdf in batches:
+        out = []
+        for row in pdf.itertuples(index=False):
+            rec = {"doc_id": int(row.doc_id), "in_w": None, "in_h": None,
+                   "out_w": None, "out_h": None, "resized": None,
+                   "resize_error": None}
+            try:
+                plane = decode(bytes(row.payload))
+                thumb = block_mean_resize(plane, RESIZE_H, RESIZE_W)
+                rec.update({"in_w": int(plane.shape[1]),
+                            "in_h": int(plane.shape[0]),
+                            "out_w": RESIZE_W, "out_h": RESIZE_H,
+                            "resized": thumb.tobytes()})
+            except ValueError as e:
+                rec["resize_error"] = str(e)
+            out.append(rec)
+        yield pd.DataFrame(out, columns=["doc_id", "in_w", "in_h", "out_w",
+                                         "out_h", "resized", "resize_error"])
+
+
+@register(
+    "media_resize",
+    None,  # python kernel -> rows-only check
+    doc="Image resize via mapInPandas (the decode/feature/RESIZE/frame-"
+        "sample quartet's third member): block-mean downsample of the "
+        "decoded luma plane to a fixed thumbnail, resized bytes emitted "
+        "as a binary column, errors in-band. Map-only over the image "
+        "slice — the canonical thumbnail/normalization stage of an "
+        "image-training pipeline; at 100 TB the same kernel swaps its "
+        "inner two lines for a real codec + interpolating resampler.",
+)
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tank_spark.util import ensure_workers_have_package
+
+    ensure_workers_have_package(spark)
+    m = (
+        media_df(spark, sf_dir)
+        .filter(F.col("meta.media_type") == "image/png")
+        .select("doc_id", "payload")
+    )
+    return m.mapInPandas(_resize_kernel, RESIZE_SCHEMA)

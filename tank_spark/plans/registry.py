@@ -164,16 +164,17 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # dedup_substring_spans), then 29 of the 42 r4-green cycle-backs.
 # Round-8 queue (enforced by tests/test_registry_hygiene.py staleness
 # lint — nothing except BENCH-ONLY may go >3 rounds without a row):
-# FIRST the 15 r4 entries not cycled this round (ivf_probe_search,
+# FIRST the 16 r4 entries not cycled this round (ivf_probe_search,
 # ivf_train_kmeans, neardup_embedding_clusters, semantic_vs_lexical,
 # embedding_sq_quantize, semdedup_prune, event_value_outliers,
 # dedup_event_stream_replay, global_sequence_ids,
 # decontaminate_train_eval, token_budget_planning,
 # temperature_mix_weights, media_extract_features,
-# sample_stratified_sources, pack_token_budget — the last two yielded
-# their r7 slots to the two late-r7 completion ops), then as many of
-# the 45 r5-green LSH/search/LM/PQ/sketch/streaming entries as fit
-# (they turn 3-stale after r8; the remainder lead r9).
+# sample_stratified_sources, pack_token_budget, cross_source_duplication
+# — the last three yielded their r7 slots to the late-r7 completion ops
+# and media_resize), then as many of the 45 r5-green LSH/search/LM/PQ/
+# sketch/streaming entries as fit (they turn 3-stale after r8; the
+# remainder lead r9).
 PRIORITY: tuple[str, ...] = (
     # ---- changed this round (hard signal for the changes)
     "q5_nation_volume", "dsir_importance_weights",
@@ -184,7 +185,7 @@ PRIORITY: tuple[str, ...] = (
     # their completion ops — substring REMOVAL (the apply step) and
     # image dedup survivors (pairs -> components -> keep flags)
     "image_phash_neardup", "dedup_substring_spans",
-    "dedup_substring_removal", "image_phash_survivors",
+    "dedup_substring_removal", "image_phash_survivors", "media_resize",
     # ---- the last 14 r1-only relational entries (VERDICT r6 #1)
     "sort_limit_parts", "small_quantity_parts", "distinct_parts_per_flag",
     "corr_qty_price_by_flag", "stddev_value_by_type",
@@ -202,7 +203,7 @@ PRIORITY: tuple[str, ...] = (
     "corpus_mix_report", "rare_word_fraction", "gopher_quality_rules",
     "chunk_documents", "dedup_exact", "dedup_exact_survivors",
     "dedup_minhash_signatures", "dedup_prefix_containment",
-    "cross_source_duplication", "passage_dedup",
+    "passage_dedup",
 )
 
 

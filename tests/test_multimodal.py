@@ -330,3 +330,38 @@ def test_phash_survivors_keep_one_per_cluster(spark, tmp_path):
     assert got[3]["keep"] == 0 and got[3]["cluster"] == 0
     assert got[1_000_000]["keep"] == 0 and got[1_000_000]["cluster"] == 0
     assert got[6]["keep"] == 1 and got[9]["keep"] == 1
+
+
+def test_block_mean_resize_exact_values():
+    """Resize is exact block means: a plane whose blocks are constant
+    must resize to exactly those constants; too-small planes raise."""
+    import numpy as np
+
+    from tank_spark.llm.multimodal import RESIZE_H, RESIZE_W, block_mean_resize
+
+    # 24x32 plane tiled from a known 8x16 block pattern -> resize to
+    # 8x16 recovers the pattern exactly (3x2 constant blocks)
+    pattern = np.arange(8 * 16, dtype=np.uint8).reshape(8, 16)
+    plane = np.kron(pattern, np.ones((3, 2))).astype(np.float64)
+    out = block_mean_resize(plane, 8, 16)
+    assert (out == pattern).all()
+    with pytest.raises(ValueError):
+        block_mean_resize(np.zeros((4, 4)), RESIZE_H, RESIZE_W)
+
+
+def test_media_resize_rows_and_error_in_band(spark):
+    """E2E: every image row yields a thumbnail of exactly out_w*out_h
+    bytes; corrupt payloads become resize_error rows."""
+    from tank_spark.llm.multimodal import (
+        RESIZE_H, RESIZE_SCHEMA, RESIZE_W, _resize_kernel)
+
+    rows = [(1, bytes(range(32))), (2, b"shorty")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in
+           df.mapInPandas(_resize_kernel, RESIZE_SCHEMA).collect()}
+    ok = got[1]
+    assert (ok["out_w"], ok["out_h"]) == (RESIZE_W, RESIZE_H)
+    assert len(ok["resized"]) == RESIZE_W * RESIZE_H
+    assert ok["resize_error"] is None
+    bad = got[2]
+    assert bad["resized"] is None and "corrupt" in bad["resize_error"]

@@ -41,7 +41,7 @@ PROBES = [
     # (documented-measured), pHash image near-dup, substring spans
     "dsir_importance_weights", "quality_percentile_rank",
     "image_phash_neardup", "dedup_substring_spans",
-    "dedup_substring_removal", "image_phash_survivors",
+    "dedup_substring_removal", "image_phash_survivors", "media_resize",
 ]
 
 
