@@ -449,6 +449,102 @@ def _select_top_quantile(
     return scored.withColumn("selected", sel.cast("int"))
 
 
+def _select_top_quantile_grouped(
+    scored: DataFrame, order_col: str, id_col: str, group_col: str,
+    q: float, accuracy: int = 10000,
+) -> DataFrame:
+    """Grouped form of :func:`_select_top_quantile`: ``selected`` = 1
+    where ``PERCENT_RANK() OVER (PARTITION BY group_col ORDER BY
+    order_col, id_col) >= q`` — with NO per-group global window (the
+    keyed window's scale problem: one partition per group, hot when a
+    group holds billions of rows).
+
+    Same recipe per group, batched across groups in whole-relation jobs:
+    per-group counts (one aggregate), per-group approx brackets (one
+    grouped percentile_approx), one bracket-verification aggregate, one
+    band-only window (partitioned by group over ~0.2% of rows), then the
+    cut applies as a broadcast threshold join + map-only filter. The
+    group count and threshold tables are GROUP-cardinality-bounded
+    driver/broadcast scalars — sources/domains number in the hundreds
+    even at 100 TB. Groups where the approx bracket misses (pathological
+    distributions) fall back to a full-range band for THAT group only.
+    """
+    from pyspark.sql import Window
+
+    scored = scored.persist()
+    ns = {r[0]: r[1] for r in
+          scored.groupBy(group_col).agg(F.count(F.lit(1)).alias("n")).collect()}
+    if not ns:
+        return scored.withColumn("selected", F.lit(0).cast("int"))
+
+    def k0_of(n: int) -> int | None:
+        if n <= 1:
+            # percent_rank of a single row is 0 -> selected iff q <= 0
+            return 1 if q <= 0 else None
+        r = max(1, int(q * (n - 1)))
+        while r <= n and (r - 1) / (n - 1) < q:
+            r += 1
+        return r if r <= n else None
+
+    k0s = {g: k0_of(n) for g, n in ns.items()}
+    margin = max(4.0 / accuracy, 1e-3)
+    qlo, qhi = max(0.0, q - margin), min(1.0, q + margin)
+    br = {
+        r[0]: (r[1][0], r[1][1])
+        for r in scored.groupBy(group_col).agg(
+            F.percentile_approx(
+                order_col, F.array(F.lit(qlo), F.lit(qhi)), F.lit(accuracy)
+            ).alias("b")
+        ).collect()
+    }
+    bounds = [(g, float(br[g][0]), float(br[g][1])) for g in ns if k0s[g]]
+    sel_false = F.lit(0).cast("int")
+    if not bounds:  # every group degenerate (n <= 1 or q above top)
+        return scored.withColumn("selected", sel_false)
+    spark = scored.sparkSession
+    gt = scored.schema[group_col].dataType.simpleString()
+    it = scored.schema[id_col].dataType.simpleString()
+    bdf = spark.createDataFrame(bounds, f"{group_col} {gt}, lo double, hi double")
+    cnt = {
+        r[0]: (r[1], r[2])
+        for r in scored.join(F.broadcast(bdf), group_col).groupBy(group_col).agg(
+            F.count(F.when(F.col(order_col) < F.col("lo"), 1)).alias("c_lo"),
+            F.count(F.when(F.col(order_col) <= F.col("hi"), 1)).alias("c_hi"),
+        ).collect()
+    }
+    rows = []
+    for g, lo, hi in bounds:
+        c_lo, c_hi = cnt[g]
+        k0 = k0s[g]
+        if not (c_lo < k0 <= c_hi):  # bracket missed: full range for g
+            lo, hi, c_lo = float("-inf"), float("inf"), 0
+        rows.append((g, lo, hi, k0 - c_lo))
+    bdf = spark.createDataFrame(
+        rows, f"{group_col} {gt}, lo double, hi double, k_band long")
+    band = scored.join(F.broadcast(bdf), group_col).filter(
+        (F.col(order_col) >= F.col("lo")) & (F.col(order_col) <= F.col("hi")))
+    w = Window.partitionBy(group_col).orderBy(order_col, id_col)
+    thr_rows = (
+        band.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == F.col("k_band"))
+        .select(group_col, F.col(order_col).alias("_thr_v"),
+                F.col(id_col).alias("_thr_id"))
+        .collect()  # one row per group — bounded, like the counts above
+    )
+    thr = spark.createDataFrame(
+        [(r[0], float(r[1]), r[2]) for r in thr_rows],
+        f"{group_col} {gt}, _thr_v double, _thr_id {it}",
+    )
+    out = scored.join(F.broadcast(thr), group_col, "left")
+    sel = (
+        F.col("_thr_v").isNotNull()
+        & ((F.col(order_col) > F.col("_thr_v"))
+           | ((F.col(order_col) == F.col("_thr_v"))
+              & (F.col(id_col) >= F.col("_thr_id"))))
+    )
+    return out.withColumn("selected", sel.cast("int")).drop("_thr_v", "_thr_id")
+
+
 @register(
     "dsir_importance_weights",
     f"""

@@ -1223,3 +1223,33 @@ def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+@register(
+    "quality_top_quantile_per_source",
+    f"""
+    SELECT doc_id, source, quality,
+           CAST(CASE WHEN PERCENT_RANK() OVER (PARTITION BY source
+                                               ORDER BY quality, doc_id) >= 0.8
+                THEN 1 ELSE 0 END AS INTEGER) AS selected
+    FROM (SELECT doc_id, source, {QUALITY_SQL} AS quality FROM documents)
+    """,
+    doc="The PRODUCTION form of the per-source curation cut: keep the "
+        "best 20% of each source WITHOUT a per-source global sort. "
+        "Grouped scale-safe selection (lm._select_top_quantile_grouped): "
+        "per-source counts and approx-quantile brackets batch across "
+        "all sources in whole-relation jobs, the exact boundary pair "
+        "per source comes off a window over the ~0.2% bracket band "
+        "only, and the cut applies as a broadcast threshold join + "
+        "map-only filter — bit-identical to the keyed PERCENT_RANK "
+        "oracle, no hot per-source partition (quality_percentile_rank "
+        "keeps the full-rank-per-row contract and documents why that "
+        "inherently sorts; THIS op is what its docstring routes 100 TB "
+        "cut-only users to).",
+)
+def quality_top_quantile_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tank_spark.llm.lm import _select_top_quantile_grouped
+
+    d = load(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "source", quality_col().alias("quality"))
+    return _select_top_quantile_grouped(scored, "quality", "doc_id", "source", 0.8)

@@ -170,11 +170,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # dedup_event_stream_replay, global_sequence_ids,
 # decontaminate_train_eval, token_budget_planning,
 # temperature_mix_weights, media_extract_features,
-# sample_stratified_sources, pack_token_budget, cross_source_duplication
-# — the last three yielded their r7 slots to the late-r7 completion ops
-# and media_resize), then as many of the 45 r5-green LSH/search/LM/PQ/
-# sketch/streaming entries as fit (they turn 3-stale after r8; the
-# remainder lead r9).
+# sample_stratified_sources, pack_token_budget, cross_source_duplication,
+# dedup_minhash_signatures — the last four yielded their r7 slots to the
+# late-r7 ops: the substring/image completion pair, media_resize, and
+# quality_top_quantile_per_source), then early r5-green entries as
+# space allows (r5 rows stay fresh through r8; the family is DUE in the
+# r9 window, where it must lead).
 PRIORITY: tuple[str, ...] = (
     # ---- changed this round (hard signal for the changes)
     "q5_nation_volume", "dsir_importance_weights",
@@ -186,6 +187,7 @@ PRIORITY: tuple[str, ...] = (
     # image dedup survivors (pairs -> components -> keep flags)
     "image_phash_neardup", "dedup_substring_spans",
     "dedup_substring_removal", "image_phash_survivors", "media_resize",
+    "quality_top_quantile_per_source",
     # ---- the last 14 r1-only relational entries (VERDICT r6 #1)
     "sort_limit_parts", "small_quantity_parts", "distinct_parts_per_flag",
     "corr_qty_price_by_flag", "stddev_value_by_type",
@@ -202,8 +204,7 @@ PRIORITY: tuple[str, ...] = (
     "text_repetition_signals", "pii_detect_mask", "lang_id_confusion",
     "corpus_mix_report", "rare_word_fraction", "gopher_quality_rules",
     "chunk_documents", "dedup_exact", "dedup_exact_survivors",
-    "dedup_minhash_signatures", "dedup_prefix_containment",
-    "passage_dedup",
+    "dedup_prefix_containment", "passage_dedup",
 )
 
 

@@ -177,3 +177,31 @@ def test_select_top_quantile_matches_window_form(spark):
     one = spark.createDataFrame([(1, 2.0)], "id long, score double")
     got1 = _select_top_quantile(one, "score", "id", 0.8).collect()
     assert got1[0]["selected"] == 0
+
+
+def test_select_top_quantile_grouped_matches_keyed_window(spark):
+    """The grouped form must be bit-identical to PERCENT_RANK() OVER
+    (PARTITION BY g ORDER BY score, id) — across groups with ties, a
+    singleton group (percent_rank 0 -> never selected at q>0), and
+    uneven group sizes."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tank_spark.llm.lm import _select_top_quantile_grouped
+
+    data = []
+    vals = {"a": [5, 3, 3, 9, 1, 7, 7, 2, 8, 0, 4],
+            "b": [2, 2, 2, 2, 11, 12],
+            "c": [42]}
+    i = 0
+    for g, vs in vals.items():
+        for v in vs:
+            data.append((i, g, float(v))); i += 1
+    df = spark.createDataFrame(data, "id long, g string, score double")
+    for q in (0.0, 0.2, 0.5, 0.8, 1.0):
+        got = {r["id"]: r["selected"] for r in
+               _select_top_quantile_grouped(df, "score", "id", "g", q).collect()}
+        w = Window.partitionBy("g").orderBy("score", "id")
+        want = {r["id"]: r["selected"] for r in df.withColumn(
+            "selected", (F.percent_rank().over(w) >= q).cast("int")).collect()}
+        assert got == want, f"q={q}"

@@ -416,3 +416,16 @@ def test_substring_ops_never_go_nested_loop(spark):
     plan2 = _plan(df2)
     assert "BroadcastNestedLoopJoin" not in plan2
     assert "CartesianProduct" not in plan2
+
+
+def test_grouped_quantile_cut_has_no_window(spark):
+    """quality_top_quantile_per_source is the scale-safe per-source cut:
+    the returned plan applies a broadcast threshold join + filter — no
+    Window (the band window ran eagerly at build, over the quantile
+    bracket only)."""
+    from tank_spark.llm.text import quality_top_quantile_per_source
+
+    df = quality_top_quantile_per_source(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan  # threshold table broadcasts
