@@ -42,6 +42,7 @@ PROBES = [
     "dsir_importance_weights", "quality_percentile_rank",
     "image_phash_neardup", "dedup_substring_spans",
     "dedup_substring_removal", "image_phash_survivors", "media_resize",
+    "quality_top_quantile_per_source",
 ]
 
 
