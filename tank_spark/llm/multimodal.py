@@ -440,7 +440,14 @@ def image_phash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tank_spark.util import ensure_workers_have_package
 
     ensure_workers_have_package(spark)
-    hashed = phash_media(spark, sf_dir).mapInPandas(_phash_kernel, PHASH_SCHEMA)
+    # persist: the hash kernel feeds BOTH the pair pipeline (consumed
+    # eagerly by the CC checkpoint) and the final all-images join —
+    # without it the Python kernel runs twice
+    hashed = (
+        phash_media(spark, sf_dir)
+        .mapInPandas(_phash_kernel, PHASH_SCHEMA)
+        .persist()
+    )
     pairs = phash_neardup_pairs(hashed).select(
         F.col("doc_a").alias("cid_a"), F.col("doc_b").alias("cid_b"))
     comp = lsh_components(pairs)

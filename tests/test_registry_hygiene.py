@@ -27,7 +27,17 @@ import pytest
 DRIVER_SF_DIR = "/root/testdata/sf0.01"   # the driver's correctness SF
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50                                # driver checks the first 50
-MAX_STALE_ROUNDS = 3                       # rotation policy (registry.py)
+
+
+def _max_stale_rounds() -> int:
+    """Tightest FEASIBLE staleness bound: a 50-slot window refreshing an
+    N-entry registry can touch each entry at best every ceil(N/50)
+    rounds, so demanding fresher-than-that is unsatisfiable (at 157
+    entries the original hard 3 became impossible: 157 > 3*50). Floor of
+    3 preserves the VERDICT r6 policy while the registry fits it."""
+    import math
+
+    return max(3, math.ceil(len(_registry()) / WINDOW))
 
 # deliberately bench-only: full-fidelity z7 MVT assembly is a perf probe
 # whose blob output the driver's canonicalizer can't hash
@@ -85,14 +95,15 @@ def _driver_history():
 
 def test_no_entry_goes_stale_without_rotation():
     """Rotation policy as code: except BENCH_ONLY, every registered
-    query must have a driver row within the last MAX_STALE_ROUNDS
+    query must have a driver row within the last _max_stale_rounds()
     rounds *after the upcoming round runs* — i.e. a row newer than
-    (latest_round - MAX_STALE_ROUNDS + 1), or a slot in the upcoming
-    window. Never-checked entries (new registrations) must be in the
-    window unconditionally."""
+    (latest_round - bound + 1), or a slot in the upcoming window.
+    Never-checked entries (new registrations) must be in the window
+    unconditionally."""
     last, latest = _driver_history()
     if latest == 0:
         pytest.skip("no CORRECTNESS_r*.json history on disk")
+    bound = _max_stale_rounds()
     reg = _registry()
     window = set(list(reg)[:WINDOW])
     offenders = []
@@ -102,7 +113,7 @@ def test_no_entry_goes_stale_without_rotation():
         seen = last.get(name)
         if seen is None:
             offenders.append(f"{name}: never driver-checked and not in window")
-        elif latest - seen >= MAX_STALE_ROUNDS:
+        elif latest - seen >= bound:
             offenders.append(
                 f"{name}: last row r{seen}, {latest - seen} rounds ago — "
                 f"must be in the r{latest + 1} window")
