@@ -45,7 +45,7 @@ HEADLINE = [
     # threshold jobs are part of its honest cost), pHash image near-dup,
     # maximal duplicated-substring spans
     "dsir_importance_weights", "image_phash_neardup",
-    "dedup_substring_spans",
+    "dedup_substring_spans", "audio_fingerprint_neardup",
     "tile_mvt_batch",
     # BENCH-ONLY entry: full-fidelity z7 overview encode. NOT a serving
     # path (serving uses the budgeted sample below OVERVIEW_ZOOM — the

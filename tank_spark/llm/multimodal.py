@@ -343,13 +343,20 @@ def phash_neardup_pairs(
     """(doc_id, phash) -> near-dup pairs (doc_a, doc_b, hamming<=ham_t)
     via band-bucket blocking. All relational, JVM-side: band extraction
     is bit arithmetic, the exact Hamming check is bit_count(xor)."""
+    # persisted like the text-LSH band relation: three consumers scan it
+    # (the hot-bucket aggregate and both sides of the candidate join), so
+    # without the cache the upstream Python hash kernel runs three times.
+    # Materialized EAGERLY: against a lazy persist those subtrees race to
+    # fill the cache and the kernel still runs up to 3x (the dedup-family
+    # lesson, dedup.py:314)
     bands = hashed.select(
         "doc_id", "phash",
         F.posexplode(F.array(*[
             F.shiftrightunsigned("phash", 16 * i).bitwiseAND(F.lit(0xFFFF))
             for i in range(PHASH_BANDS)
         ])).alias("band_idx", "band_val"),
-    )
+    ).persist()
+    bands.count()
     hot = (
         bands.groupBy("band_idx", "band_val")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -43,6 +43,8 @@ PROBES = [
     "image_phash_neardup", "dedup_substring_spans",
     "dedup_substring_removal", "image_phash_survivors", "media_resize",
     "quality_top_quantile_per_source",
+    # late-r7 additions: the audio side of the multimodal pillar
+    "audio_features", "audio_fingerprint_neardup", "audio_resample",
 ]
 
 
