@@ -46,6 +46,7 @@ HEADLINE = [
     # maximal duplicated-substring spans
     "dsir_importance_weights", "image_phash_neardup",
     "dedup_substring_spans", "audio_fingerprint_neardup",
+    "video_phash_neardup",
     "tile_mvt_batch",
     # BENCH-ONLY entry: full-fidelity z7 overview encode. NOT a serving
     # path (serving uses the budgeted sample below OVERVIEW_ZOOM — the

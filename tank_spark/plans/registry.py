@@ -172,12 +172,14 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # temperature_mix_weights, media_extract_features,
 # sample_stratified_sources, pack_token_budget, cross_source_duplication,
 # dedup_minhash_signatures, dedup_exact_survivors,
-# dedup_prefix_containment, passage_dedup — the last seven yielded their
-# r7 slots to the late-r7 ops: the substring/image completion pair,
-# media_resize, quality_top_quantile_per_source, and the three audio
-# operators), then early r5-green entries as space allows (r5 rows stay
-# fresh through r8; the family is DUE in the r9 window, where it must
-# lead).
+# dedup_prefix_containment, passage_dedup, gopher_quality_rules,
+# chunk_documents, dedup_exact — the last ten yielded their r7 slots to
+# the late-r7 ops: the substring/image completion pair, media_resize,
+# quality_top_quantile_per_source, the three audio operators, and the
+# three VIDEO operators (video_scene_cuts, video_phash_neardup,
+# video_keyframes)), then early r5-green entries as space allows (r5
+# rows stay fresh through r8; the family is DUE in the r9 window, where
+# it must lead).
 PRIORITY: tuple[str, ...] = (
     # ---- changed this round (hard signal for the changes)
     "q5_nation_volume", "dsir_importance_weights",
@@ -194,6 +196,9 @@ PRIORITY: tuple[str, ...] = (
     # features / fingerprint-dedup / resample — never-checked, so the
     # staleness lint requires window slots)
     "audio_features", "audio_fingerprint_neardup", "audio_resample",
+    # ---- late-r7: the VIDEO side (scene cuts / temporal-fingerprint
+    # dedup / keyframes — never-checked, slots required by the lint)
+    "video_scene_cuts", "video_phash_neardup", "video_keyframes",
     # ---- the last 14 r1-only relational entries (VERDICT r6 #1)
     "sort_limit_parts", "small_quantity_parts", "distinct_parts_per_flag",
     "corr_qty_price_by_flag", "stddev_value_by_type",
@@ -208,8 +213,7 @@ PRIORITY: tuple[str, ...] = (
     "ingest_json_props", "ingest_coerce_defaults",
     "ingest_declared_schema", "ingest_bucket_stats",
     "text_repetition_signals", "pii_detect_mask", "lang_id_confusion",
-    "corpus_mix_report", "rare_word_fraction", "gopher_quality_rules",
-    "chunk_documents", "dedup_exact",
+    "corpus_mix_report", "rare_word_fraction",
 )
 
 
@@ -241,6 +245,7 @@ def load_all() -> dict[str, QueryDef]:
         "tank_spark.llm.mixing",
         "tank_spark.llm.multimodal",
         "tank_spark.llm.audio",
+        "tank_spark.llm.video",
         "tank_spark.llm.bpe",
         "tank_spark.llm.lm",
         "tank_spark.llm.pq",

@@ -45,6 +45,9 @@ PROBES = [
     "quality_top_quantile_per_source",
     # late-r7 additions: the audio side of the multimodal pillar
     "audio_features", "audio_fingerprint_neardup", "audio_resample",
+    # late-r7 additions: the video side (map-only decode kernels + the
+    # shared banded Hamming join on temporal signatures)
+    "video_scene_cuts", "video_phash_neardup", "video_keyframes",
 ]
 
 
