@@ -339,18 +339,26 @@ def phash_neardup_pairs(
     hashed: DataFrame,
     ham_t: int = PHASH_HAM_T,
     cap: int = PHASH_BUCKET_CAP,
+    key_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, phash) -> near-dup pairs (doc_a, doc_b, hamming<=ham_t)
     via band-bucket blocking. All relational, JVM-side: band extraction
-    is bit arithmetic, the exact Hamming check is bit_count(xor)."""
+    is bit arithmetic, the exact Hamming check is bit_count(xor).
+
+    ``key_cols`` names extra columns of ``hashed`` to add to the bucket
+    key (and the hot-bucket aggregate): rows only pair within the same
+    key-tuple. media_dedup_survivors passes ("modality",) so one banded
+    join covers image+audio+video hashes without ever pairing across
+    hash spaces."""
     # persisted like the text-LSH band relation: three consumers scan it
     # (the hot-bucket aggregate and both sides of the candidate join), so
     # without the cache the upstream Python hash kernel runs three times.
     # Materialized EAGERLY: against a lazy persist those subtrees race to
     # fill the cache and the kernel still runs up to 3x (the dedup-family
     # lesson, dedup.py:314)
+    bucket = ["band_idx", "band_val", *key_cols]
     bands = hashed.select(
-        "doc_id", "phash",
+        "doc_id", "phash", *key_cols,
         F.posexplode(F.array(*[
             F.shiftrightunsigned("phash", 16 * i).bitwiseAND(F.lit(0xFFFF))
             for i in range(PHASH_BANDS)
@@ -358,17 +366,18 @@ def phash_neardup_pairs(
     ).persist()
     bands.count()
     hot = (
-        bands.groupBy("band_idx", "band_val")
+        bands.groupBy(*bucket)
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > cap)
-        .select("band_idx", "band_val")
+        .select(*bucket)
     )
-    bands = bands.join(hot, ["band_idx", "band_val"], "left_anti")
+    bands = bands.join(hot, bucket, "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    for k in bucket:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
     return (
-        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
-               & (F.col("a.band_val") == F.col("b.band_val"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, cond)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -463,6 +472,68 @@ def image_phash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(comp, F.col("doc_id") == F.col("cid"), "left")
         .select(
             "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
+            F.coalesce(F.col("is_canonical"), F.lit(1)).cast("int").alias("keep"),
+        )
+    )
+
+
+@register(
+    "media_dedup_survivors",
+    None,  # hashes come from the Python kernels -> rows-only check
+    doc="Cross-modality media dedup in ONE pass: the image dHash, audio "
+        "fingerprint, and video temporal-signature kernels each hash "
+        "their slice (one persisted union relation, every kernel runs "
+        "once), the banded Hamming join runs PER MODALITY (a near-dup "
+        "relation is only meaningful within one hash space — no "
+        "image-vs-audio false pairs by construction), the pair sets "
+        "union into a single graph for ONE connected-components pass "
+        "(dedup.lsh_components), and every media row comes back with "
+        "(modality, cluster, keep). This is the curation call a user "
+        "makes before training: one keep-flag relation for the whole "
+        "media corpus instead of three dedup jobs to reconcile. Scale "
+        "shape: hash kernels are map-only mapInPandas; each modality's "
+        "candidate join is bounded by its 16-bit band buckets with the "
+        "hot-bucket cap as skew backstop; CC iterates on the union pair "
+        "graph only (near-dups, a tiny fraction of the corpus), never "
+        "on the media table.",
+)
+def media_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tank_spark.llm.audio import (
+        AUDIO_FP_SCHEMA, _fingerprint_kernel, fingerprint_media)
+    from tank_spark.llm.dedup import lsh_components
+    from tank_spark.llm.video import (
+        VIDEO_FP_SCHEMA, _signature_kernel, signature_media)
+    from tank_spark.util import ensure_workers_have_package
+
+    ensure_workers_have_package(spark)
+    hashed = (
+        phash_media(spark, sf_dir)
+        .mapInPandas(_phash_kernel, PHASH_SCHEMA)
+        .withColumn("modality", F.lit("image"))
+        .unionByName(
+            fingerprint_media(spark, sf_dir)
+            .mapInPandas(_fingerprint_kernel, AUDIO_FP_SCHEMA)
+            .withColumn("modality", F.lit("audio")))
+        .unionByName(
+            signature_media(spark, sf_dir)
+            .mapInPandas(_signature_kernel, VIDEO_FP_SCHEMA)
+            .withColumn("modality", F.lit("video")))
+        .persist()
+    )
+    hashed.count()  # eager: the pair join AND the final keep-flag join
+    #                 both scan it; lazy persist would race (dedup.py:314)
+    # ONE banded join over all three modalities: modality joins the
+    # bucket key, so hash spaces never pair across and the three
+    # families cost one shuffle instead of three
+    pairs = phash_neardup_pairs(hashed, key_cols=("modality",))
+    comp = lsh_components(pairs.select(
+        F.col("doc_a").alias("cid_a"), F.col("doc_b").alias("cid_b")))
+    return (
+        hashed.select("doc_id", "modality")
+        .join(comp, F.col("doc_id") == F.col("cid"), "left")
+        .select(
+            "doc_id", "modality",
             F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
             F.coalesce(F.col("is_canonical"), F.lit(1)).cast("int").alias("keep"),
         )

@@ -173,13 +173,14 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # sample_stratified_sources, pack_token_budget, cross_source_duplication,
 # dedup_minhash_signatures, dedup_exact_survivors,
 # dedup_prefix_containment, passage_dedup, gopher_quality_rules,
-# chunk_documents, dedup_exact — the last ten yielded their r7 slots to
-# the late-r7 ops: the substring/image completion pair, media_resize,
-# quality_top_quantile_per_source, the three audio operators, and the
-# three VIDEO operators (video_scene_cuts, video_phash_neardup,
-# video_keyframes)), then early r5-green entries as space allows (r5
-# rows stay fresh through r8; the family is DUE in the r9 window, where
-# it must lead).
+# chunk_documents, dedup_exact, rare_word_fraction — the last eleven
+# yielded their r7 slots to the late-r7 ops: the substring/image
+# completion pair, media_resize, quality_top_quantile_per_source, the
+# three audio operators, the three VIDEO operators (video_scene_cuts,
+# video_phash_neardup, video_keyframes), and the cross-modality
+# media_dedup_survivors pipeline), then early r5-green entries as space
+# allows (r5 rows stay fresh through r8; the family is DUE in the r9
+# window, where it must lead).
 PRIORITY: tuple[str, ...] = (
     # ---- changed this round (hard signal for the changes)
     "q5_nation_volume", "dsir_importance_weights",
@@ -197,8 +198,11 @@ PRIORITY: tuple[str, ...] = (
     # staleness lint requires window slots)
     "audio_features", "audio_fingerprint_neardup", "audio_resample",
     # ---- late-r7: the VIDEO side (scene cuts / temporal-fingerprint
-    # dedup / keyframes — never-checked, slots required by the lint)
+    # dedup / keyframes — never-checked, slots required by the lint),
+    # plus the cross-modality dedup pipeline composing all three media
+    # families into one CC pass
     "video_scene_cuts", "video_phash_neardup", "video_keyframes",
+    "media_dedup_survivors",
     # ---- the last 14 r1-only relational entries (VERDICT r6 #1)
     "sort_limit_parts", "small_quantity_parts", "distinct_parts_per_flag",
     "corr_qty_price_by_flag", "stddev_value_by_type",
@@ -213,7 +217,7 @@ PRIORITY: tuple[str, ...] = (
     "ingest_json_props", "ingest_coerce_defaults",
     "ingest_declared_schema", "ingest_bucket_stats",
     "text_repetition_signals", "pii_detect_mask", "lang_id_confusion",
-    "corpus_mix_report", "rare_word_fraction",
+    "corpus_mix_report",
 )
 
 

@@ -126,6 +126,35 @@ def test_real_y4m_mono_and_420():
     assert np.array_equal(frames420[0], frames[0])
 
 
+def test_y4m_roundtrip_property():
+    """Property: any mono Y4M container we assemble parses back to
+    exactly the frames and fps that went in (dims, byte values, frame
+    count, rational rates)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 40), h=st.integers(1, 40),
+        n=st.integers(1, 4), num=st.integers(1, 60), den=st.integers(1, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, n, num, den, seed):
+        from tank_spark.llm.video import decode_frames
+
+        rng = np.random.RandomState(seed)
+        frames = [rng.randint(0, 256, size=h * w, dtype=np.uint8).tobytes()
+                  for _ in range(n)]
+        got, fps = decode_frames(make_y4m(frames, w=w, h=h, fps=(num, den)))
+        assert fps == num / den and len(got) == n
+        for f, raw in zip(got, frames):
+            assert f.shape == (h, w)
+            assert np.array_equal(
+                f, np.frombuffer(raw, dtype=np.uint8).reshape(h, w))
+
+    check()
+
+
 def test_y4m_errors_become_valueerror():
     from tank_spark.llm.video import decode_frames
 

@@ -48,6 +48,7 @@ PROBES = [
     # late-r7 additions: the video side (map-only decode kernels + the
     # shared banded Hamming join on temporal signatures)
     "video_scene_cuts", "video_phash_neardup", "video_keyframes",
+    "media_dedup_survivors",
 ]
 
 
