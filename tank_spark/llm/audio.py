@@ -37,7 +37,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tank_spark.llm.multimodal import media_df, phash_neardup_pairs
+from tank_spark.llm.multimodal import (
+    VARIANT_OFFSET,
+    media_df,
+    phash_neardup_pairs,
+)
 from tank_spark.plans.registry import register
 
 PCM_BLOCKS = 32        # one block per payload byte
@@ -237,12 +241,16 @@ def _fingerprint_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         yield pd.DataFrame(out, columns=["doc_id", "phash"])
 
 
-AUDIO_VARIANT_OFFSET = 2_000_000
+# The shared high-bit variant offset (collision-proof by construction;
+# see multimodal.VARIANT_OFFSET — ADVICE r7 replaced the per-modality
+# +1M/+2M/+3M constants that wrapped into each other's id spaces at
+# corpus sizes >= 1M docs).
+AUDIO_VARIANT_OFFSET = VARIANT_OFFSET  # backwards-compatible alias
 
 
 def fingerprint_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The audio slice plus deterministic near-duplicate variants: every
-    5th clip re-appears under doc_id+AUDIO_VARIANT_OFFSET with ONE
+    5th clip re-appears under doc_id+VARIANT_OFFSET with ONE
     payload byte bumped by 4 — the 're-encoded / lightly re-levelled
     copy of the same recording' case a fingerprint pass exists to catch
     (base payloads are md5 keystreams, so unrelated fingerprints sit at
@@ -257,7 +265,7 @@ def fingerprint_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     variants = (
         m.filter(F.col("doc_id") % 15 == 1)
-        .select((F.col("doc_id") + AUDIO_VARIANT_OFFSET).alias("doc_id"),
+        .select((F.col("doc_id") + VARIANT_OFFSET).alias("doc_id"),
                 tweaked.alias("payload"))
     )
     return m.unionByName(variants)

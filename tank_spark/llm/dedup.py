@@ -709,7 +709,13 @@ def lsh_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .select("cid", F.col("cid").alias("component"))
             .localCheckpoint(eager=True)
         )
-        prev_sum = labels.agg(F.sum("component")).first()[0]
+        # convergence sum in DECIMAL(38,0): labels are node ids, and id
+        # schemes that use high bits (e.g. multimodal.VARIANT_OFFSET =
+        # 2^62 variant rows) overflow a BIGINT sum after a handful of
+        # rows; decimal keeps the check exact up to ~1e38 (double would
+        # silently lose the low bits that distinguish label states)
+        _label_sum = F.sum(F.col("component").cast("decimal(38,0)"))
+        prev_sum = labels.agg(_label_sum).first()[0]
         converged = False
         for _ in range(max_iter):
             prop = und.join(labels, und["src"] == labels["cid"]).select(
@@ -735,7 +741,7 @@ def lsh_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                 )
                 .localCheckpoint(eager=True)
             )
-            cur_sum = labels.agg(F.sum("component")).first()[0]
+            cur_sum = labels.agg(_label_sum).first()[0]
             if cur_sum == prev_sum:
                 converged = True
                 break

@@ -406,8 +406,28 @@ def _select_top_quantile(
     """
     from pyspark.sql import Window
 
-    scored = scored.persist()
-    n = scored.count()
+    # localCheckpoint rather than persist (ADVICE r7: persisted relations
+    # here were never unpersisted, so repeated invocations accumulated
+    # cache entries for the session's lifetime) — same reuse across the
+    # threshold jobs and the returned filter, but checkpoint blocks are
+    # reclaimed by the ContextCleaner once the DataFrame is
+    # garbage-collected, and the truncated lineage keeps the returned
+    # plan a leaf scan + literal filter.
+    scored = scored.localCheckpoint(eager=True)
+    # Precondition: order_col is non-null (ADVICE r7 — a NULL order value
+    # would silently get selected=0 while the PERCENT_RANK window form
+    # this claims bit-identity with ranks NULLS FIRST). Checked inside
+    # the count job this helper already pays for.
+    cnts = scored.agg(
+        F.count(F.lit(1)).alias("n"), F.count(order_col).alias("nn")
+    ).first()
+    n = cnts["n"]
+    if cnts["nn"] != n:
+        raise ValueError(
+            f"_select_top_quantile: {n - cnts['nn']} NULL {order_col!r} "
+            "values — the percent-rank cut is undefined for NULL scores; "
+            "filter or impute them upstream"
+        )
     if n <= 1:
         return scored.withColumn(
             "selected", F.lit(1 if q <= 0 else 0).cast("int"))
@@ -471,9 +491,23 @@ def _select_top_quantile_grouped(
     """
     from pyspark.sql import Window
 
-    scored = scored.persist()
-    ns = {r[0]: r[1] for r in
-          scored.groupBy(group_col).agg(F.count(F.lit(1)).alias("n")).collect()}
+    # localCheckpoint, not persist — see _select_top_quantile (ADVICE r7)
+    scored = scored.localCheckpoint(eager=True)
+    # Precondition check rides the per-group count job (ADVICE r7: an
+    # all-NULL group made percentile_approx return NULL and float(None)
+    # crash below; partial NULLs silently diverged from the NULLS-FIRST
+    # window ranking this claims bit-identity with).
+    cnt_rows = scored.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"), F.count(order_col).alias("nn")
+    ).collect()
+    bad = {r[0]: r[1] - r[2] for r in cnt_rows if r[1] != r[2]}
+    if bad:
+        raise ValueError(
+            f"_select_top_quantile_grouped: NULL {order_col!r} values in "
+            f"groups {sorted(bad)[:5]} — the percent-rank cut is undefined "
+            "for NULL scores; filter or impute them upstream"
+        )
+    ns = {r[0]: r[1] for r in cnt_rows}
     if not ns:
         return scored.withColumn("selected", F.lit(0).cast("int"))
 
@@ -670,4 +704,9 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weight_per_word",
         F.col("weight_bits").cast("double") / F.col("n_words"),
     )
-    return _select_top_quantile(agg, "weight_per_word", "doc_id", 0.8)
+    out = _select_top_quantile(agg, "weight_per_word", "doc_id", 0.8)
+    # the helper checkpointed its input eagerly, so the returned plan no
+    # longer references doc_w — release the cache now instead of leaking
+    # it for the session's lifetime (ADVICE r7)
+    doc_w.unpersist()
+    return out

@@ -350,12 +350,15 @@ def phash_neardup_pairs(
     key-tuple. media_dedup_survivors passes ("modality",) so one banded
     join covers image+audio+video hashes without ever pairing across
     hash spaces."""
-    # persisted like the text-LSH band relation: three consumers scan it
-    # (the hot-bucket aggregate and both sides of the candidate join), so
-    # without the cache the upstream Python hash kernel runs three times.
-    # Materialized EAGERLY: against a lazy persist those subtrees race to
-    # fill the cache and the kernel still runs up to 3x (the dedup-family
-    # lesson, dedup.py:314)
+    # materialized like the text-LSH band relation: three consumers scan
+    # it (the hot-bucket aggregate and both sides of the candidate join),
+    # so without reuse the upstream Python hash kernel runs three times.
+    # localCheckpoint(eager=True) rather than persist (ADVICE r7: the
+    # persisted relation was never unpersisted, leaking cache entries
+    # across invocations): same eager one-shot materialization — a lazy
+    # cache would let the subtrees race and run the kernel up to 3x (the
+    # dedup-family lesson, dedup.py:314) — but checkpoint blocks are
+    # reclaimed by the ContextCleaner when the DataFrame is GC'd.
     bucket = ["band_idx", "band_val", *key_cols]
     bands = hashed.select(
         "doc_id", "phash", *key_cols,
@@ -363,8 +366,7 @@ def phash_neardup_pairs(
             F.shiftrightunsigned("phash", 16 * i).bitwiseAND(F.lit(0xFFFF))
             for i in range(PHASH_BANDS)
         ])).alias("band_idx", "band_val"),
-    ).persist()
-    bands.count()
+    ).localCheckpoint(eager=True)
     hot = (
         bands.groupBy(*bucket)
         .agg(F.count(F.lit(1)).alias("n"))
@@ -389,12 +391,23 @@ def phash_neardup_pairs(
     )
 
 
-PHASH_VARIANT_OFFSET = 1_000_000
+# One offset for ALL modality variant rows (image/audio/video): a high
+# bit rather than a small additive constant, so variant ids are
+# collision-proof by construction (ADVICE r7: per-modality +1M/+2M/+3M
+# offsets wrap into each other's id spaces once the corpus passes 1M
+# docs). Injective for any real 0 <= doc_id < 2^62 — comfortably beyond
+# any BIGINT doc-id scheme — and order-preserving: every variant id is
+# larger than every real id, so min-id survivor selection always keeps
+# the original. Base ids are distinct across modalities (one documents
+# table, each doc exactly one modality), so one shared offset cannot
+# collide across hash families either.
+VARIANT_OFFSET = 1 << 62
+PHASH_VARIANT_OFFSET = VARIANT_OFFSET  # backwards-compatible alias
 
 
 def phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The image slice of media_df plus deterministic near-duplicate
-    variants: every 5th image re-appears under doc_id+PHASH_VARIANT_OFFSET
+    variants: every 5th image re-appears under doc_id+VARIANT_OFFSET
     with ONE payload byte bumped by 8 — the 're-encoded / lightly edited
     copy of the same image' case a perceptual-hash pass exists to catch
     (the base corpus has no image near-dups: payloads are md5 keystreams,
@@ -412,7 +425,7 @@ def phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     variants = (
         m.filter(F.col("doc_id") % 15 == 0)  # every 5th image (ids = 3k)
-        .select((F.col("doc_id") + PHASH_VARIANT_OFFSET).alias("doc_id"),
+        .select((F.col("doc_id") + VARIANT_OFFSET).alias("doc_id"),
                 tweaked.alias("payload"))
     )
     return m.unionByName(variants)
@@ -456,13 +469,14 @@ def image_phash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tank_spark.util import ensure_workers_have_package
 
     ensure_workers_have_package(spark)
-    # persist: the hash kernel feeds BOTH the pair pipeline (consumed
-    # eagerly by the CC checkpoint) and the final all-images join —
-    # without it the Python kernel runs twice
+    # the hash kernel feeds BOTH the pair pipeline (consumed eagerly by
+    # the CC checkpoint) and the final all-images join — without reuse
+    # the Python kernel runs twice. localCheckpoint, not persist
+    # (ADVICE r7: never-unpersisted caches accumulated across calls)
     hashed = (
         phash_media(spark, sf_dir)
         .mapInPandas(_phash_kernel, PHASH_SCHEMA)
-        .persist()
+        .localCheckpoint(eager=True)
     )
     pairs = phash_neardup_pairs(hashed).select(
         F.col("doc_a").alias("cid_a"), F.col("doc_b").alias("cid_b"))
@@ -519,10 +533,11 @@ def media_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             signature_media(spark, sf_dir)
             .mapInPandas(_signature_kernel, VIDEO_FP_SCHEMA)
             .withColumn("modality", F.lit("video")))
-        .persist()
+        # eager: the pair join AND the final keep-flag join both scan it;
+        # a lazy cache would race and re-run the kernels (dedup.py:314).
+        # localCheckpoint, not persist (ADVICE r7: leak across calls)
+        .localCheckpoint(eager=True)
     )
-    hashed.count()  # eager: the pair join AND the final keep-flag join
-    #                 both scan it; lazy persist would race (dedup.py:314)
     # ONE banded join over all three modalities: modality joins the
     # bucket key, so hash spaces never pair across and the three
     # families cost one shuffle instead of three

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from tank_spark.llm.multimodal import (
     RESIZE_H,
     RESIZE_W,
+    VARIANT_OFFSET,
     _luma_plane_stub,
     block_mean_resize,
     dhash64,
@@ -107,7 +108,15 @@ def _frames_y4m(payload: bytes):
         elif t.startswith("H"):
             h = int(t[1:])
         elif t.startswith("F"):
+            # a corrupt rate token (F30:0, Fx:y, F30) must land in the
+            # in-band error column like any decode failure — int() and
+            # the unpacking already raise ValueError, but division by a
+            # crafted zero denominator raises ZeroDivisionError, which
+            # would escape the kernels' except-ValueError contract and
+            # fail the whole task (ADVICE r7)
             num, den = t[1:].split(":")
+            if int(den) == 0:
+                raise ValueError("decode failed: zero frame-rate denominator")
             fps = int(num) / int(den)
         elif t.startswith("C"):
             cs = t[1:]
@@ -263,12 +272,16 @@ def _signature_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         yield pd.DataFrame(out, columns=["doc_id", "phash"])
 
 
-VIDEO_VARIANT_OFFSET = 3_000_000
+# The shared high-bit variant offset (collision-proof by construction;
+# see multimodal.VARIANT_OFFSET — ADVICE r7 replaced the per-modality
+# +1M/+2M/+3M constants that wrapped into each other's id spaces at
+# corpus sizes >= 1M docs).
+VIDEO_VARIANT_OFFSET = VARIANT_OFFSET  # backwards-compatible alias
 
 
 def signature_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The video slice plus deterministic near-duplicate variants: every
-    5th video re-appears under doc_id+VIDEO_VARIANT_OFFSET with ONE
+    5th video re-appears under doc_id+VARIANT_OFFSET with ONE
     payload byte bumped by 8 — the 're-encoded / lightly edited copy of
     the same footage' case a temporal fingerprint exists to catch (base
     payloads are md5 keystreams, so unrelated signatures sit ~30 bits
@@ -282,7 +295,7 @@ def signature_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     variants = (
         m.filter(F.col("doc_id") % 15 == 2)
-        .select((F.col("doc_id") + VIDEO_VARIANT_OFFSET).alias("doc_id"),
+        .select((F.col("doc_id") + VARIANT_OFFSET).alias("doc_id"),
                 tweaked.alias("payload"))
     )
     return m.unionByName(variants)

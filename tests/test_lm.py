@@ -179,6 +179,29 @@ def test_select_top_quantile_matches_window_form(spark):
     assert got1[0]["selected"] == 0
 
 
+def test_select_top_quantile_rejects_null_scores(spark):
+    """NULL order values must fail fast with a clear error (ADVICE r7):
+    silently marking them selected=0 diverges from the NULLS-FIRST
+    ranking of the PERCENT_RANK window form the helpers claim
+    bit-identity with, and an all-NULL group crashed the grouped helper
+    with TypeError(float(None))."""
+    import pytest
+
+    from tank_spark.llm.lm import (
+        _select_top_quantile, _select_top_quantile_grouped)
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, None), (2, 3.0)], "id long, score double")
+    with pytest.raises(ValueError, match="NULL 'score'"):
+        _select_top_quantile(df, "score", "id", 0.5).collect()
+
+    gdf = spark.createDataFrame(
+        [(0, "a", 1.0), (1, "b", None), (2, "b", None)],
+        "id long, g string, score double")
+    with pytest.raises(ValueError, match="NULL 'score'"):
+        _select_top_quantile_grouped(gdf, "score", "id", "g", 0.5).collect()
+
+
 def test_select_top_quantile_grouped_matches_keyed_window(spark):
     """The grouped form must be bit-identical to PERCENT_RANK() OVER
     (PARTITION BY g ORDER BY score, id) — across groups with ties, a

@@ -26,6 +26,7 @@ def _tweak(p: bytes, idx: int, delta: int) -> bytes:
 def _expected(rows) -> dict:
     """doc_id -> (modality, cluster, keep) per the planted-variant
     conventions of phash_media / fingerprint_media / signature_media."""
+    from tank_spark.llm.multimodal import VARIANT_OFFSET
     from tests.test_audio import _fp_twin
     from tests.test_multimodal import _dhash_twin
     from tests.test_video import _sig_twin
@@ -36,17 +37,17 @@ def _expected(rows) -> dict:
         if doc_id % 3 == 0:
             sigs[doc_id] = ("image", _dhash_twin(p))
             if doc_id % 15 == 0:
-                sigs[doc_id + 1_000_000] = (
+                sigs[doc_id + VARIANT_OFFSET] = (
                     "image", _dhash_twin(_tweak(p, 7, 8)))
         elif doc_id % 3 == 1:
             sigs[doc_id] = ("audio", _fp_twin(p))
             if doc_id % 15 == 1:
-                sigs[doc_id + 2_000_000] = (
+                sigs[doc_id + VARIANT_OFFSET] = (
                     "audio", _fp_twin(_tweak(p, 15, 4)))
         else:
             sigs[doc_id] = ("video", _sig_twin(p))
             if doc_id % 15 == 2:
-                sigs[doc_id + 3_000_000] = (
+                sigs[doc_id + VARIANT_OFFSET] = (
                     "video", _sig_twin(_tweak(p, 11, 8)))
 
     # per-modality pairs at true Hamming <= 3, then union-find

@@ -325,10 +325,11 @@ def test_phash_survivors_keep_one_per_cluster(spark, tmp_path):
            image_phash_survivors(spark, str(tmp_path)).collect()}
     # images only, each once — plus doc 0's deterministic tweaked
     # variant (phash_media re-emits every 5th image as a near-dup copy)
-    assert set(got) == {0, 3, 6, 9, 1_000_000}
+    from tank_spark.llm.multimodal import VARIANT_OFFSET
+    assert set(got) == {0, 3, 6, 9, VARIANT_OFFSET}
     assert got[0]["keep"] == 1 and got[0]["cluster"] == 0
     assert got[3]["keep"] == 0 and got[3]["cluster"] == 0
-    assert got[1_000_000]["keep"] == 0 and got[1_000_000]["cluster"] == 0
+    assert got[VARIANT_OFFSET]["keep"] == 0 and got[VARIANT_OFFSET]["cluster"] == 0
     assert got[6]["keep"] == 1 and got[9]["keep"] == 1
 
 

@@ -167,6 +167,14 @@ def test_y4m_errors_become_valueerror():
         decode_frames(b"YUV4MPEG2 W24 H16 F25:1\n")
     with pytest.raises(ValueError):      # missing dimensions
         decode_frames(b"YUV4MPEG2 F25:1\nFRAME\n")
+    # crafted zero frame-rate denominator must be ValueError, NOT
+    # ZeroDivisionError — anything else escapes the kernels'
+    # except-ValueError in-band error contract and fails the whole
+    # Spark task (ADVICE r7)
+    with pytest.raises(ValueError):
+        decode_frames(b"YUV4MPEG2 W24 H16 F30:0 Cmono\nFRAME\n" + bytes(384))
+    with pytest.raises(ValueError):      # non-numeric rate token
+        decode_frames(b"YUV4MPEG2 W24 H16 Fx:y Cmono\nFRAME\n" + bytes(384))
 
 
 def test_dispatch_y4m_vs_stub():
