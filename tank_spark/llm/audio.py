@@ -37,6 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tank_spark.llm import media_sql
 from tank_spark.llm.multimodal import (
     VARIANT_OFFSET,
     media_df,
@@ -176,7 +177,7 @@ def _features_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @register(
     "audio_features",
-    None,  # python decode kernel -> rows-only check
+    media_sql.AUDIO_FEATURES_SQL,
     doc="Audio feature extraction via mapInPandas: windowed rms/peak/"
         "silence/clipping/zero-cross per clip, decode content-dispatched "
         "(REAL stdlib-wave parse for RIFF payloads, deterministic stub "
@@ -273,7 +274,7 @@ def fingerprint_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "audio_fingerprint_neardup",
-    None,  # fingerprints come from the Python kernel -> rows-only check
+    media_sql.AUDIO_FP_NEARDUP_SQL,
     doc="Acoustic-fingerprint audio near-duplicate pairs: 64-bit "
         "energy-delta-sign fingerprint per clip (mapInPandas; decode "
         "content-dispatched), then THE SAME banded Hamming-ball join as "
@@ -344,17 +345,24 @@ def _resample_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @register(
     "audio_resample",
-    None,  # python kernel -> rows-only check
+    media_sql.AUDIO_RESAMPLE_SQL,
     doc="Audio resample via mapInPandas: block-mean downsample of the "
         "decoded signal to a fixed training-set length, resampled bytes "
         "as a binary column, errors in-band — the audio twin of "
         "media_resize (at 100 TB the inner two lines swap for a real "
         "codec + polyphase resampler; the Spark plumbing is identical). "
-        "Map-only over the audio slice.",
+        "Map-only over the audio slice. The registered parity query "
+        "serializes the blob to lowercase hex (resampled_hex) — binary "
+        "never survives the driver's str()-based value hash — while the "
+        "kernel itself stays binary-columned.",
 )
 def audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tank_spark.util import ensure_workers_have_package
 
     ensure_workers_have_package(spark)
-    return audio_slice(spark, sf_dir).mapInPandas(
+    out = audio_slice(spark, sf_dir).mapInPandas(
         _resample_kernel, AUDIO_RESAMPLE_SCHEMA)
+    return out.select(
+        "doc_id", "in_samples", "in_rate", "out_samples", "out_rate",
+        F.lower(F.hex("resampled")).alias("resampled_hex"), "resample_error",
+    )

@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tank_spark.llm import media_sql
 from tank_spark.plans.registry import register
 from tank_spark.sources.tables import load
 
@@ -172,10 +173,13 @@ def _extract_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @register(
     "media_extract_features",
-    None,  # the decode kernel is Python-side -> rows-only check
+    media_sql.MEDIA_EXTRACT_FEATURES_SQL,
     doc="Multimodal feature extraction via mapInPandas (decode step "
         "STUBBED deterministically; Spark-side plumbing — schema, Arrow "
-        "batching, error-in-band — is real).",
+        "batching, error-in-band — is real). Full oracle in this "
+        "container: the stub decode is exact byte arithmetic over the "
+        "md5 keystream, reproduced in SQL (media_sql.py; the real-PIL "
+        "branch only activates where Pillow is installed).",
 )
 def media_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tank_spark.util import ensure_workers_have_package
@@ -191,9 +195,11 @@ FRAME_SCHEMA = "doc_id long, frame_idx int, ts_ms long, frame_md5 string"
 def _frame_sample_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas fan-out kernel: each video row yields N_FRAMES frame
     rows (1 -> N). Frame extraction is STUBBED deterministically (ffmpeg
-    absent): frame bytes are modeled as md5(payload || frame_idx); the
-    real system swaps only the inner expression. The fan-out shape —
-    batch in, multiple rows per input out — is the real plumbing."""
+    absent): frame bytes are modeled as md5 over the payload hex plus the
+    frame index (a VARCHAR digest, so the DuckDB oracle can reproduce it
+    — DuckDB 1.0 has no BLOB md5); the real system swaps only the inner
+    expression. The fan-out shape — batch in, multiple rows per input
+    out — is the real plumbing."""
     import hashlib
 
     for pdf in batches:
@@ -207,18 +213,21 @@ def _frame_sample_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                     "doc_id": int(row.doc_id),
                     "frame_idx": i,
                     "ts_ms": i * 1000,
-                    "frame_md5": hashlib.md5(payload + bytes([i])).hexdigest(),
+                    "frame_md5": hashlib.md5(
+                        f"{payload.hex()}:{i}".encode()).hexdigest(),
                 })
         yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "ts_ms", "frame_md5"])
 
 
 @register(
     "media_frame_sample",
-    None,  # python kernel -> rows-only
+    media_sql.MEDIA_FRAME_SAMPLE_SQL,
     doc="Video frame sampling via mapInPandas fan-out (decode stubbed): "
         "each video row emits N deterministic frame rows — the shape of "
         "frame extraction / chunking pipelines at scale (map-only, output "
-        "cardinality N x inputs, no shuffle).",
+        "cardinality N x inputs, no shuffle). Full oracle: the stub "
+        "digest is a VARCHAR md5 DuckDB reproduces from the same payload "
+        "derivation.",
 )
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tank_spark.util import ensure_workers_have_package
@@ -433,14 +442,17 @@ def phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "image_phash_neardup",
-    None,  # hash values come from the Python kernel -> rows-only check
+    media_sql.IMAGE_PHASH_NEARDUP_SQL,
     doc="Perceptual-hash image near-duplicate pairs: dHash per image "
         "(mapInPandas; decode import-guarded, stub plane in this "
         "container), 16-bit band buckets for Hamming-ball blocking "
         "(pigeonhole: every Hamming<=3 pair shares an intact band), "
         "hot-bucket cap against near-constant-image skew, exact "
         "bit_count(xor) verify. Value-level twin in "
-        "tests/test_multimodal.py pins the hashes and the pair set.",
+        "tests/test_multimodal.py pins the hashes and the pair set; the "
+        "FULL oracle (media_sql.py) re-derives every dHash bit as exact "
+        "integer comparisons over the md5 payload bytes and replays the "
+        "banded join in SQL.",
 )
 def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tank_spark.util import ensure_workers_have_package
@@ -452,7 +464,7 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "image_phash_survivors",
-    None,  # phash values come from the Python kernel -> rows-only check
+    media_sql.IMAGE_PHASH_SURVIVORS_SQL,
     doc="Image dedup END-TO-END: dHash -> banded near-dup pairs -> "
         "connected components (reusing dedup.lsh_components — pointer-"
         "jumped min-label propagation, the same cluster policy as the "
@@ -494,7 +506,7 @@ def image_phash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_dedup_survivors",
-    None,  # hashes come from the Python kernels -> rows-only check
+    media_sql.MEDIA_DEDUP_SURVIVORS_SQL,
     doc="Cross-modality media dedup in ONE pass: the image dHash, audio "
         "fingerprint, and video temporal-signature kernels each hash "
         "their slice (one persisted union relation, every kernel runs "
@@ -609,14 +621,18 @@ def _resize_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @register(
     "media_resize",
-    None,  # python kernel -> rows-only check
+    media_sql.MEDIA_RESIZE_SQL,
     doc="Image resize via mapInPandas (the decode/feature/RESIZE/frame-"
         "sample quartet's third member): block-mean downsample of the "
         "decoded luma plane to a fixed thumbnail, resized bytes emitted "
         "as a binary column, errors in-band. Map-only over the image "
         "slice — the canonical thumbnail/normalization stage of an "
         "image-training pipeline; at 100 TB the same kernel swaps its "
-        "inner two lines for a real codec + interpolating resampler.",
+        "inner two lines for a real codec + interpolating resampler. "
+        "The registered parity query serializes the blob to lowercase "
+        "hex (resized_hex): driver value-hashing compares Spark "
+        "bytearray and DuckDB bytes by str(), which never match for "
+        "binary — the kernel itself stays binary-columned.",
 )
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tank_spark.util import ensure_workers_have_package
@@ -627,4 +643,8 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("meta.media_type") == "image/png")
         .select("doc_id", "payload")
     )
-    return m.mapInPandas(_resize_kernel, RESIZE_SCHEMA)
+    out = m.mapInPandas(_resize_kernel, RESIZE_SCHEMA)
+    return out.select(
+        "doc_id", "in_w", "in_h", "out_w", "out_h",
+        F.lower(F.hex("resized")).alias("resized_hex"), "resize_error",
+    )

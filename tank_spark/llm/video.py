@@ -52,6 +52,7 @@ from tank_spark.llm.multimodal import (
     media_df,
     phash_neardup_pairs,
 )
+from tank_spark.llm import media_sql
 from tank_spark.plans.registry import register
 
 N_FRAMES_STUB = 12   # stub frames per synthetic video
@@ -232,7 +233,7 @@ def _scene_cut_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 
 @register(
     "video_scene_cuts",
-    None,  # python decode kernel -> rows-only check
+    media_sql.VIDEO_SCENE_CUTS_SQL,
     doc="Scene-cut detection via mapInPandas fan-out: per-frame dHash, "
         "consecutive-frame Hamming delta, a cut row wherever the delta "
         "crosses the measured threshold (in-scene deltas <= 6, scene "
@@ -303,7 +304,7 @@ def signature_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "video_phash_neardup",
-    None,  # signatures come from the Python kernel -> rows-only check
+    media_sql.VIDEO_PHASH_NEARDUP_SQL,
     doc="Temporal-fingerprint video near-duplicate pairs: per-frame "
         "dHash -> strict-majority 64-bit signature per video "
         "(mapInPandas; decode content-dispatched), then THE SAME banded "
@@ -364,18 +365,24 @@ def _keyframe_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @register(
     "video_keyframes",
-    None,  # python kernel -> rows-only check
+    media_sql.VIDEO_KEYFRAMES_SQL,
     doc="Keyframe thumbnail extraction via mapInPandas fan-out: one "
         "block-mean thumbnail per detected scene (frame 0 + the first "
         "frame after every cut), thumbnail bytes as a binary column — "
         "the canonical 'represent each shot by one image' stage of a "
         "video-training pipeline. Shares frame_hashes with "
         "video_scene_cuts so keyframes and cuts can never disagree. "
-        "Map-only over the video slice.",
+        "Map-only over the video slice. The registered parity query "
+        "serializes the thumbnail blob to lowercase hex (thumb_hex) — "
+        "binary never survives the driver's str()-based value hash.",
 )
 def video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tank_spark.util import ensure_workers_have_package
 
     ensure_workers_have_package(spark)
-    return video_slice(spark, sf_dir).mapInPandas(
+    out = video_slice(spark, sf_dir).mapInPandas(
         _keyframe_kernel, KEYFRAME_SCHEMA)
+    return out.select(
+        "doc_id", "scene_idx", "frame_idx", "ts_ms",
+        F.lower(F.hex("thumb")).alias("thumb_hex"),
+    )

@@ -182,42 +182,37 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # allows (r5 rows stay fresh through r8; the family is DUE in the r9
 # window, where it must lead).
 PRIORITY: tuple[str, ...] = (
-    # ---- changed this round (hard signal for the changes)
-    "q5_nation_volume", "dsir_importance_weights",
-    "boilerplate_segment_removal", "cross_doc_dup_ngram_fraction",
-    "ingest_upsert_post_state",
-    # ---- new this round: perceptual-hash image near-dup (VERDICT r6
-    # #3) and maximal duplicated-substring spans (VERDICT r6 #6), plus
-    # their completion ops — substring REMOVAL (the apply step) and
-    # image dedup survivors (pairs -> components -> keep flags)
-    "image_phash_neardup", "dedup_substring_spans",
-    "dedup_substring_removal", "image_phash_survivors", "media_resize",
-    "quality_top_quantile_per_source",
-    # ---- late-r7: the audio side of the multimodal pillar (decode /
-    # features / fingerprint-dedup / resample — never-checked, so the
-    # staleness lint requires window slots)
+    # ---- changed this round: the multimodal family gained FULL DuckDB
+    # oracles (VERDICT r7 #1 — media_sql.py re-derives every stub hash/
+    # feature as exact integer SQL over the md5 payload bytes; the blob
+    # outputs serialize to hex in the registered parity queries), and
+    # ADVICE r7 reworked the variant-id scheme (shared 2^62 offset)
+    "image_phash_neardup", "image_phash_survivors", "media_dedup_survivors",
     "audio_features", "audio_fingerprint_neardup", "audio_resample",
-    # ---- late-r7: the VIDEO side (scene cuts / temporal-fingerprint
-    # dedup / keyframes — never-checked, slots required by the lint),
-    # plus the cross-modality dedup pipeline composing all three media
-    # families into one CC pass
     "video_scene_cuts", "video_phash_neardup", "video_keyframes",
-    "media_dedup_survivors",
-    # ---- the last 14 r1-only relational entries (VERDICT r6 #1)
-    "sort_limit_parts", "small_quantity_parts", "distinct_parts_per_flag",
-    "corr_qty_price_by_flag", "stddev_value_by_type",
-    "string_functions_demo", "math_functions_demo", "nation_trade_balance",
-    "dense_rank_price_tiers", "promo_revenue_share",
-    "disjunctive_predicate_revenue", "top_returning_customers",
-    "priority_by_ship_delay", "delete_tile",
-    # ---- r4-green cycle-backs (out since r5; 29 of 42 — see r8 queue)
-    "tile_z9_range", "tile_z13_single", "tile_z15_parent",
-    "tile_filter_int", "tile_filter_date", "heatmap_z9", "heatmap_z11",
-    "point_lookup_uid", "delete_by_uid", "update_by_uid",
-    "ingest_json_props", "ingest_coerce_defaults",
-    "ingest_declared_schema", "ingest_bucket_stats",
-    "text_repetition_signals", "pii_detect_mask", "lang_id_confusion",
-    "corpus_mix_report",
+    "media_extract_features", "media_frame_sample", "media_resize",
+    # ---- changed this round: scale-safe selection helpers now reject
+    # NULL scores and localCheckpoint instead of leaking persists;
+    # lsh_components' convergence sum went DECIMAL(38,0) (high-bit ids)
+    "dsir_importance_weights", "quality_top_quantile_per_source",
+    "dedup_lsh_clusters", "dedup_lsh_clusters_capped",
+    "dedup_lsh_clusters_uncapped", "dedup_lsh_survivors",
+    # ---- the 23 r4-green entries due this round (staleness bound 4:
+    # last driver row r4; media_extract_features is counted above)
+    "chunk_documents", "cross_source_duplication", "decontaminate_train_eval",
+    "dedup_event_stream_replay", "dedup_exact", "dedup_exact_survivors",
+    "dedup_minhash_signatures", "dedup_prefix_containment",
+    "embedding_sq_quantize", "event_value_outliers", "global_sequence_ids",
+    "gopher_quality_rules", "ivf_probe_search", "ivf_train_kmeans",
+    "neardup_embedding_clusters", "pack_token_budget", "passage_dedup",
+    "rare_word_fraction", "sample_stratified_sources", "semantic_vs_lexical",
+    "semdedup_prune", "temperature_mix_weights", "token_budget_planning",
+    # ---- 9 early r5-green pulls (one per family breadth-wise) to
+    # shrink the r9 crunch: the remaining 34 r5 entries are DUE in the
+    # r9 window and must lead it
+    "knn_brute_cosine", "lm_surprisal_score", "pq_encode_codes",
+    "bloom_decontaminate", "cms_heavy_hitters", "text_stats",
+    "sessionize_events", "dedup_minhash_lsh_pairs", "bm25_rank_topk",
 )
 
 
