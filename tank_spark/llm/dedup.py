@@ -3,7 +3,7 @@ SimHash, and n-gram Jaccard.
 
 The driver's documents table contains no duplicate texts, so the dedup
 corpus is derived in-query: every even-doc_id document appears twice —
-once as-is and once upper-cased under cid = doc_id + 1000000. After
+once as-is and once upper-cased under cid = doc_id + DUP_OFFSET. After
 case/whitespace normalization those are exact duplicates, giving every
 operator a known answer while staying fully oracle-checkable.
 
@@ -48,11 +48,17 @@ N_BANDS = K // BAND_W
 # (registered as the *_uncapped twins).
 LSH_BUCKET_CAP = 50
 
-_CORPUS_CTE = """
+# Planted-duplicate id offset: a high bit, not a small additive constant
+# (the multimodal families' ADVICE-r7 lesson applied here for the same
+# reason) — injective for any real doc_id < 2^62 and order-preserving,
+# so MIN(cid) canonical selection always keeps the original.
+DUP_OFFSET = 1 << 62
+
+_CORPUS_CTE = f"""
 corpus AS (
   SELECT doc_id AS cid, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000 AS cid, upper(text) FROM documents WHERE doc_id % 2 = 0
+  SELECT doc_id + {DUP_OFFSET} AS cid, upper(text) FROM documents WHERE doc_id % 2 = 0
 )
 """
 
@@ -62,7 +68,7 @@ def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select(F.col("doc_id").alias("cid"), "text")
     dups = (
         d.filter(F.col("doc_id") % 2 == 0)
-        .select((F.col("doc_id") + 1000000).alias("cid"), F.upper("text").alias("text"))
+        .select((F.col("doc_id") + DUP_OFFSET).alias("cid"), F.upper("text").alias("text"))
     )
     return base.unionAll(dups)
 

@@ -5,13 +5,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from tank_spark.llm.dedup import DUP_OFFSET
 from tests.conftest import SF_DIR
 
 
 def test_minhash_production_params(spark):
     """K=32 permutations in bands of 4 (s-curve threshold ~0.59) through
     the same parameterized builders: every derived exact-dup pair (cid,
-    cid+1000000) must surface with est_jaccard = 1.0."""
+    cid+DUP_OFFSET) must surface with est_jaccard = 1.0."""
     from tank_spark.llm.dedup import corpus_df, minhash_lsh_pairs
 
     pairs = {
@@ -20,18 +21,18 @@ def test_minhash_production_params(spark):
     }
     dup_cids = [
         r["cid"] for r in corpus_df(spark, SF_DIR)
-        .filter(F.col("cid") >= 1000000).select("cid").collect()
+        .filter(F.col("cid") >= DUP_OFFSET).select("cid").collect()
     ]
     assert len(dup_cids) > 0
     for cid in dup_cids:
-        base = cid - 1000000
+        base = cid - DUP_OFFSET
         est = pairs.get((base, cid))
         # derived dups are exact after normalization -> identical shingle
         # sets -> identical signatures at any K (docs with <3 words have
         # no shingles and legitimately produce no pair)
         if est is not None:
             assert est == 1.0
-    found = sum(1 for cid in dup_cids if (cid - 1000000, cid) in pairs)
+    found = sum(1 for cid in dup_cids if (cid - DUP_OFFSET, cid) in pairs)
     assert found >= 0.9 * len(dup_cids)
 
 
@@ -42,11 +43,11 @@ def test_simhash64_dup_invariance(spark):
     from tank_spark.llm.dedup import simhash64_df
 
     codes = {r["cid"]: r["simhash64"] for r in simhash64_df(spark, SF_DIR).collect()}
-    dups = [c for c in codes if c >= 1000000]
+    dups = [c for c in codes if c >= DUP_OFFSET]
     assert len(dups) > 0
     for cid in dups:
-        assert codes[cid] == codes[cid - 1000000]
-    originals = [codes[c] for c in codes if c < 1000000]
+        assert codes[cid] == codes[cid - DUP_OFFSET]
+    originals = [codes[c] for c in codes if c < DUP_OFFSET]
     assert len(set(originals)) > 0.9 * len(originals)
 
 
@@ -78,7 +79,7 @@ def test_band_bucket_cap_drops_hot_buckets(spark, tmp_path):
         return {(r["cid_a"], r["cid_b"]) for r in df.collect()}
 
     def is_hot(cid):
-        return (cid % 1000000) < 80  # +1e6 = the upper-cased corpus twin
+        return (cid % DUP_OFFSET) < 80  # +offset = the upper-cased corpus twin
 
     uncapped = pair_sets(None)
     capped = pair_sets(50)

@@ -41,11 +41,12 @@ def test_clusters_cover_derived_dups(spark):
     from tank_spark.llm.dedup import dedup_lsh_clusters
 
     rows = {r["cid"]: r for r in dedup_lsh_clusters(spark, SF_DIR).collect()}
-    dup_cids = [c for c in rows if c >= 1_000_000]
+    from tank_spark.llm.dedup import DUP_OFFSET
+    dup_cids = [c for c in rows if c >= DUP_OFFSET]
     assert dup_cids, "derived corpus should produce near-dup clusters"
     for c in dup_cids:
         # the dup's component is led by a real (< 1M) doc
-        assert rows[c]["component"] < 1_000_000
+        assert rows[c]["component"] < DUP_OFFSET
         assert rows[c]["is_canonical"] == 0
 
 
@@ -335,11 +336,12 @@ def test_passage_dedup_flags_twins(spark):
     from tank_spark.llm.dedup import passage_dedup
 
     rows = {r["cid"]: r for r in passage_dedup(spark, SF_DIR).collect()}
-    twins = [cid for cid in rows if cid >= 1000000]
+    from tank_spark.llm.dedup import DUP_OFFSET
+    twins = [cid for cid in rows if cid >= DUP_OFFSET]
     assert twins, "vacuous: derived corpus has no twins"
     for cid in twins:
         assert rows[cid]["dup_permille"] == 1000
-        assert rows[cid - 1000000]["dup_permille"] == 1000
+        assert rows[cid - DUP_OFFSET]["dup_permille"] == 1000
     for r in rows.values():
         assert 0 <= r["n_dup_chunks"] <= r["n_chunks"]
         assert r["dup_permille"] == r["n_dup_chunks"] * 1000 // r["n_chunks"]
