@@ -207,12 +207,16 @@ PRIORITY: tuple[str, ...] = (
     "neardup_embedding_clusters", "pack_token_budget", "passage_dedup",
     "rare_word_fraction", "sample_stratified_sources", "semantic_vs_lexical",
     "semdedup_prune", "temperature_mix_weights", "token_budget_planning",
-    # ---- 9 early r5-green pulls (one per family breadth-wise) to
-    # shrink the r9 crunch: the remaining 34 r5 entries are DUE in the
+    # ---- NEW this round: incremental (delta) dedup — disposition a
+    # crawl batch against the corpus index without pairwise corpus work,
+    # plus the persisted index artifact it probes (full oracles)
+    "dedup_incremental_batch", "dedup_index_build",
+    # ---- 7 early r5-green pulls (one per family breadth-wise) to
+    # shrink the r9 crunch: the remaining 36 r5 entries are DUE in the
     # r9 window and must lead it
     "knn_brute_cosine", "lm_surprisal_score", "pq_encode_codes",
-    "bloom_decontaminate", "cms_heavy_hitters", "text_stats",
-    "sessionize_events", "dedup_minhash_lsh_pairs", "bm25_rank_topk",
+    "bloom_decontaminate", "cms_heavy_hitters",
+    "dedup_minhash_lsh_pairs", "bm25_rank_topk",
 )
 
 

@@ -329,3 +329,94 @@ def test_substring_removal_splices_spans_exactly(spark, tmp_path):
     assert got[1]["clean_text"] == "zz other end"
     assert got[2]["clean_text"] == docs[2][2]
     assert got[2]["n_removed"] == 0
+
+
+def _minhash_bands_twin(text: str) -> tuple[str, set[tuple[int, str]]]:
+    """Pure-Python twin of the checked-config fingerprint + band digests
+    (K=12 salted-md5 minima, 6 bands of 2) — pins the semantics of the
+    incremental-dedup probes independently of Spark AND DuckDB."""
+    import hashlib
+    import re
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    fp = md5(re.sub(r"\s+", " ", text).lower())
+    words = re.findall(r"[a-z0-9]+", text.lower())
+    shingles = {" ".join(words[i:i + 3]) for i in range(len(words) - 2)}
+    bands: set[tuple[int, str]] = set()
+    if shingles:
+        mins = [min(md5(f"{s}:{i}") for s in shingles) for i in range(12)]
+        bands = {(b, md5(mins[2 * b] + mins[2 * b + 1])) for b in range(6)}
+    return fp, bands
+
+
+def test_incremental_dedup_dispositions(spark, tmp_path):
+    """Every disposition of dedup_incremental_batch on a crafted corpus,
+    with expectations computed by the pure-Python minhash twin (not
+    hardcoded): verbatim re-crawl -> exact_dup_of_index, twice-emitted
+    synthetic docs -> new_unique + dup_in_batch, suffix-extended docs ->
+    near/new exactly as the band overlap dictates."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tank_spark.llm.dedup import (
+        INC_BATCH_OFFSET, dedup_incremental_batch)
+
+    texts = {
+        3: "the quick brown fox jumps over the lazy dog near the riverbank today",
+        8: "data pipelines shuffle partitions across executors while catalyst "
+           "optimizes the logical plan into efficient physical stages",
+        13: "completely different content about cooking pasta with fresh basil "
+            "and ripe tomatoes from the garden",
+        1: "an unrelated index document describing mountain weather patterns "
+           "and seasonal snowfall accumulation rates",
+    }
+    ids = sorted(texts)
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "source": pa.array(["s"] * len(ids)),
+        "lang": pa.array(["en"] * len(ids)),
+        "text": pa.array([texts[i] for i in ids]),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    got = {r["doc_id"]: r for r in
+           dedup_incremental_batch(spark, str(tmp_path)).collect()}
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    new13 = " ".join([md5(texts[13])] +
+                     [md5(texts[13] + f"n{i}") for i in range(2, 6)])
+    # batch: 3 verbatim, 8 + suffix, 13's synthetic twice
+    assert set(got) == {3 + INC_BATCH_OFFSET, 8 + INC_BATCH_OFFSET,
+                        13 + INC_BATCH_OFFSET, 13 + 2 * INC_BATCH_OFFSET}
+
+    r = got[3 + INC_BATCH_OFFSET]
+    assert r["disposition"] == "exact_dup_of_index" and r["match_cid"] == 3
+
+    # twin decides near vs new for the suffix-extended doc
+    _, bands8 = _minhash_bands_twin(texts[8] + " freshly crawled update note")
+    idx_bands = set()
+    for i in texts:
+        idx_bands |= _minhash_bands_twin(texts[i])[1]
+    r = got[8 + INC_BATCH_OFFSET]
+    if bands8 & idx_bands:
+        assert r["disposition"] == "near_dup_of_index" and r["match_cid"] == 8
+        assert r["n_bands_hit"] == len({b for b, _ in bands8 & idx_bands})
+    else:
+        assert r["disposition"] == "new_unique"
+
+    # synthetic doc: first copy unique (no index collision per the twin),
+    # second copy a within-batch dup of the first
+    _, bands_new = _minhash_bands_twin(new13)
+    assert not (bands_new & idx_bands)
+    r1 = got[13 + INC_BATCH_OFFSET]
+    assert r1["disposition"] == "new_unique" and r1["match_cid"] is None
+    assert r1["n_bands_hit"] == 0
+    r2 = got[13 + 2 * INC_BATCH_OFFSET]
+    assert r2["disposition"] == "dup_in_batch"
+    assert r2["match_cid"] == 13 + INC_BATCH_OFFSET

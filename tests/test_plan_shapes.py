@@ -429,3 +429,15 @@ def test_grouped_quantile_cut_has_no_window(spark):
     plan = _plan(df)
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan  # threshold table broadcasts
+
+
+def test_incremental_dedup_broadcasts_batch_side(spark):
+    """dedup_incremental_batch must broadcast the SMALL batch side into
+    both probe joins (exact fp probe + band probe) — the index never
+    shuffles on the probe key — and must never go pairwise."""
+    from tank_spark.llm.dedup import dedup_incremental_batch
+
+    plan = _plan(dedup_incremental_batch(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]

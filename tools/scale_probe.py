@@ -49,6 +49,9 @@ PROBES = [
     # shared banded Hamming join on temporal signatures)
     "video_scene_cuts", "video_phash_neardup", "video_keyframes",
     "media_dedup_survivors",
+    # round-8 additions: incremental (delta) dedup against the corpus
+    # index + the persisted index artifact
+    "dedup_incremental_batch", "dedup_index_build",
 ]
 
 
