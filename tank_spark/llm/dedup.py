@@ -1580,11 +1580,14 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("batch_match").isNotNull(), F.col("batch_match"))
         .otherwise(F.col("near_match"))
     )
+    # the three disposition tables are batch-bounded aggregates (<= one
+    # row per batch doc) — broadcast them so the final assembly is three
+    # map-side joins instead of a SortMergeJoin chain on bcid
     return (
         bfp.select("bcid")
-        .join(exact, "bcid", "left")
-        .join(inb, "bcid", "left")
-        .join(near, "bcid", "left")
+        .join(F.broadcast(exact), "bcid", "left")
+        .join(F.broadcast(inb), "bcid", "left")
+        .join(F.broadcast(near), "bcid", "left")
         .select(
             F.col("bcid").alias("doc_id"),
             disposition.alias("disposition"),

@@ -440,4 +440,7 @@ def test_incremental_dedup_broadcasts_batch_side(spark):
     plan = _plan(dedup_incremental_batch(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    # 2 probe joins + 3 batch-bounded assembly joins, all broadcast —
+    # the assembly must not fall back to a SortMergeJoin chain on bcid
+    assert plan.count("BroadcastHashJoin") >= 5, plan[:2000]
+    assert "SortMergeJoin" not in plan

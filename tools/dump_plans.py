@@ -38,6 +38,11 @@ SHOW = [
                               "-> pack fused into one plan: filters/sample "
                               "ride the scan, dedup is a partial-agg + "
                               "equi-join, one packing window at the end"),
+    ("dedup_incremental_batch", "Delta dedup vs the corpus index: the "
+                                 "small batch side broadcasts into BOTH "
+                                 "probe joins (exact fp + capped band "
+                                 "buckets); the index never shuffles on "
+                                 "the probe key"),
     ("decontaminate_train_eval", "Eval shingle set broadcasts (tiny held-out "
                                  "split); the train-side scan stays map-side "
                                  "into a partial-aggregated count"),
