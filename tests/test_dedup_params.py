@@ -420,3 +420,19 @@ def test_incremental_dedup_dispositions(spark, tmp_path):
     r2 = got[13 + 2 * INC_BATCH_OFFSET]
     assert r2["disposition"] == "dup_in_batch"
     assert r2["match_cid"] == 13 + INC_BATCH_OFFSET
+
+
+def test_components_driver_matches_distributed(spark):
+    """The small-graph driver union-find and the distributed
+    pointer-jumping loop must produce IDENTICAL (cid, component,
+    is_canonical) relations — forced onto the same pair set by the
+    threshold parameter (0 disables the fast path)."""
+    from tank_spark.llm.dedup import lsh_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(spark, SF_DIR).select(
+        F.col("cid_a"), F.col("cid_b")).localCheckpoint(eager=True)
+    fast = {r["cid"]: (r["component"], r["is_canonical"])
+            for r in lsh_components(pairs).collect()}
+    dist = {r["cid"]: (r["component"], r["is_canonical"])
+            for r in lsh_components(pairs, driver_threshold=0).collect()}
+    assert fast and fast == dist
