@@ -47,6 +47,9 @@ HEADLINE = [
     "dsir_importance_weights", "image_phash_neardup",
     "dedup_substring_spans", "audio_fingerprint_neardup",
     "video_phash_neardup",
+    # r8 addition: delta dedup against the corpus index (broadcast
+    # probes; the honest cost is the one index scan + band join)
+    "dedup_incremental_batch",
     "tile_mvt_batch",
     # BENCH-ONLY entry: full-fidelity z7 overview encode. NOT a serving
     # path (serving uses the budgeted sample below OVERVIEW_ZOOM — the
