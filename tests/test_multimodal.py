@@ -15,7 +15,11 @@ def test_decoder_resolves_to_stub_without_pil():
     from tank_spark.llm import multimodal as mm
 
     assert "PIL" not in sys.modules or not hasattr(sys.modules["PIL"], "Image")
-    assert mm.get_image_decoder() is mm._decode_image_stub
+    # the decoder is now a content-dispatching closure: non-PGM bytes
+    # must route to the stub (fixed fake dims prove which branch ran)
+    decode = mm.get_image_decoder()
+    pay = bytes(range(32))
+    assert decode(pay) == mm._decode_image_stub(pay)
 
 
 def test_decoder_resolves_to_pil_when_importable(monkeypatch):
@@ -40,7 +44,7 @@ def test_decoder_resolves_to_pil_when_importable(monkeypatch):
     monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
 
     decode = mm.get_image_decoder()
-    assert decode is mm._decode_image_pil
+    # non-PGM bytes route to the PIL branch when PIL imports
     out = decode(b"01234567")
     assert out["decoded_w"] == 4 and out["decoded_h"] == 2
     assert out["max_byte"] == 255
@@ -180,8 +184,8 @@ def test_pil_branch_on_real_png_via_minimal_decoder(monkeypatch):
     monkeypatch.setitem(sys.modules, "PIL", fake_pil)
     monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
 
-    assert mm.get_image_decoder() is mm._decode_image_pil
-    out = mm._decode_image_pil(_tiny_png())
+    out = mm.get_image_decoder()(_tiny_png())  # non-PGM -> PIL branch
+    assert out == mm._decode_image_pil(_tiny_png())
     assert out["decoded_w"] == 2 and out["decoded_h"] == 2
     assert out["max_byte"] == 40
     assert out["mean_luma"] == pytest.approx(25 / 255.0)
@@ -366,3 +370,66 @@ def test_media_resize_rows_and_error_in_band(spark):
     assert ok["resize_error"] is None
     bad = got[2]
     assert bad["resized"] is None and "corrupt" in bad["resize_error"]
+
+
+# --------------------------------------------- real PGM decode path
+
+def _make_pgm(plane) -> bytes:
+    import numpy as np
+
+    h, w = plane.shape
+    return f"P5 {w} {h} 255\n".encode() + np.asarray(
+        plane, dtype=np.uint8).tobytes()
+
+
+def test_pgm_real_parse_roundtrip_and_errors():
+    """Genuine binary-PGM payloads take the REAL stdlib parse (the image
+    twin of the WAV/Y4M content dispatch): roundtrip, comment + multiline
+    headers, and every malformation lands as ValueError (the in-band
+    error contract)."""
+    import numpy as np
+    import pytest
+
+    from tank_spark.llm.multimodal import _parse_pgm, get_plane_decoder
+
+    plane = (np.arange(24 * 32, dtype=np.uint8).reshape(24, 32) * 7) % 251
+    pgm = _make_pgm(plane)
+    assert np.array_equal(get_plane_decoder()(pgm), plane.astype(float))
+    commented = b"P5\n# crafted fixture\n32 24\n255\n" + plane.tobytes()
+    assert np.array_equal(get_plane_decoder()(commented), plane.astype(float))
+    for bad in (
+        pgm[:-5],                                  # truncated plane
+        b"P5 0 24 255\n",                          # bad dimensions
+        b"P5 32 24 65535\n" + plane.tobytes() * 2,  # unsupported maxval
+        b"P5 3x 24 255\n" + plane.tobytes(),        # non-numeric header
+        b"P5 32\n",                                 # truncated header
+    ):
+        with pytest.raises(ValueError):
+            _parse_pgm(bad)
+
+
+def test_pgm_dispatch_vs_stub():
+    """Content dispatch: P5 payloads parse for real; md5-keystream bytes
+    take the stub; the dispatch guard demands magic + whitespace + digit
+    so random keystreams cannot sneak into the PGM branch."""
+    import hashlib
+
+    import numpy as np
+
+    from tank_spark.llm.multimodal import (
+        _is_pgm, dhash64, get_image_decoder, get_plane_decoder)
+
+    plane = np.tile(np.arange(32, dtype=np.uint8) * 8, (24, 1))
+    pgm = _make_pgm(plane)
+    assert _is_pgm(pgm)
+    feat = get_image_decoder()(pgm)
+    assert feat["decoded_w"] == 32 and feat["decoded_h"] == 24
+    assert feat["max_byte"] == int(plane.max())
+    # dHash of the real-parsed plane == dHash of the source plane
+    assert dhash64(get_plane_decoder()(pgm)) == dhash64(plane.astype(float))
+    # synthetic payloads never dispatch (even "P5"-prefixed keystreams
+    # without the whitespace+digit shape)
+    stub_pay = hashlib.md5(b"doc").digest() + hashlib.md5(b"doc2").digest()
+    assert not _is_pgm(stub_pay)
+    assert not _is_pgm(b"P5" + bytes([0x00, 0x41]) + stub_pay)
+    assert get_image_decoder()(stub_pay)["decoded_w"] == 32  # stub dims
