@@ -393,9 +393,14 @@ def _select_top_quantile(
          q +/- margin (margin = max(4/accuracy, 1e-3), so the band holds
          ~0.2% of rows at accuracy=10000 — ~2M rows per billion, one
          task's worth).
-      3. One count job verifies the band really contains rank k0
-         (falls back to the full range if the approx bound missed — only
-         reachable on pathological distributions, still correct).
+      3. One count job verifies the band really contains rank k0. If
+         the approx bound missed (pathological distributions), the
+         margin DOUBLES and steps 2-3 repeat — never a whole-relation
+         fallback: once the margin covers [0, 1] the bracket is
+         (min, max) and verifies unconditionally, so the loop is
+         guaranteed to terminate, and each retry costs two more
+         bounded jobs while the band stays the smallest verified
+         bracket rather than jumping to the full corpus.
       4. The k0-th pair is read off a row_number over the band ONLY
          (single small task, not a global sort).
 
@@ -438,22 +443,26 @@ def _select_top_quantile(
     if k0 > n:
         return scored.withColumn("selected", F.lit(0).cast("int"))
     margin = max(4.0 / accuracy, 1e-3)
-    t_lo, t_hi = scored.agg(
-        F.percentile_approx(
-            order_col, F.array(F.lit(max(0.0, q - margin)),
-                               F.lit(min(1.0, q + margin))),
-            F.lit(accuracy),
-        ).alias("b")
-    ).first()["b"]
-    cnt = scored.agg(
-        F.count(F.when(F.col(order_col) < t_lo, 1)).alias("c_lo"),
-        F.count(F.when(F.col(order_col) <= t_hi, 1)).alias("c_hi"),
-    ).first()
-    if cnt["c_lo"] < k0 <= cnt["c_hi"]:
-        c_lo, band = cnt["c_lo"], scored.filter(
-            (F.col(order_col) >= t_lo) & (F.col(order_col) <= t_hi))
-    else:  # approx bracket missed (pathological) — exact fallback
-        c_lo, band = 0, scored
+    while True:
+        qlo, qhi = max(0.0, q - margin), min(1.0, q + margin)
+        t_lo, t_hi = scored.agg(
+            F.percentile_approx(
+                order_col, F.array(F.lit(qlo), F.lit(qhi)), F.lit(accuracy)
+            ).alias("b")
+        ).first()["b"]
+        cnt = scored.agg(
+            F.count(F.when(F.col(order_col) < t_lo, 1)).alias("c_lo"),
+            F.count(F.when(F.col(order_col) <= t_hi, 1)).alias("c_hi"),
+        ).first()
+        if cnt["c_lo"] < k0 <= cnt["c_hi"]:
+            c_lo, band = cnt["c_lo"], scored.filter(
+                (F.col(order_col) >= t_lo) & (F.col(order_col) <= t_hi))
+            break
+        # Approx bracket missed (pathological distribution): widen and
+        # re-bracket. Terminates: at (qlo, qhi) = (0, 1) the bracket is
+        # (min, max), where c_lo = 0 < k0 <= n = c_hi always holds.
+        assert (qlo, qhi) != (0.0, 1.0), "full-range bracket cannot miss"
+        margin *= 2.0
     w = Window.orderBy(order_col, id_col)
     thr = (
         band.repartition(1)
@@ -487,7 +496,11 @@ def _select_top_quantile_grouped(
     group count and threshold tables are GROUP-cardinality-bounded
     driver/broadcast scalars — sources/domains number in the hundreds
     even at 100 TB. Groups where the approx bracket misses (pathological
-    distributions) fall back to a full-range band for THAT group only.
+    distributions) are re-bracketed with a doubled margin — only THOSE
+    groups, in batched whole-relation jobs like the first pass — until
+    every bracket verifies; at margin >= 1 a group's bracket is its
+    (min, max) and verifies unconditionally, so no group ever falls back
+    to a single-task full-group sort.
     """
     from pyspark.sql import Window
 
@@ -521,38 +534,54 @@ def _select_top_quantile_grouped(
         return r if r <= n else None
 
     k0s = {g: k0_of(n) for g, n in ns.items()}
-    margin = max(4.0 / accuracy, 1e-3)
-    qlo, qhi = max(0.0, q - margin), min(1.0, q + margin)
-    br = {
-        r[0]: (r[1][0], r[1][1])
-        for r in scored.groupBy(group_col).agg(
-            F.percentile_approx(
-                order_col, F.array(F.lit(qlo), F.lit(qhi)), F.lit(accuracy)
-            ).alias("b")
-        ).collect()
-    }
-    bounds = [(g, float(br[g][0]), float(br[g][1])) for g in ns if k0s[g]]
     sel_false = F.lit(0).cast("int")
-    if not bounds:  # every group degenerate (n <= 1 or q above top)
+    todo = [g for g in ns if k0s[g]]
+    if not todo:  # every group degenerate (n <= 1 or q above top)
         return scored.withColumn("selected", sel_false)
     spark = scored.sparkSession
     gt = scored.schema[group_col].dataType.simpleString()
     it = scored.schema[id_col].dataType.simpleString()
-    bdf = spark.createDataFrame(bounds, f"{group_col} {gt}, lo double, hi double")
-    cnt = {
-        r[0]: (r[1], r[2])
-        for r in scored.join(F.broadcast(bdf), group_col).groupBy(group_col).agg(
-            F.count(F.when(F.col(order_col) < F.col("lo"), 1)).alias("c_lo"),
-            F.count(F.when(F.col(order_col) <= F.col("hi"), 1)).alias("c_hi"),
-        ).collect()
-    }
-    rows = []
-    for g, lo, hi in bounds:
-        c_lo, c_hi = cnt[g]
-        k0 = k0s[g]
-        if not (c_lo < k0 <= c_hi):  # bracket missed: full range for g
-            lo, hi, c_lo = float("-inf"), float("inf"), 0
-        rows.append((g, lo, hi, k0 - c_lo))
+    margin = max(4.0 / accuracy, 1e-3)
+    rows = []  # (g, lo, hi, k_band) once g's bracket verifies
+    while todo:
+        qlo, qhi = max(0.0, q - margin), min(1.0, q + margin)
+        sub = scored.filter(F.col(group_col).isin(todo))
+        br = {
+            r[0]: (float(r[1][0]), float(r[1][1]))
+            for r in sub.groupBy(group_col).agg(
+                F.percentile_approx(
+                    order_col, F.array(F.lit(qlo), F.lit(qhi)),
+                    F.lit(accuracy),
+                ).alias("b")
+            ).collect()
+        }
+        bounds = [(g, br[g][0], br[g][1]) for g in todo]
+        bdf = spark.createDataFrame(
+            bounds, f"{group_col} {gt}, lo double, hi double")
+        cnt = {
+            r[0]: (r[1], r[2])
+            for r in sub.join(F.broadcast(bdf), group_col)
+            .groupBy(group_col).agg(
+                F.count(F.when(F.col(order_col) < F.col("lo"), 1))
+                .alias("c_lo"),
+                F.count(F.when(F.col(order_col) <= F.col("hi"), 1))
+                .alias("c_hi"),
+            ).collect()
+        }
+        missed = []
+        for g, lo, hi in bounds:
+            c_lo, c_hi = cnt[g]
+            k0 = k0s[g]
+            if c_lo < k0 <= c_hi:
+                rows.append((g, lo, hi, k0 - c_lo))
+            else:
+                missed.append(g)
+        # Terminates per group: at (qlo, qhi) = (0, 1) the bracket is
+        # that group's (min, max), where c_lo = 0 < k0 <= n = c_hi.
+        assert not missed or (qlo, qhi) != (0.0, 1.0), \
+            "full-range bracket cannot miss"
+        todo = missed
+        margin *= 2.0
     bdf = spark.createDataFrame(
         rows, f"{group_col} {gt}, lo double, hi double, k_band long")
     band = scored.join(F.broadcast(bdf), group_col).filter(

@@ -228,3 +228,74 @@ def test_select_top_quantile_grouped_matches_keyed_window(spark):
         want = {r["id"]: r["selected"] for r in df.withColumn(
             "selected", (F.percent_rank().over(w) >= q).cast("int")).collect()}
         assert got == want, f"q={q}"
+
+
+def _missed_first_bracket(lm, calls):
+    """percentile_approx stand-in whose FIRST call returns a bracket far
+    below any high-q cut (quantiles [0, 0.01]) so the verification count
+    must reject it; later calls delegate to the real function."""
+    real = lm.F.percentile_approx
+
+    def fake(col, percentages, accuracy):
+        calls.append(1)
+        if len(calls) == 1:
+            return real(
+                col, lm.F.array(lm.F.lit(0.0), lm.F.lit(0.01)), accuracy)
+        return real(col, percentages, accuracy)
+
+    return fake
+
+
+def test_select_top_quantile_widens_missed_bracket(spark, monkeypatch):
+    """A missed approx bracket must WIDEN and re-bracket, not fall back
+    to a single-task sort of the whole relation (VERDICT r7: at 100 TB
+    the old full-relation fallback meant one task sorting the corpus).
+    Forced by stubbing the first percentile_approx call to return a
+    bracket that cannot contain the q=0.9 cut; the helper must retry
+    (>= 2 bracket calls) and still match the window form exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    import tank_spark.llm.lm as lm
+
+    calls: list[int] = []
+    monkeypatch.setattr(
+        lm.F, "percentile_approx", _missed_first_bracket(lm, calls))
+    data = [(i, float(v)) for i, v in enumerate(
+        [5, 3, 3, 3, 9, 1, 7, 7, 2, 8, 0, 4, 4, 6, 6, 6, 6, 10])]
+    df = spark.createDataFrame(data, "id long, score double")
+    got = {r["id"]: r["selected"]
+           for r in lm._select_top_quantile(df, "score", "id", 0.9).collect()}
+    assert len(calls) >= 2, "missed bracket did not trigger a retry"
+    w = Window.orderBy("score", "id")
+    want = {r["id"]: r["selected"] for r in df.withColumn(
+        "selected", (F.percent_rank().over(w) >= 0.9).cast("int")).collect()}
+    assert got == want
+
+
+def test_select_top_quantile_grouped_widens_missed_bracket(spark, monkeypatch):
+    """Grouped form of the widening contract: only the missed groups are
+    re-bracketed (batched), and the final selection still matches the
+    keyed PERCENT_RANK window bit-for-bit."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    import tank_spark.llm.lm as lm
+
+    calls: list[int] = []
+    monkeypatch.setattr(
+        lm.F, "percentile_approx", _missed_first_bracket(lm, calls))
+    data = []
+    vals = {"a": [5, 3, 3, 9, 1, 7, 7, 2, 8, 0, 4], "b": [2, 2, 2, 2, 11, 12]}
+    i = 0
+    for g, vs in vals.items():
+        for v in vs:
+            data.append((i, g, float(v))); i += 1
+    df = spark.createDataFrame(data, "id long, g string, score double")
+    got = {r["id"]: r["selected"] for r in lm._select_top_quantile_grouped(
+        df, "score", "id", "g", 0.9).collect()}
+    assert len(calls) >= 2, "missed bracket did not trigger a retry"
+    w = Window.partitionBy("g").orderBy("score", "id")
+    want = {r["id"]: r["selected"] for r in df.withColumn(
+        "selected", (F.percent_rank().over(w) >= 0.9).cast("int")).collect()}
+    assert got == want
