@@ -1594,6 +1594,29 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bfp = fps.filter(is_batch).select(F.col("cid").alias("bcid"), "fp")
     ifp = fps.filter(~is_batch).select(F.col("cid").alias("icid"), "fp")
+    bb = bands.filter(is_batch).select(
+        F.col("cid").alias("bcid"), "band_idx", "band_val")
+    ib = bands.filter(~is_batch).select(
+        F.col("cid").alias("icid"), "band_idx", "band_val")
+    return disposition_against_index(bfp, ifp, bb, ib)
+
+
+def disposition_against_index(
+    bfp: DataFrame, ifp: DataFrame, bb: DataFrame, ib: DataFrame,
+    cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """The incremental-dedup probe shared by the batch op above and the
+    streaming foreachBatch sink (streaming/dedup_stream.py): disposition
+    every batch doc against an index WITHOUT pairwise corpus work.
+
+    Inputs: ``bfp`` (bcid, fp) batch fingerprints, ``ifp`` (icid, fp)
+    index fingerprints, ``bb`` (bcid, band_idx, band_val) batch band
+    digests, ``ib`` (icid, band_idx, band_val) index band digests.
+    Output: (doc_id, disposition, match_cid, n_bands_hit). The batch
+    side is BROADCAST into both probe joins (a crawl increment is small
+    next to the corpus); hot index buckets above ``cap`` are skipped,
+    the standing LSH posture.
+    """
     exact = (
         ifp.join(F.broadcast(bfp), "fp")
         .groupBy("bcid").agg(F.min("icid").alias("exact_match"))
@@ -1604,17 +1627,13 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ycid") < F.col("bcid"))
         .groupBy("bcid").agg(F.min("ycid").alias("batch_match"))
     )
-    ib = bands.filter(~is_batch).select(
-        F.col("cid").alias("icid"), "band_idx", "band_val")
     oversized = (
         ib.groupBy("band_idx", "band_val")
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > LSH_BUCKET_CAP)
+        .filter(F.col("n") > cap)
         .select("band_idx", "band_val")
     )
     ibk = ib.join(F.broadcast(oversized), ["band_idx", "band_val"], "left_anti")
-    bb = bands.filter(is_batch).select(
-        F.col("cid").alias("bcid"), "band_idx", "band_val")
     near = (
         ibk.join(F.broadcast(bb), ["band_idx", "band_val"])
         .groupBy("bcid").agg(
@@ -1647,4 +1666,141 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_bands_hit"), F.lit(0)).cast("int")
             .alias("n_bands_hit"),
         )
+    )
+
+
+# ------------------------------------- sequential (streaming) replay
+
+def _inc_disp_sql(sfx: str, pred: str, ifp_cte: str, ib_cte: str) -> str:
+    """One application of the incremental-dedup disposition chain as
+    DuckDB CTEs (suffix ``sfx`` so the chain can appear once per
+    micro-batch in the stream-replay oracle): batch docs matching
+    ``pred`` probed against the fingerprint/band index CTEs."""
+    return f"""
+    bfp{sfx} AS (SELECT cid, fp FROM fps WHERE {pred}),
+    bb{sfx} AS (SELECT cid, band_idx, band_val FROM bands WHERE {pred}),
+    exact{sfx} AS (
+      SELECT b.cid AS bcid, MIN(i.icid) AS exact_match
+      FROM bfp{sfx} b JOIN {ifp_cte} i ON b.fp = i.fp GROUP BY b.cid
+    ),
+    inb{sfx} AS (
+      SELECT x.cid AS bcid, MIN(y.cid) AS batch_match
+      FROM bfp{sfx} x JOIN bfp{sfx} y ON x.fp = y.fp AND y.cid < x.cid
+      GROUP BY x.cid
+    ),
+    ibok{sfx} AS (
+      SELECT band_idx, band_val FROM {ib_cte}
+      GROUP BY band_idx, band_val HAVING COUNT(*) <= {LSH_BUCKET_CAP}
+    ),
+    near{sfx} AS (
+      SELECT bb.cid AS bcid, MIN(i.icid) AS near_match,
+             CAST(COUNT(DISTINCT bb.band_idx) AS INTEGER) AS n_bands_hit
+      FROM bb{sfx} bb
+      JOIN ibok{sfx} k ON bb.band_idx = k.band_idx
+                      AND bb.band_val = k.band_val
+      JOIN {ib_cte} i ON bb.band_idx = i.band_idx
+                     AND bb.band_val = i.band_val
+      GROUP BY bb.cid
+    ),
+    disp{sfx} AS (
+      SELECT b.cid AS doc_id,
+             CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup_of_index'
+                  WHEN i2.batch_match IS NOT NULL THEN 'dup_in_batch'
+                  WHEN n.near_match IS NOT NULL THEN 'near_dup_of_index'
+                  ELSE 'new_unique' END AS disposition,
+             CASE WHEN e.exact_match IS NOT NULL THEN e.exact_match
+                  WHEN i2.batch_match IS NOT NULL THEN i2.batch_match
+                  ELSE n.near_match END AS match_cid,
+             COALESCE(n.n_bands_hit, 0) AS n_bands_hit
+      FROM bfp{sfx} b
+      LEFT JOIN exact{sfx} e ON b.cid = e.bcid
+      LEFT JOIN inb{sfx} i2 ON b.cid = i2.bcid
+      LEFT JOIN near{sfx} n ON b.cid = n.bcid
+    )"""
+
+
+@register(
+    "dedup_incremental_stream_replay",
+    f"""
+    WITH {_INC_CORPUS_CTE}, {_SHINGLES_SQL}, {_sig_sql()}, {_bands_sql()},
+    fps AS (SELECT cid, {_NORM_SQL} AS fp FROM corpus),
+    ifp0 AS (SELECT cid AS icid, fp FROM fps
+             WHERE cid < {INC_BATCH_OFFSET}),
+    ib0 AS (SELECT cid AS icid, band_idx, band_val FROM bands
+            WHERE cid < {INC_BATCH_OFFSET}),
+    {_inc_disp_sql("_a",
+                   f"cid >= {INC_BATCH_OFFSET} AND cid < {2 * INC_BATCH_OFFSET}",
+                   "ifp0", "ib0")},
+    newa AS (SELECT doc_id AS cid FROM disp_a
+             WHERE disposition = 'new_unique'),
+    ifp1 AS (
+      SELECT * FROM ifp0
+      UNION ALL
+      SELECT f.cid AS icid, f.fp FROM fps f JOIN newa ON f.cid = newa.cid
+    ),
+    ib1 AS (
+      SELECT * FROM ib0
+      UNION ALL
+      SELECT b.cid AS icid, b.band_idx, b.band_val
+      FROM bands b JOIN newa ON b.cid = newa.cid
+    ),
+    {_inc_disp_sql("_b", f"cid >= {2 * INC_BATCH_OFFSET}", "ifp1", "ib1")}
+    SELECT doc_id, 1 AS batch_id, disposition, match_cid, n_bands_hit
+    FROM disp_a
+    UNION ALL
+    SELECT doc_id, 2 AS batch_id, disposition, match_cid, n_bands_hit
+    FROM disp_b
+    """,
+    doc="Batch twin of the streaming incremental-dedup pipeline "
+        "(streaming/dedup_stream.py): the crawl batch replayed as TWO "
+        "sequential micro-batches with the production index-growth rule "
+        "— each micro-batch's new_unique survivors are appended to the "
+        "index before the next batch probes it. The derived corpus makes "
+        "the sequencing observable: the synthetic-new docs emitted twice "
+        "land in different micro-batches, so the second copy dispositions "
+        "as exact_dup_of_index (matching the first copy, now indexed) "
+        "where the single-batch op called it dup_in_batch. Scale shape "
+        "per micro-batch is dedup_incremental_batch's: index scanned "
+        "once, batch side broadcast, capped band buckets; the append "
+        "is batch-bounded.",
+)
+def dedup_incremental_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _inc_corpus_df(spark, sf_dir)
+    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    # fps/bands each feed index-0, batch-A, batch-B and the survivor
+    # append — checkpoint so shingling/signatures run once (eager;
+    # blocks reclaimed by the ContextCleaner)
+    fps = c.select("cid", fp.alias("fp")).localCheckpoint(eager=True)
+    bands = _bands_df(_sigs_df(_shingles_df(c), K, 1)).localCheckpoint(eager=True)
+    off = INC_BATCH_OFFSET
+    is_i = F.col("cid") < off
+    is_a = (F.col("cid") >= off) & (F.col("cid") < 2 * off)
+    is_b = F.col("cid") >= 2 * off
+
+    def _fp_side(pred, alias):  # noqa: ANN001 - internal closure
+        return fps.filter(pred).select(F.col("cid").alias(alias), "fp")
+
+    def _band_side(pred, alias):  # noqa: ANN001
+        return bands.filter(pred).select(
+            F.col("cid").alias(alias), "band_idx", "band_val")
+
+    ifp0, ib0 = _fp_side(is_i, "icid"), _band_side(is_i, "icid")
+    disp_a = disposition_against_index(
+        _fp_side(is_a, "bcid"), ifp0, _band_side(is_a, "bcid"), ib0,
+    ).localCheckpoint(eager=True)  # consumed twice: output + survivor set
+    new_a = disp_a.filter(F.col("disposition") == "new_unique").select(
+        F.col("doc_id").alias("cid"))
+    ifp1 = ifp0.unionByName(
+        fps.join(F.broadcast(new_a), "cid")
+        .select(F.col("cid").alias("icid"), "fp"))
+    ib1 = ib0.unionByName(
+        bands.join(F.broadcast(new_a), "cid")
+        .select(F.col("cid").alias("icid"), "band_idx", "band_val"))
+    disp_b = disposition_against_index(
+        _fp_side(is_b, "bcid"), ifp1, _band_side(is_b, "bcid"), ib1)
+    return (
+        disp_a.withColumn("batch_id", F.lit(1).cast("int"))
+        .unionByName(disp_b.withColumn("batch_id", F.lit(2).cast("int")))
+        .select("doc_id", "batch_id", "disposition", "match_cid",
+                "n_bands_hit")
     )

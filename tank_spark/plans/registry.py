@@ -209,14 +209,19 @@ PRIORITY: tuple[str, ...] = (
     "semdedup_prune", "temperature_mix_weights", "token_budget_planning",
     # ---- NEW this round: incremental (delta) dedup — disposition a
     # crawl batch against the corpus index without pairwise corpus work,
-    # plus the persisted index artifact it probes (full oracles)
+    # the persisted index artifact it probes, and the sequential
+    # stream-replay twin of streaming/dedup_stream.py (each
+    # micro-batch's survivors appended to the index before the next
+    # probes it; full oracles on all three)
     "dedup_incremental_batch", "dedup_index_build",
-    # ---- 7 early r5-green pulls (one per family breadth-wise) to
-    # shrink the r9 crunch: the remaining 36 r5 entries are DUE in the
-    # r9 window and must lead it
+    "dedup_incremental_stream_replay",
+    # ---- 6 early r5-green pulls (one per family breadth-wise) to
+    # shrink the r9 crunch: the remaining r5 entries are DUE in the
+    # r9 window and must lead it (bm25_rank_topk yielded its slot to
+    # the stream-replay op; it keeps a fresh r8 BENCH row)
     "knn_brute_cosine", "lm_surprisal_score", "pq_encode_codes",
     "bloom_decontaminate", "cms_heavy_hitters",
-    "dedup_minhash_lsh_pairs", "bm25_rank_topk",
+    "dedup_minhash_lsh_pairs",
 )
 
 

@@ -1,0 +1,182 @@
+"""Streaming incremental dedup (streaming/dedup_stream.py): the
+foreachBatch production loop — disposition each micro-batch against the
+persisted index, append survivors so later epochs AND later runs dedup
+against them. The batch twin dedup_incremental_stream_replay carries
+the full DuckDB oracle; these tests drive the real streaming machinery
+end-to-end on crafted corpora."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _bands_twin(text: str) -> set[tuple[int, str]]:
+    """Pure-Python band digests for the checked config (K=12, 6x2) —
+    decides near-dup expectations instead of hardcoding them."""
+    words = re.findall(r"[a-z0-9]+", text.lower())
+    shingles = {" ".join(words[i:i + 3]) for i in range(len(words) - 2)}
+    if not shingles:
+        return set()
+    mins = [min(_md5(f"{s}:{i}") for s in shingles) for i in range(12)]
+    return {(b, _md5(mins[2 * b] + mins[2 * b + 1])) for b in range(6)}
+
+
+_IDX_TEXTS = {
+    1: "the quick brown fox jumps over the lazy dog near the riverbank "
+       "today while herons wade through shallow water",
+    2: "data pipelines shuffle partitions across executors while catalyst "
+       "optimizes the logical plan into efficient physical stages",
+}
+_NEW_X = "completely different content about cooking pasta with fresh " \
+         "basil and ripe tomatoes from the garden"
+_NEW_Z = "another unrelated passage describing mountain weather patterns " \
+         "and seasonal snowfall accumulation rates"
+
+
+def _write_batch(spark, drop_dir: str, name: str, rows) -> None:
+    # one parquet FILE per crawl increment: coalesce(1) then drop into
+    # the watched dir via a single write (the file source picks it up
+    # whole, so the increment is one micro-batch)
+    df = spark.createDataFrame(rows, "cid long, text string")
+    df.coalesce(1).write.mode("append").parquet(drop_dir)
+
+
+def test_incremental_dedup_stream_e2e(spark, tmp_path):
+    """Two runs over one checkpoint: run 1 dispositions a batch against
+    the bootstrapped index and appends its new_unique survivor; run 2's
+    batch then matches that survivor as exact_dup_of_index — the
+    cross-run index-growth property the daily-crawl loop depends on."""
+    from tank_spark.streaming.dedup_stream import (
+        docs_file_stream,
+        read_dedup_index,
+        start_incremental_dedup_stream,
+        write_dedup_index,
+    )
+
+    index_dir = str(tmp_path / "index")
+    drop_dir = str(tmp_path / "drop")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")  # outside the watched drop dir
+
+    corpus = spark.createDataFrame(
+        sorted(_IDX_TEXTS.items()), "cid long, text string")
+    write_dedup_index(corpus, index_dir)
+    ifp0, ib0 = read_dedup_index(spark, index_dir)
+    assert ifp0.count() == 2
+    assert ib0.count() == 12  # 6 bands x 2 docs
+
+    def run_once() -> None:
+        stream = docs_file_stream(spark, drop_dir, max_files_per_trigger=10)
+        assert stream.isStreaming
+        q = start_incremental_dedup_stream(
+            spark, stream, index_dir, out_dir, ckpt)
+        q.awaitTermination(120)
+        q.stop()
+
+    # ---- run 1: verbatim re-crawl + a new doc emitted twice
+    _write_batch(spark, drop_dir, "b1", [
+        (101, _IDX_TEXTS[1]), (102, _NEW_X), (103, _NEW_X)])
+    run_once()
+    out = {r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert set(out) == {101, 102, 103}
+    assert out[101]["disposition"] == "exact_dup_of_index"
+    assert out[101]["match_cid"] == 1
+    assert out[102]["disposition"] == "new_unique"
+    assert out[102]["match_cid"] is None
+    assert out[103]["disposition"] == "dup_in_batch"
+    assert out[103]["match_cid"] == 102
+
+    # only the new_unique survivor joined the index
+    ifp1, ib1 = read_dedup_index(spark, index_dir)
+    assert {r["icid"] for r in ifp1.collect()} == {1, 2, 102}
+    assert ib1.filter("icid = 102").count() == 6
+
+    # ---- run 2 (same checkpoint): only the new file is processed; the
+    # run-1 survivor is now index, so its re-crawl is an exact dup OF
+    # THE INDEX, not new
+    ext2 = _IDX_TEXTS[2] + " freshly crawled update note"
+    _write_batch(spark, drop_dir, "b2", [
+        (201, _NEW_X), (202, ext2), (203, _NEW_Z)])
+    run_once()
+    out = {r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert set(out) == {101, 102, 103, 201, 202, 203}
+    assert out[201]["disposition"] == "exact_dup_of_index"
+    assert out[201]["match_cid"] == 102
+    # twin decides near vs new for the suffix-extended doc
+    idx_bands = set()
+    for t in (*_IDX_TEXTS.values(), _NEW_X):
+        idx_bands |= _bands_twin(t)
+    hit = _bands_twin(ext2) & idx_bands
+    if hit:
+        assert out[202]["disposition"] == "near_dup_of_index"
+        assert out[202]["match_cid"] == 2
+        assert out[202]["n_bands_hit"] == len({b for b, _ in hit})
+    else:
+        assert out[202]["disposition"] == "new_unique"
+    assert out[203]["disposition"] == "new_unique"
+
+    # epochs are recorded and distinct across the two runs
+    epochs = {r["doc_id"]: r["epoch_id"]
+              for r in spark.read.parquet(out_dir).collect()}
+    assert epochs[101] != epochs[201]
+
+    ifp2, _ = read_dedup_index(spark, index_dir)
+    expect = {1, 2, 102, 203} | ({202} if not hit else set())
+    assert {r["icid"] for r in ifp2.collect()} == expect
+
+
+def test_disposition_batch_matches_batch_twin(spark, tmp_path):
+    """disposition_batch (the streaming probe) must agree with
+    dedup_incremental_batch's registered plan on the same derived
+    corpus — same helper underneath, pinned here at the module
+    boundary so a streaming-side refactor cannot drift."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from tank_spark.llm.dedup import (
+        INC_BATCH_OFFSET,
+        _inc_corpus_df,
+        dedup_incremental_batch,
+    )
+    from tank_spark.streaming.dedup_stream import disposition_batch
+
+    texts = dict(_IDX_TEXTS)
+    texts[15 + 3] = "verbatim recrawl target document with enough words " \
+                    "for several shingles in play"
+    ids = sorted(texts)
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "source": pa.array(["s"] * len(ids)),
+        "lang": pa.array(["en"] * len(ids)),
+        "text": pa.array([texts[i] for i in ids]),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    want = sorted(
+        tuple(r) for r in dedup_incremental_batch(
+            spark, str(tmp_path)).collect())
+    c = _inc_corpus_df(spark, str(tmp_path))
+    got = sorted(
+        tuple(r) for r in disposition_batch(
+            c.filter(F.col("cid") >= INC_BATCH_OFFSET),
+            *_index_sides(c.filter(F.col("cid") < INC_BATCH_OFFSET)),
+        ).collect())
+    assert got == want
+
+
+def _index_sides(index_docs):
+    from pyspark.sql import functions as F
+
+    from tank_spark.streaming.dedup_stream import fingerprints_and_bands
+
+    fps, bands = fingerprints_and_bands(index_docs)
+    return (
+        fps.select(F.col("cid").alias("icid"), "fp"),
+        bands.select(F.col("cid").alias("icid"), "band_idx", "band_val"),
+    )
