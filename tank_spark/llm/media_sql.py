@@ -358,9 +358,9 @@ _MODAL_HASH_CTE = (
 
 # media_dedup_survivors: ONE modality-keyed banded join over all three
 # hash families, one CC pass, keep flags for every media row. The three
-# hash CTE chains share mh/mb, so they are emitted once.
-MEDIA_DEDUP_SURVIVORS_SQL = f"""
-WITH RECURSIVE {MH_CTE},
+# hash CTE chains share mh/mb, so they are emitted once. The chain is
+# shared with the apply/report oracles below.
+_MEDIA_SURV_CHAIN = f"""{MH_CTE},
 {MB_CTE},
 {slice_ctes("img", 0, 7, 8)},
 img_hash AS (SELECT doc_id, {dhash_expr(_ident)} AS phash FROM img_all),
@@ -372,8 +372,42 @@ aud_hash AS (SELECT doc_id, {audio_fp_expr()} AS phash FROM audq),
 vid_hash AS (SELECT doc_id, (h0 & h1) | (h0 & h2) | (h1 & h2) AS phash FROM vid_h),
 {_MODAL_HASH_CTE},
 {pairs_ctes("all_hash", keys=("modality",))},
-{COMPONENTS_CTES}
+{COMPONENTS_CTES}"""
+
+MEDIA_DEDUP_SURVIVORS_SQL = f"""
+WITH RECURSIVE {_MEDIA_SURV_CHAIN}
 {survivors_select("all_hash", ", hsrc.modality")}
+"""
+
+# apply/report: survivors joined back to documents for provenance —
+# variant ids (the planted near-dup copies) map to their base doc's
+# source through the shared VARIANT_OFFSET high bit
+_SURV_CTE = f"surv AS ({survivors_select('all_hash', ', hsrc.modality')})"
+_BASE_ID = (f"CASE WHEN s.doc_id >= {VARIANT_OFFSET} "
+            f"THEN s.doc_id - {VARIANT_OFFSET} ELSE s.doc_id END")
+
+MEDIA_DEDUP_APPLY_SQL = f"""
+WITH RECURSIVE {_MEDIA_SURV_CHAIN},
+{_SURV_CTE}
+SELECT s.doc_id, s.modality, d.source, s.cluster
+FROM surv s JOIN documents d ON {_BASE_ID} = d.doc_id
+WHERE s.keep = 1
+"""
+
+MEDIA_DEDUP_REPORT_SQL = f"""
+WITH RECURSIVE {_MEDIA_SURV_CHAIN},
+{_SURV_CTE},
+j AS (
+  SELECT d.source, s.modality, s.cluster, s.keep
+  FROM surv s JOIN documents d ON {_BASE_ID} = d.doc_id
+)
+SELECT source, modality,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_dropped,
+       CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) - SUM(keep) AS DOUBLE) / COUNT(*) AS dup_rate
+FROM j GROUP BY source, modality
 """
 
 

@@ -614,6 +614,10 @@ def image_phash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "on the media table.",
 )
 def media_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _media_survivors_df(spark, sf_dir)
+
+
+def _media_survivors_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tank_spark.llm.audio import (
         AUDIO_FP_SCHEMA, _fingerprint_kernel, fingerprint_media)
     from tank_spark.llm.dedup import lsh_components
@@ -653,6 +657,84 @@ def media_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
             F.coalesce(F.col("is_canonical"), F.lit(1)).cast("int").alias("keep"),
         )
+    )
+
+
+def _base_id():
+    """Base doc_id of a (possibly variant) media row: the planted
+    near-dup copies carry doc_id + VARIANT_OFFSET, so the high bit
+    strips back to the document whose source/provenance they inherit.
+    (A function, not a module constant: Column construction needs an
+    active SparkContext.)"""
+    return F.when(
+        F.col("doc_id") >= VARIANT_OFFSET,
+        F.col("doc_id") - VARIANT_OFFSET,
+    ).otherwise(F.col("doc_id"))
+
+
+@register(
+    "media_dedup_apply",
+    media_sql.MEDIA_DEDUP_APPLY_SQL,
+    doc="The APPLY step of the cross-modality dedup arc (detect -> "
+        "cluster -> apply, mirroring dedup_substring_spans -> _removal "
+        "on the text side): the curated media corpus after dropping "
+        "near-duplicate copies — every keep=1 row from "
+        "media_dedup_survivors joined back to documents for provenance "
+        "(doc_id, modality, source, cluster). Variant ids map to their "
+        "base doc's source via the shared VARIANT_OFFSET high bit. "
+        "Scale shape: survivors is the one-banded-join + one-CC plan; "
+        "the provenance join is a plain equi-join on the base doc key "
+        "(both sides hash-partition on it — no new skew surface), and "
+        "the keep filter lands before the join so only survivors "
+        "shuffle.",
+)
+def media_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    surv = _media_survivors_df(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("base_id"), "source")
+    return (
+        surv.filter(F.col("keep") == 1)
+        .withColumn("base_id", _base_id())
+        .join(docs, "base_id")
+        .select("doc_id", "modality", "source", "cluster")
+    )
+
+
+@register(
+    "media_dedup_report",
+    media_sql.MEDIA_DEDUP_REPORT_SQL,
+    doc="The curation REPORT over the cross-modality dedup pass: per "
+        "(source, modality), how much of the media corpus survives — "
+        "n_media, n_kept, n_dropped, n_clusters (distinct cluster "
+        "labels incl. singletons), dup_rate. This is the number a "
+        "pipeline owner reads before training to decide whether a "
+        "source's duplication is pathological. Scale shape: one "
+        "equi-join on the base doc key then one groupBy over "
+        "(source, modality) — partial aggregation does almost all the "
+        "work map-side because the group count is tiny; the exact "
+        "count-distinct expands per group but is bounded by media rows "
+        "per (source, modality).",
+)
+def media_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    surv = _media_survivors_df(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("base_id"), "source")
+    g = (
+        surv.withColumn("base_id", _base_id())
+        .join(docs, "base_id")
+        .groupBy("source", "modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("keep").cast("long").alias("n_kept"),
+            F.countDistinct("cluster").alias("n_clusters"),
+        )
+    )
+    return g.select(
+        "source", "modality", "n_media", "n_kept",
+        (F.col("n_media") - F.col("n_kept")).alias("n_dropped"),
+        "n_clusters",
+        ((F.col("n_media") - F.col("n_kept")).cast("double")
+         / F.col("n_media")).alias("dup_rate"),
     )
 
 

@@ -215,12 +215,16 @@ PRIORITY: tuple[str, ...] = (
     # probes it; full oracles on all three)
     "dedup_incremental_batch", "dedup_index_build",
     "dedup_incremental_stream_replay",
-    # ---- 6 early r5-green pulls (one per family breadth-wise) to
+    # ---- NEW this round: the APPLY arc of the cross-modality dedup
+    # pipeline (detect -> cluster -> apply + curation report, full
+    # oracles), completing VERDICT r7 #6
+    "media_dedup_apply", "media_dedup_report",
+    # ---- 4 early r5-green pulls (one per family breadth-wise) to
     # shrink the r9 crunch: the remaining r5 entries are DUE in the
-    # r9 window and must lead it (bm25_rank_topk yielded its slot to
-    # the stream-replay op; it keeps a fresh r8 BENCH row)
+    # r9 window and must lead it (bm25_rank_topk, bloom_decontaminate
+    # and cms_heavy_hitters yielded their slots to the three new ops;
+    # all three keep fresh r8 BENCH rows)
     "knn_brute_cosine", "lm_surprisal_score", "pq_encode_codes",
-    "bloom_decontaminate", "cms_heavy_hitters",
     "dedup_minhash_lsh_pairs",
 )
 

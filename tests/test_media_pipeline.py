@@ -108,3 +108,61 @@ def test_media_dedup_survivors_plan_never_goes_cartesian(spark):
     ).executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _source_map(spark):
+    from tests.conftest import SF_DIR
+
+    return {r.doc_id: r.source for r in spark.read.parquet(
+        f"{SF_DIR}/documents.parquet").select("doc_id", "source").collect()}
+
+
+def test_media_dedup_apply_is_kept_rows_with_provenance(spark):
+    """apply = the curated corpus: exactly the keep=1 survivors, each
+    carrying the SOURCE of its base document (variants inherit the
+    base's source through the VARIANT_OFFSET high bit)."""
+    from tests.conftest import SF_DIR
+
+    from tank_spark.llm.multimodal import VARIANT_OFFSET, media_dedup_apply
+
+    rows = [(r.doc_id, r.text) for r in spark.read.parquet(
+        f"{SF_DIR}/documents.parquet").select("doc_id", "text").collect()]
+    srcs = _source_map(spark)
+    want = {
+        i: (mod, srcs[i - VARIANT_OFFSET if i >= VARIANT_OFFSET else i], c)
+        for i, (mod, c, k) in _expected(rows).items() if k == 1
+    }
+    got = {r.doc_id: (r.modality, r.source, r.cluster)
+           for r in media_dedup_apply(spark, SF_DIR).collect()}
+    assert got == want
+    # the apply actually drops something: strictly fewer rows than the
+    # full survivor relation (the plant guarantees >= 1 dup/modality)
+    assert len(got) < len(_expected(rows))
+
+
+def test_media_dedup_report_aggregates_match_twin(spark):
+    """report = per-(source, modality) counts/rates derived from the
+    same independent twin expectation."""
+    from tests.conftest import SF_DIR
+
+    from tank_spark.llm.multimodal import VARIANT_OFFSET, media_dedup_report
+
+    rows = [(r.doc_id, r.text) for r in spark.read.parquet(
+        f"{SF_DIR}/documents.parquet").select("doc_id", "text").collect()]
+    srcs = _source_map(spark)
+    agg: dict[tuple, dict] = {}
+    for i, (mod, c, k) in _expected(rows).items():
+        src = srcs[i - VARIANT_OFFSET if i >= VARIANT_OFFSET else i]
+        a = agg.setdefault((src, mod), {"n": 0, "kept": 0, "clusters": set()})
+        a["n"] += 1
+        a["kept"] += k
+        a["clusters"].add(c)
+    want = {
+        key: (a["n"], a["kept"], a["n"] - a["kept"], len(a["clusters"]),
+              (a["n"] - a["kept"]) / a["n"])
+        for key, a in agg.items()
+    }
+    got = {(r.source, r.modality):
+           (r.n_media, r.n_kept, r.n_dropped, r.n_clusters, r.dup_rate)
+           for r in media_dedup_report(spark, SF_DIR).collect()}
+    assert got == want
