@@ -52,6 +52,10 @@ PROBES = [
     # round-8 additions: incremental (delta) dedup against the corpus
     # index + the persisted index artifact
     "dedup_incremental_batch", "dedup_index_build",
+    # round-8 additions: the sequential stream-replay twin and the
+    # apply/report arc of cross-modality media dedup
+    "dedup_incremental_stream_replay",
+    "media_dedup_apply", "media_dedup_report",
 ]
 
 
