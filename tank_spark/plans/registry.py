@@ -219,12 +219,16 @@ PRIORITY: tuple[str, ...] = (
     # pipeline (detect -> cluster -> apply + curation report, full
     # oracles), completing VERDICT r7 #6
     "media_dedup_apply", "media_dedup_report",
-    # ---- 4 early r5-green pulls (one per family breadth-wise) to
+    # ---- NEW this round: the stateful-streaming post-state row
+    # (VERDICT r7 #7 — the ingest_upsert_post_state pattern applied to
+    # applyInPandasWithState, full oracle)
+    "stream_spend_post_state",
+    # ---- 3 early r5-green pulls (one per family breadth-wise) to
     # shrink the r9 crunch: the remaining r5 entries are DUE in the
-    # r9 window and must lead it (bm25_rank_topk, bloom_decontaminate
-    # and cms_heavy_hitters yielded their slots to the three new ops;
-    # all three keep fresh r8 BENCH rows)
-    "knn_brute_cosine", "lm_surprisal_score", "pq_encode_codes",
+    # r9 window and must lead it (bm25_rank_topk, bloom_decontaminate,
+    # cms_heavy_hitters and knn_brute_cosine yielded their slots to the
+    # four new ops; all four keep fresh r8 BENCH rows)
+    "lm_surprisal_score", "pq_encode_codes",
     "dedup_minhash_lsh_pairs",
 )
 
@@ -265,6 +269,7 @@ def load_all() -> dict[str, QueryDef]:
         "tank_spark.llm.sketches",
         "tank_spark.operators.mvt_tiles",
         "tank_spark.streaming.windows",
+        "tank_spark.streaming.stateful",
     ]
     for m in modules:
         try:

@@ -59,3 +59,38 @@ def test_running_spend_accumulates_across_batches(spark, tmp_path):
         assert got["n_events"] == w["n"]
         assert math.isclose(got["total_value"], w["total"], rel_tol=1e-9)
         assert got["alerts"] == int(got["total_value"] // 500.0)
+
+
+def test_stream_spend_post_state_crafted_alert_crossing(spark, tmp_path):
+    """The registered post-state query on a crafted events table: user 1
+    crosses the 500-unit alert threshold only CUMULATIVELY (300 in the
+    even batch + 300 in the odd batch), so alerts=1 proves the state
+    carried across micro-batches; user 2 lives in one batch only."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tank_spark.streaming.stateful import stream_spend_post_state
+
+    rows = [
+        # (event_id, user_id, value): parity splits the batches
+        (0, 1, 300.0),   # batch even: user 1 at 300 (< 500, no alert)
+        (1, 1, 300.0),   # batch odd: cumulative 600 -> alert fires
+        (2, 2, 120.5),   # user 2: even batch only, floor -> 120
+        (4, 2, 100.0),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([0] * len(rows), pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array(["click"] * len(rows)),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    got = {r.user_id: (r.n_events, r.total_units, r.alerts, r.n_emissions)
+           for r in stream_spend_post_state(spark, str(tmp_path)).collect()}
+    assert got == {
+        1: (2, 600, 1, 2),   # 2 emissions = seen in both micro-batches
+        2: (2, 220, 0, 1),   # even-batch only, one emission
+    }
