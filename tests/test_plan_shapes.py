@@ -444,3 +444,33 @@ def test_incremental_dedup_broadcasts_batch_side(spark):
     # the assembly must not fall back to a SortMergeJoin chain on bcid
     assert plan.count("BroadcastHashJoin") >= 5, plan[:2000]
     assert "SortMergeJoin" not in plan
+
+
+def test_stream_replay_batches_broadcast_into_probes(spark):
+    """dedup_incremental_stream_replay applies the incremental probe
+    twice (batch A vs index-0, batch B vs grown index): both
+    applications must keep the batch side broadcast and never go
+    pairwise or fall back to a sort-merge chain."""
+    from tank_spark.llm.dedup import dedup_incremental_stream_replay
+
+    plan = _plan(dedup_incremental_stream_replay(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    # two full probe chains (5 broadcast joins each, as the batch op)
+    # plus the two survivor-append broadcast joins
+    assert plan.count("BroadcastHashJoin") >= 10, plan[:2000]
+
+
+def test_media_dedup_apply_report_plans_stay_clean(spark):
+    """The provenance join back to documents is a plain equi-join on the
+    base doc key — never a cartesian/nested-loop, and the report's
+    aggregation must keep a partial (map-side) stage."""
+    from tank_spark.llm.multimodal import media_dedup_apply, media_dedup_report
+
+    for fn in (media_dedup_apply, media_dedup_report):
+        plan = _plan(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+    rep = _plan(media_dedup_report(spark, SF_DIR))
+    assert "partial" in rep.lower(), rep[:2000]
