@@ -944,6 +944,93 @@ def dedup_lsh_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- quality-aware survivor pick
+
+def quality_pick(clusters: DataFrame, scored: DataFrame) -> DataFrame:
+    """Per near-dup component, pick the member maximizing ``(q, -cid)``
+    — the production canonical-selection policy (keep the BEST document
+    in each duplicate cluster, not the first-seen/min-id one; ties fall
+    back to min cid so exact-dup clusters keep the original).
+
+    ``clusters`` is (cid, component) from :func:`lsh_components`;
+    ``scored`` is (cid, q). One equi-join on cid + one groupBy component
+    with a struct-max aggregate (partial/map-side combined) — no window,
+    no sort. The join is NOT broadcast by design: at 100 TB a
+    boilerplate-heavy corpus can put 30%+ of documents into clusters, so
+    the cluster side is not bounded — AQE picks the strategy.
+    """
+    m = clusters.select("cid", "component").join(scored, "cid")
+    best = F.max(
+        F.struct(F.col("q").alias("q"), (-F.col("cid")).alias("nc"))
+    ).alias("_m")
+    return (
+        m.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_members"), best)
+        .select(
+            "component",
+            "n_members",
+            (-F.col("_m.nc")).alias("kept_cid"),
+            F.round(F.col("_m.q") * 1e6, 0).cast("long").alias("kept_q_micro"),
+            ((-F.col("_m.nc")) != F.col("component")).cast("int")
+            .alias("pick_differs"),
+        )
+    )
+
+
+def _quality_survivors_sql() -> str:
+    from tank_spark.llm.text import QUALITY_SQL
+
+    return f"""
+    WITH RECURSIVE {_CAPPED_PAIRS_CTES},
+    und AS (
+      SELECT cid_a AS src, cid_b AS dst FROM pairs
+      UNION SELECT cid_b, cid_a FROM pairs
+    ),
+    reach(cid, r) AS (
+      SELECT DISTINCT src, src FROM und
+      UNION
+      SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.cid
+    ),
+    comp AS (SELECT cid, MIN(r) AS component FROM reach GROUP BY cid),
+    scored AS (SELECT cid, {QUALITY_SQL} AS q FROM corpus),
+    m AS (
+      SELECT comp.component, comp.cid, scored.q,
+             ROW_NUMBER() OVER (PARTITION BY comp.component
+                                ORDER BY scored.q DESC, comp.cid ASC) AS rn
+      FROM comp JOIN scored ON comp.cid = scored.cid
+    )
+    SELECT component,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MAX(CASE WHEN rn = 1 THEN cid END) AS kept_cid,
+           CAST(ROUND(MAX(CASE WHEN rn = 1 THEN q END) * 1000000.0, 0)
+                AS BIGINT) AS kept_q_micro,
+           CAST(MAX(CASE WHEN rn = 1 AND cid <> component THEN 1 ELSE 0 END)
+                AS INTEGER) AS pick_differs
+    FROM m GROUP BY component
+    """
+
+
+@register(
+    "dedup_quality_survivors",
+    _quality_survivors_sql(),
+    doc="Quality-aware canonical selection: per LSH near-dup component, "
+        "keep the HIGHEST-quality member (shared llm/text.py composite "
+        "score; ties -> min cid, so planted exact-dup clusters keep the "
+        "original) instead of the min-id policy of dedup_lsh_survivors — "
+        "what production curation actually ships, since the first-crawled "
+        "copy of a page is often the worst one. pick_differs flags the "
+        "components where the two policies disagree. Oracle: recursive-"
+        "CTE components + a per-component quality argmax window.",
+)
+def dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tank_spark.llm.text import quality_col
+
+    c = corpus_df(spark, sf_dir)
+    clusters = lsh_components(
+        minhash_lsh_pairs(spark, sf_dir).select("cid_a", "cid_b"))
+    return quality_pick(clusters, c.select("cid", quality_col().alias("q")))
+
+
 # -------------------------------------------------------- n-gram jaccard
 
 @register(

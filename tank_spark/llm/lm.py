@@ -608,6 +608,177 @@ def _select_top_quantile_grouped(
     return out.withColumn("selected", sel.cast("int")).drop("_thr_v", "_thr_id")
 
 
+def _rank_cut_pairs(
+    scored: DataFrame, order_col: str, id_col: str, qs: tuple[float, ...],
+    accuracy: int = 10000,
+) -> tuple[DataFrame, dict[float, tuple[float, object] | None]]:
+    """Pin, for each quantile q in ``qs``, the exact ``(value, id)`` pair
+    at the smallest ``PERCENT_RANK() OVER (ORDER BY order_col, id_col)``
+    >= q — the multi-cut generalization of :func:`_select_top_quantile`
+    (same recipe, same PERCENT_RANK bit-identity), batched so the
+    whole-relation job count does NOT scale with ``len(qs)``: one count,
+    then per retry round ONE ``percentile_approx`` over every pending
+    cut's bracket bounds and ONE verification aggregate; only cuts whose
+    approx bracket missed re-bracket with a doubled margin (never a
+    whole-relation fallback — at margin >= 1 a bracket is (min, max) and
+    verifies unconditionally). Each verified cut then reads its boundary
+    pair off a row_number over its ~0.2% band only.
+
+    Returns ``(checkpointed_scored, {q: (value, id) | None})`` — None
+    when no row passes that cut (n <= 1 with q > 0, or k0 > n). Callers
+    build map-only bucket/flag expressions against the literal pairs;
+    monotone qs yield monotone pairs under the (order_col, id_col) total
+    order, so "count of cuts passed" equals the quantile-bucket index.
+    """
+    from pyspark.sql import Window
+
+    scored = scored.localCheckpoint(eager=True)
+    cnts = scored.agg(
+        F.count(F.lit(1)).alias("n"), F.count(order_col).alias("nn")
+    ).first()
+    n = cnts["n"]
+    if cnts["nn"] != n:
+        raise ValueError(
+            f"_rank_cut_pairs: {n - cnts['nn']} NULL {order_col!r} values "
+            "— the percent-rank cuts are undefined for NULL scores; "
+            "filter or impute them upstream"
+        )
+    out: dict[float, tuple[float, object] | None] = {}
+    if n <= 1:
+        for q in qs:
+            out[q] = None if q > 0 else (None if n == 0 else tuple(
+                scored.select(order_col, id_col).first()))
+        return scored, out
+    k0s: dict[float, int] = {}
+    for q in qs:
+        r = max(1, int(q * (n - 1)))
+        while r <= n and (r - 1) / (n - 1) < q:
+            r += 1
+        if r > n:
+            out[q] = None
+        else:
+            k0s[q] = r
+    margin = {q: max(4.0 / accuracy, 1e-3) for q in k0s}
+    bands: dict[float, tuple[float, float, int]] = {}  # q -> (lo, hi, k_band)
+    todo = sorted(k0s)
+    while todo:
+        bounds = {
+            q: (max(0.0, q - margin[q]), min(1.0, q + margin[q])) for q in todo
+        }
+        flat = [b for q in todo for b in bounds[q]]
+        bvals = scored.agg(
+            F.percentile_approx(
+                order_col, F.array(*[F.lit(x) for x in flat]), F.lit(accuracy)
+            ).alias("b")
+        ).first()["b"]
+        brackets = {
+            q: (float(bvals[2 * i]), float(bvals[2 * i + 1]))
+            for i, q in enumerate(todo)
+        }
+        cnt = scored.agg(*[
+            c for i, q in enumerate(todo) for c in (
+                F.count(F.when(F.col(order_col) < brackets[q][0], 1))
+                .alias(f"lo_{i}"),
+                F.count(F.when(F.col(order_col) <= brackets[q][1], 1))
+                .alias(f"hi_{i}"),
+            )
+        ]).first()
+        missed = []
+        for i, q in enumerate(todo):
+            c_lo, c_hi = cnt[2 * i], cnt[2 * i + 1]
+            if c_lo < k0s[q] <= c_hi:
+                bands[q] = (brackets[q][0], brackets[q][1], k0s[q] - c_lo)
+            else:
+                assert bounds[q] != (0.0, 1.0), "full-range bracket cannot miss"
+                margin[q] *= 2.0
+                missed.append(q)
+        todo = missed
+    w = Window.orderBy(order_col, id_col)
+    for q, (lo, hi, k_band) in bands.items():
+        thr = (
+            scored.filter((F.col(order_col) >= lo) & (F.col(order_col) <= hi))
+            .repartition(1)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == k_band)
+            .select(order_col, id_col)
+            .first()
+        )
+        out[q] = (float(thr[0]), thr[1])
+    return scored, out
+
+
+# Curriculum staging: quartile cuts on the shared quality score. Stage 0
+# holds the lowest-quality quarter, stage 3 the highest — the standard
+# easy->hard (or noisy->clean) curriculum axis — and shuffle_key gives a
+# deterministic within-stage training order (salted md5, the mixing.py
+# u-variate idiom), so a resumed 100 TB ordering job reproduces the
+# exact same epoch order without any stored RNG state.
+CURRICULUM_QS = (0.25, 0.5, 0.75)
+_CURR_SALT = "curriculum:"
+
+
+def _curriculum_sql() -> str:
+    from tank_spark.llm.text import QUALITY_SQL
+
+    return f"""
+    WITH scored AS (SELECT doc_id, {QUALITY_SQL} AS quality FROM documents),
+    pr AS (
+      SELECT doc_id,
+             PERCENT_RANK() OVER (ORDER BY quality, doc_id) AS pr
+      FROM scored
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN pr >= 0.75 THEN 3 WHEN pr >= 0.5 THEN 2
+                     WHEN pr >= 0.25 THEN 1 ELSE 0 END AS INTEGER) AS stage,
+           CAST(('0x' || substr(md5('{_CURR_SALT}' || CAST(doc_id AS VARCHAR)),
+                 1, 8))::UBIGINT AS BIGINT) AS shuffle_key
+    FROM pr
+    """
+
+
+@register(
+    "curriculum_quality_stages",
+    _curriculum_sql(),
+    doc="Curriculum ordering for training: every document gets a stage "
+        "(global quality QUARTILE — exact PERCENT_RANK semantics incl. "
+        "ties, oracle twin is the window form) plus a deterministic "
+        "salted-md5 shuffle_key for within-stage order. Scale posture: "
+        "the quartile thresholds come from the batched approx-bracket "
+        "recipe (_rank_cut_pairs — one count + one bracket aggregate, "
+        "band-only windows), so the returned plan is a MAP-ONLY "
+        "projection against six literals: no global window, no sort, no "
+        "shuffle at any corpus size. A training job ORDERs BY (stage, "
+        "shuffle_key) downstream; the key is reproducible across resumes "
+        "with no stored RNG state (mixing.py u-variate idiom).",
+)
+def curriculum_quality_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tank_spark.llm.text import quality_col
+
+    d = load(spark, sf_dir, "documents")
+    scored, cuts = _rank_cut_pairs(
+        d.select("doc_id", quality_col().alias("quality")),
+        "quality", "doc_id", CURRICULUM_QS,
+    )
+    stage = F.lit(0)
+    for q in CURRICULUM_QS:
+        pair = cuts[q]
+        if pair is None:
+            continue
+        v, i = pair
+        stage = stage + (
+            (F.col("quality") > F.lit(v))
+            | ((F.col("quality") == F.lit(v)) & (F.col("doc_id") >= F.lit(i)))
+        ).cast("int")
+    h8 = F.substring(
+        F.md5(F.concat(F.lit(_CURR_SALT), F.col("doc_id").cast("string"))), 1, 8
+    )
+    return scored.select(
+        "doc_id",
+        stage.cast("int").alias("stage"),
+        F.conv(h8, 16, 10).cast("bigint").alias("shuffle_key"),
+    )
+
+
 @register(
     "dsir_importance_weights",
     f"""

@@ -1253,3 +1253,58 @@ def quality_top_quantile_per_source(spark: SparkSession, sf_dir: str) -> DataFra
     d = load(spark, sf_dir, "documents")
     scored = d.select("doc_id", "source", quality_col().alias("quality"))
     return _select_top_quantile_grouped(scored, "quality", "doc_id", "source", 0.8)
+
+
+@register(
+    "token_freq_spectrum",
+    f"""
+    WITH words AS (
+      SELECT unnest(regexp_extract_all(lower(text), '{_WORD}')) AS word
+      FROM documents
+    ),
+    tf AS (SELECT word, COUNT(*) AS freq FROM words GROUP BY word),
+    spec AS (SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_types
+             FROM tf GROUP BY freq),
+    tot AS (SELECT CAST(SUM(n_types) AS BIGINT) AS types,
+                   CAST(SUM(freq * n_types) AS BIGINT) AS tokens FROM spec)
+    SELECT freq, n_types,
+           CAST(ROUND(n_types * 1000000.0 / types, 0) AS BIGINT)
+             AS type_share_ppm,
+           CAST(ROUND(freq * n_types * 1000000.0 / tokens, 0) AS BIGINT)
+             AS mass_share_ppm
+    FROM spec, tot
+    """,
+    doc="Corpus token-frequency SPECTRUM (counts-of-counts): for each "
+        "occurrence count f, how many distinct word types occur exactly f "
+        "times, as raw counts plus type- and token-mass shares (ppm, "
+        "all-integer inputs so the shares are engine-exact). freq=1 is "
+        "the hapax row — the Zipf-tail health check dataset audits watch "
+        "(a collapsing hapax share signals boilerplate flooding; an "
+        "exploding one, OCR/noise injection). Scale posture: ONE "
+        "token-level groupBy (map-side combined, the vocabulary shuffle "
+        "every corpus-stats job already pays), then the spectrum groupBy "
+        "is vocabulary-sized and the totals are a 1-row broadcast — no "
+        "rank/sort over the vocabulary (counts-of-counts needs no global "
+        "rank, unlike a literal Zipf rank-frequency plot).",
+)
+def token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD), F.lit(0))
+        ).alias("word")
+    )
+    tf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    spec = tf.groupBy("freq").agg(F.count(F.lit(1)).alias("n_types"))
+    tot = spec.agg(
+        F.sum("n_types").alias("types"),
+        F.sum(F.col("freq") * F.col("n_types")).alias("tokens"),
+    )
+    return spec.crossJoin(F.broadcast(tot)).select(
+        "freq",
+        "n_types",
+        F.round(F.col("n_types") * 1000000.0 / F.col("types"), 0)
+        .cast("long").alias("type_share_ppm"),
+        F.round(F.col("freq") * F.col("n_types") * 1000000.0 / F.col("tokens"), 0)
+        .cast("long").alias("mass_share_ppm"),
+    )

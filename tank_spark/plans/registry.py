@@ -223,13 +223,15 @@ PRIORITY: tuple[str, ...] = (
     # (VERDICT r7 #7 — the ingest_upsert_post_state pattern applied to
     # applyInPandasWithState, full oracle)
     "stream_spend_post_state",
-    # ---- 3 early r5-green pulls (one per family breadth-wise) to
-    # shrink the r9 crunch: the remaining r5 entries are DUE in the
-    # r9 window and must lead it (bm25_rank_topk, bloom_decontaminate,
-    # cms_heavy_hitters and knn_brute_cosine yielded their slots to the
-    # four new ops; all four keep fresh r8 BENCH rows)
-    "lm_surprisal_score", "pq_encode_codes",
-    "dedup_minhash_lsh_pairs",
+    # ---- NEW late r8 (full oracles, take the three early-r5-pull
+    # slots — lm_surprisal_score, pq_encode_codes and
+    # dedup_minhash_lsh_pairs rejoin the r5 family that leads the r9
+    # window; all three keep fresh r8 BENCH rows): quality-aware
+    # canonical selection per near-dup cluster, quartile curriculum
+    # staging via the batched scale-safe rank-cut recipe, and the
+    # corpus token-frequency spectrum (counts-of-counts audit)
+    "dedup_quality_survivors", "curriculum_quality_stages",
+    "token_freq_spectrum",
 )
 
 

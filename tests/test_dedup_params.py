@@ -436,3 +436,67 @@ def test_components_driver_matches_distributed(spark):
     dist = {r["cid"]: (r["component"], r["is_canonical"])
             for r in lsh_components(pairs, driver_threshold=0).collect()}
     assert fast and fast == dist
+
+
+def test_quality_pick_prefers_best_member(spark):
+    """quality_pick keeps the highest-q member per component, ties fall
+    to min cid, and pick_differs flags exactly the components where the
+    quality policy disagrees with min-id canonical selection."""
+    from tank_spark.llm.dedup import quality_pick
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (5, 1), (9, 1), (2, 2), (4, 2)],
+        "cid long, component long")
+    scored = spark.createDataFrame(
+        [(1, 0.2), (5, 0.9), (9, 0.5), (2, 0.3), (4, 0.3)],
+        "cid long, q double")
+    rows = {r["component"]: r for r in quality_pick(clusters, scored).collect()}
+    assert rows[1]["kept_cid"] == 5 and rows[1]["pick_differs"] == 1
+    assert rows[1]["n_members"] == 3
+    assert rows[1]["kept_q_micro"] == 900000
+    assert rows[2]["kept_cid"] == 2 and rows[2]["pick_differs"] == 0
+
+
+def test_quality_survivors_keep_originals_for_planted_dups(spark):
+    """End-to-end at SF_DIR: a planted exact-dup pair (d, d+DUP_OFFSET)
+    has IDENTICAL quality (the score lowercases text; length is
+    case-invariant), so the tiebreak must keep the original d — and
+    min-id/quality policies agree on those pure pairs."""
+    from tank_spark.llm.dedup import dedup_quality_survivors
+
+    rows = dedup_quality_survivors(spark, SF_DIR).collect()
+    assert rows, "no near-dup components at SF_DIR?"
+    pure_pairs = [
+        r for r in rows
+        if r["n_members"] == 2 and r["component"] < DUP_OFFSET
+    ]
+    # planted pairs exist and every one keeps the original (cid < offset)
+    assert pure_pairs
+    for r in pure_pairs:
+        assert r["kept_cid"] < DUP_OFFSET
+
+
+def test_token_freq_spectrum_counter_twin(spark):
+    """Pure-Python Counter twin over the same parquet: spectrum counts
+    and the hapax row must match exactly."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from tank_spark.llm.text import token_freq_spectrum
+
+    got = {r["freq"]: r for r in token_freq_spectrum(spark, SF_DIR).collect()}
+    texts = pd.read_parquet(f"{SF_DIR}/documents.parquet")["text"]
+    tf = Counter()
+    for t in texts:
+        tf.update(re.findall(r"[a-z0-9]+", t.lower()))
+    spec = Counter(tf.values())
+    assert {f: r["n_types"] for f, r in got.items()} == dict(spec)
+    types = sum(spec.values())
+    # the synthetic vocabulary is small so no hapax may exist at this
+    # SF — check the share math on the rarest frequency class instead.
+    # HALF_UP like Spark/DuckDB ROUND (Python round() is banker's).
+    fmin = min(spec)
+    assert got[fmin]["type_share_ppm"] == int(
+        spec[fmin] * 1000000.0 / types + 0.5)

@@ -299,3 +299,112 @@ def test_select_top_quantile_grouped_widens_missed_bracket(spark, monkeypatch):
     want = {r["id"]: r["selected"] for r in df.withColumn(
         "selected", (F.percent_rank().over(w) >= 0.9).cast("int")).collect()}
     assert got == want
+
+
+def test_rank_cut_pairs_match_window_quartiles(spark):
+    """_rank_cut_pairs must reproduce the global PERCENT_RANK window's
+    quantile BUCKETS bit-for-bit (the multi-cut generalization of the
+    _select_top_quantile contract): stage = number of cuts passed equals
+    the window form's quartile index for tie-heavy data, and the n==1
+    degenerate yields stage 0 (percent_rank of a single row is 0)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tank_spark.llm.lm import _rank_cut_pairs
+
+    data = [(i, float(v)) for i, v in enumerate(
+        [5, 3, 3, 3, 9, 1, 7, 7, 2, 8, 0, 4, 4, 6, 6, 6, 6, 10, 3, 3])]
+    df = spark.createDataFrame(data, "id long, score double")
+    qs = (0.25, 0.5, 0.75)
+    scored, cuts = _rank_cut_pairs(df, "score", "id", qs)
+    stage = F.lit(0)
+    for q in qs:
+        v, i = cuts[q]
+        stage = stage + (
+            (F.col("score") > F.lit(v))
+            | ((F.col("score") == F.lit(v)) & (F.col("id") >= F.lit(i)))
+        ).cast("int")
+    got = {r["id"]: r["stage"]
+           for r in scored.select("id", stage.alias("stage")).collect()}
+    pr = F.percent_rank().over(Window.orderBy("score", "id"))
+    want = {r["id"]: r["stage"] for r in df.withColumn(
+        "stage",
+        (pr >= 0.25).cast("int") + (pr >= 0.5).cast("int")
+        + (pr >= 0.75).cast("int")).collect()}
+    assert got == want
+
+    one = spark.createDataFrame([(7, 4.0)], "id long, score double")
+    _, cuts1 = _rank_cut_pairs(one, "score", "id", qs)
+    assert all(cuts1[q] is None for q in qs)
+
+
+def test_rank_cut_pairs_rejects_null_scores(spark):
+    """Same NULL-score contract as the single/grouped helpers."""
+    import pytest
+
+    from tank_spark.llm.lm import _rank_cut_pairs
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, None), (2, 3.0)], "id long, score double")
+    with pytest.raises(ValueError, match="NULL 'score'"):
+        _rank_cut_pairs(df, "score", "id", (0.5,))
+
+
+def test_rank_cut_pairs_widens_missed_bracket(spark, monkeypatch):
+    """A missed approx bracket widens and re-brackets ONLY the missed
+    cuts (batched), never falling back to a full-relation sort — and the
+    final buckets still match the window form."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    import tank_spark.llm.lm as lm
+
+    calls: list[int] = []
+    real = lm.F.percentile_approx
+
+    def fake(col, percentages, accuracy):
+        # arity-aware variant of _missed_first_bracket: the multi-cut
+        # helper asks for 2*len(qs) bounds in ONE call, so the first
+        # (sabotaged) call must return four values, all squeezed into a
+        # bracket no high cut can live in
+        calls.append(1)
+        if len(calls) == 1:
+            return real(col, lm.F.array(*[
+                lm.F.lit(v) for v in (0.0, 0.01, 0.0, 0.01)]), accuracy)
+        return real(col, percentages, accuracy)
+
+    monkeypatch.setattr(lm.F, "percentile_approx", fake)
+    data = [(i, float(v)) for i, v in enumerate(
+        [5, 3, 3, 3, 9, 1, 7, 7, 2, 8, 0, 4, 4, 6, 6, 6, 6, 10])]
+    df = spark.createDataFrame(data, "id long, score double")
+    scored, cuts = lm._rank_cut_pairs(df, "score", "id", (0.5, 0.9))
+    assert len(calls) >= 2, "missed bracket did not trigger a retry"
+    for q in (0.5, 0.9):
+        v, i = cuts[q]
+        got = {r["id"]: r["sel"] for r in scored.select(
+            "id", ((F.col("score") > F.lit(v))
+                   | ((F.col("score") == F.lit(v))
+                      & (F.col("id") >= F.lit(i)))).cast("int").alias("sel")
+        ).collect()}
+        w = Window.orderBy("score", "id")
+        want = {r["id"]: r["sel"] for r in df.withColumn(
+            "sel", (F.percent_rank().over(w) >= q).cast("int")).collect()}
+        assert got == want, f"q={q}"
+
+
+def test_curriculum_stages_balanced_and_keyed(spark):
+    """At SF_DIR every quartile stage is populated (non-vacuous), sizes
+    are within quartile bounds (ties can only GROW a value-bucket), and
+    shuffle_key is deterministic across invocations."""
+    from tank_spark.llm.lm import curriculum_quality_stages
+
+    rows = curriculum_quality_stages(spark, SF_DIR).collect()
+    by_stage: dict[int, int] = {}
+    for r in rows:
+        by_stage[r["stage"]] = by_stage.get(r["stage"], 0) + 1
+    assert set(by_stage) == {0, 1, 2, 3}
+    n = len(rows)
+    assert all(c >= n // 8 for c in by_stage.values()), by_stage
+    again = {r["doc_id"]: r["shuffle_key"]
+             for r in curriculum_quality_stages(spark, SF_DIR).collect()}
+    assert {r["doc_id"]: r["shuffle_key"] for r in rows} == again

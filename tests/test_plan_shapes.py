@@ -474,3 +474,31 @@ def test_media_dedup_apply_report_plans_stay_clean(spark):
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
     rep = _plan(media_dedup_report(spark, SF_DIR))
     assert "partial" in rep.lower(), rep[:2000]
+
+
+def test_curriculum_stages_plan_is_map_only(spark):
+    """Curriculum staging must return a MAP-ONLY plan (VERDICT r6 #2
+    posture, multi-cut form): the quartile thresholds are pinned eagerly
+    by the batched bracket recipe, so the returned plan carries no
+    Window, no Sort, and no Exchange — at 100 TB it is a pure projection
+    over the corpus scan."""
+    from tank_spark.llm.lm import curriculum_quality_stages
+
+    df = curriculum_quality_stages(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert "Sort" not in plan
+    assert "Exchange" not in plan
+
+
+def test_quality_survivors_no_cartesian(spark):
+    """The quality-survivor pick stays inside the banded-join posture:
+    no cartesian/nested-loop join anywhere in the end-to-end plan, and
+    the component aggregation is partially aggregated (map-side combine)
+    before its shuffle."""
+    from tank_spark.llm.dedup import dedup_quality_survivors
+
+    plan = _plan(dedup_quality_survivors(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_" in plan  # map-side partial agg feeds the groupBy

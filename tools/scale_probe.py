@@ -56,6 +56,10 @@ PROBES = [
     # apply/report arc of cross-modality media dedup
     "dedup_incremental_stream_replay",
     "media_dedup_apply", "media_dedup_report",
+    # late-r8 additions: quality-aware canonical pick, curriculum
+    # staging (batched rank cuts), token-frequency spectrum
+    "dedup_quality_survivors", "curriculum_quality_stages",
+    "token_freq_spectrum",
 ]
 
 
