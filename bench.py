@@ -50,6 +50,10 @@ HEADLINE = [
     # r8 addition: delta dedup against the corpus index (broadcast
     # probes; the honest cost is the one index scan + band join)
     "dedup_incremental_batch",
+    # late-r8 additions: quality-aware canonical pick (rides the capped
+    # pair + CC plan), map-only curriculum staging, token spectrum
+    "dedup_quality_survivors", "curriculum_quality_stages",
+    "token_freq_spectrum",
     "tile_mvt_batch",
     # BENCH-ONLY entry: full-fidelity z7 overview encode. NOT a serving
     # path (serving uses the budgeted sample below OVERVIEW_ZOOM — the
