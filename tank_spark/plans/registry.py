@@ -181,6 +181,25 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # media_dedup_survivors pipeline), then early r5-green entries as space
 # allows (r5 rows stay fresh through r8; the family is DUE in the r9
 # window, where it must lead).
+# Round-9 queue (computed from CORRECTNESS_r* history at the end of r8;
+# staleness bound = max(3, ceil(174/50)) = 4, so every entry whose last
+# driver row is r5 and that is not in the r8 window is DUE in r9 — the
+# r9 window MUST lead with these 41, leaving 9 slots for r9-changed/new
+# ops): ann_lsh_buckets, approx_sketches_demo, bloom_decontaminate,
+# bm25_rank_topk, bpe_train_merges, cluster_balanced_sample,
+# cms_heavy_hitters, dedup_containment_pairs, dedup_lsh_pairs_capped,
+# dedup_lsh_pairs_uncapped, dedup_minhash_lsh_pairs,
+# dedup_minhash_lsh_pairs_k128, dedup_multiplicity, dedup_simhash64,
+# doc_fingerprint, doc_winnow_fingerprints, ivf_assignments,
+# ivf_recall_eval, knn_brute_cosine, lang_id_stopwords,
+# lm_cross_source_divergence, lm_surprisal_score, lsh_recall_eval,
+# neardup_cosine_pairs, pq_encode_codes, pq_recall_eval,
+# salted_user_event_counts, sessionize_events, streaming_session_windows,
+# streaming_windowed_counts, text_quality_score, text_stats,
+# tile_mvt_batch, tile_sample_overview, top_bigrams,
+# top_distinctive_terms, top_words_per_lang, train_eval_split,
+# tumbling_hourly_counts, user_funnel_signup_purchase,
+# weekly_retention_cohorts.
 PRIORITY: tuple[str, ...] = (
     # ---- changed this round: the multimodal family gained FULL DuckDB
     # oracles (VERDICT r7 #1 — media_sql.py re-derives every stub hash/
