@@ -1608,9 +1608,9 @@ def dedup_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").alias("doc_id"), "fp", "band_idx", "band_val")
 
 
-@register(
-    "dedup_incremental_batch",
-    f"""
+# the full batch-disposition oracle, module-level so the per-source
+# report below can nest it as a subquery CTE
+_INC_BATCH_ORACLE = f"""
     WITH {_INC_CORPUS_CTE}, {_SHINGLES_SQL}, {_sig_sql()}, {_bands_sql()},
     fps AS (SELECT cid, {_NORM_SQL} AS fp FROM corpus),
     bfp AS (SELECT cid, fp FROM fps WHERE cid >= {INC_BATCH_OFFSET}),
@@ -1652,7 +1652,12 @@ def dedup_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN exact e ON b.cid = e.bcid
     LEFT JOIN inb i2 ON b.cid = i2.bcid
     LEFT JOIN near n ON b.cid = n.bcid
-    """,
+    """
+
+
+@register(
+    "dedup_incremental_batch",
+    _INC_BATCH_ORACLE,
     doc="Incremental (delta) dedup: disposition every new-batch doc "
         "against the existing corpus index WITHOUT pairwise work on the "
         "corpus — exact_dup_of_index (normalized fingerprint already in "
@@ -1753,6 +1758,63 @@ def disposition_against_index(
             F.coalesce(F.col("n_bands_hit"), F.lit(0)).cast("int")
             .alias("n_bands_hit"),
         )
+    )
+
+
+@register(
+    "dedup_incremental_report",
+    f"""
+    WITH batch AS ({_INC_BATCH_ORACLE}),
+    src AS (
+      SELECT d.source, b.disposition, b.match_cid
+      FROM batch b
+      JOIN documents d ON d.doc_id = b.doc_id % {INC_BATCH_OFFSET}
+    ),
+    agg AS (
+      SELECT source, disposition,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT match_cid) AS BIGINT) AS n_matched_distinct
+      FROM src GROUP BY source, disposition
+    ),
+    tot AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_src
+            FROM agg GROUP BY source)
+    SELECT a.source, a.disposition, a.n_docs,
+           CAST(ROUND(a.n_docs * 1000000.0 / t.n_src, 0) AS BIGINT)
+             AS share_ppm,
+           a.n_matched_distinct
+    FROM agg a JOIN tot t ON a.source = t.source
+    """,
+    doc="The curation REPORT over incremental dedup — what a crawl "
+        "operator actually reads each morning: per (source, "
+        "disposition), how many batch docs landed there, the share of "
+        "that source's batch (ppm, integer-exact), and how many DISTINCT "
+        "existing docs they matched (re-crawl concentration). Completes "
+        "the detect -> report arc for the incremental family, mirroring "
+        "media_dedup_report. Provenance comes back through the high-bit "
+        "id convention (orig doc_id = cid % INC_BATCH_OFFSET). Scale "
+        "shape: the batch disposition output is batch-bounded, so it "
+        "BROADCASTS into the documents join; the per-source totals are "
+        "a source-cardinality aggregate.",
+)
+def dedup_incremental_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = dedup_incremental_batch(spark, sf_dir).select(
+        (F.col("doc_id") % INC_BATCH_OFFSET).alias("orig"),
+        "disposition", "match_cid",
+    )
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("orig"), "source")
+    src = d.join(F.broadcast(b), "orig").select(
+        "source", "disposition", "match_cid")
+    agg = src.groupBy("source", "disposition").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("match_cid").alias("n_matched_distinct"),
+    )
+    tot = agg.groupBy("source").agg(F.sum("n_docs").cast("long").alias("n_src"))
+    return agg.join(F.broadcast(tot), "source").select(
+        "source", "disposition", "n_docs",
+        F.round(F.col("n_docs") * 1000000.0 / F.col("n_src"), 0)
+        .cast("long").alias("share_ppm"),
+        "n_matched_distinct",
     )
 
 

@@ -502,3 +502,16 @@ def test_quality_survivors_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_" in plan  # map-side partial agg feeds the groupBy
+
+
+def test_incremental_report_stays_broadcast(spark):
+    """The per-source curation report adds one documents join + two
+    tiny aggregates on top of the batch disposition output — all of it
+    must stay broadcast (the disposition relation and the per-source
+    totals are batch/source-bounded): no SortMergeJoin, no cartesian."""
+    from tank_spark.llm.dedup import dedup_incremental_report
+
+    plan = _plan(dedup_incremental_report(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
