@@ -200,6 +200,9 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # top_distinctive_terms, top_words_per_lang, train_eval_split,
 # tumbling_hourly_counts, user_funnel_signup_purchase,
 # weekly_retention_cohorts.
+# Of the 9 remaining r9 slots, one should go to dedup_incremental_report
+# (registered late r8, full oracle, no driver row yet); the rest to
+# r9-changed/new ops.
 PRIORITY: tuple[str, ...] = (
     # ---- changed this round: the multimodal family gained FULL DuckDB
     # oracles (VERDICT r7 #1 — media_sql.py re-derives every stub hash/
