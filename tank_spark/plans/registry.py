@@ -199,10 +199,9 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # tile_mvt_batch, tile_sample_overview, top_bigrams,
 # top_distinctive_terms, top_words_per_lang, train_eval_split,
 # tumbling_hourly_counts, user_funnel_signup_purchase,
-# weekly_retention_cohorts.
-# Of the 9 remaining r9 slots, one should go to dedup_incremental_report
-# (registered late r8, full oracle, no driver row yet); the rest to
-# r9-changed/new ops.
+# weekly_retention_cohorts — plus dedup_lsh_clusters_uncapped (r5 row;
+# yielded its r8 slot to dedup_incremental_report): 42 due, 8 free
+# slots for r9-changed/new ops.
 PRIORITY: tuple[str, ...] = (
     # ---- changed this round: the multimodal family gained FULL DuckDB
     # oracles (VERDICT r7 #1 — media_sql.py re-derives every stub hash/
@@ -218,7 +217,11 @@ PRIORITY: tuple[str, ...] = (
     # lsh_components' convergence sum went DECIMAL(38,0) (high-bit ids)
     "dsir_importance_weights", "quality_top_quantile_per_source",
     "dedup_lsh_clusters", "dedup_lsh_clusters_capped",
-    "dedup_lsh_clusters_uncapped", "dedup_lsh_survivors",
+    # (dedup_lsh_clusters_uncapped — the recall-strict parameter twin of
+    # the same changed lsh_components path, which keeps three in-window
+    # consumers — yielded its slot to the late-r8 incremental report and
+    # joins the r9-due queue with its r5 row)
+    "dedup_lsh_survivors",
     # ---- the 23 r4-green entries due this round (staleness bound 4:
     # last driver row r4; media_extract_features is counted above)
     "chunk_documents", "cross_source_duplication", "decontaminate_train_eval",
@@ -254,6 +257,9 @@ PRIORITY: tuple[str, ...] = (
     # corpus token-frequency spectrum (counts-of-counts audit)
     "dedup_quality_survivors", "curriculum_quality_stages",
     "token_freq_spectrum",
+    # ---- NEW late r8: the per-source curation report over incremental
+    # dedup (detect -> report arc; took the uncapped-clusters slot)
+    "dedup_incremental_report",
 )
 
 

@@ -408,3 +408,46 @@ def test_curriculum_stages_balanced_and_keyed(spark):
     again = {r["doc_id"]: r["shuffle_key"]
              for r in curriculum_quality_stages(spark, SF_DIR).collect()}
     assert {r["doc_id"]: r["shuffle_key"] for r in rows} == again
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("vals", [
+    [4.0] * 12,                                    # all-equal: band = whole relation
+    [1.0] * 9 + [2.0] * 3,                         # two-value mass straddling cuts
+    [float(i) for i in range(16)],                 # strictly monotone, no ties
+    [0.0] * 15 + [100.0],                          # single outlier at the top
+    [-5.0, -5.0, -5.0, 0.0, 0.0, 7.5],             # negatives + ties, tiny n
+])
+@_pytest.mark.parametrize("qs", [(0.0, 1.0), (0.25, 0.5, 0.75), (0.9,)])
+def test_rank_cut_pairs_pathological_distributions(spark, vals, qs):
+    """The multi-cut helper must stay bit-identical to the window form on
+    the distributions that break approx-quantile recipes: total tie mass
+    (the bracket degenerates to the whole relation — correct, documented
+    as no longer cheap), step functions straddling a cut, and q edge
+    values 0/1 (percent_rank >= 0 selects everything; >= 1 only the max
+    pair)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tank_spark.llm.lm import _rank_cut_pairs
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, score double")
+    scored, cuts = _rank_cut_pairs(df, "score", "id", qs)
+    for q in qs:
+        pair = cuts[q]
+        if pair is None:
+            sel = F.lit(0)
+        else:
+            v, i = pair
+            sel = ((F.col("score") > F.lit(v))
+                   | ((F.col("score") == F.lit(v))
+                      & (F.col("id") >= F.lit(i)))).cast("int")
+        got = {r["id"]: r["s"]
+               for r in scored.select("id", sel.alias("s")).collect()}
+        w = Window.orderBy("score", "id")
+        want = {r["id"]: r["s"] for r in df.withColumn(
+            "s", (F.percent_rank().over(w) >= q).cast("int")).collect()}
+        assert got == want, f"vals={vals} q={q}"
