@@ -519,3 +519,134 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_docs", "n_tokens", "w_micro",
                 "share_permicro", "target_tokens", "epochs_permille")
     )
+
+
+# -------------------------------------------------------------- export
+
+# Checked shard sizing: 2 sequences (512 tokens) per shard so every SF
+# yields multiple shards per source (the synthetic sources carry ~1.4k
+# tokens each at sf0.001/sf0.01). Production uses the same arithmetic
+# with thousands of sequences per shard.
+SHARD_SEQS = 2
+SHARD_TOKENS = SEQ_BUDGET * SHARD_SEQS
+
+
+@register(
+    "export_shard_plan",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_NTOK_SQL} AS n_tokens FROM documents
+      WHERE {_NTOK_SQL} > 0
+    ),
+    off AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
+      FROM tok
+    ),
+    spans AS (
+      SELECT doc_id, source, n_tokens, start_off,
+             start_off // {SHARD_TOKENS} AS shard_first,
+             (start_off + n_tokens - 1) // {SHARD_TOKENS} AS shard_last
+      FROM off
+    ),
+    x AS (
+      SELECT source, doc_id, n_tokens, start_off,
+             unnest(generate_series(shard_first, shard_last)) AS shard_id
+      FROM spans
+    )
+    SELECT source, shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEAST(start_off + n_tokens,
+                          (shard_id + 1) * {SHARD_TOKENS})
+                    - GREATEST(start_off, shard_id * {SHARD_TOKENS}))
+                AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM x GROUP BY source, shard_id
+    """,
+    doc=f"The EXPORT step of the training pipeline: the packed per-source "
+        f"token stream (pack_token_budget's arithmetic) chunked into "
+        f"{SHARD_TOKENS}-token shards ({SHARD_SEQS} x {SEQ_BUDGET}-token "
+        "sequences), with each shard's exact token mass (integer overlap "
+        "of every doc's token range with the shard range — docs straddle "
+        "shard boundaries like they straddle sequences), doc count, and "
+        "doc-id span. write_training_shards materializes it. Scale "
+        "shape: the per-source window is the packing shuffle already "
+        "paid; the shard fan-out explodes each doc to the 1-2 shards it "
+        "touches; the aggregate is map-side combined on (source, "
+        "shard_id) — shard count is corpus_tokens / SHARD_TOKENS, the "
+        "natural write parallelism.",
+)
+def export_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = _shard_spans(spark, sf_dir)
+    x = spans.select(
+        "source", "doc_id", "n_tokens", "start_off",
+        F.explode(F.sequence("shard_first", "shard_last")).alias("shard_id"),
+    )
+    ov = (
+        F.least(F.col("start_off") + F.col("n_tokens"),
+                (F.col("shard_id") + 1) * F.lit(SHARD_TOKENS))
+        - F.greatest(F.col("start_off"),
+                     F.col("shard_id") * F.lit(SHARD_TOKENS))
+    )
+    return x.groupBy("source", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ov).cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def _shard_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_tokens, start_off, shard_first, shard_last) —
+    pack_token_budget's offset arithmetic extended with the shard span
+    each doc's token range covers. Deliberately EXCLUDES text: the
+    running-sum window shuffles on source, and carrying payloads through
+    that sort made the 100x probe superlinear (37-72s); on the skinny
+    relation the window moves 3 longs + a string key per doc. The writer
+    joins text back on doc_id AFTER the arithmetic."""
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0))).cast("long")
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tok = (
+        d.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    off = tok.withColumn(
+        "start_off", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    )
+    return (
+        off.withColumn("shard_first", F.expr(f"start_off DIV {SHARD_TOKENS}"))
+        .withColumn(
+            "shard_last", F.expr(f"(start_off + n_tokens - 1) DIV {SHARD_TOKENS}"))
+    )
+
+
+def write_training_shards(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Materialize the export: every non-empty doc written ONCE, into the
+    shard where its token range STARTS (a straddling doc's tail is read
+    from the preceding shard at load time, exactly how sequence-packed
+    trainers consume shard streams), as parquet partitioned by
+    (source, shard_id) — the physical layout export_shard_plan plans.
+    Text joins in on doc_id AFTER the offset window (see _shard_spans),
+    so payload bytes move through exactly one shuffle: the write
+    repartition on the partition key. Deterministic: same corpus ->
+    byte-identical shard assignment, so re-runs and resumed export jobs
+    converge (overwrite mode)."""
+    spans = _shard_spans(spark, sf_dir)
+    text = load(spark, sf_dir, "documents").select("doc_id", "text")
+    (
+        spans.select(
+            "doc_id", "n_tokens", "start_off", "source",
+            F.col("shard_first").alias("shard_id"),
+        )
+        .join(text, "doc_id")
+        .repartition("source", "shard_id")
+        .write.mode("overwrite")
+        .partitionBy("source", "shard_id")
+        .parquet(out_dir)
+    )

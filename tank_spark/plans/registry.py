@@ -199,9 +199,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # tile_mvt_batch, tile_sample_overview, top_bigrams,
 # top_distinctive_terms, top_words_per_lang, train_eval_split,
 # tumbling_hourly_counts, user_funnel_signup_purchase,
-# weekly_retention_cohorts — plus dedup_lsh_clusters_uncapped (r5 row;
-# yielded its r8 slot to dedup_incremental_report): 42 due, 8 free
-# slots for r9-changed/new ops.
+# weekly_retention_cohorts — plus dedup_lsh_clusters_uncapped and
+# dedup_lsh_clusters_capped (r5 rows; yielded their r8 slots to the
+# late-r8 dedup_incremental_report and export_shard_plan): 43 due,
+# 7 free slots for r9-changed/new ops.
 PRIORITY: tuple[str, ...] = (
     # ---- changed this round: the multimodal family gained FULL DuckDB
     # oracles (VERDICT r7 #1 — media_sql.py re-derives every stub hash/
@@ -216,11 +217,12 @@ PRIORITY: tuple[str, ...] = (
     # NULL scores and localCheckpoint instead of leaking persists;
     # lsh_components' convergence sum went DECIMAL(38,0) (high-bit ids)
     "dsir_importance_weights", "quality_top_quantile_per_source",
-    "dedup_lsh_clusters", "dedup_lsh_clusters_capped",
-    # (dedup_lsh_clusters_uncapped — the recall-strict parameter twin of
-    # the same changed lsh_components path, which keeps three in-window
-    # consumers — yielded its slot to the late-r8 incremental report and
-    # joins the r9-due queue with its r5 row)
+    "dedup_lsh_clusters",
+    # (dedup_lsh_clusters_uncapped and _capped — parameter twins of the
+    # same changed lsh_components path, which keeps in-window consumers
+    # via clusters/survivors plus the image/media survivor chain —
+    # yielded their slots to the late-r8 incremental report and export
+    # plan; both join the r9-due queue with their r5 rows)
     "dedup_lsh_survivors",
     # ---- the 23 r4-green entries due this round (staleness bound 4:
     # last driver row r4; media_extract_features is counted above)
@@ -260,6 +262,10 @@ PRIORITY: tuple[str, ...] = (
     # ---- NEW late r8: the per-source curation report over incremental
     # dedup (detect -> report arc; took the uncapped-clusters slot)
     "dedup_incremental_report",
+    # ---- NEW late r8: the EXPORT step — packed token stream chunked
+    # into shards with exact integer token-mass accounting (took the
+    # capped-clusters slot); write_training_shards materializes it
+    "export_shard_plan",
 )
 
 

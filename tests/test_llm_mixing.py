@@ -479,3 +479,62 @@ def test_temperature_weights_petabyte_no_overflow(spark):
         assert out[s]["share_permicro"] == share
         assert out[s]["target_tokens"] == target
         assert out[s]["epochs_permille"] == epochs
+
+
+def test_export_shards_conserve_tokens(spark):
+    """Every corpus token lands in EXACTLY one shard: the plan's total
+    token mass must equal the corpus token count, and each (source,
+    shard) mass must be positive and <= SHARD_TOKENS."""
+    from pyspark.sql import functions as F
+
+    from tank_spark.llm.mixing import SHARD_TOKENS, export_shard_plan
+    from tank_spark.sources.tables import load
+
+    plan = export_shard_plan(spark, SF_DIR).collect()
+    assert plan
+    total = load(spark, SF_DIR, "documents").select(
+        F.sum(F.size(F.regexp_extract_all(
+            "text", F.lit(r"\S+"), F.lit(0)))).alias("n")).first()["n"]
+    assert sum(r["n_tokens"] for r in plan) == total
+    for r in plan:
+        assert 0 < r["n_tokens"] <= SHARD_TOKENS
+    # non-vacuous: sources split into multiple shards at this SF
+    by_src = {}
+    for r in plan:
+        by_src.setdefault(r["source"], []).append(r["shard_id"])
+    assert all(len(s) >= 2 for s in by_src.values())
+    # shard ids are dense per source (0..max, no gaps — the packed
+    # stream has no holes)
+    for s, ids in by_src.items():
+        assert sorted(ids) == list(range(len(ids))), s
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    """The materialized export matches the plan: every non-empty doc is
+    written exactly once, into the shard where its token range starts,
+    and the partition layout reconstructs the plan's doc spans."""
+    from pyspark.sql import functions as F
+
+    from tank_spark.llm.mixing import (
+        SHARD_TOKENS, export_shard_plan, write_training_shards)
+    from tank_spark.sources.tables import load
+
+    out = str(tmp_path / "shards")
+    write_training_shards(spark, SF_DIR, out)
+    back = spark.read.parquet(out)
+    n_nonempty = load(spark, SF_DIR, "documents").filter(
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0))) > 0
+    ).count()
+    assert back.count() == n_nonempty
+    assert back.select("doc_id").distinct().count() == n_nonempty
+    # partition assignment is the plan's arithmetic
+    bad = back.filter(
+        F.expr(f"start_off DIV {SHARD_TOKENS}") != F.col("shard_id")).count()
+    assert bad == 0
+    # every doc STARTING in a shard is within the plan's doc span there
+    plan = {(r["source"], r["shard_id"]): r
+            for r in export_shard_plan(spark, SF_DIR).collect()}
+    for r in back.groupBy("source", "shard_id").agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect():
+        p = plan[(r["source"], r["shard_id"])]
+        assert p["first_doc"] <= r["lo"] and r["hi"] <= p["last_doc"]
