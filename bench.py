@@ -39,7 +39,7 @@ HEADLINE = [
     "bm25_rank_topk", "doc_winnow_fingerprints",
     # r5 late additions: LM quality scoring + compressed-domain ANN +
     # engine-exact sketches (all probed at sf0.1 in-session: 1.3s/0.8s)
-    "lm_surprisal_score", "pq_adc_topk",
+    "lm_surprisal_score", "pq_encode_codes", "pq_adc_topk",
     "bloom_decontaminate", "cms_heavy_hitters",
     # r7 additions: DSIR with the scale-safe selection cut (the eager
     # threshold jobs are part of its honest cost), pHash image near-dup,
@@ -51,9 +51,10 @@ HEADLINE = [
     # probes; the honest cost is the one index scan + band join)
     "dedup_incremental_batch",
     # late-r8 additions: quality-aware canonical pick (rides the capped
-    # pair + CC plan), map-only curriculum staging, token spectrum
+    # pair + CC plan), map-only curriculum staging, token spectrum,
+    # and the shard-export accounting plan
     "dedup_quality_survivors", "curriculum_quality_stages",
-    "token_freq_spectrum",
+    "token_freq_spectrum", "export_shard_plan",
     "tile_mvt_batch",
     # BENCH-ONLY entry: full-fidelity z7 overview encode. NOT a serving
     # path (serving uses the budgeted sample below OVERVIEW_ZOOM — the
