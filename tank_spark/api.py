@@ -242,11 +242,42 @@ class Tank:
         (bucket-pruned CoW; a feature re-ingested at a NEW position keeps
         its old row, exactly as a changed Cassandra partition key would).
         The returned dict then carries a ``replaced`` count."""
-        from tank_spark.streaming.ingest import attr_wire_schema, coerce_features
+        from tank_spark.streaming.ingest import attr_wire_schema
 
         raw = self.spark.read.schema(attr_wire_schema(self.attr_fields)).json(
             self.spark.sparkContext.parallelize(ndjson_rows)
         )
+        return self._ingest_raw(raw, upsert=upsert)
+
+    def ingest_csv(self, csv_path: str | None = None,
+                   csv_rows: list[str] | None = None,
+                   upsert: bool = False) -> dict:
+        """CSV bulk ingest — the same wire columns as the NDJSON route
+        (header: id,lon,lat,geometry,<attrs...>), REAL CSV semantics
+        (quoted fields may carry commas/newlines, empty unquoted fields
+        are missing values), then the identical coercion + dead-letter +
+        hash + store path via _ingest_raw. The reference has no CSV
+        route; this is the extension surface's 'another source format'
+        (SURVEY §2.11 posture) — crawl/export tooling emits CSV as often
+        as NDJSON. Scale shape: spark.read.csv is a splittable
+        distributed scan (unlike the reference's single-threaded spool
+        reader), so a 100 TB drop parallelizes by file/block."""
+        from tank_spark.streaming.ingest import attr_wire_schema
+
+        schema = attr_wire_schema(self.attr_fields)
+        reader = self.spark.read.schema(schema).option("header", True)
+        if csv_path is not None:
+            raw = reader.csv(csv_path)
+        else:
+            raw = reader.csv(self.spark.sparkContext.parallelize(csv_rows or []))
+        return self._ingest_raw(raw, upsert=upsert)
+
+    def _ingest_raw(self, raw, upsert: bool = False) -> dict:
+        """Shared store tail of every bulk route (NDJSON/GeoJSON/CSV):
+        coerce + dead-letter split + schema-align + optional upsert CoW +
+        bucketed append + cache invalidation."""
+        from tank_spark.streaming.ingest import coerce_features
+
         coerced = coerce_features(raw, self.attr_fields).localCheckpoint(eager=True)
         ok = coerced.filter(~F.col("rejected")).drop("rejected")
         bad = coerced.filter(F.col("rejected")).drop("rejected", "hash")

@@ -410,3 +410,45 @@ def test_update_move_invalidates_destination_tile(spark, tmp_path):
     # source must no longer serve it
     feats_a1 = mvtmod.decode(t.tile_mvt(13, ax, ay))["io.marauder.tank"]["features"]
     assert not has_marker(feats_a1)
+
+
+def test_ingest_csv_route(tank, tmp_path):
+    """CSV bulk ingest: same wire columns and coercion as NDJSON, but
+    through REAL CSV semantics — a quoted field carrying a comma, empty
+    unquoted fields as missing values (defaults, NOT rejects), and an
+    uncoercible attr tripping the dead-letter split. File-based and
+    inline-rows forms must behave identically."""
+    rows = [
+        "id,lon,lat,geometry,kind,score,cnt,tag",
+        'csv-1,-123.5,38.5,,"poi,main",7.5,3,alpha',   # quoted comma in kind
+        "csv-2,-123.6,38.6,,road,,,",                   # missing attrs -> defaults
+        "csv-bad,-123.7,38.7,,poi,not-a-number,1,x",    # score dead-letters
+    ]
+    res = tank.ingest_csv(csv_rows=rows)
+    assert res == {"accepted": 2, "rejected": 1}
+    got = tank.get_feature("csv-1").collect()[0]
+    assert got["kind"] == "poi,main" and got["score"] == 7.5 and got["cnt"] == 3
+    d2 = tank.get_feature("csv-2").collect()[0]
+    assert d2["score"] == 0.0 and d2["cnt"] == 0 and d2["tag"] == ""
+
+    # file-based form: write the same payload to disk, new ids
+    p = tmp_path / "drop.csv"
+    p.write_text(
+        "id,lon,lat,geometry,kind,score,cnt,tag\n"
+        'csv-f1,-122.5,37.5,,"a,b",1.5,2,t\n'
+        "csv-f2,-122.6,37.6,,road,bad!,2,t\n"
+    )
+    res2 = tank.ingest_csv(csv_path=str(p))
+    assert res2 == {"accepted": 1, "rejected": 1}
+    assert tank.get_feature("csv-f1").count() == 1
+
+    # the CSV-ingested feature renders in its own tile (serve-path parity
+    # with the NDJSON route: full geometry/key column set stored)
+    from tank_spark.geom import mvt as mvtmod
+    from tank_spark.geom import tilemath
+    ix, iy = tilemath.tile_number(38.5, -123.5, 13)
+    layer = mvtmod.decode(tank.tile_mvt(13, ix, iy))["io.marauder.tank"]
+    assert any(
+        f.get("props", {}).get("kind") == "poi,main"
+        for f in layer["features"]
+    )
