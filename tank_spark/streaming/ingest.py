@@ -193,6 +193,7 @@ def start_ingest_stream(
     max_files_per_trigger: int = 2,
     attr_fields: str = DEFAULT_ATTR_FIELDS,
     upsert: bool = False,
+    wire_format: str = "json",
 ):
     """Start the drop-dir ingest stream. Returns the StreamingQuery.
 
@@ -201,6 +202,9 @@ def start_ingest_stream(
     valid/dead-letter split the reference does per feature.
     ``attr_fields`` declares the layer's attribute schema (name + type) —
     the same declaration drives wire parsing and coercion.
+    ``wire_format``: "json" (NDJSON, the reference's wire) or "csv"
+    (header CSV with the same wire columns — api.Layer.ingest_csv's
+    format, streamed); both feed the identical coercion path.
 
     ``upsert``: CDC-style apply for a primary_keys="uid" layer
     (api.Tank.ingest_features docstring): each micro-batch first removes
@@ -211,11 +215,16 @@ def start_ingest_stream(
     False = the versioned-append parity of the reference's default
     "uid, timestamp" clustering.
     """
-    raw = (
+    if wire_format not in ("json", "csv"):
+        raise ValueError(f"unsupported wire_format: {wire_format!r}")
+    reader = (
         spark.readStream.schema(attr_wire_schema(attr_fields))
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .json(drop_dir)
     )
+    if wire_format == "csv":
+        raw = reader.option("header", True).csv(drop_dir)
+    else:
+        raw = reader.json(drop_dir)
     coerced = coerce_features(raw, attr_fields)
 
     def sink(batch: DataFrame, epoch_id: int) -> None:

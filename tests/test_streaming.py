@@ -417,3 +417,37 @@ def test_ingest_stream_upsert_mode(spark, tmp_dirs):
         by_uid.setdefault(r["uid"], []).append(r)
     assert len(by_uid["a"]) == 1 and by_uid["a"][0]["score"] == 9.0
     assert len(by_uid["b"]) == 1 and by_uid["b"][0]["score"] == 2.0
+
+
+def test_ingest_stream_csv_wire(spark, tmp_dirs):
+    """The drop-dir stream speaks CSV too (wire_format='csv'): header
+    files, quoted commas, and the dead-letter split — identical coercion
+    path to NDJSON; the checkpoint still prevents reprocessing across
+    restarts."""
+    from tank_spark.streaming.ingest import start_ingest_stream
+
+    with open(f"{tmp_dirs['drop']}/f1.csv", "w") as fh:
+        fh.write(
+            "id,lon,lat,geometry,kind,score,cnt,tag\n"
+            'c1,1.0,1.0,,"poi,main",7.5,3,t\n'
+            "c-bad,2.0,2.0,,road,zzz,1,t\n"
+        )
+    q = start_ingest_stream(spark, tmp_dirs["drop"], tmp_dirs["table"],
+                            tmp_dirs["rejects"], tmp_dirs["ckpt"],
+                            wire_format="csv")
+    q.awaitTermination(60)
+    ok = spark.read.parquet(tmp_dirs["table"])
+    assert ok.count() == 1
+    row = ok.collect()[0]
+    assert row["uid"] == "c1" and row["kind"] == "poi,main"
+    assert spark.read.parquet(tmp_dirs["rejects"]).count() == 1
+
+    with open(f"{tmp_dirs['drop']}/f2.csv", "w") as fh:
+        fh.write("id,lon,lat,geometry,kind,score,cnt,tag\n"
+                 "c2,3.0,3.0,,road,1.0,1,t\n")
+    q2 = start_ingest_stream(spark, tmp_dirs["drop"], tmp_dirs["table"],
+                             tmp_dirs["rejects"], tmp_dirs["ckpt"],
+                             wire_format="csv")
+    q2.awaitTermination(60)
+    df = spark.read.parquet(tmp_dirs["table"])
+    assert set(r["uid"] for r in df.collect()) == {"c1", "c2"}
