@@ -847,7 +847,36 @@ def lsh_components(pairs: DataFrame, max_iter: int = 25,
         "the recall-strict opt-out.",
 )
 def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lsh_components(minhash_lsh_pairs(spark, sf_dir).select("cid_a", "cid_b"))
+    return default_lsh_clusters(spark, sf_dir)
+
+
+_CC_CACHE: dict[tuple, list] = {}
+
+
+def default_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The default-config (capped) LSH cluster relation, memoized per
+    (session, sf_dir) with the same fingerprint-keyed eviction as
+    _SIGS_CACHE: three registered consumers (clusters, min-id survivors,
+    quality survivors) plus ad-hoc reporting all need the SAME
+    components, and a production pipeline computes clusters ONCE per
+    snapshot and reuses the artifact. The cached relation is a
+    localCheckpoint leaf — the CC loop's own checkpoints make it
+    lineage-free already, so this only pins the final (cid, component,
+    is_canonical) table (pair-graph-node-bounded, tiny next to the
+    corpus)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    fp = _docs_fingerprint(sf_dir)
+    entry = _CC_CACHE.get(key)
+    if entry is not None and entry[0] != fp:
+        del _CC_CACHE[key]
+        entry = None
+    if entry is None:
+        df = lsh_components(
+            minhash_lsh_pairs(spark, sf_dir).select("cid_a", "cid_b")
+        ).localCheckpoint(eager=True)
+        entry = [fp, df]
+        _CC_CACHE[key] = entry
+    return entry[1]
 
 
 @register(
@@ -934,7 +963,7 @@ def dedup_lsh_clusters_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_lsh_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = corpus_df(spark, sf_dir)
-    clusters = lsh_components(minhash_lsh_pairs(spark, sf_dir).select("cid_a", "cid_b"))
+    clusters = default_lsh_clusters(spark, sf_dir)
     removed = clusters.filter(F.col("is_canonical") == 0).select("cid")
     kept = c.join(removed, "cid", "left_anti")
     return kept.agg(
@@ -1026,8 +1055,7 @@ def dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tank_spark.llm.text import quality_col
 
     c = corpus_df(spark, sf_dir)
-    clusters = lsh_components(
-        minhash_lsh_pairs(spark, sf_dir).select("cid_a", "cid_b"))
+    clusters = default_lsh_clusters(spark, sf_dir)
     return quality_pick(clusters, c.select("cid", quality_col().alias("q")))
 
 
