@@ -254,8 +254,10 @@ class Tank:
                    upsert: bool = False) -> dict:
         """CSV bulk ingest — the same wire columns as the NDJSON route
         (header: id,lon,lat,geometry,<attrs...>), REAL CSV semantics
-        (quoted fields may carry commas/newlines, empty unquoted fields
-        are missing values), then the identical coercion + dead-letter +
+        (quoted fields may carry commas, empty unquoted fields are
+        missing values; records are line-delimited — pass files through
+        spark.read.option("multiLine", True) upstream if quoted
+        newlines are needed), then the identical coercion + dead-letter +
         hash + store path via _ingest_raw. The reference has no CSV
         route; this is the extension surface's 'another source format'
         (SURVEY §2.11 posture) — crawl/export tooling emits CSV as often
