@@ -113,6 +113,30 @@ SHOW = [
                               "merge is two PER-DOC windows "
                               "(partitionBy doc_id — no global sort); "
                               "char offsets are map-side array folds"),
+    ("curriculum_quality_stages", "Curriculum staging (r8): the returned "
+                                  "plan is a MAP-ONLY projection against "
+                                  "six literal thresholds — no Window, no "
+                                  "Sort, no Exchange (the batched "
+                                  "rank-cut recipe pinned the quartile "
+                                  "pairs eagerly at build time)"),
+    ("dedup_quality_survivors", "Quality-aware canonical pick (r8): one "
+                                "equi-join of the memoized cluster "
+                                "artifact with per-doc quality + a "
+                                "partial-aggregated struct-max groupBy "
+                                "on component — no window, no sort, no "
+                                "cartesian"),
+    ("export_shard_plan", "Shard export accounting (r8): the running-sum "
+                          "window runs on a SKINNY (doc_id, source, "
+                          "n_tokens) relation (payloads join in later), "
+                          "shard fan-out is a 1-2 row explode per doc, "
+                          "and the (source, shard_id) aggregate is "
+                          "map-side combined"),
+    ("dedup_incremental_report", "Per-source curation report (r8): the "
+                                 "batch-bounded disposition relation "
+                                 "broadcasts into the documents join; "
+                                 "per-source totals are a source-"
+                                 "cardinality aggregate — no "
+                                 "SortMergeJoin in the chain"),
 ]
 
 KEEP = re.compile(
