@@ -422,9 +422,19 @@ def _select_top_quantile(
     # Precondition: order_col is non-null (ADVICE r7 — a NULL order value
     # would silently get selected=0 while the PERCENT_RANK window form
     # this claims bit-identity with ranks NULLS FIRST). Checked inside
-    # the count job this helper already pays for.
+    # the count job this helper already pays for. The FIRST bracket rides
+    # the same job (its quantile bounds depend only on q and accuracy,
+    # not on n) — at driver scale each of these whole-relation jobs costs
+    # a fixed ~0.15 s of launch latency over the checkpointed leaf, so
+    # fusing count+bracket removes one of the helper's four jobs
+    # (BENCH r8 DSIR adjudication).
+    margin = max(4.0 / accuracy, 1e-3)
+    qlo, qhi = max(0.0, q - margin), min(1.0, q + margin)
     cnts = scored.agg(
-        F.count(F.lit(1)).alias("n"), F.count(order_col).alias("nn")
+        F.count(F.lit(1)).alias("n"), F.count(order_col).alias("nn"),
+        F.percentile_approx(
+            order_col, F.array(F.lit(qlo), F.lit(qhi)), F.lit(accuracy)
+        ).alias("b"),
     ).first()
     n = cnts["n"]
     if cnts["nn"] != n:
@@ -442,14 +452,8 @@ def _select_top_quantile(
     k0 = r
     if k0 > n:
         return scored.withColumn("selected", F.lit(0).cast("int"))
-    margin = max(4.0 / accuracy, 1e-3)
+    t_lo, t_hi = cnts["b"]
     while True:
-        qlo, qhi = max(0.0, q - margin), min(1.0, q + margin)
-        t_lo, t_hi = scored.agg(
-            F.percentile_approx(
-                order_col, F.array(F.lit(qlo), F.lit(qhi)), F.lit(accuracy)
-            ).alias("b")
-        ).first()["b"]
         cnt = scored.agg(
             F.count(F.when(F.col(order_col) < t_lo, 1)).alias("c_lo"),
             F.count(F.when(F.col(order_col) <= t_hi, 1)).alias("c_hi"),
@@ -463,6 +467,12 @@ def _select_top_quantile(
         # (min, max), where c_lo = 0 < k0 <= n = c_hi always holds.
         assert (qlo, qhi) != (0.0, 1.0), "full-range bracket cannot miss"
         margin *= 2.0
+        qlo, qhi = max(0.0, q - margin), min(1.0, q + margin)
+        t_lo, t_hi = scored.agg(
+            F.percentile_approx(
+                order_col, F.array(F.lit(qlo), F.lit(qhi)), F.lit(accuracy)
+            ).alias("b")
+        ).first()["b"]
     w = Window.orderBy(order_col, id_col)
     thr = (
         band.repartition(1)
@@ -840,45 +850,60 @@ def curriculum_quality_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_select_top_quantile (approx-quantile band + exact boundary "
         "refinement + map-only filter; the oracle keeps the equivalent "
         "global PERCENT_RANK form). Scale shape: "
-        "both models are vocabulary-bounded word aggregates "
-        "(map-side-combined); the three corpus scalars come from ONE "
-        "single-row aggregate broadcast to the scoring join; the "
-        "scoring join keys on word and AQE picks the strategy (zipf-"
-        "concentrated model tables, same posture as lm_surprisal_score).",
+        "both models ride ONE vocabulary-bounded word aggregate (map-"
+        "side-combined; target counts as a conditional sum, so no "
+        "second shuffle); the three corpus scalars are exact integer "
+        "folds of that model table, pinned driver-side and inlined as "
+        "literals; the scoring join keys on word and AQE picks the "
+        "strategy (zipf-concentrated model table, same posture as "
+        "lm_surprisal_score).",
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD), F.lit(0))
     words = d.select("doc_id", "source", F.explode(ws).alias("word"))
-    # doc_w is the ONLY consumer of the tokenize+explode map stage; the
-    # model tables (cr/ct) and corpus scalars derive from it, and it is
-    # persisted so the shared subtree runs once per job instead of 4x
-    # (ADVICE r6: the explode was re-derived four times).
+    # doc_w's shuffle feeds both the model table and the scoring join,
+    # but everything below lands in ONE materialization job (the
+    # helper's eager checkpoint), where ReuseExchange dedups the shared
+    # shuffle — so the r7/r8 persist (and its cache-write cost plus the
+    # ADVICE r7 unpersist bookkeeping) is gone; A/B at sf0.1 showed
+    # no-persist is the faster shape (tools/ DSIR adjudication, r9).
     doc_w = (
         words.groupBy("doc_id", "source", "word")
         .agg(F.count(F.lit(1)).cast("long").alias("k"))
-        .persist()
     )
     is_t = F.col("source") == _DSIR_TARGET
-    cr = doc_w.groupBy("word").agg(F.sum("k").cast("long").alias("c_r"))
-    ct = (
-        doc_w.filter(is_t).groupBy("word")
-        .agg(F.sum("k").cast("long").alias("c_t"))
+    # ONE vocabulary-bounded model table carries both unigram models:
+    # c_t as a conditional sum in the same groupBy (0 where the target
+    # slice lacks the word — identical to the old left-join
+    # coalesce(c_t, 0)). The r8 shape shuffled doc_w three extra times
+    # (separate cr / ct aggregates + a countDistinct inside scal); this
+    # folds them into a single word-shuffle, and the corpus scalars
+    # become exact integer folds of the model table (n_r = sum c_r,
+    # n_t = sum c_t, v = count(*)) computed as a broadcast 1-row
+    # crossJoin inside the SAME materialization job — no extra driver
+    # round-trip, and the shared word-shuffle is deduped by
+    # ReuseExchange (BENCH r8 DSIR adjudication: at driver SF the cost
+    # was fixed per-job latency, not scan work, so fewer jobs win; at
+    # 100 TB the saved doc_w-sized shuffles win).
+    model = doc_w.groupBy("word").agg(
+        F.sum("k").cast("long").alias("c_r"),
+        F.sum(F.when(is_t, F.col("k")).otherwise(F.lit(0)))
+        .cast("long").alias("c_t"),
     )
-    scal = doc_w.agg(
-        F.sum("k").cast("long").alias("n_r"),
-        F.sum(F.when(is_t, F.col("k")).otherwise(F.lit(0))).cast("long").alias("n_t"),
-        F.countDistinct("word").cast("long").alias("v"),
+    scal = model.agg(
+        F.sum("c_r").cast("long").alias("n_r"),
+        F.sum("c_t").cast("long").alias("n_t"),
+        F.count(F.lit(1)).cast("long").alias("v"),
     )
 
     def digits(q):  # floor(log2 .) of an integer quotient, engine-exact
         return (F.length(F.conv(q.cast("string"), 10, 2)) - 1).cast("long")
 
-    s_t = digits(F.expr("(n_t + v) div (coalesce(c_t, 0L) + 1)"))
+    s_t = digits(F.expr("(n_t + v) div (c_t + 1)"))
     s_r = digits(F.expr("(n_r + v) div (c_r + 1)"))
     scored = (
-        doc_w.join(cr, "word")
-        .join(ct, "word", "left")
+        doc_w.join(model, "word")
         .crossJoin(F.broadcast(scal))
         .select("doc_id", "source", "k", s_t.alias("s_t"), s_r.alias("s_r"))
     )
@@ -904,9 +929,4 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weight_per_word",
         F.col("weight_bits").cast("double") / F.col("n_words"),
     )
-    out = _select_top_quantile(agg, "weight_per_word", "doc_id", 0.8)
-    # the helper checkpointed its input eagerly, so the returned plan no
-    # longer references doc_w — release the cache now instead of leaking
-    # it for the session's lifetime (ADVICE r7)
-    doc_w.unpersist()
-    return out
+    return _select_top_quantile(agg, "weight_per_word", "doc_id", 0.8)
