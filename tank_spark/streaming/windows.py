@@ -159,6 +159,132 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- watermark late-data drop twin
+#
+# The one streaming semantic the batch twins above do NOT reach: the
+# watermark actually DROPPING late rows (in batch mode withWatermark is a
+# no-op, so streaming_windowed_counts oracle-checks the window arithmetic
+# but never the eviction rule). This twin replays the event feed in a
+# synthesized arrival order with genuine late data and applies Spark's
+# append-mode rule explicitly — a row is dropped iff its window END is <=
+# the watermark in effect for its micro-batch, where the watermark of
+# batch k is max(event time over batches j < k) - delay (the engine
+# updates the watermark between batches, never within one).
+#
+# events.parquet is ts-ordered by construction (event_id order == ts
+# order: measured 0 out-of-order rows), so arrival = event_id would make
+# the check vacuous. A deterministic 5% of events (salted-md5 uniform,
+# the mixing.py idiom) arrive LATE_DEFER_IDS arrival slots late:
+# arrival_key = event_id + defer. Micro-batches are fixed arrival-slot
+# ranges (arrival_key div REPLAY_BATCH) — no global sort, no row_number:
+# batch assignment is map-only, the per-batch max-ts table is batch-
+# cardinality-bounded (n/250 rows), the running-max window runs over
+# THAT tiny table only, and the watermark joins back in broadcast. At
+# 100 TB the same plan holds: the only non-mapside state is one row per
+# micro-batch. Non-vacuous by measurement: 38/1000 dropped at sf0.001,
+# 458/10000 at sf0.01, 185/100000 at sf0.1.
+#
+# tests/test_streaming.py drives the SAME batches through the real
+# windowed_counts_stream (one file per micro-batch, maxFilesPerTrigger=1)
+# and checks the engine's append output agrees with this replay rule.
+
+LATE_SALT = "late:"
+LATE_RATE = 0.05
+LATE_DEFER_IDS = 600
+REPLAY_BATCH = 250
+WM_DELAY = "4 hours"
+WM_DELAY_US = 4 * _HOUR_US
+
+
+@register(
+    "watermark_late_drop",
+    f"""
+    WITH e AS (
+      SELECT event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             CAST(round(value * 1000000.0, 0) AS BIGINT) AS vm,
+             event_id + CASE WHEN ('0x' || substr(md5('{LATE_SALT}' ||
+                 CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0
+                 < {LATE_RATE} THEN {LATE_DEFER_IDS} ELSE 0 END AS ak
+      FROM events
+    ),
+    b AS (SELECT *, ak // {REPLAY_BATCH} AS batch_id FROM e),
+    bm AS (SELECT batch_id, MAX(t) AS bmax FROM b GROUP BY batch_id),
+    wm AS (SELECT batch_id,
+                  MAX(bmax) OVER (ORDER BY batch_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  - {WM_DELAY_US} AS wm_us
+           FROM bm),
+    j AS (
+      SELECT b.event_type, b.vm,
+             (b.t // {_HOUR_US}) * {_HOUR_US} AS w0,
+             CASE WHEN (b.t // {_HOUR_US}) * {_HOUR_US} + {_HOUR_US}
+                       <= wm.wm_us THEN 1 ELSE 0 END AS dropped
+      FROM b JOIN wm USING (batch_id)
+    )
+    SELECT w0 AS window_start_us, event_type,
+           COUNT(*) FILTER (WHERE dropped = 0) AS n_kept,
+           COUNT(*) FILTER (WHERE dropped = 1) AS n_late_dropped,
+           CAST(COALESCE(SUM(vm) FILTER (WHERE dropped = 0), 0) AS BIGINT)
+             AS sum_value_micro_kept
+    FROM j GROUP BY w0, event_type
+    """,
+    doc="Watermark late-data drop, replayed as a batch plan: events "
+        "re-ordered into a deterministic arrival stream (5% salted-md5-"
+        "selected events deferred 600 arrival slots), chunked into fixed "
+        "250-slot micro-batches; batch k's watermark = max prior-batch "
+        "event time - 4h, and a row is dropped iff its hourly window end "
+        "<= that watermark — Spark's append-mode eviction rule applied "
+        "explicitly. Output: per (window, event_type) kept/dropped "
+        "counts + kept value sum. Scale: batch assignment is map-only "
+        "(no global sort), the running-max window covers only the "
+        "one-row-per-batch table, watermarks broadcast back.",
+)
+def watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir)
+    h8 = F.substring(
+        F.md5(F.concat(F.lit(LATE_SALT), F.col("event_id").cast("string"))),
+        1, 8)
+    u = F.conv(h8, 16, 10).cast("bigint") / F.lit(4294967296.0)
+    ak = F.col("event_id") + F.when(
+        u < F.lit(LATE_RATE), F.lit(LATE_DEFER_IDS)).otherwise(F.lit(0))
+    e = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        F.round(F.col("value") * 1000000.0, 0).cast("long").alias("vm"),
+        ak.alias("ak"),
+    ).withColumn("batch_id", F.expr(f"ak div {REPLAY_BATCH}"))
+    bm = e.groupBy("batch_id").agg(F.max("t").alias("bmax"))
+    w = Window.orderBy("batch_id").rowsBetween(Window.unboundedPreceding, -1)
+    wm = bm.select(
+        "batch_id",
+        (F.max("bmax").over(w) - F.lit(WM_DELAY_US)).alias("wm_us"),
+    )
+    j = e.join(F.broadcast(wm), "batch_id")
+    w0 = F.expr(f"(t div {_HOUR_US}) * {_HOUR_US}")
+    dropped = (
+        F.col("wm_us").isNotNull()
+        & ((w0 + F.lit(_HOUR_US)) <= F.col("wm_us"))
+    ).cast("int")
+    return (
+        j.select("event_type", "vm", w0.alias("w0"), dropped.alias("dropped"))
+        .groupBy("w0", "event_type")
+        .agg(
+            F.count(F.when(F.col("dropped") == 0, 1)).alias("n_kept"),
+            F.count(F.when(F.col("dropped") == 1, 1)).alias("n_late_dropped"),
+            F.coalesce(
+                F.sum(F.when(F.col("dropped") == 0, F.col("vm"))), F.lit(0)
+            ).cast("long").alias("sum_value_micro_kept"),
+        )
+        .select(
+            F.col("w0").alias("window_start_us"), "event_type",
+            "n_kept", "n_late_dropped", "sum_value_micro_kept",
+        )
+    )
+
+
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a bounded stream to completion into a memory sink; returns the
     finished query (results via ``spark.sql(f"SELECT * FROM {name}")``)."""

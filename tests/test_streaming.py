@@ -451,3 +451,80 @@ def test_ingest_stream_csv_wire(spark, tmp_dirs):
     q2.awaitTermination(60)
     df = spark.read.parquet(tmp_dirs["table"])
     assert set(r["uid"] for r in df.collect()) == {"c1", "c2"}
+
+
+def test_watermark_late_drop_matches_real_stream(spark, tmp_path):
+    """The watermark_late_drop batch twin must agree with the REAL
+    engine: replay the same synthesized-arrival micro-batches through
+    windowed_counts_stream (one parquet file per micro-batch,
+    maxFilesPerTrigger=1, 4h watermark) and check every window the
+    stream emits carries exactly the twin's n_kept count — i.e. the
+    twin's explicit drop rule (window end <= prior-batches-max-ts - 4h)
+    is the engine's rule."""
+    from pyspark.sql import functions as F
+
+    from tank_spark.plans.registry import load_all
+    from tank_spark.sources.tables import read_events
+    from tank_spark.streaming.windows import (
+        LATE_DEFER_IDS, LATE_RATE, LATE_SALT, REPLAY_BATCH, WM_DELAY,
+        run_stream_to_memory, windowed_counts_stream,
+    )
+
+    ev = read_events(spark, SF_DIR)
+    h8 = F.substring(
+        F.md5(F.concat(F.lit(LATE_SALT), F.col("event_id").cast("string"))),
+        1, 8)
+    u = F.conv(h8, 16, 10).cast("bigint") / F.lit(4294967296.0)
+    ak = F.col("event_id") + F.when(
+        u < F.lit(LATE_RATE), F.lit(LATE_DEFER_IDS)).otherwise(F.lit(0))
+    tagged = ev.withColumn("ak", ak).withColumn(
+        "batch_id", F.expr(f"ak div {REPLAY_BATCH}")).drop("ak")
+    drop = tmp_path / "arrivals"
+    bids = sorted(
+        r[0] for r in tagged.select("batch_id").distinct().collect())
+    assert len(bids) >= 3  # a real multi-batch replay
+    for k in bids:  # sequential writes: mtime order == arrival order
+        (tagged.filter(F.col("batch_id") == k).drop("batch_id")
+         .coalesce(1).write.parquet(str(drop / f"b{k:04d}")))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(drop))
+    )
+    q = run_stream_to_memory(
+        windowed_counts_stream(stream, window="1 hour", watermark=WM_DELAY),
+        "wm_drop_out")
+    try:
+        got = {
+            (r["window_start"], r["event_type"]): r["n"]
+            for r in spark.sql("SELECT * FROM wm_drop_out").collect()
+        }
+    finally:
+        q.stop()
+
+    twin = load_all()["watermark_late_drop"].spark(spark, SF_DIR).collect()
+    assert sum(r["n_late_dropped"] for r in twin) > 0  # non-vacuous
+    import datetime as dt
+    hour_us = 3_600_000_000
+    mx = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    final_wm = mx - 4 * hour_us
+    want = {}
+    for r in twin:
+        if r["window_start_us"] + hour_us > final_wm:
+            continue  # window not closed by the final watermark
+        if r["n_kept"] == 0:
+            continue  # fully-dropped window: nothing for append to emit
+        start = dt.datetime.fromtimestamp(
+            r["window_start_us"] / 1e6, dt.timezone.utc).replace(tzinfo=None)
+        want[(start, r["event_type"])] = r["n_kept"]
+    # every closed window's emitted count equals the twin's kept count
+    assert want.items() <= got.items()
+    # and the stream emitted nothing beyond the twin's kept counts
+    full = {}
+    for r in twin:
+        start = dt.datetime.fromtimestamp(
+            r["window_start_us"] / 1e6, dt.timezone.utc).replace(tzinfo=None)
+        full[(start, r["event_type"])] = r["n_kept"]
+    assert got.items() <= full.items()
