@@ -990,6 +990,69 @@ def tile_mvt_z7_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mvt_tiles(spark, sf_dir, requests=[(7, 20, 49)]).drop("mvt")
 
 
+@register(
+    "tile_mvt_z7_parity",
+    None,  # rows-only: the decode audit of a protobuf blob isn't SQL
+    doc="Decode-parity audit of the full-fidelity z7 overview blob — the "
+        "driver-row companion of the BENCH-ONLY tile_mvt_z7_full "
+        "(VERDICT r8 #3: the one registry entry with zero driver rows). "
+        "Runs the same single-tile full-fidelity encode, then DECODES "
+        "the blob with the package's spec-2.1 reader in a mapInPandas "
+        "stage and emits declared-vs-decoded feature counts, decoded "
+        "coordinate-point and property-value totals, extent, and the "
+        "blob md5 — all deterministic ints/strings (features sorted by "
+        "key; dict-encoded props). features_match pins encode/decode "
+        "round-trip fidelity at the driver SF every time this rotates "
+        "through the window.",
+)
+def tile_mvt_z7_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tank_spark.util import ensure_workers_have_package
+
+    ensure_workers_have_package(spark)
+    tiles = mvt_tiles(spark, sf_dir, requests=[(7, 20, 49)])
+
+    def dec(it):
+        import hashlib
+
+        from tank_spark.geom import mvt as mvtmod
+
+        def npts(coords):
+            if not isinstance(coords, (list, tuple)) or not coords:
+                return 0
+            if not isinstance(coords[0], (list, tuple)):
+                return 1  # a single [x, y] pair
+            return sum(npts(c) for c in coords)
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                blob = bytes(r.mvt)
+                lay = mvtmod.decode(blob)[LAYER]
+                feats = lay["features"]
+                rows.append({
+                    "z": int(r.z), "x": int(r.x), "y": int(r.y),
+                    "declared_features": int(r.n_features),
+                    "decoded_features": len(feats),
+                    "features_match": int(len(feats) == int(r.n_features)),
+                    "decoded_points": int(sum(
+                        npts(f["coords"]) for f in feats)),
+                    "decoded_prop_values": int(sum(
+                        len(f["props"]) for f in feats)),
+                    "extent": int(lay["extent"]),
+                    "mvt_size": len(blob),
+                    "mvt_md5": hashlib.md5(blob).hexdigest(),
+                })
+            yield pd.DataFrame(rows)
+
+    return tiles.mapInPandas(
+        dec,
+        "z int, x int, y int, declared_features long, decoded_features "
+        "long, features_match int, decoded_points long, "
+        "decoded_prop_values long, extent int, mvt_size long, "
+        "mvt_md5 string",
+    )
+
+
 def _heatmap_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     """One (z,x,y) group of heatmap cells -> MVT of cell polygons with a
     ``count`` property (reference application.kt:601-610).

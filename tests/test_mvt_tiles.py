@@ -335,3 +335,21 @@ def test_sampled_tree_routing_equivalent(spark, monkeypatch):
     assert direct == tree
     assert direct[(7, 20, 49)][2] > 1       # the overview tile IS sampled
     assert 0 < direct[(7, 20, 49)][0] <= 2 * 200
+
+
+def test_tile_mvt_z7_parity_roundtrip(spark):
+    """The registered z7 decode-parity audit: decoded feature count must
+    equal the declared count, and the decoded totals must be non-trivial
+    (a truncated/corrupt blob would zero them)."""
+    from tank_spark.plans.registry import load_all
+
+    rows = load_all()["tile_mvt_z7_parity"].spark(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["z"], r["x"], r["y"]) == (7, 20, 49)
+    assert r["features_match"] == 1
+    assert r["decoded_features"] == r["declared_features"] > 0
+    assert r["decoded_points"] >= r["decoded_features"]  # >= 1 pt/feature
+    assert r["decoded_prop_values"] > 0
+    assert r["extent"] == 4096
+    assert r["mvt_size"] > 0 and len(r["mvt_md5"]) == 32
