@@ -22,10 +22,13 @@ cells (the corpus is scanned per iteration but never shuffled — with
 the feature relation persisted, iterations read columnar cache).
 Scoring is map-only with the weights baked in as literals.
 
-Rows-only toward the driver: iterative float training is not
-bit-portable across engines (exp() is transcendental; partition-order
-summation). tests/test_classifier.py pins training to a fixed-seed
-numpy twin and asserts the distillation actually fits the rules.
+quality_lr_train stays rows-only toward the driver: iterative float
+training is not bit-portable across engines (exp() is transcendental;
+partition-order summation); tests/test_classifier.py pins it to a
+fixed-seed numpy twin. quality_lr_eval, by contrast, scores with the
+FROZEN deployed weights (see FROZEN_LR below) and needs no exp at all
+(p >= 0.5 <=> logit >= 0), so it carries a full hash-matched DuckDB
+oracle (r9).
 """
 
 from __future__ import annotations
@@ -35,7 +38,7 @@ from pyspark.sql import functions as F
 
 from tank_spark.plans.registry import register
 from tank_spark.sources.tables import load
-from tank_spark.llm.text import _EN_STOP, _WORD, _n_matches
+from tank_spark.llm.text import _EN_STOP, _WORD, _n_matches, _n_matches_sql
 
 LR_ITERS = 40
 LR_RATE = 1.0
@@ -150,16 +153,112 @@ def score_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Frozen DEPLOYED scorer (r9, VERDICT r8 #5): train_quality_lr at the
+# driver correctness SF (sf0.01, 40 iters, rate 1.0), with the feature
+# standardization folded into raw-feature affine form (w' = w/std,
+# b' = b - sum w*mean/std) — the artifact a production pipeline ships.
+# Constants are plain checked-in floats (provenance is the training run,
+# but nothing downstream depends on retraining them), and the decision
+# rule needs NO transcendental: p >= 0.5 <=> logit >= 0, so scoring is
+# literal mul/add over engine-exact integer-ratio features and the
+# DuckDB twin is bit-identical — which upgrades quality_lr_eval from
+# rows-only to a full hash-matched oracle.
+FROZEN_LR = {
+    "bias": -9.765162724778678,
+    "f_len": 8.682798517533964,
+    "f_wordlen": -0.2030100582908168,
+    "f_dup": 8.14054220661105,
+    "f_stop": 119.50233159058152,
+    "f_digit": 0.0,
+}
+
+_EVAL_ORACLE_TEMPLATE = f"""
+WITH s AS (
+  SELECT doc_id,
+         {{n_words}} AS n_words,
+         len(list_distinct(regexp_extract_all(lower(text), '{{word_pat}}')))
+           AS n_distinct,
+         CAST(LENGTH(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+              AS BIGINT) AS word_chars,
+         CAST(LENGTH(regexp_replace(lower(text), '[^0-9]', '', 'g'))
+              AS BIGINT) AS digit_chars,
+         {{n_stop}} AS n_stop
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+    CAST(n_words >= 20
+         AND CAST(word_chars AS DOUBLE) / GREATEST(n_words, 1)
+             BETWEEN 2 AND 10
+         AND CAST(n_words - n_distinct AS DOUBLE) / GREATEST(n_words, 1)
+             <= 0.8
+         AND n_stop >= 2 AS INTEGER) AS y,
+    CAST(LEAST(n_words, 200) AS DOUBLE) / 200.0 AS f_len,
+    CAST(word_chars AS DOUBLE) / GREATEST(n_words, 1) AS f_wordlen,
+    CAST(n_words - n_distinct AS DOUBLE) / GREATEST(n_words, 1) AS f_dup,
+    CAST(n_stop AS DOUBLE) / GREATEST(n_words, 1) AS f_stop,
+    CAST(digit_chars AS DOUBLE) / GREATEST(word_chars, 1) AS f_digit
+  FROM s
+),
+p AS (
+  SELECT y,
+    CAST({FROZEN_LR['bias']!r}
+         + {FROZEN_LR['f_len']!r} * f_len
+         + {FROZEN_LR['f_wordlen']!r} * f_wordlen
+         + {FROZEN_LR['f_dup']!r} * f_dup
+         + {FROZEN_LR['f_stop']!r} * f_stop
+         + {FROZEN_LR['f_digit']!r} * f_digit >= 0 AS INTEGER) AS predicted
+  FROM f
+)
+SELECT CAST(SUM(CASE WHEN y = 1 AND predicted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN y = 0 AND predicted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN y = 0 AND predicted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       CAST(SUM(CASE WHEN y = 1 AND predicted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(SUM(CASE WHEN y = predicted THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS accuracy,
+       CAST(SUM(CASE WHEN y = 1 AND predicted = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / GREATEST(SUM(CASE WHEN predicted = 1 THEN 1 ELSE 0 END), 1)
+         AS precision,
+       CAST(SUM(CASE WHEN y = 1 AND predicted = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / GREATEST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END), 1) AS recall
+FROM p
+"""
+
+_EVAL_ORACLE = _EVAL_ORACLE_TEMPLATE.format(
+    n_words=_n_matches_sql("lower(text)", _WORD),
+    word_pat=_WORD,
+    n_stop=_n_matches_sql("lower(text)", _EN_STOP),
+)
+
+
+def frozen_logit_col() -> F.Column:
+    """The deployed scorer's logit over _features_df's raw feature
+    columns — literal mul/add in FEATURES order, mirrored term-for-term
+    by the oracle SQL."""
+    logit = F.lit(FROZEN_LR["bias"])
+    for f in FEATURES:
+        logit = logit + F.lit(FROZEN_LR[f]) * F.col(f)
+    return logit
+
+
 @register(
     "quality_lr_eval",
-    None,  # depends on trained weights -> rows-only
+    _EVAL_ORACLE,
     doc="Classifier quality gate: confusion matrix + accuracy/precision/"
-        "recall of the trained LR against its rule labels — the number "
-        "that decides whether the distilled scorer replaces the rule "
-        "cascade. One aggregate over map-only scoring.",
+        "recall of the DEPLOYED frozen LR scorer against the Gopher rule "
+        "labels — the number that decides whether the distilled scorer "
+        "replaces the rule cascade. Scoring is map-only literal "
+        "arithmetic (p >= 0.5 <=> logit >= 0, no exp), fused into the "
+        "scan; one aggregate. Full DuckDB oracle (r9): every feature is "
+        "an exact integer ratio and the affine scorer is the same IEEE "
+        "mul/add chain in both engines.",
 )
 def quality_lr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = score_quality_lr(spark, sf_dir)
+    feat = _features_df(spark, sf_dir)
+    s = feat.select(
+        "doc_id", "y",
+        (frozen_logit_col() >= 0).cast("int").alias("predicted"),
+    )
     yi = F.col("y").cast("int")
     tp = F.sum(((yi == 1) & (F.col("predicted") == 1)).cast("long"))
     fp = F.sum(((yi == 0) & (F.col("predicted") == 1)).cast("long"))
