@@ -203,69 +203,45 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # dedup_lsh_clusters_capped (r5 rows; yielded their r8 slots to the
 # late-r8 dedup_incremental_report and export_shard_plan): 43 due,
 # 7 free slots for r9-changed/new ops.
+# Round-9 window (below): EXACTLY the VERDICT r8 #1 prescription — the
+# 43 r5-green entries due under the staleness bound lead (41 listed in
+# the r9 queue above plus dedup_lsh_clusters_uncapped/_capped), and the
+# 7 remaining slots go to this round's changed/new ops:
+# dsir_importance_weights (model-table restructure + fused count+bracket
+# job — VERDICT #2), watermark_late_drop (NEW: the late-data eviction
+# semantic, full oracle — VERDICT #7), tile_mvt_z7_parity (NEW: first
+# driver row for the z7 full-fidelity path — VERDICT #3),
+# bpe_tokenize_corpus + quality_lr_eval (rows-only -> FULL oracles —
+# VERDICT #5; bpe_train_merges also gained an oracle and is already in
+# the due list), heatmap_mvt_z9 (r6 rows-only refresh — VERDICT #3),
+# quality_lr_train (r6 row; due r10, pulled forward with its eval twin).
+# Displaced to r10: the r6-green rows-only pq_train_subspace_kmeans
+# (unchanged code, inside the staleness bound until r10).
 PRIORITY: tuple[str, ...] = (
-    # ---- changed this round: the multimodal family gained FULL DuckDB
-    # oracles (VERDICT r7 #1 — media_sql.py re-derives every stub hash/
-    # feature as exact integer SQL over the md5 payload bytes; the blob
-    # outputs serialize to hex in the registered parity queries), and
-    # ADVICE r7 reworked the variant-id scheme (shared 2^62 offset)
-    "image_phash_neardup", "image_phash_survivors", "media_dedup_survivors",
-    "audio_features", "audio_fingerprint_neardup", "audio_resample",
-    "video_scene_cuts", "video_phash_neardup", "video_keyframes",
-    "media_extract_features", "media_frame_sample", "media_resize",
-    # ---- changed this round: scale-safe selection helpers now reject
-    # NULL scores and localCheckpoint instead of leaking persists;
-    # lsh_components' convergence sum went DECIMAL(38,0) (high-bit ids)
-    "dsir_importance_weights", "quality_top_quantile_per_source",
-    "dedup_lsh_clusters",
-    # (dedup_lsh_clusters_uncapped and _capped — parameter twins of the
-    # same changed lsh_components path, which keeps in-window consumers
-    # via clusters/survivors plus the image/media survivor chain —
-    # yielded their slots to the late-r8 incremental report and export
-    # plan; both join the r9-due queue with their r5 rows)
-    "dedup_lsh_survivors",
-    # ---- the 23 r4-green entries due this round (staleness bound 4:
-    # last driver row r4; media_extract_features is counted above)
-    "chunk_documents", "cross_source_duplication", "decontaminate_train_eval",
-    "dedup_event_stream_replay", "dedup_exact", "dedup_exact_survivors",
-    "dedup_minhash_signatures", "dedup_prefix_containment",
-    "embedding_sq_quantize", "event_value_outliers", "global_sequence_ids",
-    "gopher_quality_rules", "ivf_probe_search", "ivf_train_kmeans",
-    "neardup_embedding_clusters", "pack_token_budget", "passage_dedup",
-    "rare_word_fraction", "sample_stratified_sources", "semantic_vs_lexical",
-    "semdedup_prune", "temperature_mix_weights", "token_budget_planning",
-    # ---- NEW this round: incremental (delta) dedup — disposition a
-    # crawl batch against the corpus index without pairwise corpus work,
-    # the persisted index artifact it probes, and the sequential
-    # stream-replay twin of streaming/dedup_stream.py (each
-    # micro-batch's survivors appended to the index before the next
-    # probes it; full oracles on all three)
-    "dedup_incremental_batch", "dedup_index_build",
-    "dedup_incremental_stream_replay",
-    # ---- NEW this round: the APPLY arc of the cross-modality dedup
-    # pipeline (detect -> cluster -> apply + curation report, full
-    # oracles), completing VERDICT r7 #6
-    "media_dedup_apply", "media_dedup_report",
-    # ---- NEW this round: the stateful-streaming post-state row
-    # (VERDICT r7 #7 — the ingest_upsert_post_state pattern applied to
-    # applyInPandasWithState, full oracle)
-    "stream_spend_post_state",
-    # ---- NEW late r8 (full oracles, take the three early-r5-pull
-    # slots — lm_surprisal_score, pq_encode_codes and
-    # dedup_minhash_lsh_pairs rejoin the r5 family that leads the r9
-    # window; all three keep fresh r8 BENCH rows): quality-aware
-    # canonical selection per near-dup cluster, quartile curriculum
-    # staging via the batched scale-safe rank-cut recipe, and the
-    # corpus token-frequency spectrum (counts-of-counts audit)
-    "dedup_quality_survivors", "curriculum_quality_stages",
-    "token_freq_spectrum",
-    # ---- NEW late r8: the per-source curation report over incremental
-    # dedup (detect -> report arc; took the uncapped-clusters slot)
-    "dedup_incremental_report",
-    # ---- NEW late r8: the EXPORT step — packed token stream chunked
-    # into shards with exact integer token-mass accounting (took the
-    # capped-clusters slot); write_training_shards materializes it
-    "export_shard_plan",
+    # ---- the 43 r5-green entries due this round (staleness bound 4)
+    "ann_lsh_buckets", "approx_sketches_demo", "bloom_decontaminate",
+    "bm25_rank_topk", "bpe_train_merges", "cluster_balanced_sample",
+    "cms_heavy_hitters", "dedup_containment_pairs",
+    "dedup_lsh_clusters_capped", "dedup_lsh_clusters_uncapped",
+    "dedup_lsh_pairs_capped", "dedup_lsh_pairs_uncapped",
+    "dedup_minhash_lsh_pairs", "dedup_minhash_lsh_pairs_k128",
+    "dedup_multiplicity", "dedup_simhash64", "doc_fingerprint",
+    "doc_winnow_fingerprints", "ivf_assignments", "ivf_recall_eval",
+    "knn_brute_cosine", "lang_id_stopwords", "lm_cross_source_divergence",
+    "lm_surprisal_score", "lsh_recall_eval", "neardup_cosine_pairs",
+    "pq_encode_codes", "pq_recall_eval", "salted_user_event_counts",
+    "sessionize_events", "streaming_session_windows",
+    "streaming_windowed_counts", "text_quality_score", "text_stats",
+    "tile_mvt_batch", "tile_sample_overview", "top_bigrams",
+    "top_distinctive_terms", "top_words_per_lang", "train_eval_split",
+    "tumbling_hourly_counts", "user_funnel_signup_purchase",
+    "weekly_retention_cohorts",
+    # ---- changed this round (hard signal for the r9 code/oracle edits)
+    "dsir_importance_weights", "bpe_tokenize_corpus", "quality_lr_eval",
+    # ---- NEW this round
+    "watermark_late_drop", "tile_mvt_z7_parity",
+    # ---- rows-only refreshes (r6 rows; VERDICT #3 / pulled forward)
+    "heatmap_mvt_z9", "quality_lr_train",
 )
 
 
