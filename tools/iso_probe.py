@@ -1,0 +1,39 @@
+#!/usr/bin/env python
+"""Isolated fresh-session probe (the adjudication protocol from
+SCALE.md round-8): ONE query, fresh SparkSession, sf dir from argv,
+one untimed warm-up then N timed runs to the noop sink; prints the
+sorted runs and median. Run on an idle machine (check loadavg and
+stray JVMs first).
+
+Usage: python tools/iso_probe.py QUERY [SF_DIR] [RUNS]
+"""
+import sys, time
+sys.path.insert(0, "/root/repo")
+name = sys.argv[1]
+sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+runs_n = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[32]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.ui.showConsoleProgress", "false")
+    .config("spark.driver.memory", "48g").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from tank_spark.plans.registry import load_all
+q = load_all()[name]
+t0 = time.perf_counter()
+q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+cold = time.perf_counter() - t0
+runs = []
+for _ in range(runs_n):
+    t0 = time.perf_counter()
+    q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    runs.append(time.perf_counter() - t0)
+runs.sort()
+print(f"RESULT {name} sf={sf_dir} cold={cold:.2f} "
+      f"runs={[round(r, 3) for r in runs]} median={runs[len(runs)//2]:.3f}")
+spark.stop()
