@@ -55,6 +55,10 @@ HEADLINE = [
     # and the shard-export accounting plan
     "dedup_quality_survivors", "curriculum_quality_stages",
     "token_freq_spectrum", "export_shard_plan",
+    # r9 additions: the watermark late-drop replay twin (map-only batch
+    # assignment + one tiny running-max window) and the frozen-weight
+    # classifier gate (map-only literal scoring, one aggregate)
+    "watermark_late_drop", "quality_lr_eval",
     "tile_mvt_batch",
     # BENCH-ONLY entry: full-fidelity z7 overview encode. NOT a serving
     # path (serving uses the budgeted sample below OVERVIEW_ZOOM — the
