@@ -515,3 +515,20 @@ def test_incremental_report_stays_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_watermark_late_drop_broadcasts_watermarks(spark):
+    """The replay twin's scale contract: batch assignment is map-only
+    (no global sort / row_number over the event relation), the per-batch
+    watermark table joins back as a broadcast, and the single
+    SinglePartition exchange in the plan feeds only the one-row-per-
+    micro-batch running-max window, never event rows."""
+    from tank_spark.streaming.windows import watermark_late_drop
+
+    plan = _plan(watermark_late_drop(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the tiny window is allowed its single partition; the event-side
+    # aggregation must still be a partial (map-side combined) hash agg
+    assert plan.count("SinglePartition") <= 2  # window + its broadcast
+    assert "partial_count" in plan or "HashAggregate" in plan
