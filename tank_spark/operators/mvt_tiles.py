@@ -35,7 +35,7 @@ from tank_spark.geom import clip as clipmod
 from tank_spark.geom import mvt as mvtmod
 from tank_spark.geom import mvt_np
 from tank_spark.geom import tilemath, wkt
-from tank_spark.operators.heatmap import grid_n
+from tank_spark.operators.heatmap import grid_n, heatmap_oracle
 from tank_spark.operators.tiles import OVERVIEW_FEATURE_BUDGET, tile_hash_range
 from tank_spark.plans.registry import register
 from tank_spark.sources.features import features_df
@@ -1119,3 +1119,58 @@ def heatmap_mvt(spark: SparkSession, sf_dir: str, z: int, x: int, y: int) -> Dat
 )
 def heatmap_mvt_z9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heatmap_mvt(spark, sf_dir, 9, 80, 196).drop("mvt")
+
+
+@register(
+    "heatmap_mvt_z9_parity",
+    heatmap_oracle(9, 80, 196),
+    doc="H5 with a FULL oracle: the z9 heatmap MVT blob decoded back "
+        "through the package's spec-2.1 reader into per-cell "
+        "(cell_i, cell_j, n_features) rows. Cell indices are recovered by "
+        "inverting each polygon's SW corner against the same "
+        "degree-grid + mercator + integer-transform math the encoder "
+        "used (MVT zigzag varints store the corners exactly, so the "
+        "inversion is a dict lookup, never a nearest-match). The oracle "
+        "is heatmap_z9's exact-count SQL — so a green row certifies the "
+        "whole encode+decode chain end-to-end, upgrading the heatmap-MVT "
+        "path from rows-only to hash-matched (VERDICT r8 #5 class).",
+)
+def heatmap_mvt_z9_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tank_spark.util import ensure_workers_have_package
+
+    ensure_workers_have_package(spark)
+    z, x, y = 9, 80, 196
+    tiles = heatmap_mvt(spark, sf_dir, z, x, y)
+
+    def dec(it):
+        from tank_spark.geom import mvt as mvtmod
+        from tank_spark.geom import tilemath as tm
+
+        z2 = 1 << z
+        n = grid_n(z)
+        lon0, lat0, lon1, lat1 = tm.tile_bbox(z, x, y)
+        xd = (lon1 - lon0) / n
+        yd = (lat1 - lat0) / n
+        # SW-corner integer coords -> (i, j), same math as _heatmap_kernel
+        corners = {}
+        for i in range(n):
+            for j in range(n):
+                wx, wy = tm.project(lon0 + i * xd, lat0 + j * yd)
+                key = (round((wx * z2 - x) * EXTEND),
+                       round((wy * z2 - y) * EXTEND))
+                corners[key] = (i, j)
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                lay = mvtmod.decode(bytes(r.mvt))[LAYER]
+                for f in lay["features"]:
+                    ci, cj = corners[tuple(f["coords"][0][0])]
+                    rows.append({
+                        "cell_i": ci, "cell_j": cj,
+                        "n_features": int(f["props"]["count"]),
+                    })
+            yield pd.DataFrame(
+                rows, columns=["cell_i", "cell_j", "n_features"])
+
+    return tiles.mapInPandas(dec, "cell_i long, cell_j long, n_features long")

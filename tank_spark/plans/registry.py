@@ -214,9 +214,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # bpe_tokenize_corpus + quality_lr_eval (rows-only -> FULL oracles —
 # VERDICT #5; bpe_train_merges also gained an oracle and is already in
 # the due list), heatmap_mvt_z9 (r6 rows-only refresh — VERDICT #3),
-# quality_lr_train (r6 row; due r10, pulled forward with its eval twin).
-# Displaced to r10: the r6-green rows-only pq_train_subspace_kmeans
-# (unchanged code, inside the staleness bound until r10).
+# heatmap_mvt_z9_parity (NEW: the blob decoded back to per-cell counts
+# with heatmap_z9's exact-count SQL as a FULL oracle — closes the
+# heatmap-MVT path's rows-only gap, same pattern as tile_mvt_z7_parity).
+# Displaced to r10 (both r6 rows, inside the staleness bound until r10):
+# quality_lr_train (its eval twin — the round's actual oracle upgrade —
+# stays in-window) and the rows-only pq_train_subspace_kmeans.
 PRIORITY: tuple[str, ...] = (
     # ---- the 43 r5-green entries due this round (staleness bound 4)
     "ann_lsh_buckets", "approx_sketches_demo", "bloom_decontaminate",
@@ -240,8 +243,8 @@ PRIORITY: tuple[str, ...] = (
     "dsir_importance_weights", "bpe_tokenize_corpus", "quality_lr_eval",
     # ---- NEW this round
     "watermark_late_drop", "tile_mvt_z7_parity",
-    # ---- rows-only refreshes (r6 rows; VERDICT #3 / pulled forward)
-    "heatmap_mvt_z9", "quality_lr_train",
+    # ---- rows-only refresh (r6 row; VERDICT #3) + its NEW oracle twin
+    "heatmap_mvt_z9", "heatmap_mvt_z9_parity",
 )
 
 
