@@ -59,6 +59,11 @@ HEADLINE = [
     # assignment + one tiny running-max window) and the frozen-weight
     # classifier gate (map-only literal scoring, one aggregate)
     "watermark_late_drop", "quality_lr_eval",
+    # late-r9 additions: SemDeDup after the scale-killer fix (map-only
+    # literal-centroid assignment + hoisted inverse norms: 6.2s -> 1.6s
+    # fresh-session, SCALE.md) and its bounded-representative at-scale
+    # twin (n*CAP pairs at any cluster size)
+    "semdedup_prune", "semdedup_prune_capped",
     "tile_mvt_batch",
     # BENCH-ONLY entry: full-fidelity z7 overview encode. NOT a serving
     # path (serving uses the budgeted sample below OVERVIEW_ZOOM — the

@@ -431,28 +431,23 @@ def _ivf_pq_sql() -> str:
 )
 def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tank_spark.llm.similarity import (
-        _IVF_QUERY_IDS, N_CENTROIDS, N_PROBE, _dot_cols,
+        _IVF_QUERY_IDS, N_PROBE, _centroid_score_structs,
     )
 
     e = load(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    # map-only literal-centroid argmin + array_sort probe ranking
+    # (see similarity._centroid_score_structs for the exactness proof)
+    arr = _centroid_score_structs(e)
+    assign = e.select(
+        "vec_id", F.array_min(arr)["centroid_id"].alias("centroid_id")
     )
-    dot = _dot_cols(F.col("embedding"), F.col("c_emb"))
-    n_c = _dot_cols(F.col("c_emb"), F.col("c_emb"))
-    scored = e.join(F.broadcast(cents)).select(
-        "vec_id", "centroid_id", (-2 * dot + n_c).alias("score")
-    )
-    assign = scored.groupBy("vec_id").agg(
-        F.min_by("centroid_id", F.struct("score", "centroid_id"))
-        .alias("centroid_id")
-    )
-    wp = Window.partitionBy("vec_id").orderBy("score", "centroid_id")
     probes = (
-        scored.filter(F.col("vec_id").isin(*_IVF_QUERY_IDS))
-        .withColumn("prn", F.row_number().over(wp))
-        .filter(F.col("prn") <= N_PROBE)
-        .select(F.col("vec_id").alias("qid"), "centroid_id")
+        e.filter(F.col("vec_id").isin(*_IVF_QUERY_IDS))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.explode(F.slice(F.array_sort(arr), 1, N_PROBE)).alias("p"),
+        )
+        .select("qid", F.col("p.centroid_id").alias("centroid_id"))
     )
     codes = _codes_df(spark, sf_dir).select("vec_id", "m", "code")
     lut = _lut_df(spark, sf_dir, _IVF_QUERY_IDS)

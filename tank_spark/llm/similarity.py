@@ -260,6 +260,55 @@ _IVF_QUERY_IDS = (20, 21)
 N_PROBE = 2              # probe the 2 nearest inverted lists
 
 
+def _centroid_score_structs(e: DataFrame):
+    """``array<struct<score double, centroid_id bigint>>`` per corpus row:
+    the squared-L2 argmin surrogate ``-2<v,c> + ||c||^2`` against each of
+    the N_CENTROIDS coarse centroids, with the centroid embeddings
+    collected driver-side (bounded: N_CENTROIDS rows) and inlined as
+    literals.
+
+    Bit-exactness vs the broadcast-join form this replaces (and vs the
+    unchanged ``_ivf_assign_sql`` oracle): each product is
+    (float->double cast) * (double literal equal to that same cast), the
+    fold is the identical left fold (0.0 + x1 == x1, so Spark's seeded
+    aggregate matches DuckDB's seedless list_reduce), and ``||c||^2`` is
+    accumulated driver-side with the same left-to-right loop over the
+    same widened doubles. Argmin/tie-break live in struct ordering —
+    (score asc, centroid_id asc) — exactly the oracle's
+    ``ROW_NUMBER ... ORDER BY score, c.vec_id`` and the former
+    ``min_by(_, struct(score, centroid_id))``.
+
+    Scale: corpus assignment becomes literally MAP-ONLY. The former
+    broadcast join blew every row up N_CENTROIDS-fold and the min_by
+    aggregate still shuffled one skinny row per vector; ``array_min``
+    over this array is a projection — zero shuffles, zero extra rows —
+    and the probe ranking is ``slice(array_sort(...), 1, N_PROBE)`` on
+    the same array (same (score, centroid_id) order as the former
+    per-query window). At 100 TB the quantizer ships inside the task
+    like any literal. (train_kmeans keeps the join form: its centroids
+    change every round, so literal inlining would force a driver
+    round-trip inside the training loop.)
+    """
+    rows = sorted(
+        e.filter(F.col("vec_id") < N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    structs = []
+    for r in rows:
+        c = [float(v) for v in r.embedding]
+        n_c = 0.0
+        for v in c:
+            n_c = n_c + v * v
+        score = -2 * _dot_lit(F.col("embedding"), c) + F.lit(n_c)
+        structs.append(F.struct(
+            score.alias("score"),
+            F.lit(int(r.vec_id)).cast("long").alias("centroid_id"),
+        ))
+    return F.array(*structs)
+
+
 def _ivf_assign_sql() -> str:
     # squared L2 to centroid c: ||v||^2 - 2<v,c> + ||c||^2; ||v||^2 is
     # constant per v so the argmin needs only -2<v,c> + ||c||^2
@@ -292,21 +341,12 @@ def _ivf_assign_sql() -> str:
 )
 def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
-    )
-    dot = _dot_cols(F.col("embedding"), F.col("c_emb"))
-    n_c = _dot_cols(F.col("c_emb"), F.col("c_emb"))
-    scored = e.join(F.broadcast(cents)).select(
-        "vec_id", "centroid_id", (-2 * dot + n_c).alias("score")
-    )
-    # argmin as min_by over a (score, centroid_id) struct — an AGGREGATE,
-    # so the map-side combiner collapses each partition to one candidate
-    # per vector before the shuffle (the former row_number window needed a
-    # full sort of every (vec, centroid) pair); the struct's field order
-    # reproduces the (score, centroid_id) tie-break exactly
-    assign = scored.groupBy("vec_id").agg(
-        F.min_by("centroid_id", F.struct("score", "centroid_id")).alias("centroid_id")
+    # map-only literal-centroid argmin (_centroid_score_structs): zero
+    # shuffles and no N_CENTROIDS-fold row blowup; the only exchange left
+    # is the tiny partial-aggregated inventory groupBy below
+    assign = e.select(
+        "vec_id",
+        F.array_min(_centroid_score_structs(e))["centroid_id"].alias("centroid_id"),
     )
     return assign.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id")
@@ -358,26 +398,20 @@ def ivf_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    # map-only literal-centroid argmin; probe ranking is array_sort +
+    # slice on the same score array — identical (score, centroid_id)
+    # order as the former per-query row_number window
+    arr = _centroid_score_structs(e)
+    assign = e.select(
+        "vec_id", F.array_min(arr)["centroid_id"].alias("centroid_id")
     )
-    dot = _dot_cols(F.col("embedding"), F.col("c_emb"))
-    n_c = _dot_cols(F.col("c_emb"), F.col("c_emb"))
-    scored = e.join(F.broadcast(cents)).select(
-        "vec_id", "centroid_id", (-2 * dot + n_c).alias("score"), "embedding"
-    )
-    # corpus assignment: map-side-combinable min_by argmin (see
-    # ivf_assignments); the sort-based window only ever runs over the
-    # FILTERED query vectors (8 rows), not the whole corpus
-    assign = scored.groupBy("vec_id").agg(
-        F.min_by("centroid_id", F.struct("score", "centroid_id")).alias("centroid_id")
-    )
-    w = Window.partitionBy("vec_id").orderBy("score", "centroid_id")
     probes = (
-        scored.filter(F.col("vec_id").isin(*_IVF_QUERY_IDS))
-        .withColumn("prn", F.row_number().over(w))
-        .filter(F.col("prn") <= N_PROBE)
-        .select(F.col("vec_id").alias("qid"), "centroid_id")
+        e.filter(F.col("vec_id").isin(*_IVF_QUERY_IDS))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.explode(F.slice(F.array_sort(arr), 1, N_PROBE)).alias("p"),
+        )
+        .select("qid", F.col("p.centroid_id").alias("centroid_id"))
     )
     q = e.filter(F.col("vec_id").isin(*_IVF_QUERY_IDS)).select(
         F.col("vec_id").alias("qid2"), F.col("embedding").alias("q_emb")
@@ -476,24 +510,19 @@ def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     pred = ivf_probe_search(spark, sf_dir).select("qid", "vec_id")
     # candidates: probed inverted lists minus self (recompute the probe
-    # fan-out without the top-k cut)
-    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    # fan-out without the top-k cut) — same map-only literal-centroid
+    # argmin + array_sort probe ranking as ivf_probe_search
+    arr = _centroid_score_structs(e)
+    assign = e.select(
+        "vec_id", F.array_min(arr)["centroid_id"].alias("centroid_id")
     )
-    dot = _dot_cols(F.col("embedding"), F.col("c_emb"))
-    n_c = _dot_cols(F.col("c_emb"), F.col("c_emb"))
-    scored = e.join(F.broadcast(cents)).select(
-        "vec_id", "centroid_id", (-2 * dot + n_c).alias("score")
-    )
-    assign = scored.groupBy("vec_id").agg(
-        F.min_by("centroid_id", F.struct("score", "centroid_id")).alias("centroid_id")
-    )
-    w = Window.partitionBy("vec_id").orderBy("score", "centroid_id")
     probes = (
-        scored.filter(F.col("vec_id").isin(*_IVF_QUERY_IDS))
-        .withColumn("prn", F.row_number().over(w))
-        .filter(F.col("prn") <= N_PROBE)
-        .select(F.col("vec_id").alias("qid"), "centroid_id")
+        e.filter(F.col("vec_id").isin(*_IVF_QUERY_IDS))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.explode(F.slice(F.array_sort(arr), 1, N_PROBE)).alias("p"),
+        )
+        .select("qid", F.col("p.centroid_id").alias("centroid_id"))
     )
     cand = (
         probes.join(assign, "centroid_id")
@@ -786,25 +815,95 @@ def embedding_sq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_TAU = 0.42
 
 
+def _semdedup_nrm_sql() -> str:
+    """assign + nrm CTEs: per-vector cluster id and hoisted inverse norm.
+    The pair predicate then costs ONE fold (dot * inv_a * inv_b) instead
+    of three — mirrored exactly by the Spark side, so parity holds on the
+    restructured arithmetic."""
+    n_e = _dot_sql("e.embedding", "e.embedding")
+    return f"""{_ivf_assign_sql()},
+    nrm AS (
+      SELECT s.vec_id, s.centroid_id, e.embedding,
+             CAST(1.0 AS DOUBLE) / sqrt({n_e}) AS inv
+      FROM assign s JOIN embeddings e ON e.vec_id = s.vec_id
+    )"""
+
+
 def _semdedup_sql(tau: float) -> str:
-    dot = _dot_sql("ea.embedding", "eb.embedding")
-    na = _dot_sql("ea.embedding", "ea.embedding")
-    nb = _dot_sql("eb.embedding", "eb.embedding")
+    dot = _dot_sql("a.embedding", "b.embedding")
     return f"""
-    WITH {_ivf_assign_sql()},
+    WITH {_semdedup_nrm_sql()},
     pairs AS (
       SELECT b.vec_id AS prune_id
-      FROM assign a JOIN assign b ON a.centroid_id = b.centroid_id
-                                 AND a.vec_id < b.vec_id
-      JOIN embeddings ea ON ea.vec_id = a.vec_id
-      JOIN embeddings eb ON eb.vec_id = b.vec_id
-      WHERE {dot} / (sqrt({na}) * sqrt({nb})) >= {tau}
+      FROM nrm a JOIN nrm b ON a.centroid_id = b.centroid_id
+                           AND a.vec_id < b.vec_id
+      WHERE {dot} * a.inv * b.inv >= {tau}
     ),
     pruned AS (SELECT DISTINCT prune_id FROM pairs)
     SELECT a.vec_id, a.centroid_id,
            CAST(p.prune_id IS NOT NULL AS INTEGER) AS is_pruned
     FROM assign a LEFT JOIN pruned p ON p.prune_id = a.vec_id
     """
+
+
+# bounded-representative cap for the at-scale twin: every member is
+# compared against the SEMDEDUP_REP_CAP lowest-vec_id members of its
+# cluster only, so candidate pairs are n * CAP at ANY cluster size —
+# the quadratic within-cluster join is gone. 16 keeps the cap ACTIVE at
+# the driver's sf0.01 (clusters of ~25), so the checked rows exercise
+# the capped semantics, not a vacuous pass-through.
+SEMDEDUP_REP_CAP = 16
+
+
+def _semdedup_capped_sql(tau: float, cap: int) -> str:
+    dot = _dot_sql("a.embedding", "b.embedding")
+    return f"""
+    WITH {_semdedup_nrm_sql()},
+    reps AS (
+      SELECT * FROM (
+        SELECT nrm.*, ROW_NUMBER() OVER (
+          PARTITION BY centroid_id ORDER BY vec_id) AS rn
+        FROM nrm
+      ) WHERE rn <= {cap}
+    ),
+    pairs AS (
+      SELECT b.vec_id AS prune_id
+      FROM reps a JOIN nrm b ON a.centroid_id = b.centroid_id
+                            AND a.vec_id < b.vec_id
+      WHERE {dot} * a.inv * b.inv >= {tau}
+    ),
+    pruned AS (SELECT DISTINCT prune_id FROM pairs)
+    SELECT a.vec_id, a.centroid_id,
+           CAST(p.prune_id IS NOT NULL AS INTEGER) AS is_pruned
+    FROM assign a LEFT JOIN pruned p ON p.prune_id = a.vec_id
+    """
+
+
+def _semdedup_nrm_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, centroid_id, embedding, inv): map-only literal-centroid
+    assignment plus the hoisted inverse L2 norm — computed once per
+    VECTOR, so the pair predicate below is a single fold times two
+    scalars instead of three folds per PAIR (the former shape recomputed
+    both norms 250k times at sf0.1; measured 6.2s -> see SCALE.md)."""
+    e = load(spark, sf_dir, "embeddings")
+    inv = 1.0 / F.sqrt(_dot_cols(F.col("embedding"), F.col("embedding")))
+    return e.select(
+        "vec_id",
+        F.array_min(_centroid_score_structs(e))["centroid_id"].alias("centroid_id"),
+        "embedding",
+        inv.alias("inv"),
+    )
+
+
+def _semdedup_verdict(assign: DataFrame, pruned: DataFrame) -> DataFrame:
+    return (
+        assign.select("vec_id", "centroid_id")
+        .join(pruned, assign.vec_id == pruned.prune_id, "left")
+        .select(
+            "vec_id", "centroid_id",
+            F.col("prune_id").isNotNull().cast("int").alias("is_pruned"),
+        )
+    )
 
 
 @register(
@@ -814,59 +913,79 @@ def _semdedup_sql(tau: float) -> str:
         f"embedding to its coarse cluster (the SQL-expressible IVF initial "
         f"quantizer, see ivf_assignments), form WITHIN-CLUSTER cosine "
         f"pairs only, and prune the higher vec_id of any pair with cosine "
-        f">= {SEMDEDUP_TAU} (keep-lowest, deterministic). The cluster "
-        "blocking bounds the pair join to cluster-local candidates — at "
-        "100 TB the centroid set broadcasts, assignment is map-only, and "
-        "the pair join shuffles on centroid_id; a skewed mega-cluster is "
-        "the same hazard as a hot LSH band and takes the same cap "
-        "(dedup.minhash_lsh_pairs max_band_bucket pattern). Cosines are "
-        "sequential-fold exact, so the prune set matches DuckDB "
-        "bit-for-bit.",
+        f">= {SEMDEDUP_TAU} (keep-lowest, deterministic). Assignment is "
+        "map-only (literal centroids) and the per-vector inverse norm is "
+        "hoisted out of the pair join, so each candidate pair costs one "
+        "fold. This EXACT form is still quadratic within a cluster — "
+        "production SemDeDup scales n_clusters with the corpus; at a "
+        "fixed cluster count use semdedup_prune_capped, the bounded "
+        "n*CAP posture. Cosines are sequential-fold exact and the "
+        "restructured arithmetic is mirrored in the oracle, so the prune "
+        "set matches DuckDB bit-for-bit.",
 )
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
-    )
-    dot = _dot_cols(F.col("embedding"), F.col("c_emb"))
-    n_c = _dot_cols(F.col("c_emb"), F.col("c_emb"))
-    scored = e.join(F.broadcast(cents)).select(
-        "vec_id", "embedding", "centroid_id", (-2 * dot + n_c).alias("score")
-    )
-    assign = scored.groupBy("vec_id").agg(
-        F.min_by(
-            F.struct("centroid_id", "embedding"), F.struct("score", "centroid_id")
-        ).alias("best")
-    ).select(
-        "vec_id", F.col("best.centroid_id").alias("centroid_id"),
-        F.col("best.embedding").alias("embedding"),
-    )
-    a = assign.select(
+    nrm = _semdedup_nrm_df(spark, sf_dir)
+    a = nrm.select(
         F.col("centroid_id"), F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("emb_a"),
+        F.col("embedding").alias("emb_a"), F.col("inv").alias("inv_a"),
     )
-    b = assign.select(
+    b = nrm.select(
         F.col("centroid_id"), F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("emb_b"),
+        F.col("embedding").alias("emb_b"), F.col("inv").alias("inv_b"),
     )
-    dab = _dot_cols(F.col("emb_a"), F.col("emb_b"))
-    na = _dot_cols(F.col("emb_a"), F.col("emb_a"))
-    nb = _dot_cols(F.col("emb_b"), F.col("emb_b"))
+    cos = _dot_cols(F.col("emb_a"), F.col("emb_b")) * F.col("inv_a") * F.col("inv_b")
     pruned = (
         a.join(b, ["centroid_id"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(dab / (F.sqrt(na) * F.sqrt(nb)) >= SEMDEDUP_TAU)
+        .filter(cos >= SEMDEDUP_TAU)
         .select(F.col("id_b").alias("prune_id"))
         .distinct()
     )
-    return (
-        assign.select("vec_id", "centroid_id")
-        .join(pruned, assign.vec_id == pruned.prune_id, "left")
+    return _semdedup_verdict(nrm, pruned)
+
+
+@register(
+    "semdedup_prune_capped",
+    _semdedup_capped_sql(SEMDEDUP_TAU, SEMDEDUP_REP_CAP),
+    doc=f"The at-scale SemDeDup posture: every cluster member is compared "
+        f"only against its cluster's {SEMDEDUP_REP_CAP} lowest-vec_id "
+        "REPRESENTATIVES (prune b iff cosine(rep a, b) >= tau and "
+        "a.vec_id < b.vec_id — keep-lowest preserved), so candidate "
+        "pairs are n * CAP at ANY cluster size: the within-cluster "
+        "quadratic of the exact form is gone, the analog of the LSH "
+        "hot-band cap for a fixed coarse quantizer. The rep side is "
+        "tiny (<= N_CENTROIDS * CAP rows) and BROADCAST into the pair "
+        "join, so at 100 TB the scan side never shuffles; the rep "
+        "ranking itself sorts only within the N_CENTROIDS-partition "
+        "toy config (production scales n_clusters instead). Same "
+        "engine-exact arithmetic as semdedup_prune.",
+)
+def semdedup_prune_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    nrm = _semdedup_nrm_df(spark, sf_dir)
+    w = Window.partitionBy("centroid_id").orderBy("vec_id")
+    reps = (
+        nrm.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SEMDEDUP_REP_CAP)
         .select(
-            "vec_id", "centroid_id",
-            F.col("prune_id").isNotNull().cast("int").alias("is_pruned"),
+            F.col("centroid_id"), F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("emb_a"), F.col("inv").alias("inv_a"),
         )
     )
+    b = nrm.select(
+        F.col("centroid_id"), F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"), F.col("inv").alias("inv_b"),
+    )
+    cos = _dot_cols(F.col("emb_a"), F.col("emb_b")) * F.col("inv_a") * F.col("inv_b")
+    pruned = (
+        F.broadcast(reps).join(b, ["centroid_id"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= SEMDEDUP_TAU)
+        .select(F.col("id_b").alias("prune_id"))
+        .distinct()
+    )
+    return _semdedup_verdict(nrm, pruned)
 
 
 # ------------------------------------------ cluster-balanced sampling
@@ -907,18 +1026,10 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
-    )
-    dot = _dot_cols(F.col("embedding"), F.col("c_emb"))
-    n_c = _dot_cols(F.col("c_emb"), F.col("c_emb"))
-    scored = e.join(F.broadcast(cents)).select(
-        "vec_id", "centroid_id", (-2 * dot + n_c).alias("score")
-    )
-    assign = scored.groupBy("vec_id").agg(
-        F.min_by(
-            F.struct("centroid_id", "score"), F.struct("score", "centroid_id")
-        ).alias("best")
+    # map-only literal-centroid argmin; the winning score rides in the
+    # same struct, so assignment stays a projection
+    assign = e.select(
+        "vec_id", F.array_min(_centroid_score_structs(e)).alias("best")
     ).select(
         "vec_id", F.col("best.centroid_id").alias("centroid_id"),
         F.col("best.score").alias("score"),

@@ -243,8 +243,13 @@ PRIORITY: tuple[str, ...] = (
     "dsir_importance_weights", "bpe_tokenize_corpus", "quality_lr_eval",
     # ---- NEW this round
     "watermark_late_drop", "tile_mvt_z7_parity",
-    # ---- rows-only refresh (r6 row; VERDICT #3) + its NEW oracle twin
-    "heatmap_mvt_z9", "heatmap_mvt_z9_parity",
+    # ---- the heatmap-MVT path's NEW oracle (late r9; heatmap_mvt_z9's
+    # rows-only refresh yields its slot — the parity twin subsumes the
+    # semantic check and the blob row rotates in r10, inside the bound)
+    "heatmap_mvt_z9_parity",
+    # ---- NEW (late r9): the bounded-representative SemDeDup posture,
+    # registered alongside the scale-killer fix to the exact form
+    "semdedup_prune_capped",
 )
 
 

@@ -79,14 +79,21 @@ def test_heatmap_is_single_aggregation(spark):
     assert "BroadcastHashJoin" in plan           # cell grid broadcasts
 
 
-def test_ivf_assignment_is_aggregate_not_window(spark):
-    """The IVF coarse-quantizer argmin runs as a min_by AGGREGATE
-    (map-side combinable: one candidate per vector leaves each partition)
-    — not a sort-based row_number window over every (vec, centroid) pair."""
+def test_ivf_assignment_is_map_only(spark):
+    """The IVF coarse-quantizer argmin is a PROJECTION over literal
+    centroid scores (array_min of _centroid_score_structs) — no window,
+    no join, no per-vector shuffle; the only exchange left feeds the
+    8-row inventory groupBy (partial-aggregated)."""
     from tank_spark.llm.similarity import ivf_assignments
 
     plan = _plan(ivf_assignments(spark, SF_DIR))
     assert "Window" not in plan
+    assert "Join" not in plan                   # assignment never joins
+    # the only query-side exchange feeds the 8-row inventory groupBy (the
+    # string below the cache scan is the cached embeddings relation's
+    # one-time build plan, which legitimately repartitions)
+    query_part = plan.split("InMemoryRelation")[0]
+    assert query_part.count("Exchange") <= 1
     assert plan.count("HashAggregate") >= 2     # partial + final
 
 
