@@ -1299,8 +1299,19 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s-curve plots in the SlimPajama/BigCode dedup writeups.",
 )
 def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = corpus_df(spark, sf_dir)
-    ds = _shingles_df(c).distinct()
+    # Exact ground truth = one postings self-join, aggregated immediately
+    # (map-side combine). Scale adjudication (SCALE.md round-9): under
+    # mass duplication the truth OUTPUT is itself quadratic in the dup
+    # cluster (3,000 copies = 4.5M true pairs), so no candidate-
+    # generation trick bounds this job — an A/B against AllPairs/PPJoin
+    # prefix filtering measured the "clever" exact join 14x SLOWER at
+    # sf0.1 with the same inherent blowup on a boilerplate corpus. The
+    # production posture for the inherent quadratic is the one the doc
+    # below states: run the eval on a deterministic doc_id-sampled
+    # slice. The shingle set is the memoized persisted relation shared
+    # with the containment surface (the pre-r9 form re-derived and
+    # re-shuffled it three times per run).
+    ds = _distinct_shingles(spark, sf_dir)
     sizes = ds.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
     a, b = ds.alias("a"), ds.alias("b")
     inter = (
@@ -1311,10 +1322,14 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("cid").alias("cid_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("cid").alias("cid_b"), F.col("n").alias("nb"))
-    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    # integer cross-multiplication: n/(na+nb-n) >= 0.5 <=> 3n >= na+nb
+    # (exact — the double quotient of integers this size can't round
+    # across the power-of-two boundary, so the set equals the oracle's
+    # double-division form)
     truth = (
         inter.join(sa, "cid_a").join(sb, "cid_b")
-        .filter(jac >= 0.5).select("cid_a", "cid_b")
+        .filter(F.col("n_common") * 3 >= F.col("na") + F.col("nb"))
+        .select("cid_a", "cid_b")
     )
     pred = minhash_lsh_pairs(spark, sf_dir).select("cid_a", "cid_b")
     hit = truth.join(pred, ["cid_a", "cid_b"])
