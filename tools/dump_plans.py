@@ -74,9 +74,18 @@ SHOW = [
                                 "immediate partial aggregation; hot "
                                 "completion joins run only over "
                                 "prefilter survivors"),
+    ("ivf_assignments", "Coarse-quantizer assignment as a PROJECTION "
+                        "(literal centroids, array_min argmin — r9): no "
+                        "join, no per-vector shuffle; the only exchange "
+                        "feeds the 8-row inventory groupBy"),
     ("ivf_recall_eval", "Truth (broadcast-query brute force) and "
                         "prediction (nprobe-bounded probe) computed "
                         "in-plan; corpus scans, never corpus shuffles"),
+    ("semdedup_prune_capped", "Bounded-representative SemDeDup (r9): "
+                              "map-only assignment + hoisted inverse "
+                              "norms; the <=128-row rep side BROADCASTS "
+                              "into the pair join — n*CAP candidates at "
+                              "any cluster size, corpus never shuffles"),
     ("lm_surprisal_score", "In-engine bigram LM: model tables are two "
                            "map-side-combined aggregates on the bigram "
                            "key (vocabulary-bounded); scoring joins the "
