@@ -731,8 +731,13 @@ def semantic_vs_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     nc = F.coalesce(F.col("n_common"), F.lit(0))
+    # the pair relation is the bucket-capped near-dup set — small by
+    # construction — so it broadcasts into the size joins too; without
+    # the hint Catalyst can't estimate the computed relation and planned
+    # a SortMergeJoin against the corpus-wide word-count table (caught
+    # by the r9 claims audit)
     return (
-        pairs.join(inter, ["vec_a", "vec_b"], "left")
+        F.broadcast(pairs.join(F.broadcast(inter), ["vec_a", "vec_b"], "left"))
         .join(sizes.select(F.col("doc_id").alias("vec_a"), F.col("n").alias("na")), "vec_a")
         .join(sizes.select(F.col("doc_id").alias("vec_b"), F.col("n").alias("nb")), "vec_b")
         .select(
@@ -953,21 +958,41 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a.vec_id < b.vec_id — keep-lowest preserved), so candidate "
         "pairs are n * CAP at ANY cluster size: the within-cluster "
         "quadratic of the exact form is gone, the analog of the LSH "
-        "hot-band cap for a fixed coarse quantizer. The rep side is "
-        "tiny (<= N_CENTROIDS * CAP rows) and BROADCAST into the pair "
-        "join, so at 100 TB the scan side never shuffles; the rep "
-        "ranking itself sorts only within the N_CENTROIDS-partition "
-        "toy config (production scales n_clusters instead). Same "
-        "engine-exact arithmetic as semdedup_prune.",
+        "hot-band cap for a fixed coarse quantizer. Rep selection is a "
+        "two-phase distributed top-k (partition-local top-CAP, then "
+        "top-CAP of the survivors — exact and partitioning-independent, "
+        "no corpus-wide window), the surviving rep ids broadcast back "
+        "onto the scan, and the rep side (<= N_CENTROIDS * CAP rows) "
+        "BROADCASTS into the pair join — the corpus never shuffles "
+        "vectors; the only corpus-keyed exchange left is the skinny "
+        "(vec_id, centroid_id) verdict-labeling join. Same engine-exact "
+        "arithmetic as semdedup_prune.",
 )
 def semdedup_prune_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     nrm = _semdedup_nrm_df(spark, sf_dir)
-    w = Window.partitionBy("centroid_id").orderBy("vec_id")
+    # reps = the CAP lowest vec_ids per cluster, found as a two-phase
+    # distributed top-k (partition-local top-CAP, then top-CAP of the
+    # <= partitions*CAP survivors): exact and partitioning-independent,
+    # with NO corpus-wide window — a row_number over centroid_id would
+    # sort the whole corpus into N_CENTROIDS skewed partitions. The
+    # surviving rep ids (<= N_CENTROIDS * CAP) broadcast back onto the
+    # corpus scan to pick up embeddings/norms, so the corpus side never
+    # shuffles for rep selection either.
+    cap = F.lit(SEMDEDUP_REP_CAP).cast("int")
+    local = (
+        nrm.groupBy(F.spark_partition_id().alias("p"), "centroid_id")
+        .agg(F.slice(F.sort_array(F.collect_list("vec_id")), F.lit(1), cap)
+             .alias("ids"))
+    )
+    rep_ids = (
+        local.select("centroid_id", F.explode("ids").alias("vec_id"))
+        .groupBy("centroid_id")
+        .agg(F.slice(F.sort_array(F.collect_list("vec_id")), F.lit(1), cap)
+             .alias("ids"))
+        .select("centroid_id", F.explode("ids").alias("vec_id"))
+    )
     reps = (
-        nrm.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= SEMDEDUP_REP_CAP)
+        nrm.join(F.broadcast(rep_ids), ["centroid_id", "vec_id"])
         .select(
             F.col("centroid_id"), F.col("vec_id").alias("id_a"),
             F.col("embedding").alias("emb_a"), F.col("inv").alias("inv_a"),
