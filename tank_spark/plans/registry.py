@@ -252,6 +252,18 @@ PRIORITY: tuple[str, ...] = (
     "semdedup_prune_capped",
 )
 
+# R10 WINDOW HANDOFF: beyond the r6-green entries due by staleness
+# (quality_lr_train, pq_train_subspace_kmeans, heatmap_mvt_z9 — all
+# displaced from r9 with rationale above), give flex slots to the
+# queries whose CODE changed in late r9 without an r9 window slot:
+# semdedup_prune (map-only assignment + hoisted-inverse-norm pairs,
+# oracle rewritten to match) and semantic_vs_lexical (broadcast-hint
+# fix, oracle unchanged). ivf_assignments/ivf_probe_search/
+# ivf_recall_eval/lsh_recall_eval also changed but sit in the r9
+# window; cluster_balanced_sample and ivf_pq_search changed with
+# UNCHANGED oracles (bit-exact assignment rewrite, parity-verified at
+# both SFs in-session) and rotate on their normal staleness schedule.
+
 
 def load_all() -> dict[str, QueryDef]:
     """Import every operator module (side effect: registration) and return
