@@ -437,7 +437,7 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     # map-only literal-centroid argmin + array_sort probe ranking
     # (see similarity._centroid_score_structs for the exactness proof)
-    arr = _centroid_score_structs(e)
+    arr = _centroid_score_structs(spark, sf_dir)
     assign = e.select(
         "vec_id", F.array_min(arr)["centroid_id"].alias("centroid_id")
     )

@@ -483,9 +483,21 @@ def test_watermark_late_drop_matches_real_stream(spark, tmp_path):
     bids = sorted(
         r[0] for r in tagged.select("batch_id").distinct().collect())
     assert len(bids) >= 3  # a real multi-batch replay
-    for k in bids:  # sequential writes: mtime order == arrival order
+    # Arrival order must be EXPLICIT: the file source orders by mtime and
+    # falls back to (UUID-named) path order for ties, so two sequential
+    # writes landing in the same mtime granule would scramble batch order
+    # (ADVICE r9). Stamp every batch's files with strictly increasing
+    # mtimes after writing.
+    import os
+
+    for i, k in enumerate(bids):
+        bdir = drop / f"b{k:04d}"
         (tagged.filter(F.col("batch_id") == k).drop("batch_id")
-         .coalesce(1).write.parquet(str(drop / f"b{k:04d}")))
+         .coalesce(1).write.parquet(str(bdir)))
+        t = 1_700_000_000 + 60 * i
+        for p in bdir.rglob("*"):
+            os.utime(p, (t, t))
+        os.utime(bdir, (t, t))
 
     stream = (
         spark.readStream.schema(ev.schema)
