@@ -1053,6 +1053,116 @@ def tile_mvt_z7_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The five HASH-ALIGNED default requests (z <= HASH_LEVEL): every
+# selected feature's anchor lies inside the requested tile (bucket set
+# is a subset of the tile), and the derived geometries are tiny symmetric
+# shapes around the anchor, so the buffered clip keeps each one — the
+# decoded feature set is EXACTLY the hash-range selection after the
+# per-tile sampling filter, which is SQL. The z15 request is excluded:
+# its parent-bucket selection clips features outside the sub-tile, and
+# the y-axis clip boundary is transcendental (features.py lat), so its
+# count has no exact SQL twin; tile_mvt_batch keeps serving all six.
+PARITY_REQUESTS = [r for r in DEFAULT_REQUESTS if r[0] <= 13]
+
+
+def _batch_parity_oracle() -> str:
+    from tank_spark.operators.tiles import overview_keep_sql
+    from tank_spark.sources.features import FEATURES_CTE
+
+    B = OVERVIEW_FEATURE_BUDGET
+    vals = ", ".join(
+        f"({z}, {x}, {y}, {lo}, {hi})"
+        for (z, x, y) in PARITY_REQUESTS
+        for lo, hi in [tile_hash_range(z, x, y)]
+    )
+    return f"""
+    {FEATURES_CTE},
+    reqs(z, x, y, lo, hi) AS (VALUES {vals}),
+    mods AS (
+      SELECT r.z, r.x, r.y, r.lo, r.hi,
+             GREATEST(1, ((SELECT COUNT(*) FROM features f
+                           WHERE f.hash BETWEEN r.lo AND r.hi)
+                          + {B - 1}) // {B}) AS mod
+      FROM reqs r
+    ),
+    kept AS (
+      SELECT m.z, m.x, m.y, m.mod,
+             CAST(COUNT(f.key) AS BIGINT) AS nf,
+             CAST(COALESCE(SUM(CASE WHEN f.key % 20 < 12 THEN 1 END), 0)
+                  AS BIGINT) AS n_point,
+             CAST(COALESCE(SUM(CASE WHEN f.key % 20 >= 12
+                                     AND f.key % 20 < 17 THEN 1 END), 0)
+                  AS BIGINT) AS n_line,
+             CAST(COALESCE(SUM(CASE WHEN f.key % 20 >= 17 THEN 1 END), 0)
+                  AS BIGINT) AS n_poly
+      FROM mods m LEFT JOIN features f
+        ON f.hash BETWEEN m.lo AND m.hi
+       AND {overview_keep_sql('m.mod')}
+      GROUP BY m.z, m.x, m.y, m.mod
+    )
+    SELECT z, x, y, nf AS decoded_features,
+           CAST(1 AS INTEGER) AS features_match,
+           n_point, n_line, n_poly,
+           CAST(4 * nf AS BIGINT) AS decoded_prop_values,
+           CAST(mod AS BIGINT) AS sample_mod
+    FROM kept
+    """
+
+
+@register(
+    "tile_mvt_batch_parity",
+    _batch_parity_oracle(),
+    doc="Decode-parity ORACLE for the batch MVT serving path (VERDICT r9 "
+        "#3 — the heatmap_mvt_z9_parity pattern applied to the last "
+        "rows-only MVT emitter): runs the SAME budget-sampled encode as "
+        "tile_mvt_batch over the five hash-aligned default requests, "
+        "DECODES every blob with the package's spec-2.1 reader in a "
+        "mapInPandas stage, and hash-matches per-tile decoded feature / "
+        "geometry-type / property counts plus the applied sampling "
+        "modulus against the exact SQL selection (hash BETWEEN + derived "
+        "mod + md5-hashed keep predicate). A green row certifies the "
+        "whole request-join -> sample -> clip -> encode -> decode chain "
+        "numerically, not just blob stability.",
+)
+def tile_mvt_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tank_spark.util import ensure_workers_have_package
+
+    ensure_workers_have_package(spark)
+    tiles = mvt_tiles(spark, sf_dir, requests=PARITY_REQUESTS,
+                      overview_sampling=True)
+
+    def dec(it):
+        from tank_spark.geom import mvt as mvtmod_w
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                feats = mvtmod_w.decode(bytes(r.mvt))[LAYER]["features"]
+                gt = [f["geom_type"] for f in feats]
+                rows.append({
+                    "z": int(r.z), "x": int(r.x), "y": int(r.y),
+                    "decoded_features": len(feats),
+                    "features_match": int(len(feats) == int(r.n_features)),
+                    "n_point": sum(t.endswith("Point") for t in gt),
+                    "n_line": sum(t.endswith("LineString") for t in gt),
+                    "n_poly": sum(t.endswith("Polygon") for t in gt),
+                    "decoded_prop_values": int(sum(
+                        len(f["props"]) for f in feats)),
+                    "sample_mod": int(r.sample_mod),
+                })
+            yield pd.DataFrame(rows, columns=[
+                "z", "x", "y", "decoded_features", "features_match",
+                "n_point", "n_line", "n_poly", "decoded_prop_values",
+                "sample_mod"])
+
+    return tiles.mapInPandas(
+        dec,
+        "z int, x int, y int, decoded_features long, features_match int, "
+        "n_point long, n_line long, n_poly long, decoded_prop_values long, "
+        "sample_mod long",
+    )
+
+
 def _heatmap_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     """One (z,x,y) group of heatmap cells -> MVT of cell polygons with a
     ``count`` property (reference application.kt:601-610).

@@ -353,3 +353,21 @@ def test_tile_mvt_z7_parity_roundtrip(spark):
     assert r["decoded_prop_values"] > 0
     assert r["extent"] == 4096
     assert r["mvt_size"] > 0 and len(r["mvt_md5"]) == 32
+
+
+def test_tile_mvt_batch_parity_roundtrip(spark):
+    """The registered batch decode-parity audit (the full-oracle twin of
+    tile_mvt_batch): one row per hash-aligned default request, decoded
+    count == declared count everywhere, geometry-type counts partition
+    the features, and every feature carries all four props. (The value-
+    level match against the SQL selection is the oracle-parity sweep.)"""
+    from tank_spark.operators.mvt_tiles import PARITY_REQUESTS
+    from tank_spark.plans.registry import load_all
+
+    rows = load_all()["tile_mvt_batch_parity"].spark(spark, SF_DIR).collect()
+    assert {(r["z"], r["x"], r["y"]) for r in rows} == set(PARITY_REQUESTS)
+    for r in rows:
+        assert r["features_match"] == 1
+        assert r["n_point"] + r["n_line"] + r["n_poly"] == r["decoded_features"]
+        assert r["decoded_prop_values"] == 4 * r["decoded_features"]
+        assert r["sample_mod"] >= 1
