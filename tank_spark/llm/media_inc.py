@@ -1,0 +1,284 @@
+"""Incremental (delta) dedup for the MEDIA corpus — the daily-crawl
+shape the text family already has (dedup.dedup_incremental_batch,
+dedup.py:1729) extended to the image/audio/video hash families
+(VERDICT r9 #6: media dedup was batch-global only).
+
+Production pattern twinned here: a standing per-modality perceptual-hash
+index (one row per (media row, band) plus the exact payload
+fingerprint — media_index_build is THE persisted artifact), probed by
+each crawl increment WITHOUT pairwise work on the corpus. The index
+side is scanned once; the small batch side is BROADCAST into every
+probe join; hot index buckets above the standing PHASH_BUCKET_CAP are
+skipped — identical posture to the text incremental path and to every
+LSH surface in the repo.
+
+Dispositions (precedence order, as the text family):
+  exact_dup_of_index  — payload fingerprint already in the index
+  dup_in_batch        — an earlier doc of the same batch has the payload
+  near_dup_of_index   — shares a 16-bit phash band bucket with an index
+                        row AND verifies at Hamming <= PHASH_HAM_T (the
+                        media family's standing exact bit_count check —
+                        the text twin stops at band hits because its
+                        bands are already exact MinHash digests)
+  new_unique          — none of the above
+
+The derived batch exercises every disposition deterministically per
+modality: verbatim re-crawls (every 5th base row), one-byte-bumped
+near-dup copies (the SAME (tweak_idx, delta) as the modality's planted
+variants, so the banded probe provably catches them), and fresh
+synthetic payloads emitted twice. Full DuckDB oracles re-derive every
+perceptual hash as exact integer arithmetic (media_sql.MEDIA_*_SQL).
+
+Scale: hash kernels are map-only Arrow-batched mapInPandas; the one
+checkpoint materializes each payload through its kernel exactly once;
+every probe/assembly join is broadcast on the batch-bounded side, so
+the corpus never shuffles on a probe key. At 100 TB the index is the
+bucketed persisted relation of media_index_build and the batch is a
+crawl increment — the same plan with the kernel stage amortized away.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tank_spark.llm import media_sql
+from tank_spark.plans.registry import register
+from tank_spark.sources.tables import load
+
+# the text family's batch-id offset (high bit; 2x still < 2^63) — one
+# convention for every incremental surface
+INC_OFFSET = media_sql.INC_OFFSET
+
+_MODALITIES = ("image", "audio", "video")
+# modality -> (0-based tweak byte, delta): the planted-variant constants
+# of phash_media / fingerprint_media / signature_media
+_TWEAKS = {"image": (7, 8), "audio": (15, 4), "video": (11, 8)}
+
+
+def _tweaked(idx0: int, delta: int):
+    """Payload with byte ``idx0`` (0-based) bumped by ``delta`` mod 256 —
+    the substring-concat idiom of the planted-variant builders."""
+    b = F.conv(F.hex(F.expr(f"substring(payload, {idx0 + 1}, 1)")),
+               16, 10).cast("int")
+    return F.concat(
+        F.expr(f"substring(payload, 1, {idx0})"),
+        F.unhex(F.lpad(F.hex((b + delta) % 256), 2, "0")),
+        F.expr(f"substring(payload, {idx0 + 2}, {media_sql.N_BYTES - idx0 - 1})"),
+    )
+
+
+def _inc_media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cid, modality, payload): the base media corpus (cid = doc_id)
+    plus the derived crawl increment (cid >= INC_OFFSET)."""
+    d = load(spark, sf_dir, "documents")
+    payload = F.unhex(F.concat(
+        F.md5("text"), F.md5(F.concat(F.col("text"), F.lit(":1")))))
+    fresh = F.unhex(F.concat(
+        F.md5(F.concat(F.col("text"), F.lit(":f"))),
+        F.md5(F.concat(F.col("text"), F.lit(":f1")))))
+    modality = F.element_at(
+        F.array(*[F.lit(m) for m in _MODALITIES]),
+        (F.col("doc_id") % 3 + 1).cast("int"))
+    base = d.select(F.col("doc_id").alias("cid"), modality.alias("modality"),
+                    payload.alias("payload"))
+    # slice-local every-5th selectors: doc_id % 15 == (doc_id % 3) + k
+    mod3 = F.col("cid") % 3
+    recrawl = base.filter(F.col("cid") % 15 == mod3).select(
+        (F.col("cid") + INC_OFFSET).alias("cid"), "modality", "payload")
+    tweak = (
+        F.when(F.col("modality") == "image", _tweaked(*_TWEAKS["image"]))
+        .when(F.col("modality") == "audio", _tweaked(*_TWEAKS["audio"]))
+        .otherwise(_tweaked(*_TWEAKS["video"]))
+    )
+    near = base.filter(F.col("cid") % 15 == mod3 + 3).select(
+        (F.col("cid") + INC_OFFSET).alias("cid"), "modality",
+        tweak.alias("payload"))
+    fr = d.filter(F.col("doc_id") % 15 == F.col("doc_id") % 3 + 6).select(
+        F.col("doc_id").alias("cid"), modality.alias("modality"),
+        fresh.alias("payload"))
+    new1 = fr.select((F.col("cid") + INC_OFFSET).alias("cid"),
+                     "modality", "payload")
+    new2 = fr.select((F.col("cid") + 2 * INC_OFFSET).alias("cid"),
+                     "modality", "payload")
+    return (base.unionByName(recrawl).unionByName(near)
+            .unionByName(new1).unionByName(new2))
+
+
+def _hashed_media(spark: SparkSession, corpus: DataFrame) -> DataFrame:
+    """(cid, modality, phash): each modality slice through its own
+    perceptual-hash kernel (dHash / acoustic fingerprint / temporal
+    signature), unioned. Checkpointed eagerly by callers that consume
+    it more than once."""
+    from tank_spark.llm.audio import AUDIO_FP_SCHEMA, _fingerprint_kernel
+    from tank_spark.llm.multimodal import PHASH_SCHEMA, _phash_kernel
+    from tank_spark.llm.video import VIDEO_FP_SCHEMA, _signature_kernel
+    from tank_spark.util import ensure_workers_have_package
+
+    ensure_workers_have_package(spark)
+    kernels = {"image": (_phash_kernel, PHASH_SCHEMA),
+               "audio": (_fingerprint_kernel, AUDIO_FP_SCHEMA),
+               "video": (_signature_kernel, VIDEO_FP_SCHEMA)}
+    out = None
+    for m in _MODALITIES:
+        kern, schema = kernels[m]
+        h = (corpus.filter(F.col("modality") == m)
+             .select(F.col("cid").alias("doc_id"), "payload")
+             .mapInPandas(kern, schema)
+             .select(F.col("doc_id").alias("cid"),
+                     F.lit(m).alias("modality"), "phash"))
+        out = h if out is None else out.unionByName(h)
+    return out
+
+
+def _bands(hashed: DataFrame) -> DataFrame:
+    """(cid, modality, phash, band_idx, band_val): the standing 4x16-bit
+    band decomposition (multimodal.phash_neardup_pairs)."""
+    return hashed.select(
+        "cid", "modality", "phash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned("phash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+            for i in range(media_sql.PHASH_BANDS)
+        ])).alias("band_idx", "band_val"),
+    )
+
+
+@register(
+    "media_index_build",
+    media_sql.MEDIA_INDEX_BUILD_SQL,
+    doc="Builds THE persisted media-dedup index artifact incremental "
+        "media dedup probes against (the media twin of "
+        "dedup_index_build): per base media row, the exact payload "
+        "fingerprint and every 16-bit phash band — one row per "
+        "(media row, band), modality-keyed so hash families never "
+        "cross. In production this relation is written bucketed by "
+        "(modality, band_val) and appended per snapshot. Scale shape: "
+        "one corpus scan through the map-only hash kernels, a "
+        "projection to bands — no join, no shuffle beyond the scan.",
+)
+def media_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    payload = F.unhex(F.concat(
+        F.md5("text"), F.md5(F.concat(F.col("text"), F.lit(":1")))))
+    modality = F.element_at(
+        F.array(*[F.lit(m) for m in _MODALITIES]),
+        (F.col("doc_id") % 3 + 1).cast("int"))
+    base = d.select(F.col("doc_id").alias("cid"), modality.alias("modality"),
+                    payload.alias("payload"))
+    hashed = _hashed_media(spark, base)
+    fps = base.select("cid", F.lower(F.hex("payload")).alias("fp"))
+    return _bands(hashed).join(fps, "cid").select(
+        F.col("cid").alias("doc_id"), "modality", "fp",
+        "band_idx", "band_val")
+
+
+@register(
+    "media_dedup_incremental",
+    media_sql.MEDIA_DEDUP_INC_SQL,
+    doc="Incremental (delta) MEDIA dedup: disposition every new-batch "
+        "media row (image/audio/video) against the existing corpus "
+        "index WITHOUT pairwise work on the corpus — "
+        "exact_dup_of_index (payload fingerprint already indexed), "
+        "dup_in_batch, near_dup_of_index (shares a phash band bucket "
+        "AND verifies at Hamming <= 3), else new_unique; match_cid "
+        "names the matched row (min id, precedence order) and "
+        "n_bands_hit counts the row's bands with a verified index hit. "
+        "The daily-crawl production pattern, media edition: the index "
+        "side is scanned ONCE (or served from media_index_build's "
+        "persisted artifact), the small batch side is BROADCAST into "
+        "every probe join, hot index buckets are capped "
+        "(PHASH_BUCKET_CAP), and modality keys every join so hash "
+        "families never cross. The derived batch exercises every "
+        "disposition deterministically per modality.",
+)
+def media_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _inc_media_corpus(spark, sf_dir)
+    # ONE kernel pass over base+batch; the checkpoint (eager) is what
+    # makes "index scanned once" true — the hot-bucket aggregate, both
+    # band-probe sides, and the fp relations all derive from it without
+    # re-running the Python kernels (the dedup-family lesson,
+    # dedup.py:314; localCheckpoint not persist per ADVICE r7)
+    hashed = _hashed_media(spark, corpus).localCheckpoint(eager=True)
+    fps = corpus.select(
+        "cid", "modality", F.lower(F.hex("payload")).alias("fp"))
+    is_batch = F.col("cid") >= INC_OFFSET
+    bfp = fps.filter(is_batch).select(
+        F.col("cid").alias("bcid"), "modality", "fp")
+    ifp = fps.filter(~is_batch).select(
+        F.col("cid").alias("icid"), "modality", "fp")
+    bands = _bands(hashed)
+    bb = bands.filter(is_batch).select(
+        F.col("cid").alias("bcid"), "modality",
+        F.col("phash").alias("bphash"), "band_idx", "band_val")
+    ib = bands.filter(~is_batch).select(
+        F.col("cid").alias("icid"), "modality", "phash",
+        "band_idx", "band_val")
+    return media_disposition_against_index(bfp, ifp, bb, ib)
+
+
+def media_disposition_against_index(
+    bfp: DataFrame, ifp: DataFrame, bb: DataFrame, ib: DataFrame,
+    cap: int = media_sql.PHASH_BUCKET_CAP,
+    ham_t: int = media_sql.PHASH_HAM_T,
+) -> DataFrame:
+    """The media incremental probe: disposition every batch media row
+    against an index without pairwise corpus work. Inputs: ``bfp``
+    (bcid, modality, fp) batch fingerprints, ``ifp`` (icid, modality,
+    fp) index fingerprints, ``bb`` (bcid, modality, bphash, band_idx,
+    band_val) batch bands, ``ib`` (icid, modality, phash, band_idx,
+    band_val) index bands. Output: (doc_id, modality, disposition,
+    match_cid, n_bands_hit). Batch side BROADCAST everywhere; hot index
+    buckets above ``cap`` skipped; band hits verified at exact
+    bit_count(xor) <= ``ham_t``."""
+    exact = (
+        ifp.join(F.broadcast(bfp), ["modality", "fp"])
+        .groupBy("bcid").agg(F.min("icid").alias("exact_match"))
+    )
+    y = bfp.select(F.col("bcid").alias("ycid"), "modality", "fp")
+    inb = (
+        bfp.join(F.broadcast(y), ["modality", "fp"])
+        .filter(F.col("ycid") < F.col("bcid"))
+        .groupBy("bcid").agg(F.min("ycid").alias("batch_match"))
+    )
+    oversized = (
+        ib.groupBy("modality", "band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > cap)
+        .select("modality", "band_idx", "band_val")
+    )
+    ibk = ib.join(F.broadcast(oversized),
+                  ["modality", "band_idx", "band_val"], "left_anti")
+    near = (
+        ibk.join(F.broadcast(bb), ["modality", "band_idx", "band_val"])
+        .filter(F.bit_count(F.col("phash").bitwiseXOR(F.col("bphash")))
+                <= ham_t)
+        .groupBy("bcid").agg(
+            F.min("icid").alias("near_match"),
+            F.countDistinct("band_idx").cast("int").alias("n_bands_hit"))
+    )
+    disposition = (
+        F.when(F.col("exact_match").isNotNull(), "exact_dup_of_index")
+        .when(F.col("batch_match").isNotNull(), "dup_in_batch")
+        .when(F.col("near_match").isNotNull(), "near_dup_of_index")
+        .otherwise("new_unique")
+    )
+    match_cid = (
+        F.when(F.col("exact_match").isNotNull(), F.col("exact_match"))
+        .when(F.col("batch_match").isNotNull(), F.col("batch_match"))
+        .otherwise(F.col("near_match"))
+    )
+    # the three disposition tables are batch-bounded aggregates (<= one
+    # row per batch row) — broadcast them so the final assembly is three
+    # map-side joins, never a SortMergeJoin chain on bcid
+    return (
+        bfp.join(F.broadcast(exact), "bcid", "left")
+        .join(F.broadcast(inb), "bcid", "left")
+        .join(F.broadcast(near), "bcid", "left")
+        .select(
+            F.col("bcid").alias("doc_id"), "modality",
+            disposition.alias("disposition"),
+            match_cid.alias("match_cid"),
+            F.coalesce(F.col("n_bands_hit"), F.lit(0)).cast("int")
+            .alias("n_bands_hit"),
+        )
+    )

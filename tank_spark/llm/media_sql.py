@@ -583,3 +583,175 @@ SELECT doc_id,
        CAST(NULL AS VARCHAR) AS resample_error
 FROM mb WHERE doc_id % 3 = 1
 """
+
+
+# ------------------------------------- incremental (delta) media dedup
+
+# Batch ids: the text family's high-bit offset (dedup.INC_BATCH_OFFSET;
+# the twin tests pin equality). 2x the offset still fits BIGINT.
+INC_OFFSET = 1 << 61
+
+# byte relations that also CARRY the payload hex (the exact-dup
+# fingerprint): `h` is DuckDB md5 output (lowercase hex), equal to
+# Spark's lower(hex(payload)) since payload = unhex(h).
+MBH_CTE = "mbh AS (SELECT doc_id, h, " + ", ".join(
+    f"CAST({byte_expr(i)} AS BIGINT) AS b{i}" for i in range(N_BYTES)
+) + " FROM mh)"
+
+# fresh-crawl payloads: a second md5 keystream, unrelated to the base
+MHF_CTE = ("mhf AS (SELECT doc_id, md5(text || ':f') || md5(text || ':f1') "
+           "AS h FROM documents)")
+MBHF_CTE = "mbhf AS (SELECT doc_id, h, " + ", ".join(
+    f"CAST({byte_expr(i)} AS BIGINT) AS b{i}" for i in range(N_BYTES)
+) + " FROM mhf)"
+
+
+def inc_slice_ctes(name: str, mod3: int, tweak_idx: int,
+                   tweak_delta: int) -> str:
+    """CTEs for one modality of the incremental-crawl fixture:
+    ``{name}_ib`` = the INDEX side (the base slice, no variants) and
+    ``{name}_bb`` = the BATCH side — verbatim re-crawls (every 5th base
+    row, exact dups), one-byte-bumped near-dup copies (the same
+    (tweak_idx, delta) as the modality's planted variants), and fresh
+    synthetic payloads emitted twice (new_unique + dup_in_batch). Both
+    relations carry (doc_id, h, b0..b31)."""
+    tw_cols = ", ".join(
+        f"(b{tweak_idx} + {tweak_delta}) % 256 AS b{tweak_idx}"
+        if i == tweak_idx else f"b{i}"
+        for i in range(N_BYTES)
+    )
+    tw_h = (
+        f"substr(h, 1, {2 * tweak_idx}) || "
+        f"lpad(lower(hex((b{tweak_idx} + {tweak_delta}) % 256)), 2, '0') || "
+        f"substr(h, {2 * tweak_idx + 3})"
+    )
+    fresh_pred = f"doc_id % 3 = {mod3} AND doc_id % 15 = {mod3 + 6}"
+    return f"""{name}_ib AS (
+  SELECT doc_id, h, {_BCOLS} FROM mbh WHERE doc_id % 3 = {mod3}
+),
+{name}_bb AS (
+  SELECT doc_id + {INC_OFFSET} AS doc_id, h, {_BCOLS}
+  FROM {name}_ib WHERE doc_id % 15 = {mod3}
+  UNION ALL
+  SELECT doc_id + {INC_OFFSET} AS doc_id, {tw_h} AS h, {tw_cols}
+  FROM {name}_ib WHERE doc_id % 15 = {mod3 + 3}
+  UNION ALL
+  SELECT doc_id + {INC_OFFSET} AS doc_id, h, {_BCOLS}
+  FROM mbhf WHERE {fresh_pred}
+  UNION ALL
+  SELECT doc_id + {2 * INC_OFFSET} AS doc_id, h, {_BCOLS}
+  FROM mbhf WHERE {fresh_pred}
+)"""
+
+
+def _img_hash_h(src: str, name: str) -> str:
+    return f"{name} AS (SELECT doc_id, h, {dhash_expr(_ident)} AS phash FROM {src})"
+
+
+def _aud_hash_h(src: str, name: str) -> str:
+    return (f"{name}_q AS (SELECT doc_id, h, {_QCOLS} FROM {src}),\n"
+            f"{name} AS (SELECT doc_id, h, {audio_fp_expr()} AS phash "
+            f"FROM {name}_q)")
+
+
+def _vid_hash_h(src: str, name: str) -> str:
+    cols = ", ".join(
+        dhash_expr(_rolled((SCENE_ROLL * s) % N_BYTES)) + f" AS h{s}"
+        for s in range(N_FRAMES_STUB // SCENE_LEN)
+    )
+    return (f"{name}_f AS (SELECT doc_id, h, {cols} FROM {src}),\n"
+            f"{name} AS (SELECT doc_id, h, "
+            f"(h0 & h1) | (h0 & h2) | (h1 & h2) AS phash FROM {name}_f)")
+
+
+_INC_CHAIN = f"""{MH_CTE},
+{MBH_CTE},
+{MHF_CTE},
+{MBHF_CTE},
+{inc_slice_ctes("img", 0, 7, 8)},
+{inc_slice_ctes("aud", 1, 15, 4)},
+{inc_slice_ctes("vid", 2, 11, 8)},
+{_img_hash_h("img_ib", "img_ih")},
+{_img_hash_h("img_bb", "img_bh")},
+{_aud_hash_h("aud_ib", "aud_ih")},
+{_aud_hash_h("aud_bb", "aud_bh")},
+{_vid_hash_h("vid_ib", "vid_ih")},
+{_vid_hash_h("vid_bb", "vid_bh")},
+idx_hash AS (
+  SELECT doc_id, h, phash, 'image' AS modality FROM img_ih
+  UNION ALL SELECT doc_id, h, phash, 'audio' FROM aud_ih
+  UNION ALL SELECT doc_id, h, phash, 'video' FROM vid_ih
+),
+bat_hash AS (
+  SELECT doc_id, h, phash, 'image' AS modality FROM img_bh
+  UNION ALL SELECT doc_id, h, phash, 'audio' FROM aud_bh
+  UNION ALL SELECT doc_id, h, phash, 'video' FROM vid_bh
+)"""
+
+_IDX_BANDS = """idx_bands AS (
+  SELECT doc_id, modality, phash, i.band_idx,
+         (phash >> (16 * i.band_idx)) & 65535 AS band_val
+  FROM idx_hash, (SELECT unnest([0, 1, 2, 3]) AS band_idx) i
+)"""
+
+MEDIA_INDEX_BUILD_SQL = f"""
+WITH {_INC_CHAIN}
+SELECT doc_id, modality, h AS fp, i.band_idx,
+       (phash >> (16 * i.band_idx)) & 65535 AS band_val
+FROM idx_hash, (SELECT unnest([0, 1, 2, 3]) AS band_idx) i
+"""
+
+MEDIA_DEDUP_INC_SQL = f"""
+WITH {_INC_CHAIN},
+{_IDX_BANDS},
+bat_bands AS (
+  SELECT doc_id, modality, phash, i.band_idx,
+         (phash >> (16 * i.band_idx)) & 65535 AS band_val
+  FROM bat_hash, (SELECT unnest([0, 1, 2, 3]) AS band_idx) i
+),
+hot AS (
+  SELECT modality, band_idx, band_val FROM idx_bands
+  GROUP BY ALL HAVING COUNT(*) > {PHASH_BUCKET_CAP}
+),
+cold AS (
+  SELECT b.* FROM idx_bands b
+  WHERE NOT EXISTS (SELECT 1 FROM hot
+                    WHERE hot.modality = b.modality
+                      AND hot.band_idx = b.band_idx
+                      AND hot.band_val = b.band_val)
+),
+exact AS (
+  SELECT b.doc_id AS bcid, MIN(i.doc_id) AS exact_match
+  FROM bat_hash b JOIN idx_hash i
+    ON i.modality = b.modality AND i.h = b.h
+  GROUP BY b.doc_id
+),
+inb AS (
+  SELECT x.doc_id AS bcid, MIN(y.doc_id) AS batch_match
+  FROM bat_hash x JOIN bat_hash y
+    ON y.modality = x.modality AND y.h = x.h AND y.doc_id < x.doc_id
+  GROUP BY x.doc_id
+),
+near AS (
+  SELECT bb.doc_id AS bcid, MIN(ib.doc_id) AS near_match,
+         CAST(COUNT(DISTINCT bb.band_idx) AS INTEGER) AS n_bands_hit
+  FROM bat_bands bb JOIN cold ib
+    ON ib.modality = bb.modality
+   AND ib.band_idx = bb.band_idx AND ib.band_val = bb.band_val
+   AND bit_count(xor(bb.phash, ib.phash)) <= {PHASH_HAM_T}
+  GROUP BY bb.doc_id
+)
+SELECT b.doc_id, b.modality,
+       CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup_of_index'
+            WHEN i2.batch_match IS NOT NULL THEN 'dup_in_batch'
+            WHEN n.near_match IS NOT NULL THEN 'near_dup_of_index'
+            ELSE 'new_unique' END AS disposition,
+       CASE WHEN e.exact_match IS NOT NULL THEN e.exact_match
+            WHEN i2.batch_match IS NOT NULL THEN i2.batch_match
+            ELSE n.near_match END AS match_cid,
+       COALESCE(n.n_bands_hit, 0) AS n_bands_hit
+FROM bat_hash b
+LEFT JOIN exact e ON b.doc_id = e.bcid
+LEFT JOIN inb i2 ON b.doc_id = i2.bcid
+LEFT JOIN near n ON b.doc_id = n.bcid
+"""

@@ -220,49 +220,64 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # Displaced to r10 (both r6 rows, inside the staleness bound until r10):
 # quality_lr_train (its eval twin — the round's actual oracle upgrade —
 # stays in-window) and the rows-only pq_train_subspace_kmeans.
+# Round-10 window: EXACTLY the VERDICT r9 #1 prescription. The 42
+# r6-green entries due under the staleness bound lead (this includes the
+# three displaced from r9: quality_lr_train, pq_train_subspace_kmeans,
+# heatmap_mvt_z9). The 8 remaining slots: the three NEW entries of this
+# round (tile_mvt_batch_parity — VERDICT #3, the batch MVT path's full
+# decode-parity oracle; media_index_build + media_dedup_incremental —
+# VERDICT #6, the incremental media dedup pair), the two late-r9
+# code-changed queries named in the r9 handoff (semdedup_prune,
+# semantic_vs_lexical), ivf_probe_search (ADVICE r9: its rewritten plan
+# had no direct r9 slot — only transitive coverage via ivf_recall_eval),
+# tile_mvt_z7_full (VERDICT #2: the ONE registry entry with zero driver
+# rows across r1-r9; BENCH_ONLY-exempt from the lint but rotated in once
+# so every entry has a driver row — rows-only is fine), and
+# q5_nation_volume pulled forward from its r7 schedule (worst-noise
+# common-query delta in the r9 bench: a fresh driver row doubles as a
+# timing reading).
 PRIORITY: tuple[str, ...] = (
-    # ---- the 43 r5-green entries due this round (staleness bound 4)
-    "ann_lsh_buckets", "approx_sketches_demo", "bloom_decontaminate",
-    "bm25_rank_topk", "bpe_train_merges", "cluster_balanced_sample",
-    "cms_heavy_hitters", "dedup_containment_pairs",
-    "dedup_lsh_clusters_capped", "dedup_lsh_clusters_uncapped",
-    "dedup_lsh_pairs_capped", "dedup_lsh_pairs_uncapped",
-    "dedup_minhash_lsh_pairs", "dedup_minhash_lsh_pairs_k128",
-    "dedup_multiplicity", "dedup_simhash64", "doc_fingerprint",
-    "doc_winnow_fingerprints", "ivf_assignments", "ivf_recall_eval",
-    "knn_brute_cosine", "lang_id_stopwords", "lm_cross_source_divergence",
-    "lm_surprisal_score", "lsh_recall_eval", "neardup_cosine_pairs",
-    "pq_encode_codes", "pq_recall_eval", "salted_user_event_counts",
-    "sessionize_events", "streaming_session_windows",
-    "streaming_windowed_counts", "text_quality_score", "text_stats",
-    "tile_mvt_batch", "tile_sample_overview", "top_bigrams",
-    "top_distinctive_terms", "top_words_per_lang", "train_eval_split",
-    "tumbling_hourly_counts", "user_funnel_signup_purchase",
-    "weekly_retention_cohorts",
-    # ---- changed this round (hard signal for the r9 code/oracle edits)
-    "dsir_importance_weights", "bpe_tokenize_corpus", "quality_lr_eval",
-    # ---- NEW this round
-    "watermark_late_drop", "tile_mvt_z7_parity",
-    # ---- the heatmap-MVT path's NEW oracle (late r9; heatmap_mvt_z9's
-    # rows-only refresh yields its slot — the parity twin subsumes the
-    # semantic check and the blob row rotates in r10, inside the bound)
-    "heatmap_mvt_z9_parity",
-    # ---- NEW (late r9): the bounded-representative SemDeDup posture,
-    # registered alongside the scale-killer fix to the exact form
-    "semdedup_prune_capped",
+    # ---- the 42 r6-green entries due this round (staleness bound 4)
+    "array_agg_statuses", "asof_purchase_last_click",
+    "blocklist_filter_docs", "cube_order_status_priority",
+    "customers_without_big_orders", "dedup_ngram_jaccard",
+    "dedup_simhash", "doc_rolling_hash", "embedding_norms",
+    "event_type_rates", "grouping_sets_volume", "heatmap_mvt_z9",
+    "heatmap_z14", "hll_cardinality_by_source", "ivf_pq_search",
+    "lm_heldout_surprisal", "media_metadata",
+    "min_price_supplier_per_part", "monthly_revenue_trend",
+    "nations_customers_without_suppliers", "nations_with_both",
+    "neardup_threshold_sweep", "order_priority_late_ship",
+    "orders_above_avg", "parts_with_cheap_supply",
+    "pivot_qty_by_status", "pq_adc_topk", "pq_train_subspace_kmeans",
+    "price_quantiles_by_flag", "q1_pricing_summary",
+    "q3_shipping_priority", "q6_forecast_revenue", "quality_lr_train",
+    "quality_percentile_rank", "range_join_value_bands",
+    "rollup_lineitem_status", "spatial_join_points_in_boxes",
+    "token_count_bpe", "topk_orders_per_priority",
+    "training_mix_pipeline", "union_all_key_space",
+    "window_running_revenue",
+    # ---- NEW this round (never-checked entries enter unconditionally)
+    "tile_mvt_batch_parity", "media_index_build",
+    "media_dedup_incremental",
+    # ---- late-r9 code-changed, no r9 slot (r9 handoff + ADVICE r9)
+    "semdedup_prune", "semantic_vs_lexical", "ivf_probe_search",
+    # ---- the last zero-driver-row entry (VERDICT r9 #2), rows-only
+    "tile_mvt_z7_full",
+    # ---- pulled forward from r7 schedule: fresh timing + parity row
+    "q5_nation_volume",
 )
 
-# R10 WINDOW HANDOFF: beyond the r6-green entries due by staleness
-# (quality_lr_train, pq_train_subspace_kmeans, heatmap_mvt_z9 — all
-# displaced from r9 with rationale above), give flex slots to the
-# queries whose CODE changed in late r9 without an r9 window slot:
-# semdedup_prune (map-only assignment + hoisted-inverse-norm pairs,
-# oracle rewritten to match) and semantic_vs_lexical (broadcast-hint
-# fix, oracle unchanged). ivf_assignments/ivf_probe_search/
-# ivf_recall_eval/lsh_recall_eval also changed but sit in the r9
-# window; cluster_balanced_sample and ivf_pq_search changed with
-# UNCHANGED oracles (bit-exact assignment rewrite, parity-verified at
-# both SFs in-session) and rotate on their normal staleness schedule.
+# R11 WINDOW HANDOFF: the 38 r7-green entries come due (the full list is
+# the r7 cohort minus q5_nation_volume, which took an r10 slot), leaving
+# ~12 flex slots — more room than any round since r6. Use them for: any
+# query whose code/oracle changes late in r10 without a window slot, the
+# r8 cohort's earliest entries if the r11 registry has grown past 200
+# (keeps the bound at 4), and fresh rows-only refreshes for the MVT blob
+# emitters on their normal cadence. ivf_assignments/ivf_recall_eval/
+# ivf_pq_search/cluster_balanced_sample/semdedup_prune all exercise the
+# r10 memoized centroid collect (similarity._centroid_rows) inside the
+# r10 window, so the refactor has direct hard signal this round.
 
 
 def load_all() -> dict[str, QueryDef]:
@@ -292,6 +307,7 @@ def load_all() -> dict[str, QueryDef]:
         "tank_spark.llm.events",
         "tank_spark.llm.mixing",
         "tank_spark.llm.multimodal",
+        "tank_spark.llm.media_inc",
         "tank_spark.llm.audio",
         "tank_spark.llm.video",
         "tank_spark.llm.bpe",

@@ -524,6 +524,38 @@ def test_incremental_report_stays_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_media_incremental_broadcasts_batch_side(spark):
+    """media_dedup_incremental (the media twin of the text incremental
+    probe) must broadcast the SMALL batch side into every probe join —
+    exact fp probe, in-batch probe, band probe — and the three
+    batch-bounded disposition aggregates into the final assembly; the
+    index never shuffles on a probe key and nothing goes pairwise."""
+    from tank_spark.llm.media_inc import media_dedup_incremental
+
+    plan = _plan(media_dedup_incremental(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    # 3 probe joins + hot-bucket anti-join + 3 assembly joins
+    assert plan.count("BroadcastHashJoin") >= 7, plan[:2000]
+
+
+def test_media_incremental_disposition_coverage(spark):
+    """Every (modality, disposition) class must be non-vacuous at the
+    test SF — a selector/tweak regression that silently empties a class
+    (e.g. a mod-15 arithmetic slip) must fail here, not leave the
+    driver row vacuously green."""
+    from tank_spark.llm.media_inc import media_dedup_incremental
+
+    rows = (media_dedup_incremental(spark, SF_DIR)
+            .groupBy("modality", "disposition").count().collect())
+    got = {(r["modality"], r["disposition"]) for r in rows}
+    want = {(m, d) for m in ("image", "audio", "video")
+            for d in ("exact_dup_of_index", "dup_in_batch",
+                      "near_dup_of_index", "new_unique")}
+    assert want <= got
+
+
 def test_watermark_late_drop_broadcasts_watermarks(spark):
     """The replay twin's scale contract: batch assignment is map-only
     (no global sort / row_number over the event relation), the per-batch
