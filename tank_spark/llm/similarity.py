@@ -344,18 +344,60 @@ def _centroid_score_structs(spark: SparkSession, sf_dir: str,
     like any literal. (train_kmeans keeps the join form: its centroids
     change every round, so literal inlining would force a driver
     round-trip inside the training loop.)
+
+    Expression shape (r10): ONE ``transform`` lambda over a literal
+    array of (centroid vector, ||c||^2, id) structs — NOT n_centroids
+    unrolled fold expressions. The unrolled form re-analyzed/compiled
+    O(n_centroids * DIM) expression nodes on every plan build (measured
+    ~0.7 s/build at n=8 — the r9->r10 ivf_probe_search regression — and
+    would be hopeless at a production nlist); the lambda keeps the
+    expression tree CONSTANT-SIZE in nlist, with the quantizer growing
+    only as an array literal (data, not code). Per-element arithmetic
+    is unchanged: the same zip_with/aggregate left fold over the same
+    double-cast products, the same driver-side ||c||^2, so scores are
+    bit-identical (oracle parity re-verified at both SFs).
     """
-    structs = []
+    from tank_spark.llm import dedup as _dedup
+
+    ckey = ("col", spark.sparkContext.applicationId, sf_dir, n_centroids)
+    fp = _emb_fingerprint(sf_dir)
+    cached = _CENTROID_CACHE.get(ckey)
+    if cached is not None and cached[0] == fp:
+        return cached[1]
+
+    # ONE F.expr call for the whole quantizer literal: per-element F.lit
+    # construction cost 8*DIM py4j round-trips per plan BUILD (~0.55 s at
+    # n=8 — pure driver-side Column assembly, before any analysis).
+    # Doubles are embedded as CAST('<repr>' AS DOUBLE): shortest-repr
+    # strings round-trip bit-exact through Double.parseDouble, so values
+    # are identical to the former literal tree.
+    def d(v: float) -> str:
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    entries = []
     for cid, c in _centroid_rows(spark, sf_dir, n_centroids):
         n_c = 0.0
         for v in c:
             n_c = n_c + v * v
-        score = -2 * _dot_lit(F.col("embedding"), c) + F.lit(n_c)
-        structs.append(F.struct(
-            score.alias("score"),
-            F.lit(cid).cast("long").alias("centroid_id"),
-        ))
-    return F.array(*structs)
+        arr = ", ".join(d(v) for v in c)
+        entries.append(f"named_struct('c', array({arr}), "
+                       f"'n', {d(n_c)}, 'id', CAST({cid} AS BIGINT))")
+    cents = F.expr("array(" + ", ".join(entries) + ")")
+
+    def score(s):
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), s["c"],
+                       lambda x, w: x.cast("double") * w),
+            F.lit(0.0), lambda acc, x: acc + x)
+        return F.struct((-2 * dot + s["n"]).alias("score"),
+                        s["id"].alias("centroid_id"))
+
+    col = F.transform(cents, score)
+    if not _dedup.PLAN_ONLY:
+        # an unresolved Column is plan-independent: memoize it so
+        # repeated builds in one session skip even the expr parse
+        _CENTROID_CACHE[ckey] = [fp, col]
+    return col
 
 
 def _ivf_assign_sql() -> str:
