@@ -65,6 +65,10 @@ HEADLINE = [
     # twin (n*CAP pairs at any cluster size)
     "semdedup_prune", "semdedup_prune_capped",
     "tile_mvt_batch",
+    # r10 addition: incremental MEDIA dedup — the media twin of
+    # dedup_incremental_batch (index hashed once through the map-only
+    # kernels, batch broadcast into every probe join)
+    "media_dedup_incremental",
     # BENCH-ONLY entry: full-fidelity z7 overview encode. NOT a serving
     # path (serving uses the budgeted sample below OVERVIEW_ZOOM — the
     # full blob hits the MVT format ceiling at 100x, see SCALE.md);

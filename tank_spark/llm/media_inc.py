@@ -154,7 +154,9 @@ def _bands(hashed: DataFrame) -> DataFrame:
         "cross. In production this relation is written bucketed by "
         "(modality, band_val) and appended per snapshot. Scale shape: "
         "one corpus scan through the map-only hash kernels, a "
-        "projection to bands — no join, no shuffle beyond the scan.",
+        "projection to bands, and one narrow equi-join on the doc key "
+        "to re-attach the fp column the fixed-schema kernels drop "
+        "(both sides derive from the same scan; never pairwise).",
 )
 def media_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -214,6 +216,68 @@ def media_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").alias("icid"), "modality", "phash",
         "band_idx", "band_val")
     return media_disposition_against_index(bfp, ifp, bb, ib)
+
+
+@register(
+    "media_dedup_stream_replay",
+    media_sql.MEDIA_STREAM_REPLAY_SQL,
+    doc="The INDEX-GROWTH semantic of streaming media dedup as a full "
+        "oracle (the media twin of dedup_incremental_stream_replay): "
+        "batch A (re-crawls + near-dup copies + the first fresh "
+        "emission) probes the corpus index; A's new_unique survivors "
+        "APPEND to the index; batch B (the second fresh emission) "
+        "probes the GROWN index — so B's rows come back "
+        "exact_dup_of_index against their batch-A twins instead of the "
+        "batch op's dup_in_batch. This is the property that makes a "
+        "crawl loop idempotent across days: yesterday's novelty is "
+        "today's duplicate. Same broadcast-probe plan per batch; the "
+        "survivor append is two batch-bounded broadcast joins.",
+)
+def media_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _inc_media_corpus(spark, sf_dir)
+    # hashed feeds index-0, batch-A, batch-B AND the survivor append —
+    # the eager checkpoint keeps every payload through its kernel once
+    hashed = _hashed_media(spark, corpus).localCheckpoint(eager=True)
+    fps = corpus.select(
+        "cid", "modality", F.lower(F.hex("payload")).alias("fp"))
+    bands = _bands(hashed)
+    is_i = F.col("cid") < INC_OFFSET
+    is_a = (F.col("cid") >= INC_OFFSET) & (F.col("cid") < 2 * INC_OFFSET)
+    is_b = F.col("cid") >= 2 * INC_OFFSET
+
+    def _fp_side(pred, alias):
+        return fps.filter(pred).select(
+            F.col("cid").alias(alias), "modality", "fp")
+
+    def _band_side(pred, alias, ph):
+        return bands.filter(pred).select(
+            F.col("cid").alias(alias), "modality",
+            F.col("phash").alias(ph), "band_idx", "band_val")
+
+    ifp0 = _fp_side(is_i, "icid")
+    ib0 = _band_side(is_i, "icid", "phash")
+    disp_a = media_disposition_against_index(
+        _fp_side(is_a, "bcid"), ifp0,
+        _band_side(is_a, "bcid", "bphash"), ib0,
+    ).localCheckpoint(eager=True)  # consumed twice: output + survivors
+    new_a = disp_a.filter(F.col("disposition") == "new_unique").select(
+        F.col("doc_id").alias("cid"))
+    ifp1 = ifp0.unionByName(
+        fps.join(F.broadcast(new_a), "cid")
+        .select(F.col("cid").alias("icid"), "modality", "fp"))
+    ib1 = ib0.unionByName(
+        bands.join(F.broadcast(new_a), "cid")
+        .select(F.col("cid").alias("icid"), "modality", "phash",
+                "band_idx", "band_val"))
+    disp_b = media_disposition_against_index(
+        _fp_side(is_b, "bcid"), ifp1,
+        _band_side(is_b, "bcid", "bphash"), ib1)
+    return (
+        disp_a.withColumn("batch_id", F.lit(1).cast("int"))
+        .unionByName(disp_b.withColumn("batch_id", F.lit(2).cast("int")))
+        .select("doc_id", "batch_id", "modality", "disposition",
+                "match_cid", "n_bands_hit")
+    )
 
 
 def media_disposition_against_index(

@@ -688,12 +688,6 @@ bat_hash AS (
   UNION ALL SELECT doc_id, h, phash, 'video' FROM vid_bh
 )"""
 
-_IDX_BANDS = """idx_bands AS (
-  SELECT doc_id, modality, phash, i.band_idx,
-         (phash >> (16 * i.band_idx)) & 65535 AS band_val
-  FROM idx_hash, (SELECT unnest([0, 1, 2, 3]) AS band_idx) i
-)"""
-
 MEDIA_INDEX_BUILD_SQL = f"""
 WITH {_INC_CHAIN}
 SELECT doc_id, modality, h AS fp, i.band_idx,
@@ -701,57 +695,102 @@ SELECT doc_id, modality, h AS fp, i.band_idx,
 FROM idx_hash, (SELECT unnest([0, 1, 2, 3]) AS band_idx) i
 """
 
-MEDIA_DEDUP_INC_SQL = f"""
-WITH {_INC_CHAIN},
-{_IDX_BANDS},
-bat_bands AS (
+def _hash_bands_cte(src: str, name: str) -> str:
+    """(doc_id, modality, phash, band_idx, band_val) over a hash
+    relation ``src(doc_id, h, phash, modality)``."""
+    return f"""{name} AS (
   SELECT doc_id, modality, phash, i.band_idx,
          (phash >> (16 * i.band_idx)) & 65535 AS band_val
-  FROM bat_hash, (SELECT unnest([0, 1, 2, 3]) AS band_idx) i
-),
-hot AS (
-  SELECT modality, band_idx, band_val FROM idx_bands
+  FROM {src}, (SELECT unnest([0, 1, 2, 3]) AS band_idx) i
+)"""
+
+
+def media_disposition_ctes(bat: str, idx: str, p: str) -> str:
+    """The full disposition chain twinning media_inc.
+    media_disposition_against_index over hash relations ``bat`` and
+    ``idx`` (each (doc_id, h, phash, modality)); emits CTEs prefixed
+    ``{p}_`` ending in ``{p}_out(doc_id, modality, disposition,
+    match_cid, n_bands_hit)``. Parameterized so the stream-replay
+    oracle can probe a GROWN index with the identical rule set."""
+    return f"""{_hash_bands_cte(idx, f"{p}_ibands")},
+{_hash_bands_cte(bat, f"{p}_bbands")},
+{p}_hot AS (
+  SELECT modality, band_idx, band_val FROM {p}_ibands
   GROUP BY ALL HAVING COUNT(*) > {PHASH_BUCKET_CAP}
 ),
-cold AS (
-  SELECT b.* FROM idx_bands b
-  WHERE NOT EXISTS (SELECT 1 FROM hot
+{p}_cold AS (
+  SELECT b.* FROM {p}_ibands b
+  WHERE NOT EXISTS (SELECT 1 FROM {p}_hot hot
                     WHERE hot.modality = b.modality
                       AND hot.band_idx = b.band_idx
                       AND hot.band_val = b.band_val)
 ),
-exact AS (
+{p}_exact AS (
   SELECT b.doc_id AS bcid, MIN(i.doc_id) AS exact_match
-  FROM bat_hash b JOIN idx_hash i
+  FROM {bat} b JOIN {idx} i
     ON i.modality = b.modality AND i.h = b.h
   GROUP BY b.doc_id
 ),
-inb AS (
+{p}_inb AS (
   SELECT x.doc_id AS bcid, MIN(y.doc_id) AS batch_match
-  FROM bat_hash x JOIN bat_hash y
+  FROM {bat} x JOIN {bat} y
     ON y.modality = x.modality AND y.h = x.h AND y.doc_id < x.doc_id
   GROUP BY x.doc_id
 ),
-near AS (
+{p}_near AS (
   SELECT bb.doc_id AS bcid, MIN(ib.doc_id) AS near_match,
          CAST(COUNT(DISTINCT bb.band_idx) AS INTEGER) AS n_bands_hit
-  FROM bat_bands bb JOIN cold ib
+  FROM {p}_bbands bb JOIN {p}_cold ib
     ON ib.modality = bb.modality
    AND ib.band_idx = bb.band_idx AND ib.band_val = bb.band_val
    AND bit_count(xor(bb.phash, ib.phash)) <= {PHASH_HAM_T}
   GROUP BY bb.doc_id
-)
-SELECT b.doc_id, b.modality,
-       CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup_of_index'
-            WHEN i2.batch_match IS NOT NULL THEN 'dup_in_batch'
-            WHEN n.near_match IS NOT NULL THEN 'near_dup_of_index'
-            ELSE 'new_unique' END AS disposition,
-       CASE WHEN e.exact_match IS NOT NULL THEN e.exact_match
-            WHEN i2.batch_match IS NOT NULL THEN i2.batch_match
-            ELSE n.near_match END AS match_cid,
-       COALESCE(n.n_bands_hit, 0) AS n_bands_hit
-FROM bat_hash b
-LEFT JOIN exact e ON b.doc_id = e.bcid
-LEFT JOIN inb i2 ON b.doc_id = i2.bcid
-LEFT JOIN near n ON b.doc_id = n.bcid
+),
+{p}_out AS (
+  SELECT b.doc_id, b.modality,
+         CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup_of_index'
+              WHEN i2.batch_match IS NOT NULL THEN 'dup_in_batch'
+              WHEN n.near_match IS NOT NULL THEN 'near_dup_of_index'
+              ELSE 'new_unique' END AS disposition,
+         CASE WHEN e.exact_match IS NOT NULL THEN e.exact_match
+              WHEN i2.batch_match IS NOT NULL THEN i2.batch_match
+              ELSE n.near_match END AS match_cid,
+         COALESCE(n.n_bands_hit, 0) AS n_bands_hit
+  FROM {bat} b
+  LEFT JOIN {p}_exact e ON b.doc_id = e.bcid
+  LEFT JOIN {p}_inb i2 ON b.doc_id = i2.bcid
+  LEFT JOIN {p}_near n ON b.doc_id = n.bcid
+)"""
+
+
+MEDIA_DEDUP_INC_SQL = f"""
+WITH {_INC_CHAIN},
+{media_disposition_ctes("bat_hash", "idx_hash", "d")}
+SELECT doc_id, modality, disposition, match_cid, n_bands_hit FROM d_out
+"""
+
+# Stream replay: batch A (cid in [OFF, 2*OFF): re-crawls + near-dups +
+# first fresh emission) probes index-0; A's new_unique survivors APPEND
+# to the index; batch B (cid >= 2*OFF: the second fresh emission)
+# probes the GROWN index — so B's rows disposition exact_dup_of_index
+# against their batch-A twins instead of the batch op's dup_in_batch.
+MEDIA_STREAM_REPLAY_SQL = f"""
+WITH {_INC_CHAIN},
+bat_a AS (SELECT * FROM bat_hash WHERE doc_id < {2 * INC_OFFSET}),
+bat_b AS (SELECT * FROM bat_hash WHERE doc_id >= {2 * INC_OFFSET}),
+{media_disposition_ctes("bat_a", "idx_hash", "a")},
+new_a AS (SELECT doc_id FROM a_out WHERE disposition = 'new_unique'),
+idx_1 AS (
+  SELECT * FROM idx_hash
+  UNION ALL
+  SELECT bh.* FROM bat_hash bh JOIN new_a ON bh.doc_id = new_a.doc_id
+),
+{media_disposition_ctes("bat_b", "idx_1", "b")}
+SELECT doc_id, CAST(1 AS INTEGER) AS batch_id, modality, disposition,
+       match_cid, n_bands_hit
+FROM a_out
+UNION ALL
+SELECT doc_id, CAST(2 AS INTEGER) AS batch_id, modality, disposition,
+       match_cid, n_bands_hit
+FROM b_out
 """

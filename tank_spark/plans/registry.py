@@ -233,9 +233,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # tile_mvt_z7_full (VERDICT #2: the ONE registry entry with zero driver
 # rows across r1-r9; BENCH_ONLY-exempt from the lint but rotated in once
 # so every entry has a driver row — rows-only is fine), and
-# q5_nation_volume pulled forward from its r7 schedule (worst-noise
-# common-query delta in the r9 bench: a fresh driver row doubles as a
-# timing reading).
+# media_dedup_stream_replay (the fourth NEW entry: the media
+# index-growth replay, full oracle).
 PRIORITY: tuple[str, ...] = (
     # ---- the 42 r6-green entries due this round (staleness bound 4)
     "array_agg_statuses", "asof_purchase_last_click",
@@ -259,18 +258,16 @@ PRIORITY: tuple[str, ...] = (
     "window_running_revenue",
     # ---- NEW this round (never-checked entries enter unconditionally)
     "tile_mvt_batch_parity", "media_index_build",
-    "media_dedup_incremental",
+    "media_dedup_incremental", "media_dedup_stream_replay",
     # ---- late-r9 code-changed, no r9 slot (r9 handoff + ADVICE r9)
     "semdedup_prune", "semantic_vs_lexical", "ivf_probe_search",
     # ---- the last zero-driver-row entry (VERDICT r9 #2), rows-only
     "tile_mvt_z7_full",
-    # ---- pulled forward from r7 schedule: fresh timing + parity row
-    "q5_nation_volume",
 )
 
-# R11 WINDOW HANDOFF: the 38 r7-green entries come due (the full list is
-# the r7 cohort minus q5_nation_volume, which took an r10 slot), leaving
-# ~12 flex slots — more room than any round since r6. Use them for: any
+# R11 WINDOW HANDOFF: the 38 r7-green entries come due (the whole r7
+# cohort, q5_nation_volume included), leaving 12 flex slots — more room
+# than any round since r6. Use them for: any
 # query whose code/oracle changes late in r10 without a window slot, the
 # r8 cohort's earliest entries if the r11 registry has grown past 200
 # (keeps the bound at 4), and fresh rows-only refreshes for the MVT blob

@@ -1,0 +1,151 @@
+"""Streaming incremental MEDIA dedup (streaming/media_dedup_stream.py):
+the foreachBatch production loop — disposition each media micro-batch
+against the persisted phash/fp index, append survivors so later epochs
+AND later runs dedup against them. The batch twin
+media_dedup_stream_replay carries the full DuckDB oracle; this drives
+the real streaming machinery end-to-end on crafted payloads, with the
+package's own image kernel deciding the near-dup expectation instead of
+hardcoding it."""
+
+from __future__ import annotations
+
+import hashlib
+
+
+def _payload(seed: str) -> bytes:
+    """32 deterministic bytes (the media_df derivation shape)."""
+    return (hashlib.md5(seed.encode()).digest()
+            + hashlib.md5((seed + ":1").encode()).digest())
+
+
+def _tweak_img(p: bytes) -> bytes:
+    """Byte 7 bumped by 8 mod 256 — the image planted-variant tweak."""
+    b = bytearray(p)
+    b[7] = (b[7] + 8) % 256
+    return bytes(b)
+
+
+def _phash(p: bytes) -> int:
+    from tank_spark.llm.multimodal import dhash64, get_plane_decoder
+
+    return dhash64(get_plane_decoder()(p))
+
+
+def _write_batch(spark, drop_dir: str, rows) -> None:
+    df = spark.createDataFrame(rows, "cid long, modality string, payload binary")
+    df.coalesce(1).write.mode("append").parquet(drop_dir)
+
+
+def test_incremental_media_dedup_stream_e2e(spark, tmp_path):
+    """Two runs over one checkpoint: run 1 dispositions a batch (a
+    near-dup copy of an index image + a fresh image) against the
+    bootstrapped index and appends the fresh survivor; run 2's batch
+    re-crawls that survivor and must match it as exact_dup_of_index —
+    the cross-run index-growth property of the daily media-crawl loop."""
+    from pyspark.sql import functions as F
+
+    from tank_spark.streaming.media_dedup_stream import (
+        media_file_stream,
+        read_media_index,
+        start_incremental_media_dedup_stream,
+        write_media_index,
+    )
+
+    index_dir = str(tmp_path / "index")
+    drop_dir = str(tmp_path / "drop")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")  # outside the watched drop dir
+
+    pay_a, pay_b = _payload("img-a"), _payload("img-b")
+    near_a = _tweak_img(pay_a)
+    fresh_x = _payload("img-x")
+    # the kernel itself decides the near expectation (no hardcoding):
+    # the +8 single-byte bump must land within the banded Hamming ball
+    ham = bin(_phash(pay_a) ^ _phash(near_a)).count("1")
+    assert ham <= 3, f"precondition: tweak drifted to hamming {ham}"
+    assert bin(_phash(pay_a) ^ _phash(fresh_x)).count("1") > 3
+
+    corpus = spark.createDataFrame(
+        [(1, "image", pay_a), (2, "image", pay_b)],
+        "cid long, modality string, payload binary")
+    write_media_index(spark, corpus, index_dir)
+    ifp0, ib0 = read_media_index(spark, index_dir)
+    assert ifp0.count() == 2
+    assert ib0.count() == 8  # 4 bands x 2 rows
+
+    def run_once() -> None:
+        stream = media_file_stream(spark, drop_dir, max_files_per_trigger=10)
+        assert stream.isStreaming
+        q = start_incremental_media_dedup_stream(
+            spark, stream, index_dir, out_dir, ckpt)
+        q.awaitTermination(120)
+        q.stop()
+
+    # run 1: near-dup of index image 1 + a fresh image
+    _write_batch(spark, drop_dir, [(101, "image", near_a),
+                                   (102, "image", fresh_x)])
+    run_once()
+    out1 = {r["doc_id"]: r for r in
+            spark.read.parquet(out_dir).collect()}
+    assert out1[101]["disposition"] == "near_dup_of_index"
+    assert out1[101]["match_cid"] == 1
+    assert out1[101]["n_bands_hit"] >= 1
+    assert out1[102]["disposition"] == "new_unique"
+    # index grew by exactly the survivor
+    ifp1, ib1 = read_media_index(spark, index_dir)
+    assert ifp1.count() == 3
+    assert ifp1.filter(F.col("icid") == 102).count() == 1
+    assert ib1.count() == 12
+
+    # run 2 (same checkpoint): a re-crawl of run 1's survivor must now
+    # be an exact dup OF THE INDEX — yesterday's novelty, today's dup
+    _write_batch(spark, drop_dir, [(201, "image", fresh_x)])
+    run_once()
+    out2 = {r["doc_id"]: r for r in
+            spark.read.parquet(out_dir).collect()}
+    assert out2[201]["disposition"] == "exact_dup_of_index"
+    assert out2[201]["match_cid"] == 102
+    # nothing new appended (201 was a dup)
+    ifp2, _ = read_media_index(spark, index_dir)
+    assert ifp2.count() == 3
+
+
+def test_stream_probe_matches_batch_twin_rule(spark, tmp_path):
+    """The stream's probe function applied to the replay fixture's
+    batch-A slice must reproduce media_dedup_stream_replay's batch-1
+    dispositions exactly — the stream and the oracle-checked twin share
+    one rule set (probe logic is literally the same function; this pins
+    the index/batch WIRING too)."""
+    from pyspark.sql import functions as F
+
+    from tank_spark.llm.media_inc import (
+        INC_OFFSET,
+        _inc_media_corpus,
+        media_dedup_stream_replay,
+    )
+    from tank_spark.streaming.media_dedup_stream import (
+        disposition_media_batch,
+        read_media_index,
+        write_media_index,
+    )
+    from tests.conftest import SF_DIR
+
+    corpus = _inc_media_corpus(spark, SF_DIR)
+    index_dir = str(tmp_path / "idx")
+    write_media_index(spark, corpus.filter(F.col("cid") < INC_OFFSET),
+                      index_dir)
+    bat_a = corpus.filter(
+        (F.col("cid") >= INC_OFFSET) & (F.col("cid") < 2 * INC_OFFSET))
+    ifp, ib = read_media_index(spark, index_dir)
+    got = {
+        r["doc_id"]: (r["modality"], r["disposition"], r["match_cid"],
+                      r["n_bands_hit"])
+        for r in disposition_media_batch(spark, bat_a, ifp, ib).collect()
+    }
+    want = {
+        r["doc_id"]: (r["modality"], r["disposition"], r["match_cid"],
+                      r["n_bands_hit"])
+        for r in media_dedup_stream_replay(spark, SF_DIR)
+        .filter(F.col("batch_id") == 1).drop("batch_id").collect()
+    }
+    assert got == want

@@ -540,6 +540,25 @@ def test_media_incremental_broadcasts_batch_side(spark):
     assert plan.count("BroadcastHashJoin") >= 7, plan[:2000]
 
 
+def test_media_stream_replay_batches_broadcast_into_probes(spark):
+    """media_dedup_stream_replay applies the media incremental probe
+    twice (batch A vs index-0, batch B vs the GROWN index): both
+    applications must keep the batch side broadcast and never go
+    pairwise or fall back to a sort-merge chain; the survivor append is
+    two batch-bounded broadcast joins."""
+    from tank_spark.llm.media_inc import media_dedup_stream_replay
+
+    plan = _plan(media_dedup_stream_replay(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    # batch A's probe chain is materialized behind its eager checkpoint
+    # (its 7 broadcast joins are pinned by the batch-op test); the live
+    # plan must still show batch B's full probe chain (7 broadcast
+    # joins) plus the two survivor-append broadcast joins
+    assert plan.count("BroadcastHashJoin") >= 9, plan[:2000]
+
+
 def test_media_incremental_disposition_coverage(spark):
     """Every (modality, disposition) class must be non-vacuous at the
     test SF — a selector/tweak regression that silently empties a class
