@@ -229,17 +229,21 @@ def _fingerprint_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     """mapInPandas kernel: (doc_id, payload) -> (doc_id, fingerprint).
     The column is named ``phash`` because the banded Hamming join
     downstream (multimodal.phash_neardup_pairs) is hash-agnostic and
-    keys on that name. Undecodable clips drop (nothing to compare)."""
+    keys on that name. Undecodable clips drop (nothing to compare).
+
+    r10: stub-PCM rows hash through the VECTORIZED batch twin
+    (media_np.fingerprint64_batch; bit-exact by the A/B pin in
+    tests/test_media_np.py); genuine RIFF/WAVE payloads take the real
+    stdlib parse per row, exactly as before."""
+    from tank_spark.llm import media_np
+
     for pdf in batches:
-        out = []
-        for row in pdf.itertuples(index=False):
-            try:
-                x, _ = decode_pcm(bytes(row.payload))
-                out.append({"doc_id": int(row.doc_id),
-                            "phash": audio_fingerprint64(x)})
-            except ValueError:
-                continue
-        yield pd.DataFrame(out, columns=["doc_id", "phash"])
+        yield media_np.hash_frame(
+            pdf,
+            media_np.fingerprint64_batch,
+            lambda p: audio_fingerprint64(_pcm_wav(p)[0]),
+            lambda p: p[:4] == b"RIFF",
+        )
 
 
 # The shared high-bit variant offset (collision-proof by construction;

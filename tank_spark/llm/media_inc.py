@@ -105,30 +105,75 @@ def _inc_media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(new1).unionByName(new2))
 
 
+def _media_hash_kernel(batches):
+    """ONE mapInPandas pass hashing all three modalities: per Arrow
+    batch, each modality's rows go through its VECTORIZED stub twin
+    (media_np) in one numpy call, with real containers (PGM/RIFF/Y4M,
+    or any image when Pillow imports) routed through the scalar parsers
+    — the same dispatch as the per-modality kernels, pinned bit-exact
+    by tests/test_media_np.py. One pass replaces three union legs that
+    each re-derived the corpus and launched their own Python stage
+    (measured: the 3-stage shape spent ~3 s of Spark orchestration on a
+    5k-doc corpus whose actual hashing is microseconds)."""
+    import pandas as pd
+
+    from tank_spark.llm import media_np
+    from tank_spark.llm.audio import _pcm_wav, audio_fingerprint64
+    from tank_spark.llm.multimodal import _is_pgm, dhash64, get_plane_decoder
+    from tank_spark.llm.video import frame_hashes, video_signature64
+
+    decode_plane = get_plane_decoder()
+    try:
+        import PIL.Image  # noqa: F401
+        img_is_real = None  # real decoder available: all image rows scalar
+    except ImportError:
+        img_is_real = _is_pgm
+
+    def _vid_scalar(p: bytes) -> int:
+        hs, _ = frame_hashes(p)
+        return video_signature64(hs)
+
+    dispatch = {
+        "image": (lambda b: media_np.dhash64_batch(b.reshape(-1, 4, 8)),
+                  lambda p: dhash64(decode_plane(p)),
+                  img_is_real if img_is_real is not None
+                  else (lambda p: True)),
+        "audio": (media_np.fingerprint64_batch,
+                  lambda p: audio_fingerprint64(_pcm_wav(p)[0]),
+                  lambda p: p[:4] == b"RIFF"),
+        "video": (media_np.signature64_batch,
+                  _vid_scalar,
+                  lambda p: p[:9] == b"YUV4MPEG2"),
+    }
+    for pdf in batches:
+        frames = []
+        for m in _MODALITIES:
+            sub = pdf[pdf["modality"] == m]
+            if not len(sub):
+                continue
+            batch_fn, scalar_fn, is_real = dispatch[m]
+            out = media_np.hash_frame(sub, batch_fn, scalar_fn, is_real)
+            out["modality"] = m
+            frames.append(out[["doc_id", "modality", "phash"]])
+        yield (pd.concat(frames, ignore_index=True) if frames
+               else pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                  "modality": pd.Series(dtype="object"),
+                                  "phash": pd.Series(dtype="int64")}))
+
+
 def _hashed_media(spark: SparkSession, corpus: DataFrame) -> DataFrame:
-    """(cid, modality, phash): each modality slice through its own
-    perceptual-hash kernel (dHash / acoustic fingerprint / temporal
-    signature), unioned. Checkpointed eagerly by callers that consume
-    it more than once."""
-    from tank_spark.llm.audio import AUDIO_FP_SCHEMA, _fingerprint_kernel
-    from tank_spark.llm.multimodal import PHASH_SCHEMA, _phash_kernel
-    from tank_spark.llm.video import VIDEO_FP_SCHEMA, _signature_kernel
+    """(cid, modality, phash): the whole media corpus through ONE
+    combined vectorized hash stage (see _media_hash_kernel).
+    Checkpointed eagerly by callers that consume it more than once."""
     from tank_spark.util import ensure_workers_have_package
 
     ensure_workers_have_package(spark)
-    kernels = {"image": (_phash_kernel, PHASH_SCHEMA),
-               "audio": (_fingerprint_kernel, AUDIO_FP_SCHEMA),
-               "video": (_signature_kernel, VIDEO_FP_SCHEMA)}
-    out = None
-    for m in _MODALITIES:
-        kern, schema = kernels[m]
-        h = (corpus.filter(F.col("modality") == m)
-             .select(F.col("cid").alias("doc_id"), "payload")
-             .mapInPandas(kern, schema)
-             .select(F.col("doc_id").alias("cid"),
-                     F.lit(m).alias("modality"), "phash"))
-        out = h if out is None else out.unionByName(h)
-    return out
+    return (
+        corpus.select(F.col("cid").alias("doc_id"), "modality", "payload")
+        .mapInPandas(_media_hash_kernel,
+                     "doc_id long, modality string, phash long")
+        .select(F.col("doc_id").alias("cid"), "modality", "phash")
+    )
 
 
 def _bands(hashed: DataFrame) -> DataFrame:
@@ -194,7 +239,12 @@ def media_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "disposition deterministically per modality.",
 )
 def media_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _inc_media_corpus(spark, sf_dir)
+    # corpus checkpointed too (tiny: one 32-byte payload per row): the
+    # derivation feeds BOTH the hash kernel and the fp projection, and
+    # without the pin each consumer re-derives it from the documents
+    # scan (r10 decomposition: derivation re-scans cost as much as the
+    # hash stage itself)
+    corpus = _inc_media_corpus(spark, sf_dir).localCheckpoint(eager=True)
     # ONE kernel pass over base+batch; the checkpoint (eager) is what
     # makes "index scanned once" true — the hot-bucket aggregate, both
     # band-probe sides, and the fp relations all derive from it without
@@ -234,9 +284,11 @@ def media_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "survivor append is two batch-bounded broadcast joins.",
 )
 def media_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _inc_media_corpus(spark, sf_dir)
-    # hashed feeds index-0, batch-A, batch-B AND the survivor append —
-    # the eager checkpoint keeps every payload through its kernel once
+    # corpus pinned for the same reason as the batch op (fp + kernel
+    # consumers); hashed feeds index-0, batch-A, batch-B AND the
+    # survivor append — the eager checkpoint keeps every payload
+    # through its kernel once
+    corpus = _inc_media_corpus(spark, sf_dir).localCheckpoint(eager=True)
     hashed = _hashed_media(spark, corpus).localCheckpoint(eager=True)
     fps = corpus.select(
         "cid", "modality", F.lower(F.hex("payload")).alias("fp"))

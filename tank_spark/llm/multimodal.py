@@ -420,17 +420,29 @@ def _phash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: (doc_id, payload) -> (doc_id, phash). Decode
     failures drop the row (a near-dup pass has nothing to compare for an
     undecodable image; the decode-error audit lives in
-    media_extract_features)."""
+    media_extract_features).
+
+    r10: stub-plane rows hash through the VECTORIZED batch twin
+    (media_np.dhash64_batch — one numpy call per Arrow batch instead of
+    a per-row Python loop; bit-exact by the A/B pin in
+    tests/test_media_np.py). Content dispatch unchanged: genuine PGM
+    payloads take the real stdlib parse per row, and an importable
+    Pillow routes every non-PGM row through the real PIL decode."""
+    from tank_spark.llm import media_np
+
     decode = get_plane_decoder()
+    try:
+        import PIL.Image  # noqa: F401
+        is_real = None  # real decoder available: all rows scalar
+    except ImportError:
+        is_real = _is_pgm
     for pdf in batches:
-        out = []
-        for row in pdf.itertuples(index=False):
-            try:
-                out.append({"doc_id": int(row.doc_id),
-                            "phash": dhash64(decode(bytes(row.payload)))})
-            except ValueError:
-                continue
-        yield pd.DataFrame(out, columns=["doc_id", "phash"])
+        yield media_np.hash_frame(
+            pdf,
+            lambda b: media_np.dhash64_batch(b.reshape(-1, 4, 8)),
+            lambda p: dhash64(decode(p)),
+            is_real if is_real is not None else (lambda p: True),
+        )
 
 
 def phash_neardup_pairs(

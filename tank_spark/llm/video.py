@@ -260,17 +260,26 @@ def _signature_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     """mapInPandas kernel: (doc_id, payload) -> (doc_id, signature). The
     column is named ``phash`` because the banded Hamming join downstream
     (multimodal.phash_neardup_pairs) is hash-agnostic and keys on that
-    name. Undecodable videos drop (nothing to compare)."""
+    name. Undecodable videos drop (nothing to compare).
+
+    r10: stub-frame rows hash through the VECTORIZED batch twin
+    (media_np.signature64_batch — the 3 rotated scene dHashes and the
+    2-of-3 bitwise majority in a handful of numpy calls; bit-exact by
+    the A/B pin in tests/test_media_np.py); genuine YUV4MPEG2 payloads
+    take the real stdlib parse per row, exactly as before."""
+    from tank_spark.llm import media_np
+
+    def _scalar(p: bytes) -> int:
+        hs, _ = frame_hashes(p)
+        return video_signature64(hs)
+
     for pdf in batches:
-        out = []
-        for row in pdf.itertuples(index=False):
-            try:
-                hs, _ = frame_hashes(bytes(row.payload))
-                out.append({"doc_id": int(row.doc_id),
-                            "phash": video_signature64(hs)})
-            except ValueError:
-                continue
-        yield pd.DataFrame(out, columns=["doc_id", "phash"])
+        yield media_np.hash_frame(
+            pdf,
+            media_np.signature64_batch,
+            _scalar,
+            lambda p: p[:9] == b"YUV4MPEG2",
+        )
 
 
 # The shared high-bit variant offset (collision-proof by construction;
