@@ -630,26 +630,30 @@ def media_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media_survivors_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tank_spark.llm.audio import (
-        AUDIO_FP_SCHEMA, _fingerprint_kernel, fingerprint_media)
+    from tank_spark.llm.audio import fingerprint_media
     from tank_spark.llm.dedup import lsh_components
-    from tank_spark.llm.video import (
-        VIDEO_FP_SCHEMA, _signature_kernel, signature_media)
+    from tank_spark.llm.media_inc import _media_hash_kernel
+    from tank_spark.llm.video import signature_media
     from tank_spark.util import ensure_workers_have_package
 
     ensure_workers_have_package(spark)
+    # ONE combined hash stage over the unioned corpus (r10: the former
+    # three per-modality mapInPandas legs each launched their own
+    # Python stage and re-derived their slice — stage orchestration,
+    # not hashing, was the measured cost; media_inc._media_hash_kernel
+    # batch-hashes every modality per Arrow batch, bit-exact by the
+    # tests/test_media_np.py pins)
+    corpus = (
+        phash_media(spark, sf_dir).withColumn("modality", F.lit("image"))
+        .unionByName(fingerprint_media(spark, sf_dir)
+                     .withColumn("modality", F.lit("audio")))
+        .unionByName(signature_media(spark, sf_dir)
+                     .withColumn("modality", F.lit("video")))
+    )
     hashed = (
-        phash_media(spark, sf_dir)
-        .mapInPandas(_phash_kernel, PHASH_SCHEMA)
-        .withColumn("modality", F.lit("image"))
-        .unionByName(
-            fingerprint_media(spark, sf_dir)
-            .mapInPandas(_fingerprint_kernel, AUDIO_FP_SCHEMA)
-            .withColumn("modality", F.lit("audio")))
-        .unionByName(
-            signature_media(spark, sf_dir)
-            .mapInPandas(_signature_kernel, VIDEO_FP_SCHEMA)
-            .withColumn("modality", F.lit("video")))
+        corpus.select("doc_id", "modality", "payload")
+        .mapInPandas(_media_hash_kernel,
+                     "doc_id long, modality string, phash long")
         # eager: the pair join AND the final keep-flag join both scan it;
         # a lazy cache would race and re-run the kernels (dedup.py:314).
         # localCheckpoint, not persist (ADVICE r7: leak across calls)
