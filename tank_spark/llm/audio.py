@@ -238,12 +238,14 @@ def _fingerprint_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     from tank_spark.llm import media_np
 
     for pdf in batches:
-        yield media_np.hash_frame(
+        out = media_np.hash_frame(
             pdf,
             media_np.fingerprint64_batch,
             lambda p: audio_fingerprint64(_pcm_wav(p)[0]),
             lambda p: p[:4] == b"RIFF",
         )
+        if len(out):  # yielding empties trips pandas' concat FutureWarning
+            yield out
 
 
 # The shared high-bit variant offset (collision-proof by construction;

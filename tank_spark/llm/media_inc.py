@@ -155,10 +155,8 @@ def _media_hash_kernel(batches):
             out = media_np.hash_frame(sub, batch_fn, scalar_fn, is_real)
             out["modality"] = m
             frames.append(out[["doc_id", "modality", "phash"]])
-        yield (pd.concat(frames, ignore_index=True) if frames
-               else pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                  "modality": pd.Series(dtype="object"),
-                                  "phash": pd.Series(dtype="int64")}))
+        if frames:  # skipping empty yields avoids pandas' concat
+            yield pd.concat(frames, ignore_index=True)  # FutureWarning
 
 
 def _hashed_media(spark: SparkSession, corpus: DataFrame) -> DataFrame:

@@ -437,12 +437,14 @@ def _phash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     except ImportError:
         is_real = _is_pgm
     for pdf in batches:
-        yield media_np.hash_frame(
+        out = media_np.hash_frame(
             pdf,
             lambda b: media_np.dhash64_batch(b.reshape(-1, 4, 8)),
             lambda p: dhash64(decode(p)),
             is_real if is_real is not None else (lambda p: True),
         )
+        if len(out):  # yielding empties trips pandas' concat FutureWarning
+            yield out
 
 
 def phash_neardup_pairs(

@@ -274,12 +274,14 @@ def _signature_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         return video_signature64(hs)
 
     for pdf in batches:
-        yield media_np.hash_frame(
+        out = media_np.hash_frame(
             pdf,
             media_np.signature64_batch,
             _scalar,
             lambda p: p[:9] == b"YUV4MPEG2",
         )
+        if len(out):  # yielding empties trips pandas' concat FutureWarning
+            yield out
 
 
 # The shared high-bit variant offset (collision-proof by construction;
