@@ -68,20 +68,36 @@ def _tweaked(idx0: int, delta: int):
     )
 
 
+def _modality_col():
+    """modality name by doc_id % 3 — the media_df media_type mapping."""
+    return F.element_at(
+        F.array(*[F.lit(m) for m in _MODALITIES]),
+        (F.col("doc_id") % 3 + 1).cast("int"))
+
+
+def _base_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cid, modality, payload): the base media corpus — ONE home for
+    the payload keystream + modality derivation (media_df's), so the
+    index artifact and the probe corpus can never silently diverge
+    (review r10: three copies of the payload expr risked exactly that).
+    """
+    d = load(spark, sf_dir, "documents")
+    payload = F.unhex(F.concat(
+        F.md5("text"), F.md5(F.concat(F.col("text"), F.lit(":1")))))
+    return d.select(F.col("doc_id").alias("cid"),
+                    _modality_col().alias("modality"),
+                    payload.alias("payload"))
+
+
 def _inc_media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(cid, modality, payload): the base media corpus (cid = doc_id)
     plus the derived crawl increment (cid >= INC_OFFSET)."""
     d = load(spark, sf_dir, "documents")
-    payload = F.unhex(F.concat(
-        F.md5("text"), F.md5(F.concat(F.col("text"), F.lit(":1")))))
     fresh = F.unhex(F.concat(
         F.md5(F.concat(F.col("text"), F.lit(":f"))),
         F.md5(F.concat(F.col("text"), F.lit(":f1")))))
-    modality = F.element_at(
-        F.array(*[F.lit(m) for m in _MODALITIES]),
-        (F.col("doc_id") % 3 + 1).cast("int"))
-    base = d.select(F.col("doc_id").alias("cid"), modality.alias("modality"),
-                    payload.alias("payload"))
+    modality = _modality_col()
+    base = _base_media(spark, sf_dir)
     # slice-local every-5th selectors: doc_id % 15 == (doc_id % 3) + k
     mod3 = F.col("cid") % 3
     recrawl = base.filter(F.col("cid") % 15 == mod3).select(
@@ -202,14 +218,7 @@ def _bands(hashed: DataFrame) -> DataFrame:
         "(both sides derive from the same scan; never pairwise).",
 )
 def media_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    payload = F.unhex(F.concat(
-        F.md5("text"), F.md5(F.concat(F.col("text"), F.lit(":1")))))
-    modality = F.element_at(
-        F.array(*[F.lit(m) for m in _MODALITIES]),
-        (F.col("doc_id") % 3 + 1).cast("int"))
-    base = d.select(F.col("doc_id").alias("cid"), modality.alias("modality"),
-                    payload.alias("payload"))
+    base = _base_media(spark, sf_dir)
     hashed = _hashed_media(spark, base)
     fps = base.select("cid", F.lower(F.hex("payload")).alias("fp"))
     return _bands(hashed).join(fps, "cid").select(

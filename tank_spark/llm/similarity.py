@@ -302,7 +302,15 @@ def _centroid_rows(spark: SparkSession, sf_dir: str,
     if entry is None:
         if _dedup.PLAN_ONLY:
             return [(i, [0.0] * DIM) for i in range(n_centroids)]
-        e = load(spark, sf_dir, "embeddings")
+        # collect from a DIRECT parquet read, not load(): load()'s
+        # persisted per-session cache has no fingerprint eviction, so
+        # after an in-session data regeneration it would serve the
+        # STALE relation and this cache would re-memoize old centroids
+        # under the new fingerprint (review r10) — the bounded
+        # n_centroids-row collect doesn't need the materialized table
+        import os
+
+        e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
         rows = sorted(
             e.filter(F.col("vec_id") < n_centroids)
             .select("vec_id", "embedding")

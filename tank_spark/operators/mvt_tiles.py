@@ -38,7 +38,7 @@ from tank_spark.geom import tilemath, wkt
 from tank_spark.operators.heatmap import grid_n, heatmap_oracle
 from tank_spark.operators.tiles import OVERVIEW_FEATURE_BUDGET, tile_hash_range
 from tank_spark.plans.registry import register
-from tank_spark.sources.features import features_df
+from tank_spark.sources.features import HASH_LEVEL, features_df
 
 EXTEND = 4096
 BUFFER = 64
@@ -1062,7 +1062,7 @@ def tile_mvt_z7_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # its parent-bucket selection clips features outside the sub-tile, and
 # the y-axis clip boundary is transcendental (features.py lat), so its
 # count has no exact SQL twin; tile_mvt_batch keeps serving all six.
-PARITY_REQUESTS = [r for r in DEFAULT_REQUESTS if r[0] <= 13]
+PARITY_REQUESTS = [r for r in DEFAULT_REQUESTS if r[0] <= HASH_LEVEL]
 
 
 def _batch_parity_oracle() -> str:

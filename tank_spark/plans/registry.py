@@ -267,14 +267,19 @@ PRIORITY: tuple[str, ...] = (
 
 # R11 WINDOW HANDOFF: the 38 r7-green entries come due (the whole r7
 # cohort, q5_nation_volume included), leaving 12 flex slots — more room
-# than any round since r6. Use them for: any
-# query whose code/oracle changes late in r10 without a window slot, the
-# r8 cohort's earliest entries if the r11 registry has grown past 200
-# (keeps the bound at 4), and fresh rows-only refreshes for the MVT blob
-# emitters on their normal cadence. ivf_assignments/ivf_recall_eval/
-# ivf_pq_search/cluster_balanced_sample/semdedup_prune all exercise the
-# r10 memoized centroid collect (similarity._centroid_rows) inside the
-# r10 window, so the refactor has direct hard signal this round.
+# than any round since r6. Priority uses for them:
+# 1. The r10 quantizer-refactor consumers WITHOUT an r10 window slot:
+#    ivf_assignments, ivf_recall_eval, cluster_balanced_sample,
+#    semdedup_prune_capped (their r9/late-r9 rows predate the
+#    _centroid_rows memoization + transform-literal rewrite; only
+#    ivf_pq_search, ivf_probe_search, semdedup_prune and
+#    semantic_vs_lexical carry post-refactor rows from the r10 window).
+# 2. Any query whose code/oracle changes late in r10 without a slot.
+# 3. Candidate NEW entries deferred because the r10 window was exactly
+#    full (never-checked entries must enter unconditionally): a
+#    media_dedup_incremental per-source REPORT twin (the media mirror
+#    of dedup_incremental_report) is the natural next arc-closer.
+# 4. Fresh rows-only refreshes for the MVT blob emitters on cadence.
 
 
 def load_all() -> dict[str, QueryDef]:

@@ -73,15 +73,21 @@ def main() -> None:
               f"runs={[round(t, 3) for t in ts]} median={ts[len(ts)//2]:.3f}")
 
     for nlist in nlists:
-        # fresh literal per nlist (cache keyed by (.., out_dir, nlist))
-        arr = sim._centroid_score_structs(spark, out_dir, nlist)
+        # GENUINE fresh-build cost (review r10: the first cut timed the
+        # already-memoized Column): drop every cache entry for this key,
+        # then time collect + expr assembly + one analyze end-to-end —
+        # the once-per-data-version cost a long-lived server pays
+        for key in [k for k in sim._CENTROID_CACHE
+                    if k[-2:] == (out_dir, nlist)
+                    or (len(k) == 4 and k[2:] == (out_dir, nlist))]:
+            del sim._CENTROID_CACHE[key]
         t0 = time.perf_counter()
-        fresh = sim._centroid_score_structs.__wrapped__(spark, out_dir, nlist) \
-            if hasattr(sim._centroid_score_structs, "__wrapped__") else arr
+        arr = sim._centroid_score_structs(spark, out_dir, nlist)
         spark.createDataFrame([], "embedding array<float>") \
-            .select(F.array_min(fresh)["centroid_id"]).schema  # force analyze
+            .select(F.array_min(arr)["centroid_id"]).schema  # force analyze
         build_s = time.perf_counter() - t0
-        print(f"RESULT nlist={nlist} form=build analyze={build_s:.3f}s")
+        print(f"RESULT nlist={nlist} form=build "
+              f"collect+expr+analyze={build_s:.3f}s")
 
         timed("literal", nlist, lambda: big.select(
             "vec_id", F.array_min(arr)["centroid_id"].alias("centroid_id")))
