@@ -1765,11 +1765,16 @@ def disposition_against_index(
         ifp.join(F.broadcast(bfp), "fp")
         .groupBy("bcid").agg(F.min("icid").alias("exact_match"))
     )
-    y = bfp.select(F.col("bcid").alias("ycid"), "fp")
+    # in-batch exact probe WITHOUT the fp self-join (r10 skew-probe
+    # hardening): MIN(y.cid | y.fp = x.fp, y.cid < x.cid) == the group
+    # minimum whenever it is smaller than x.cid, so one batch-bounded
+    # aggregate + a broadcast rejoin replaces the k^2-streaming
+    # self-join a hot batch fingerprint (boilerplate crawl) would feed
+    bmin = bfp.groupBy("fp").agg(F.min("bcid").alias("mn"))
     inb = (
-        bfp.join(F.broadcast(y), "fp")
-        .filter(F.col("ycid") < F.col("bcid"))
-        .groupBy("bcid").agg(F.min("ycid").alias("batch_match"))
+        bfp.join(F.broadcast(bmin), "fp")
+        .filter(F.col("mn") < F.col("bcid"))
+        .select("bcid", F.col("mn").alias("batch_match"))
     )
     oversized = (
         ib.groupBy("band_idx", "band_val")

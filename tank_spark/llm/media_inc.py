@@ -357,11 +357,15 @@ def media_disposition_against_index(
         ifp.join(F.broadcast(bfp), ["modality", "fp"])
         .groupBy("bcid").agg(F.min("icid").alias("exact_match"))
     )
-    y = bfp.select(F.col("bcid").alias("ycid"), "modality", "fp")
+    # in-batch exact probe without the fp self-join (r10 skew-probe
+    # hardening, same as the text twin dedup.py): the group-min rejoin
+    # removes the k^2 term a hot batch payload (boilerplate banner
+    # image, re-crawled en masse) would otherwise feed
+    bmin = bfp.groupBy("modality", "fp").agg(F.min("bcid").alias("mn"))
     inb = (
-        bfp.join(F.broadcast(y), ["modality", "fp"])
-        .filter(F.col("ycid") < F.col("bcid"))
-        .groupBy("bcid").agg(F.min("ycid").alias("batch_match"))
+        bfp.join(F.broadcast(bmin), ["modality", "fp"])
+        .filter(F.col("mn") < F.col("bcid"))
+        .select("bcid", F.col("mn").alias("batch_match"))
     )
     oversized = (
         ib.groupBy("modality", "band_idx", "band_val")

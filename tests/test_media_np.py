@@ -136,3 +136,43 @@ def test_batch_fns_empty_input(fn):
     else:
         out = media_np.signature64_batch(b)
     assert out.shape == (0,) and out.dtype == np.int64
+
+
+# ---- property tests: arbitrary payload bytes, not just fixture shapes
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_PAYLOAD = st.binary(min_size=32, max_size=64)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_PAYLOAD, min_size=1, max_size=20))
+def test_dhash_batch_matches_scalar_on_arbitrary_bytes(pays):
+    from tank_spark.llm import media_np
+    from tank_spark.llm.multimodal import _luma_plane_stub, dhash64
+
+    got = media_np.dhash64_batch(_grid(pays).reshape(-1, 4, 8)).tolist()
+    assert got == [dhash64(_luma_plane_stub(p)) for p in pays]
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_PAYLOAD, min_size=1, max_size=20))
+def test_fingerprint_batch_matches_scalar_on_arbitrary_bytes(pays):
+    from tank_spark.llm import media_np
+    from tank_spark.llm.audio import _pcm_stub, audio_fingerprint64
+
+    got = media_np.fingerprint64_batch(_grid(pays)).tolist()
+    assert got == [audio_fingerprint64(_pcm_stub(p)[0]) for p in pays]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_PAYLOAD, min_size=1, max_size=12))
+def test_signature_batch_matches_scalar_on_arbitrary_bytes(pays):
+    from tank_spark.llm import media_np
+    from tank_spark.llm.multimodal import dhash64
+    from tank_spark.llm.video import _frames_stub, video_signature64
+
+    got = media_np.signature64_batch(_grid(pays)).tolist()
+    want = [video_signature64([dhash64(f) for f in _frames_stub(p)[0]])
+            for p in pays]
+    assert got == want
