@@ -23,6 +23,12 @@ PROBES = [
     "dedup_minhash_lsh_pairs",    # r5 default = capped
     "dedup_lsh_clusters_uncapped",
     "dedup_lsh_clusters",         # r5 default = capped
+    # r10: the MEDIA family under the same skew — identical boilerplate
+    # TEXT means identical derived PAYLOADS, so a HOT_PCT dir is also a
+    # hot-phash-band / hot-payload-fingerprint corpus; the phash bucket
+    # cap and the group-min in-batch probe are what these two exercise
+    "media_dedup_survivors",
+    "media_dedup_incremental",
 ]
 
 
