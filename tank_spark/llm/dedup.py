@@ -1774,7 +1774,10 @@ def disposition_against_index(
     inb = (
         bfp.join(F.broadcast(bmin), "fp")
         .filter(F.col("mn") < F.col("bcid"))
-        .select("bcid", F.col("mn").alias("batch_match"))
+        # one row per bcid like the old groupBy form: the streaming
+        # sink's drop files do not guarantee unique cids, and a
+        # duplicated cid would otherwise fan out in the final assembly
+        .groupBy("bcid").agg(F.min("mn").alias("batch_match"))
     )
     oversized = (
         ib.groupBy("band_idx", "band_val")

@@ -365,7 +365,9 @@ def media_disposition_against_index(
     inb = (
         bfp.join(F.broadcast(bmin), ["modality", "fp"])
         .filter(F.col("mn") < F.col("bcid"))
-        .select("bcid", F.col("mn").alias("batch_match"))
+        # one row per bcid like the old groupBy form (duplicate cids in
+        # a stream drop file must not fan out in the assembly joins)
+        .groupBy("bcid").agg(F.min("mn").alias("batch_match"))
     )
     oversized = (
         ib.groupBy("modality", "band_idx", "band_val")

@@ -180,3 +180,29 @@ def _index_sides(index_docs):
         fps.select(F.col("cid").alias("icid"), "fp"),
         bands.select(F.col("cid").alias("icid"), "band_idx", "band_val"),
     )
+
+
+def test_disposition_handles_duplicate_batch_cids(spark):
+    """A stream drop file does not guarantee unique cids: a duplicated
+    batch cid must produce one disposition row per INPUT row (the old
+    groupBy semantics), never a fanout through the in-batch probe
+    (review r10: the first group-min rewrite emitted one inb row per
+    qualifying bfp row, multiplying 2x2=4 rows for a duplicated cid).
+    The media twin shares the same shape via its own groupBy."""
+    from tank_spark.llm.dedup import disposition_against_index
+
+    bfp = spark.createDataFrame(
+        [(9, "fpA"), (9, "fpA"), (5, "fpA")], "bcid long, fp string")
+    ifp = spark.createDataFrame([], "icid long, fp string")
+    bb = spark.createDataFrame(
+        [], "bcid long, band_idx int, band_val string")
+    ib = spark.createDataFrame(
+        [], "icid long, band_idx int, band_val string")
+    rows = disposition_against_index(bfp, ifp, bb, ib).collect()
+    assert len(rows) == 3  # one per input row, no multiplication
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["doc_id"], []).append(
+            (r["disposition"], r["match_cid"]))
+    assert by_id[9] == [("dup_in_batch", 5)] * 2
+    assert by_id[5] == [("new_unique", None)]

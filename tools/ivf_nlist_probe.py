@@ -78,8 +78,7 @@ def main() -> None:
         # then time collect + expr assembly + one analyze end-to-end —
         # the once-per-data-version cost a long-lived server pays
         for key in [k for k in sim._CENTROID_CACHE
-                    if k[-2:] == (out_dir, nlist)
-                    or (len(k) == 4 and k[2:] == (out_dir, nlist))]:
+                    if k[-2:] == (out_dir, nlist)]:
             del sim._CENTROID_CACHE[key]
         t0 = time.perf_counter()
         arr = sim._centroid_score_structs(spark, out_dir, nlist)
