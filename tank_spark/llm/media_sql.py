@@ -677,12 +677,12 @@ _INC_CHAIN = f"""{MH_CTE},
 {_aud_hash_h("aud_bb", "aud_bh")},
 {_vid_hash_h("vid_ib", "vid_ih")},
 {_vid_hash_h("vid_bb", "vid_bh")},
-idx_hash AS (
+idx_hash AS MATERIALIZED (
   SELECT doc_id, h, phash, 'image' AS modality FROM img_ih
   UNION ALL SELECT doc_id, h, phash, 'audio' FROM aud_ih
   UNION ALL SELECT doc_id, h, phash, 'video' FROM vid_ih
 ),
-bat_hash AS (
+bat_hash AS MATERIALIZED (
   SELECT doc_id, h, phash, 'image' AS modality FROM img_bh
   UNION ALL SELECT doc_id, h, phash, 'audio' FROM aud_bh
   UNION ALL SELECT doc_id, h, phash, 'video' FROM vid_bh
@@ -776,11 +776,11 @@ SELECT doc_id, modality, disposition, match_cid, n_bands_hit FROM d_out
 # against their batch-A twins instead of the batch op's dup_in_batch.
 MEDIA_STREAM_REPLAY_SQL = f"""
 WITH {_INC_CHAIN},
-bat_a AS (SELECT * FROM bat_hash WHERE doc_id < {2 * INC_OFFSET}),
-bat_b AS (SELECT * FROM bat_hash WHERE doc_id >= {2 * INC_OFFSET}),
+bat_a AS MATERIALIZED (SELECT * FROM bat_hash WHERE doc_id < {2 * INC_OFFSET}),
+bat_b AS MATERIALIZED (SELECT * FROM bat_hash WHERE doc_id >= {2 * INC_OFFSET}),
 {media_disposition_ctes("bat_a", "idx_hash", "a")},
 new_a AS (SELECT doc_id FROM a_out WHERE disposition = 'new_unique'),
-idx_1 AS (
+idx_1 AS MATERIALIZED (
   SELECT * FROM idx_hash
   UNION ALL
   SELECT bh.* FROM bat_hash bh JOIN new_a ON bh.doc_id = new_a.doc_id
