@@ -210,19 +210,23 @@ def _bands(hashed: DataFrame) -> DataFrame:
         "dedup_index_build): per base media row, the exact payload "
         "fingerprint and every 16-bit phash band — one row per "
         "(media row, band), modality-keyed so hash families never "
-        "cross. In production this relation is written bucketed by "
-        "(modality, band_val) and appended per snapshot. Scale shape: "
-        "one corpus scan through the map-only hash kernels, a "
-        "projection to bands, and one narrow equi-join on the doc key "
-        "to re-attach the fp column the fixed-schema kernels drop "
-        "(both sides derive from the same scan; never pairwise).",
+        "cross. Carries the full phash alongside each band so the "
+        "probe's exact Hamming verify can run straight off the "
+        "artifact (ADVICE r10: without it, consumers had to rebuild "
+        "their own band relation). In production this relation is "
+        "written bucketed by (modality, band_val) and appended per "
+        "snapshot. Scale shape: one corpus scan through the map-only "
+        "hash kernels, a projection to bands, and one narrow equi-join "
+        "on the doc key to re-attach the fp column the fixed-schema "
+        "kernels drop (both sides derive from the same scan; never "
+        "pairwise).",
 )
 def media_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _base_media(spark, sf_dir)
     hashed = _hashed_media(spark, base)
     fps = base.select("cid", F.lower(F.hex("payload")).alias("fp"))
     return _bands(hashed).join(fps, "cid").select(
-        F.col("cid").alias("doc_id"), "modality", "fp",
+        F.col("cid").alias("doc_id"), "modality", "fp", "phash",
         "band_idx", "band_val")
 
 

@@ -690,7 +690,7 @@ bat_hash AS MATERIALIZED (
 
 MEDIA_INDEX_BUILD_SQL = f"""
 WITH {_INC_CHAIN}
-SELECT doc_id, modality, h AS fp, i.band_idx,
+SELECT doc_id, modality, h AS fp, phash, i.band_idx,
        (phash >> (16 * i.band_idx)) & 65535 AS band_val
 FROM idx_hash, (SELECT unnest([0, 1, 2, 3]) AS band_idx) i
 """

@@ -302,12 +302,11 @@ def _centroid_rows(spark: SparkSession, sf_dir: str,
     if entry is None:
         if _dedup.PLAN_ONLY:
             return [(i, [0.0] * DIM) for i in range(n_centroids)]
-        # collect from a DIRECT parquet read, not load(): load()'s
-        # persisted per-session cache has no fingerprint eviction, so
-        # after an in-session data regeneration it would serve the
-        # STALE relation and this cache would re-memoize old centroids
-        # under the new fingerprint (review r10) — the bounded
-        # n_centroids-row collect doesn't need the materialized table
+        # collect from a DIRECT parquet read: the bounded
+        # n_centroids-row collect doesn't need the materialized table.
+        # (load()'s persisted cache is fingerprint-evicted too since
+        # r11 — ADVICE r10 — so consumers' corpus DataFrames refresh in
+        # lockstep with these centroids after a data regeneration.)
         import os
 
         e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))

@@ -29,8 +29,22 @@ _CLUSTER_KEY = {
 # scan is one task no matter the config. Materializing each table once per
 # session — repartitioned on its cluster key — restores the parallelism and
 # co-location a real multi-file/bucketed layout has. Results are identical;
-# only the physical plan changes.
-_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# only the physical plan changes. Entries are fingerprint-keyed
+# ((mtime_ns, size) of the parquet) so an in-session regeneration of a
+# table evicts the stale persisted relation instead of serving it forever
+# (ADVICE r10: similarity._centroid_rows dodged this cache for exactly
+# that staleness; now centroids and corpus cannot diverge).
+_CACHE: dict[tuple[str, str, str], tuple[tuple, DataFrame]] = {}
+
+
+def _table_fingerprint(sf_dir: str, name: str) -> tuple:
+    import os
+
+    try:
+        st = os.stat(f"{sf_dir}/{name}.parquet")
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (0, 0)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str,
@@ -41,15 +55,21 @@ def load(spark: SparkSession, sf_dir: str, name: str,
     if not materialized:
         return raw
     key = (spark.sparkContext.applicationId, sf_dir, name)
-    if key not in _CACHE:
+    fp = _table_fingerprint(sf_dir, name)
+    entry = _CACHE.get(key)
+    if entry is not None and entry[0] != fp:
+        entry[1].unpersist()
+        entry = None
+    if entry is None:
         n = max(spark.sparkContext.defaultParallelism // 2, 4)
         ck = _CLUSTER_KEY.get(name)
         df = raw.repartition(n, ck) if ck else raw.repartition(n)
-        _CACHE[key] = df.persist()
-    return _CACHE[key]
+        entry = (fp, df.persist())
+        _CACHE[key] = entry
+    return entry[1]
 
 
-_EVENTS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_EVENTS_CACHE: dict[tuple[str, str], tuple[tuple, DataFrame]] = {}
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,14 +88,20 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _EVENTS_CACHE:
+    fp = _table_fingerprint(sf_dir, "events")
+    entry = _EVENTS_CACHE.get(key)
+    if entry is not None and entry[0] != fp:
+        entry[1].unpersist()
+        entry = None
+    if entry is None:
         # harmless when ts is already TIMESTAMP; required to even read the
         # schema when it is TIMESTAMP(NANOS)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
         n = max(spark.sparkContext.defaultParallelism // 2, 4)
-        _EVENTS_CACHE[key] = df.repartition(n, "user_id").persist()
-    return _EVENTS_CACHE[key]
+        entry = (fp, df.repartition(n, "user_id").persist())
+        _EVENTS_CACHE[key] = entry
+    return entry[1]
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:

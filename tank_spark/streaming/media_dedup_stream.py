@@ -2,8 +2,8 @@
 media_dedup_incremental (llm/media_inc.py) — a media crawl feed arrives
 as micro-batches of (cid, modality, payload) rows, each is dispositioned
 against a PERSISTED perceptual-hash index (the media_index_build
-artifact), and every batch's new_unique survivors are appended to the
-index before the next batch probes it.
+artifact shape: fp + phash + bands), and every batch's new_unique
+survivors are appended to the index before the next batch probes it.
 
 This is the media twin of streaming/dedup_stream.py, sharing its loop
 shape verbatim; the probe logic is shared with the batch op via
@@ -11,27 +11,44 @@ media_inc.media_disposition_against_index, and the batch twin
 media_dedup_stream_replay (full DuckDB oracle) pins the index-growth
 disposition semantics this module must reproduce.
 
-Index layout under ``index_dir``:
+Index layout under ``index_dir`` (hive-partitioned by write epoch):
 
-- ``fp/``    — parquet (icid BIGINT, modality STRING, fp STRING):
-  lowercase payload hex, the exact-dup probe side.
-- ``bands/`` — parquet (icid BIGINT, modality STRING, phash BIGINT,
-  band_idx INT, band_val BIGINT): the 4x16-bit phash band
-  decomposition, the near-dup probe side (phash rides along for the
-  exact Hamming verify).
+- ``fp/epoch_id=<E>/``    — parquet (icid BIGINT, modality STRING,
+  fp STRING): lowercase payload hex, the exact-dup probe side.
+- ``bands/epoch_id=<E>/`` — parquet (icid BIGINT, modality STRING,
+  phash BIGINT, band_idx INT, band_val BIGINT): the 4x16-bit phash
+  band decomposition, the near-dup probe side (phash rides along for
+  the exact Hamming verify — the media_index_build artifact carries it
+  for the same reason).
+
+``epoch_id=-1`` is the base generation (bootstrap and every compaction
+rewrite); each micro-batch appends its survivors under its own
+``epoch_id=<E>`` directory with mode("overwrite") — so a REPLAYED epoch
+overwrites its own directory instead of duplicating rows (ADVICE r10:
+plain mode("append") made replays inflate per-bucket counts toward
+PHASH_BUCKET_CAP, silently disabling near-dup matching there). Index
+appends are therefore idempotent under at-least-once foreachBatch
+semantics; the disposition OUTPUT keeps the weaker posture of the text
+twin (append + epoch_id column; readers drop replayed epochs).
+
+Per-epoch directories are a small-files problem at crawl cadence, and
+the probe join loses co-location as they accumulate —
+``compact_media_index`` folds all epochs back into the base
+generation, with ``bands/`` rewritten partitioned by
+(modality, band_val) so probe joins co-locate; the stream loop calls
+it every ``compact_every`` epochs. The swap is
+write-tmp/rename-old/rename-tmp (crash leaves either the old or the
+new generation plus a recoverable ``.old``); a real deployment does
+this as one transaction in a table format like Delta/Iceberg.
 
 At 100 TB the index is the big side and never shuffles: each probe
 scans it once with the (small) micro-batch BROADCAST into every join.
-In production ``bands/`` would be written bucketed by
-(modality, band_val) so probe joins co-locate; appends stay
-per-batch-bounded either way. The foreachBatch sink is
-idempotent-at-least-once like the other sinks here (epoch guard column
-on the output; replayed appends are droppable by readers).
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,9 +60,17 @@ from tank_spark.llm.media_inc import (
     media_disposition_against_index,
 )
 
-_FP_SCHEMA = "icid long, modality string, fp string"
+# epoch_id is the hive partition column (parsed from the dir name, not
+# stored in the files)
+_FP_SCHEMA = "icid long, modality string, fp string, epoch_id long"
 _BANDS_SCHEMA = ("icid long, modality string, phash long, "
-                 "band_idx int, band_val long")
+                 "band_idx int, band_val long, epoch_id long")
+
+BASE_EPOCH = -1  # the bootstrap/compacted generation's directory
+
+
+def _epoch_dir(index_dir: str, rel: str, epoch_id: int) -> str:
+    return os.path.join(index_dir, rel, f"epoch_id={epoch_id}")
 
 
 def media_fp_and_bands(
@@ -60,25 +85,75 @@ def media_fp_and_bands(
     return fps, bands
 
 
-def write_media_index(spark: SparkSession, media: DataFrame,
-                      index_dir: str) -> None:
-    """Materialize the initial corpus index (overwrite): the batch-mode
-    bootstrap before the stream starts appending to it."""
+def _write_index_epoch(spark: SparkSession, media: DataFrame,
+                       index_dir: str, epoch_id: int) -> None:
+    """One epoch's index rows, written idempotently: overwrite of the
+    epoch's own directory, so a foreachBatch replay rewrites instead of
+    duplicating."""
     fps, bands = media_fp_and_bands(spark, media)
     fps.select(F.col("cid").alias("icid"), "modality", "fp") \
-        .write.mode("overwrite").parquet(os.path.join(index_dir, "fp"))
+        .write.mode("overwrite").parquet(_epoch_dir(index_dir, "fp", epoch_id))
     bands.select(F.col("cid").alias("icid"), "modality", "phash",
                  "band_idx", "band_val") \
-        .write.mode("overwrite").parquet(os.path.join(index_dir, "bands"))
+        .write.mode("overwrite") \
+        .parquet(_epoch_dir(index_dir, "bands", epoch_id))
+
+
+def write_media_index(spark: SparkSession, media: DataFrame,
+                      index_dir: str) -> None:
+    """Materialize the initial corpus index (the base generation): the
+    batch-mode bootstrap before the stream starts appending to it."""
+    _write_index_epoch(spark, media, index_dir, BASE_EPOCH)
 
 
 def read_media_index(spark: SparkSession,
                      index_dir: str) -> tuple[DataFrame, DataFrame]:
-    """The current index relations (explicit schemas, as dedup_stream)."""
-    ifp = spark.read.schema(_FP_SCHEMA).parquet(os.path.join(index_dir, "fp"))
-    ib = spark.read.schema(_BANDS_SCHEMA).parquet(
-        os.path.join(index_dir, "bands"))
+    """The current index relations across every generation/epoch
+    (explicit schemas, as dedup_stream; epoch_id dropped — the probe
+    is epoch-agnostic, idempotency lives in the directory layout)."""
+    ifp = (spark.read.schema(_FP_SCHEMA)
+           .parquet(os.path.join(index_dir, "fp")).drop("epoch_id"))
+    ib = (spark.read.schema(_BANDS_SCHEMA)
+          .parquet(os.path.join(index_dir, "bands")).drop("epoch_id"))
     return ifp, ib
+
+
+def compact_media_index(spark: SparkSession, index_dir: str,
+                        n_buckets: int = 32) -> None:
+    """Fold every per-epoch append back into the base generation:
+    ``bands/`` rewritten partitioned by (modality, band_val) — the probe
+    join key — and sorted within partitions, ``fp/`` by (modality, fp).
+    Fixes the two costs of epoch accumulation at crawl cadence: file
+    count (one dir per epoch) and probe-side co-location (the banded
+    probe join reads one co-partitioned relation again). Readers are
+    the between-batches loop, so the tmp-write + rename swap below is
+    safe here; production would run this as a table-format transaction.
+    """
+    ifp, ib = read_media_index(spark, index_dir)
+    tmp_fp = os.path.join(index_dir, "fp.compact")
+    tmp_bands = os.path.join(index_dir, "bands.compact")
+    shutil.rmtree(tmp_fp, ignore_errors=True)
+    shutil.rmtree(tmp_bands, ignore_errors=True)
+    (ifp.repartition(n_buckets, "modality", "fp")
+        .sortWithinPartitions("modality", "fp")
+        .write.parquet(os.path.join(tmp_fp, f"epoch_id={BASE_EPOCH}")))
+    (ib.repartition(n_buckets, "modality", "band_val")
+       .sortWithinPartitions("modality", "band_idx", "band_val")
+       .write.parquet(os.path.join(tmp_bands, f"epoch_id={BASE_EPOCH}")))
+    for rel, tmp in (("fp", tmp_fp), ("bands", tmp_bands)):
+        live = os.path.join(index_dir, rel)
+        old = live + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(live, old)
+        os.rename(tmp, live)
+        shutil.rmtree(old)
+
+
+def index_epoch_count(index_dir: str) -> int:
+    """How many generations/epoch dirs the bands relation currently
+    spans (compaction telemetry)."""
+    root = os.path.join(index_dir, "bands")
+    return sum(1 for d in os.listdir(root) if d.startswith("epoch_id="))
 
 
 def disposition_media_batch(spark: SparkSession, batch: DataFrame,
@@ -103,6 +178,7 @@ def start_incremental_media_dedup_stream(
     out_dir: str,
     checkpoint_dir: str,
     trigger_once: bool = True,
+    compact_every: int = 0,
 ):
     """Wire the loop: for each micro-batch of (cid, modality, payload)
     media rows,
@@ -110,9 +186,11 @@ def start_incremental_media_dedup_stream(
     1. disposition against the CURRENT index (read fresh per epoch —
        it grew by earlier epochs' appends),
     2. append the dispositions (+ epoch id) to ``out_dir``,
-    3. append the new_unique survivors' fingerprints and phash bands
-       to the index, so later epochs — and tomorrow's run — dedup
-       against them.
+    3. write the new_unique survivors' fingerprints and phash bands to
+       the index under the epoch's own directory (overwrite — replay
+       idempotent),
+    4. every ``compact_every`` epochs (0 = never), fold the per-epoch
+       dirs back into one co-partitioned base generation.
 
     Returns the started StreamingQuery. ``checkpoint_dir`` must live
     OUTSIDE any watched drop dir (standing gotcha).
@@ -132,12 +210,9 @@ def start_incremental_media_dedup_stream(
         new_ids = disp.filter(F.col("disposition") == "new_unique") \
             .select(F.col("doc_id").alias("cid"))
         survivors = batch.join(F.broadcast(new_ids), "cid")
-        fps, bands = media_fp_and_bands(spark, survivors)
-        fps.select(F.col("cid").alias("icid"), "modality", "fp") \
-            .write.mode("append").parquet(os.path.join(index_dir, "fp"))
-        bands.select(F.col("cid").alias("icid"), "modality", "phash",
-                     "band_idx", "band_val") \
-            .write.mode("append").parquet(os.path.join(index_dir, "bands"))
+        _write_index_epoch(spark, survivors, index_dir, epoch_id)
+        if compact_every and (epoch_id + 1) % compact_every == 0:
+            compact_media_index(spark, index_dir)
 
     writer = (
         media_stream.writeStream.foreachBatch(_sink)

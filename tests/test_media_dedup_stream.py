@@ -110,6 +110,107 @@ def test_incremental_media_dedup_stream_e2e(spark, tmp_path):
     assert ifp2.count() == 3
 
 
+def test_index_epoch_write_idempotent(spark, tmp_path):
+    """A replayed foreachBatch epoch rewrites its own index directory
+    instead of duplicating rows (ADVICE r10: plain appends inflated
+    band-bucket counts toward PHASH_BUCKET_CAP on replay, silently
+    disabling near-dup matching in those buckets)."""
+    from tank_spark.streaming.media_dedup_stream import (
+        _write_index_epoch,
+        read_media_index,
+        write_media_index,
+    )
+
+    index_dir = str(tmp_path / "index")
+    corpus = spark.createDataFrame(
+        [(1, "image", _payload("img-a"))],
+        "cid long, modality string, payload binary")
+    write_media_index(spark, corpus, index_dir)
+    epoch = spark.createDataFrame(
+        [(101, "image", _payload("img-x"))],
+        "cid long, modality string, payload binary")
+    _write_index_epoch(spark, epoch, index_dir, 0)
+    _write_index_epoch(spark, epoch, index_dir, 0)  # the replay
+    ifp, ib = read_media_index(spark, index_dir)
+    assert ifp.count() == 2  # base + ONE copy of the epoch
+    assert ib.count() == 8  # 4 bands x 2 rows, not 12
+
+
+def test_compaction_collapses_epochs_and_preserves_probe(spark, tmp_path):
+    """compact_media_index folds per-epoch dirs into one co-partitioned
+    base generation: epoch count drops to 1, row counts are unchanged,
+    and a probe against the compacted index dispositions identically."""
+    from pyspark.sql import functions as F
+
+    from tank_spark.streaming.media_dedup_stream import (
+        compact_media_index,
+        disposition_media_batch,
+        index_epoch_count,
+        media_file_stream,
+        read_media_index,
+        start_incremental_media_dedup_stream,
+        write_media_index,
+    )
+
+    index_dir = str(tmp_path / "index")
+    drop_dir = str(tmp_path / "drop")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    corpus = spark.createDataFrame(
+        [(1, "image", _payload("img-a")), (2, "image", _payload("img-b"))],
+        "cid long, modality string, payload binary")
+    write_media_index(spark, corpus, index_dir)
+    # 3 crawl increments -> 3 appended epochs (fresh payloads so every
+    # batch appends survivors), one file per micro-batch
+    for i in range(3):
+        _write_batch(spark, drop_dir,
+                     [(100 + i, "image", _payload(f"img-{i}"))])
+    stream = media_file_stream(spark, drop_dir, max_files_per_trigger=1)
+    q = start_incremental_media_dedup_stream(
+        spark, stream, index_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    q.stop()
+    assert index_epoch_count(index_dir) == 4  # base + 3 epochs
+    ifp0, ib0 = read_media_index(spark, index_dir)
+    n_fp, n_b = ifp0.count(), ib0.count()
+    probe = spark.createDataFrame(
+        [(900, "image", _payload("img-1")),  # exact dup of epoch-1 row
+         (901, "image", _tweak_img(_payload("img-a"))),  # near dup of base
+         (902, "image", _payload("img-fresh"))],
+        "cid long, modality string, payload binary")
+
+    def disp() -> dict:
+        ifp, ib = read_media_index(spark, index_dir)
+        return {r["doc_id"]: (r["disposition"], r["match_cid"])
+                for r in disposition_media_batch(spark, probe, ifp, ib)
+                .collect()}
+
+    before = disp()
+    compact_media_index(spark, index_dir, n_buckets=4)
+    assert index_epoch_count(index_dir) == 1
+    ifp1, ib1 = read_media_index(spark, index_dir)
+    assert (ifp1.count(), ib1.count()) == (n_fp, n_b)
+    assert disp() == before
+    assert before[900] == ("exact_dup_of_index", 101)
+    assert before[901][0] == "near_dup_of_index"
+    assert before[902][0] == "new_unique"
+    # the loop keeps working against the compacted generation: one more
+    # increment re-crawling 902's payload must match the NEW epoch row
+    _write_batch(spark, drop_dir, [(903, "image", _payload("img-fresh"))])
+    _write_batch(spark, drop_dir, [(904, "image", _payload("img-fresh"))])
+    stream = media_file_stream(spark, drop_dir, max_files_per_trigger=1)
+    # compact_every=1: compaction runs after each of the two epochs
+    q = start_incremental_media_dedup_stream(
+        spark, stream, index_dir, out_dir, ckpt, compact_every=1)
+    q.awaitTermination(120)
+    q.stop()
+    assert index_epoch_count(index_dir) == 1
+    out = {r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert out[903]["disposition"] == "new_unique"
+    assert out[904]["disposition"] == "exact_dup_of_index"
+    assert out[904]["match_cid"] == 903
+
+
 def test_stream_probe_matches_batch_twin_rule(spark, tmp_path):
     """The stream's probe function applied to the replay fixture's
     batch-A slice must reproduce media_dedup_stream_replay's batch-1
