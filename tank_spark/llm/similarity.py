@@ -364,25 +364,34 @@ def _centroid_score_structs(spark: SparkSession, sf_dir: str,
     double-cast products, the same driver-side ||c||^2, so scores are
     bit-identical (oracle parity re-verified at both SFs).
     """
-    from tank_spark.llm import dedup as _dedup
-
     ckey = ("col", spark.sparkContext.applicationId, sf_dir, n_centroids)
     fp = _emb_fingerprint(sf_dir)
+    return _score_structs_from_rows(
+        _centroid_rows(spark, sf_dir, n_centroids), ckey, fp)
+
+
+def _score_structs_from_rows(rows: list, ckey: tuple, fp: tuple):
+    """Build (and memoize under ``ckey``/``fp``) the quantizer-literal
+    score array from [(centroid_id, [float x DIM])] rows — shared by the
+    raw (vec_id < n) and FROZEN-trained quantizers.
+
+    ONE F.expr call for the whole quantizer literal: per-element F.lit
+    construction cost 8*DIM py4j round-trips per plan BUILD (~0.55 s at
+    n=8 — pure driver-side Column assembly, before any analysis).
+    Doubles are embedded as CAST('<repr>' AS DOUBLE): shortest-repr
+    strings round-trip bit-exact through Double.parseDouble, so values
+    are identical to the former literal tree."""
+    from tank_spark.llm import dedup as _dedup
+
     cached = _CENTROID_CACHE.get(ckey)
     if cached is not None and cached[0] == fp:
         return cached[1]
 
-    # ONE F.expr call for the whole quantizer literal: per-element F.lit
-    # construction cost 8*DIM py4j round-trips per plan BUILD (~0.55 s at
-    # n=8 — pure driver-side Column assembly, before any analysis).
-    # Doubles are embedded as CAST('<repr>' AS DOUBLE): shortest-repr
-    # strings round-trip bit-exact through Double.parseDouble, so values
-    # are identical to the former literal tree.
     def d(v: float) -> str:
         return f"CAST('{v!r}' AS DOUBLE)"
 
     entries = []
-    for cid, c in _centroid_rows(spark, sf_dir, n_centroids):
+    for cid, c in rows:
         n_c = 0.0
         for v in c:
             n_c = n_c + v * v
@@ -402,9 +411,24 @@ def _centroid_score_structs(spark: SparkSession, sf_dir: str,
     col = F.transform(cents, score)
     if not _dedup.PLAN_ONLY:
         # an unresolved Column is plan-independent: memoize it so
-        # repeated builds in one session skip even the expr parse
+        # repeated builds in one session skip even the expr parse.
+        # (Under PLAN_ONLY the raw path's rows may be placeholders —
+        # never cache those.)
         _CENTROID_CACHE[ckey] = [fp, col]
     return col
+
+
+def _frozen_score_structs(spark: SparkSession):
+    """The quantizer-literal score array for the FROZEN TRAINED
+    centroids (llm/ivf_frozen.py — committed output of one
+    tools/freeze_ivf_centroids.py run). Training is rows-only
+    (ivf_train_kmeans: distributed float means aren't bit-portable),
+    but scoring against frozen centroids is exact double arithmetic on
+    both engines — the classifier.FROZEN_LR argument."""
+    from tank_spark.llm.ivf_frozen import FROZEN_CENTROIDS
+
+    ckey = ("frozen-col", spark.sparkContext.applicationId)
+    return _score_structs_from_rows(FROZEN_CENTROIDS, ckey, ())
 
 
 def _ivf_assign_sql() -> str:
@@ -493,13 +517,19 @@ def _ivf_probe_sql() -> str:
         "candidates ~ corpus/centroids * nprobe, never the full corpus.",
 )
 def ivf_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _probe_core(spark, sf_dir,
+                       _centroid_score_structs(spark, sf_dir))
+
+
+def _probe_core(spark: SparkSession, sf_dir: str, arr) -> DataFrame:
+    """The IVF probe plan, shared by the raw and frozen-trained
+    quantizers (``arr`` is the quantizer-literal score array)."""
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "embeddings")
     # map-only literal-centroid argmin; probe ranking is array_sort +
     # slice on the same score array — identical (score, centroid_id)
     # order as the former per-query row_number window
-    arr = _centroid_score_structs(spark, sf_dir)
     assign = e.select(
         "vec_id", F.array_min(arr)["centroid_id"].alias("centroid_id")
     )
@@ -603,14 +633,23 @@ def _ivf_recall_sql() -> str:
         "exact.",
 )
 def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arr = _centroid_score_structs(spark, sf_dir)
+    return _recall_core(spark, sf_dir, arr,
+                        ivf_probe_search(spark, sf_dir))
+
+
+def _recall_core(spark: SparkSession, sf_dir: str, arr,
+                 pred: DataFrame) -> DataFrame:
+    """The IVF recall-eval plan, shared by the raw and frozen-trained
+    quantizers: ``arr`` is the quantizer's score array (for the
+    candidate fan-out census), ``pred`` its probe-search output."""
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "embeddings")
-    pred = ivf_probe_search(spark, sf_dir).select("qid", "vec_id")
+    pred = pred.select("qid", "vec_id")
     # candidates: probed inverted lists minus self (recompute the probe
     # fan-out without the top-k cut) — same map-only literal-centroid
-    # argmin + array_sort probe ranking as ivf_probe_search
-    arr = _centroid_score_structs(spark, sf_dir)
+    # argmin + array_sort probe ranking as the probe search
     assign = e.select(
         "vec_id", F.array_min(arr)["centroid_id"].alias("centroid_id")
     )
@@ -743,6 +782,186 @@ def train_kmeans(spark: SparkSession, sf_dir: str,
 )
 def ivf_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_kmeans(spark, sf_dir).select("centroid_id", "n_members")
+
+
+# --------------------------- trained quantizer, frozen for deployment
+#
+# ivf_train_kmeans trains centroids; tools/freeze_ivf_centroids.py runs
+# that training ONCE and commits the result as literals
+# (llm/ivf_frozen.py) — the same freeze discipline as
+# classifier.FROZEN_LR. The serving path below scores against those
+# frozen centroids, which is exact double arithmetic on both engines,
+# so unlike the training job it carries a FULL DuckDB oracle. This
+# closes the IVF arc (VERDICT r10 #2): trained centroids now have an
+# in-registry consumer instead of only the raw vec_id<8 quantizer.
+
+def _trained_score_sql(v: str = "v") -> str:
+    """-2<v,c> + ||c||^2 against the cent CTE row ``c`` — per-element
+    arithmetic identical to the Spark literal fold (corpus float cast to
+    double, times a double literal, left fold; ||c||^2 a precomputed
+    double literal)."""
+    dot = (f"list_reduce(list_transform(generate_series(1, {DIM}), "
+           f"j -> {v}.embedding[j]::DOUBLE * c.emb[j]), (x, y) -> x + y)")
+    return f"-2 * {dot} + c.n"
+
+
+def _frozen_cent_cte() -> str:
+    """cent(cid, emb, n): the frozen centroids as a VALUES CTE —
+    embeddings as DOUBLE[] literals, ||c||^2 accumulated with the same
+    left-to-right driver loop as the Spark side (repr round-trips each
+    double exactly)."""
+    from tank_spark.llm.ivf_frozen import FROZEN_CENTROIDS
+
+    rows = []
+    for cid, emb in FROZEN_CENTROIDS:
+        n = 0.0
+        for x in emb:
+            n = n + x * x
+        arr = "[" + ", ".join(repr(x) for x in emb) + "]::DOUBLE[]"
+        rows.append(f"({cid}, {arr}, {n!r})")
+    return ("cent AS (SELECT * FROM (VALUES "
+            + ", ".join(rows) + ") t(cid, emb, n))")
+
+
+def _trained_assign_sql() -> str:
+    sc = _trained_score_sql()
+    return f"""
+    tassign AS (
+      SELECT vec_id, centroid_id, score FROM (
+        SELECT v.vec_id, c.cid AS centroid_id,
+               {sc} AS score,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {sc}, c.cid) AS arn
+        FROM embeddings v CROSS JOIN cent c
+      ) WHERE arn = 1
+    )
+    """
+
+
+def _trained_probe_sql() -> str:
+    ids = ", ".join(str(i) for i in _IVF_QUERY_IDS)
+    sc = _trained_score_sql()
+    dot_qe = _dot_sql("q.embedding", "e.embedding")
+    nq = _dot_sql("q.embedding", "q.embedding")
+    ne = _dot_sql("e.embedding", "e.embedding")
+    return f"""
+    WITH {_frozen_cent_cte()},
+    {_trained_assign_sql()},
+    probes AS (
+      SELECT qid, centroid_id FROM (
+        SELECT v.vec_id AS qid, c.cid AS centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {sc}, c.cid) AS prn
+        FROM embeddings v CROSS JOIN cent c
+        WHERE v.vec_id IN ({ids})
+      ) WHERE prn <= {N_PROBE}
+    )
+    SELECT qid, vec_id, cosine, rn FROM (
+      SELECT p.qid, a.vec_id,
+             {dot_qe} / (sqrt({nq}) * sqrt({ne})) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY p.qid
+                                ORDER BY {dot_qe} / (sqrt({nq}) * sqrt({ne})) DESC,
+                                         a.vec_id) AS rn
+      FROM probes p
+        JOIN tassign a ON a.centroid_id = p.centroid_id
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN embeddings q ON q.vec_id = p.qid
+      WHERE a.vec_id <> p.qid
+    ) WHERE rn <= 3
+    """
+
+
+def _trained_recall_sql() -> str:
+    ids = ", ".join(str(i) for i in _IVF_QUERY_IDS)
+    sc = _trained_score_sql()
+    dot_qe = _dot_sql("q.embedding", "e.embedding")
+    nq = _dot_sql("q.embedding", "q.embedding")
+    ne = _dot_sql("e.embedding", "e.embedding")
+    cos = f"{dot_qe} / (sqrt({nq}) * sqrt({ne}))"
+    return f"""
+    WITH {_frozen_cent_cte()},
+    {_trained_assign_sql()},
+    probes AS (
+      SELECT qid, centroid_id FROM (
+        SELECT v.vec_id AS qid, c.cid AS centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {sc}, c.cid) AS prn
+        FROM embeddings v CROSS JOIN cent c
+        WHERE v.vec_id IN ({ids})
+      ) WHERE prn <= {N_PROBE}
+    ),
+    cand AS (
+      SELECT p.qid, a.vec_id FROM probes p
+      JOIN tassign a ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id <> p.qid
+    ),
+    pred AS (
+      SELECT qid, vec_id FROM (
+        SELECT c.qid, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY c.qid
+                                  ORDER BY {cos} DESC, c.vec_id) AS rn
+        FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+                    JOIN embeddings q ON q.vec_id = c.qid
+      ) WHERE rn <= 3
+    ),
+    truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.vec_id AS qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos} DESC, e.vec_id) AS rn
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id IN ({ids})
+      ) WHERE rn <= 3
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM embeddings)
+    SELECT t.qid,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hit,
+           CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS recall,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand c WHERE c.qid = t.qid)
+             AS n_candidates,
+           CAST((SELECT COUNT(*) FROM cand c WHERE c.qid = t.qid) AS DOUBLE)
+             / (SELECT n_corpus - 1 FROM n) AS scan_frac
+    FROM truth t LEFT JOIN pred p ON t.qid = p.qid AND t.vec_id = p.vec_id
+    GROUP BY t.qid
+    """
+
+
+@register(
+    "ivf_trained_probe_search",
+    _trained_probe_sql(),
+    doc=f"IVF probe search against the TRAINED coarse quantizer "
+        f"(k-means centroids frozen as literals by "
+        f"tools/freeze_ivf_centroids.py — the deployment step after "
+        f"ivf_train_kmeans): rank only the vectors in the query's "
+        f"{N_PROBE} nearest trained inverted lists. Same map-only "
+        "literal-quantizer plan as ivf_probe_search (zero exchanges "
+        "for assignment; the quantizer ships inside the task as an "
+        "array literal), but the lists it probes are data-derived — "
+        "ivf_trained_recall_eval measures the recall win over the raw "
+        "vec_id<8 quantizer.",
+)
+def ivf_trained_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _probe_core(spark, sf_dir, _frozen_score_structs(spark))
+
+
+@register(
+    "ivf_trained_recall_eval",
+    _trained_recall_sql(),
+    doc="Recall/cost eval of the TRAINED frozen quantizer (the "
+        "ivf_recall_eval twin): brute-force cosine top-3 truth vs the "
+        "trained probe search, plus scan_frac. Run side-by-side with "
+        "ivf_recall_eval, this is the number that justifies paying for "
+        "k-means training before committing full-corpus index "
+        "parameters (tests pin trained mean recall >= raw at the test "
+        "SF; SCALE.md records both).",
+)
+def ivf_trained_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arr = _frozen_score_structs(spark)
+    return _recall_core(spark, sf_dir, arr,
+                        ivf_trained_probe_search(spark, sf_dir))
 
 
 @register(

@@ -1,0 +1,107 @@
+"""The trained IVF quantizer arc (VERDICT r10 #2): ivf_train_kmeans's
+centroids, frozen as literals (llm/ivf_frozen.py via
+tools/freeze_ivf_centroids.py), wired into the probe/recall serving
+path. Oracle parity for ivf_trained_probe_search /
+ivf_trained_recall_eval is covered by the auto-parameterized
+test_oracle_parity; this file pins (a) the recall WIN that justifies
+training — measured with centroids trained in-session on the current
+data, so the assertion survives driver testdata regeneration — and
+(b) the frozen module's contract + plan identity with the raw path."""
+
+from __future__ import annotations
+
+import math
+
+from tests.conftest import SF_DIR
+
+TRAIN_SF = "/root/testdata/sf0.01"  # the SF the frozen snapshot trains on
+
+
+def test_frozen_centroids_contract():
+    """k x DIM finite doubles, ids sorted and dense — the shape every
+    consumer (Spark literal builder + DuckDB VALUES CTE) assumes."""
+    from tank_spark.llm.ivf_frozen import (
+        FROZEN_CENTROIDS,
+        FROZEN_K,
+        FROZEN_TRAIN_SF,
+    )
+    from tank_spark.llm.similarity import DIM
+
+    assert len(FROZEN_CENTROIDS) == FROZEN_K
+    assert [cid for cid, _ in FROZEN_CENTROIDS] == list(range(FROZEN_K))
+    for _, emb in FROZEN_CENTROIDS:
+        assert len(emb) == DIM
+        assert all(isinstance(v, float) and math.isfinite(v) for v in emb)
+    assert FROZEN_TRAIN_SF.rstrip("/").endswith("sf0.01")
+
+
+def test_trained_recall_beats_raw_at_training_sf(spark):
+    """The point of paying for k-means: a quantizer trained ON the data
+    must recall at least as well as the arbitrary vec_id<8 raw
+    quantizer at the same nprobe (it strictly wins on the current
+    fixture: 1.000 vs 0.833 mean). Trains in-session so the assertion
+    tracks the CURRENT testdata rather than the frozen snapshot."""
+    import statistics
+
+    from tank_spark.llm.similarity import (
+        _probe_core,
+        _recall_core,
+        _score_structs_from_rows,
+        ivf_recall_eval,
+        train_kmeans,
+    )
+
+    rows = sorted(
+        (int(r["centroid_id"]), [float(v) for v in r["c_emb"]])
+        for r in train_kmeans(spark, TRAIN_SF, k=8, rounds=4).collect()
+    )
+    arr = _score_structs_from_rows(
+        rows, ("test-trained", spark.sparkContext.applicationId, TRAIN_SF),
+        ())
+    pred = _probe_core(spark, TRAIN_SF, arr)
+    trained = {r["qid"]: (r["recall"], r["scan_frac"])
+               for r in _recall_core(spark, TRAIN_SF, arr, pred).collect()}
+    raw = {r["qid"]: (r["recall"], r["scan_frac"])
+           for r in ivf_recall_eval(spark, TRAIN_SF).collect()}
+    assert trained.keys() == raw.keys()
+    t_mean = statistics.mean(v[0] for v in trained.values())
+    r_mean = statistics.mean(v[0] for v in raw.values())
+    assert t_mean >= r_mean, (trained, raw)
+    # the win can't come from degenerate lists that scan everything
+    assert all(v[1] < 0.5 for v in trained.values()), trained
+
+
+def test_trained_probe_plan_identical_to_raw(spark):
+    """ivf_trained_probe_search claims 'same map-only literal-quantizer
+    plan as ivf_probe_search' — pin it: the physical operator skeletons
+    must be IDENTICAL (only the quantizer literals differ), so the
+    trained path inherits every plan property the raw path's shape
+    tests pin (assignment join-free, query side broadcast)."""
+    from tank_spark.llm.similarity import (
+        ivf_probe_search,
+        ivf_trained_probe_search,
+    )
+
+    def skeleton(df) -> list[str]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        ops = []
+        for line in plan.splitlines():
+            s = line.lstrip(" *+-:")
+            if not s or s.startswith("("):
+                continue
+            ops.append(s.split("(")[0].split("[")[0].strip())
+        return [o for o in ops if o]
+
+    raw = skeleton(ivf_probe_search(spark, SF_DIR))
+    trained = skeleton(ivf_trained_probe_search(spark, SF_DIR))
+    assert trained == raw
+    assert any("BroadcastHashJoin" in o for o in trained)
+
+
+def test_frozen_score_structs_memoized(spark):
+    """Repeated plan builds in one session reuse the parsed quantizer
+    Column (the r10 plan-build-cost lesson applies to the frozen path
+    too)."""
+    from tank_spark.llm.similarity import _frozen_score_structs
+
+    assert _frozen_score_structs(spark) is _frozen_score_structs(spark)
