@@ -343,6 +343,47 @@ def media_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "media_dedup_incremental_report",
+    media_sql.MEDIA_DEDUP_INC_REPORT_SQL,
+    doc="The curation REPORT over incremental media dedup — what a "
+        "crawl operator actually reads each morning, media edition "
+        "(the modality-keyed mirror of dedup_incremental_report): per "
+        "(modality, source, disposition), how many batch media rows "
+        "landed there, the share of that (modality, source)'s batch "
+        "(ppm, integer-exact), and how many DISTINCT existing rows "
+        "they matched (re-crawl concentration). Provenance comes back "
+        "through the high-bit id convention (orig doc_id = "
+        "cid % INC_OFFSET — valid for both the +OFF and +2*OFF "
+        "emissions). Scale shape: the batch disposition output is "
+        "batch-bounded, so it BROADCASTS into the documents join; the "
+        "per-(modality, source) totals are a tiny aggregate that "
+        "broadcasts back — no SortMergeJoin anywhere in the chain.",
+)
+def media_dedup_incremental_report(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    b = media_dedup_incremental(spark, sf_dir).select(
+        (F.col("doc_id") % INC_OFFSET).alias("orig"),
+        "modality", "disposition", "match_cid",
+    )
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("orig"), "source")
+    src = d.join(F.broadcast(b), "orig").select(
+        "modality", "source", "disposition", "match_cid")
+    agg = src.groupBy("modality", "source", "disposition").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("match_cid").alias("n_matched_distinct"),
+    )
+    tot = agg.groupBy("modality", "source").agg(
+        F.sum("n_docs").cast("long").alias("n_src"))
+    return agg.join(F.broadcast(tot), ["modality", "source"]).select(
+        "modality", "source", "disposition", "n_docs",
+        F.round(F.col("n_docs") * 1000000.0 / F.col("n_src"), 0)
+        .cast("long").alias("share_ppm"),
+        "n_matched_distinct",
+    )
+
+
 def media_disposition_against_index(
     bfp: DataFrame, ifp: DataFrame, bb: DataFrame, ib: DataFrame,
     cap: int = media_sql.PHASH_BUCKET_CAP,

@@ -794,3 +794,32 @@ SELECT doc_id, CAST(2 AS INTEGER) AS batch_id, modality, disposition,
        match_cid, n_bands_hit
 FROM b_out
 """
+
+# The per-(modality, source) curation report over the media incremental
+# disposition output — the media mirror of dedup_incremental_report.
+# Provenance comes back through the high-bit id convention
+# (orig doc_id = cid % INC_OFFSET, valid for both the +OFF and +2*OFF
+# emissions since 2*OFF docs stay below 2^63 and doc_id < OFF).
+MEDIA_DEDUP_INC_REPORT_SQL = f"""
+WITH {_INC_CHAIN},
+{media_disposition_ctes("bat_hash", "idx_hash", "d")},
+src AS (
+  SELECT o.modality, doc.source, o.disposition, o.match_cid
+  FROM d_out o
+  JOIN documents doc ON doc.doc_id = o.doc_id % {INC_OFFSET}
+),
+agg AS (
+  SELECT modality, source, disposition,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT match_cid) AS BIGINT) AS n_matched_distinct
+  FROM src GROUP BY modality, source, disposition
+),
+tot AS (SELECT modality, source, CAST(SUM(n_docs) AS BIGINT) AS n_src
+        FROM agg GROUP BY modality, source)
+SELECT a.modality, a.source, a.disposition, a.n_docs,
+       CAST(ROUND(a.n_docs * 1000000.0 / t.n_src, 0) AS BIGINT)
+         AS share_ppm,
+       a.n_matched_distinct
+FROM agg a JOIN tot t
+  ON a.modality = t.modality AND a.source = t.source
+"""

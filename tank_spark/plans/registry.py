@@ -235,51 +235,67 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # so every entry has a driver row — rows-only is fine), and
 # media_dedup_stream_replay (the fourth NEW entry: the media
 # index-growth replay, full oracle).
+# Round-11 window (below): EXACTLY the VERDICT r10 #1 prescription.
+# The 38 r7-green entries due under the staleness bound lead (the whole
+# r7 cohort, q5_nation_volume included). The 12 flex slots: the four
+# r10 quantizer-refactor consumers without post-refactor driver rows
+# (ivf_assignments, ivf_recall_eval, cluster_balanced_sample,
+# semdedup_prune_capped — handoff item 1); the three NEW r11 entries
+# (ivf_trained_probe_search + ivf_trained_recall_eval — the frozen
+# trained-quantizer serving path, VERDICT #2; and
+# media_dedup_incremental_report — the media report twin, VERDICT #3);
+# two entries whose code/oracle changed THIS round (media_index_build
+# gained the phash column in both engines; ivf_probe_search's body
+# moved into the shared _probe_core during the trained-quantizer
+# refactor — plan pinned identical, but the driver row should follow
+# the code); the two MVT blob-emitter cadence refreshes
+# (tile_mvt_z7_parity, tile_mvt_batch — VERDICT #7, r9 rows); and one
+# r8 pre-pull (dedup_incremental_report, the text twin of this round's
+# new media report) to shave the 46-entry r8 cohort before it all
+# comes due in r12.
 PRIORITY: tuple[str, ...] = (
-    # ---- the 42 r6-green entries due this round (staleness bound 4)
-    "array_agg_statuses", "asof_purchase_last_click",
-    "blocklist_filter_docs", "cube_order_status_priority",
-    "customers_without_big_orders", "dedup_ngram_jaccard",
-    "dedup_simhash", "doc_rolling_hash", "embedding_norms",
-    "event_type_rates", "grouping_sets_volume", "heatmap_mvt_z9",
-    "heatmap_z14", "hll_cardinality_by_source", "ivf_pq_search",
-    "lm_heldout_surprisal", "media_metadata",
-    "min_price_supplier_per_part", "monthly_revenue_trend",
-    "nations_customers_without_suppliers", "nations_with_both",
-    "neardup_threshold_sweep", "order_priority_late_ship",
-    "orders_above_avg", "parts_with_cheap_supply",
-    "pivot_qty_by_status", "pq_adc_topk", "pq_train_subspace_kmeans",
-    "price_quantiles_by_flag", "q1_pricing_summary",
-    "q3_shipping_priority", "q6_forecast_revenue", "quality_lr_train",
-    "quality_percentile_rank", "range_join_value_bands",
-    "rollup_lineitem_status", "spatial_join_points_in_boxes",
-    "token_count_bpe", "topk_orders_per_priority",
-    "training_mix_pipeline", "union_all_key_space",
-    "window_running_revenue",
+    # ---- the 38 r7-green entries due this round (staleness bound 4)
+    "boilerplate_segment_removal", "corpus_mix_report",
+    "corr_qty_price_by_flag", "cross_doc_dup_ngram_fraction",
+    "dedup_substring_removal", "dedup_substring_spans",
+    "delete_by_uid", "delete_tile", "dense_rank_price_tiers",
+    "disjunctive_predicate_revenue", "distinct_parts_per_flag",
+    "heatmap_z11", "heatmap_z9", "ingest_bucket_stats",
+    "ingest_coerce_defaults", "ingest_declared_schema",
+    "ingest_json_props", "ingest_upsert_post_state",
+    "lang_id_confusion", "math_functions_demo", "nation_trade_balance",
+    "pii_detect_mask", "point_lookup_uid", "priority_by_ship_delay",
+    "promo_revenue_share", "q5_nation_volume", "small_quantity_parts",
+    "sort_limit_parts", "stddev_value_by_type", "string_functions_demo",
+    "text_repetition_signals", "tile_filter_date", "tile_filter_int",
+    "tile_z13_single", "tile_z15_parent", "tile_z9_range",
+    "top_returning_customers", "update_by_uid",
+    # ---- r10 quantizer-refactor consumers without post-refactor rows
+    "ivf_assignments", "ivf_recall_eval", "cluster_balanced_sample",
+    "semdedup_prune_capped",
     # ---- NEW this round (never-checked entries enter unconditionally)
-    "tile_mvt_batch_parity", "media_index_build",
-    "media_dedup_incremental", "media_dedup_stream_replay",
-    # ---- late-r9 code-changed, no r9 slot (r9 handoff + ADVICE r9)
-    "semdedup_prune", "semantic_vs_lexical", "ivf_probe_search",
-    # ---- the last zero-driver-row entry (VERDICT r9 #2), rows-only
-    "tile_mvt_z7_full",
+    "ivf_trained_probe_search", "ivf_trained_recall_eval",
+    "media_dedup_incremental_report",
+    # ---- code/oracle changed this round
+    "media_index_build", "ivf_probe_search",
+    # ---- MVT blob-emitter cadence refreshes (VERDICT r10 #7)
+    "tile_mvt_z7_parity", "tile_mvt_batch",
+    # ---- r8 pre-pull to smooth the 46-entry r12 due cohort
+    "dedup_incremental_report",
 )
 
-# R11 WINDOW HANDOFF: the 38 r7-green entries come due (the whole r7
-# cohort, q5_nation_volume included), leaving 12 flex slots — more room
-# than any round since r6. Priority uses for them:
-# 1. The r10 quantizer-refactor consumers WITHOUT an r10 window slot:
-#    ivf_assignments, ivf_recall_eval, cluster_balanced_sample,
-#    semdedup_prune_capped (their r9/late-r9 rows predate the
-#    _centroid_rows memoization + transform-literal rewrite; only
-#    ivf_pq_search, ivf_probe_search, semdedup_prune and
-#    semantic_vs_lexical carry post-refactor rows from the r10 window).
-# 2. Any query whose code/oracle changes late in r10 without a slot.
-# 3. Candidate NEW entries deferred because the r10 window was exactly
-#    full (never-checked entries must enter unconditionally): a
-#    media_dedup_incremental per-source REPORT twin (the media mirror
-#    of dedup_incremental_report) is the natural next arc-closer.
-# 4. Fresh rows-only refreshes for the MVT blob emitters on cadence.
+# R12 WINDOW HANDOFF: the r8 cohort comes due — 46 entries minus the
+# r11 pre-pull (dedup_incremental_report) = 45 due, leaving only 5 flex
+# slots. Priority uses for them:
+# 1. Never-checked NEW r12 registrations (unconditional).
+# 2. Any query whose code/oracle changed in late r11 / r12.
+# 3. If the driver regenerated /root/testdata, re-run
+#    tools/freeze_ivf_centroids.py and give the two ivf_trained_*
+#    entries fresh slots with the new snapshot (oracle parity holds
+#    either way — both engines score the same frozen constants — but
+#    the recall-win story should track current data).
+# 4. The media_dedup_stream_replay / media_dedup_incremental pair ages
+#    out in r14 (r10 rows); no action needed before then.
 
 
 def load_all() -> dict[str, QueryDef]:

@@ -540,6 +540,21 @@ def test_media_incremental_broadcasts_batch_side(spark):
     assert plan.count("BroadcastHashJoin") >= 7, plan[:2000]
 
 
+def test_media_incremental_report_stays_broadcast(spark):
+    """The media curation report (the modality-keyed twin of
+    dedup_incremental_report) adds one documents join + two tiny
+    aggregates on top of the batch disposition output — the disposition
+    relation broadcasts into the documents join and the
+    per-(modality, source) totals broadcast back: no SortMergeJoin, no
+    cartesian anywhere in the chain."""
+    from tank_spark.llm.media_inc import media_dedup_incremental_report
+
+    plan = _plan(media_dedup_incremental_report(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_media_stream_replay_batches_broadcast_into_probes(spark):
     """media_dedup_stream_replay applies the media incremental probe
     twice (batch A vs index-0, batch B vs the GROWN index): both
