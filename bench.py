@@ -69,6 +69,10 @@ HEADLINE = [
     # dedup_incremental_batch (index hashed once through the map-only
     # kernels, batch broadcast into every probe join)
     "media_dedup_incremental",
+    # r11 addition: the trained frozen quantizer serving path (same
+    # map-only literal plan as ivf_probe_search, so the pair also acts
+    # as an A/B on quantizer content vs plan cost)
+    "ivf_trained_probe_search",
     # BENCH-ONLY entry: full-fidelity z7 overview encode. NOT a serving
     # path (serving uses the budgeted sample below OVERVIEW_ZOOM — the
     # full blob hits the MVT format ceiling at 100x, see SCALE.md);
