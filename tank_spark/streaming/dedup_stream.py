@@ -10,27 +10,36 @@ snapshot-crawl dedup loop every training-data pipeline runs daily, and
 the batch twin (dedup_incremental_stream_replay, full DuckDB oracle)
 pins the disposition semantics this module must reproduce.
 
-Index layout under ``index_dir``:
+Index layout under ``index_dir`` (hive-partitioned by write epoch,
+the r11 layout shared with media_dedup_stream):
 
-- ``fp/``    — parquet (icid BIGINT, fp STRING): normalized-text md5
-  fingerprints, the exact-dup probe side.
-- ``bands/`` — parquet (icid BIGINT, band_idx INT, band_val STRING):
-  LSH band digests, the near-dup probe side.
+- ``fp/epoch_id=<E>/``    — parquet (icid BIGINT, fp STRING):
+  normalized-text md5 fingerprints, the exact-dup probe side.
+- ``bands/epoch_id=<E>/`` — parquet (icid BIGINT, band_idx INT,
+  band_val STRING): LSH band digests, the near-dup probe side.
+
+``epoch_id=-1`` is the base generation (bootstrap and compaction
+rewrites); each micro-batch writes its survivors under its own
+``epoch_id=<E>`` directory with mode("overwrite"), so a REPLAYED epoch
+rewrites instead of duplicating — duplicated index rows were harmless
+for MIN(icid) matching but inflated per-bucket counts toward
+LSH_BUCKET_CAP, silently disabling near-dup matching in those buckets
+(the media twin's ADVICE r10 finding applies identically here). The
+disposition OUTPUT keeps the weaker posture: append + epoch guard
+column, replayed epochs droppable by readers. ``compact_dedup_index``
+folds epoch dirs back into the base generation with ``bands/``
+repartitioned by band_val (probe co-location) — the stream loop runs
+it every ``compact_every`` epochs.
 
 At 100 TB the index is the big side and never shuffles: each probe
 scans it once with the (small) micro-batch BROADCAST into both joins —
-disposition_against_index is shared verbatim with the batch op. In
-production ``bands/`` would be written bucketed by band_val so probe
-joins co-locate; appends stay per-batch-bounded either way. The
-foreachBatch sink is idempotent-at-least-once like the other sinks
-here: Spark replays a failed epoch, and the epoch guard column lets a
-replayed append be dropped by readers (exactly-once compaction is the
-table_ops story, not re-solved here).
+disposition_against_index is shared verbatim with the batch op.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,8 +53,14 @@ from tank_spark.llm.dedup import (
     disposition_against_index,
 )
 
-_FP_SCHEMA = "icid long, fp string"
-_BANDS_SCHEMA = "icid long, band_idx int, band_val string"
+_FP_SCHEMA = "icid long, fp string, epoch_id long"
+_BANDS_SCHEMA = "icid long, band_idx int, band_val string, epoch_id long"
+
+BASE_EPOCH = -1  # the bootstrap/compacted generation's directory
+
+
+def _epoch_dir(index_dir: str, rel: str, epoch_id: int) -> str:
+    return os.path.join(index_dir, rel, f"epoch_id={epoch_id}")
 
 _norm_fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
 
@@ -58,24 +73,64 @@ def fingerprints_and_bands(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return fps, bands
 
 
-def write_dedup_index(docs: DataFrame, index_dir: str) -> None:
-    """Materialize the initial corpus index (overwrite): the batch-mode
-    bootstrap before the stream starts appending to it."""
+def _write_index_epoch(docs: DataFrame, index_dir: str,
+                       epoch_id: int) -> None:
+    """One epoch's index rows, written idempotently: overwrite of the
+    epoch's own directory, so a foreachBatch replay rewrites instead of
+    duplicating."""
     fps, bands = fingerprints_and_bands(docs)
     fps.select(F.col("cid").alias("icid"), "fp") \
-        .write.mode("overwrite").parquet(os.path.join(index_dir, "fp"))
+        .write.mode("overwrite").parquet(_epoch_dir(index_dir, "fp", epoch_id))
     bands.select(F.col("cid").alias("icid"), "band_idx", "band_val") \
-        .write.mode("overwrite").parquet(os.path.join(index_dir, "bands"))
+        .write.mode("overwrite") \
+        .parquet(_epoch_dir(index_dir, "bands", epoch_id))
+
+
+def write_dedup_index(docs: DataFrame, index_dir: str) -> None:
+    """Materialize the initial corpus index (the base generation): the
+    batch-mode bootstrap before the stream starts appending to it."""
+    _write_index_epoch(docs, index_dir, BASE_EPOCH)
 
 
 def read_dedup_index(spark: SparkSession,
                      index_dir: str) -> tuple[DataFrame, DataFrame]:
-    """The current index relations. Explicit schemas so an (allowed)
-    empty bands/ dir after a fingerprint-only bootstrap still reads."""
-    ifp = spark.read.schema(_FP_SCHEMA).parquet(os.path.join(index_dir, "fp"))
-    ib = spark.read.schema(_BANDS_SCHEMA).parquet(
-        os.path.join(index_dir, "bands"))
+    """The current index relations across every generation/epoch.
+    Explicit schemas so an (allowed) empty bands/ dir after a
+    fingerprint-only bootstrap still reads; epoch_id (the hive
+    partition column) is dropped — the probe is epoch-agnostic,
+    idempotency lives in the directory layout."""
+    ifp = (spark.read.schema(_FP_SCHEMA)
+           .parquet(os.path.join(index_dir, "fp")).drop("epoch_id"))
+    ib = (spark.read.schema(_BANDS_SCHEMA)
+          .parquet(os.path.join(index_dir, "bands")).drop("epoch_id"))
     return ifp, ib
+
+
+def compact_dedup_index(spark: SparkSession, index_dir: str,
+                        n_buckets: int = 32) -> None:
+    """Fold every per-epoch append back into the base generation:
+    ``bands/`` rewritten partitioned by band_val (the probe join key)
+    and sorted within partitions, ``fp/`` by fp. Bounds the small-files
+    growth of per-epoch appends and restores probe co-location; same
+    tmp-write + rename swap (and the same production caveat: a table
+    format makes this one transaction) as the media twin."""
+    ifp, ib = read_dedup_index(spark, index_dir)
+    tmp_fp = os.path.join(index_dir, "fp.compact")
+    tmp_bands = os.path.join(index_dir, "bands.compact")
+    shutil.rmtree(tmp_fp, ignore_errors=True)
+    shutil.rmtree(tmp_bands, ignore_errors=True)
+    (ifp.repartition(n_buckets, "fp").sortWithinPartitions("fp")
+        .write.parquet(os.path.join(tmp_fp, f"epoch_id={BASE_EPOCH}")))
+    (ib.repartition(n_buckets, "band_val")
+       .sortWithinPartitions("band_idx", "band_val")
+       .write.parquet(os.path.join(tmp_bands, f"epoch_id={BASE_EPOCH}")))
+    for rel, tmp in (("fp", tmp_fp), ("bands", tmp_bands)):
+        live = os.path.join(index_dir, rel)
+        old = live + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(live, old)
+        os.rename(tmp, live)
+        shutil.rmtree(old)
 
 
 def disposition_batch(batch: DataFrame, ifp: DataFrame,
@@ -98,15 +153,18 @@ def start_incremental_dedup_stream(
     out_dir: str,
     checkpoint_dir: str,
     trigger_once: bool = True,
+    compact_every: int = 0,
 ):
     """Wire the loop: for each micro-batch of (cid, text) docs,
 
     1. disposition against the CURRENT index (read fresh per epoch —
        it grew by earlier epochs' appends),
     2. append the dispositions (+ epoch id) to ``out_dir``,
-    3. append the new_unique survivors' fingerprints and band digests
-       to the index, so later epochs — and tomorrow's run — dedup
-       against them.
+    3. write the new_unique survivors' fingerprints and band digests to
+       the index under the epoch's own directory (overwrite — replay
+       idempotent),
+    4. every ``compact_every`` epochs (0 = never), fold the per-epoch
+       dirs back into one co-partitioned base generation.
 
     Returns the started StreamingQuery. ``checkpoint_dir`` must live
     OUTSIDE any watched drop dir (standing gotcha).
@@ -125,11 +183,9 @@ def start_incremental_dedup_stream(
         new_ids = disp.filter(F.col("disposition") == "new_unique") \
             .select(F.col("doc_id").alias("cid"))
         survivors = batch.join(F.broadcast(new_ids), "cid")
-        fps, bands = fingerprints_and_bands(survivors)
-        fps.select(F.col("cid").alias("icid"), "fp") \
-            .write.mode("append").parquet(os.path.join(index_dir, "fp"))
-        bands.select(F.col("cid").alias("icid"), "band_idx", "band_val") \
-            .write.mode("append").parquet(os.path.join(index_dir, "bands"))
+        _write_index_epoch(survivors, index_dir, epoch_id)
+        if compact_every and (epoch_id + 1) % compact_every == 0:
+            compact_dedup_index(spark, index_dir)
 
     writer = (
         docs_stream.writeStream.foreachBatch(_sink)

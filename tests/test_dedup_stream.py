@@ -206,3 +206,39 @@ def test_disposition_handles_duplicate_batch_cids(spark):
             (r["disposition"], r["match_cid"]))
     assert by_id[9] == [("dup_in_batch", 5)] * 2
     assert by_id[5] == [("new_unique", None)]
+
+
+def test_text_index_epoch_write_idempotent_and_compacts(spark, tmp_path):
+    """The text streaming index shares the media twin's r11 layout: a
+    replayed epoch rewrites its own directory instead of duplicating
+    rows (duplicates inflated band-bucket counts toward LSH_BUCKET_CAP,
+    silently disabling near-dup matching there), and compaction folds
+    epoch dirs into one base generation with identical relations."""
+    import os
+
+    from tank_spark.streaming.dedup_stream import (
+        _write_index_epoch,
+        compact_dedup_index,
+        read_dedup_index,
+        write_dedup_index,
+    )
+
+    index_dir = str(tmp_path / "index")
+    corpus = spark.createDataFrame(
+        sorted(_IDX_TEXTS.items()), "cid long, text string")
+    write_dedup_index(corpus, index_dir)
+    epoch = spark.createDataFrame([(101, _NEW_X)], "cid long, text string")
+    _write_index_epoch(epoch, index_dir, 0)
+    _write_index_epoch(epoch, index_dir, 0)  # the replay
+    ifp, ib = read_dedup_index(spark, index_dir)
+    assert ifp.count() == 3  # base 2 + ONE copy of the epoch
+    assert ib.count() == 18  # 6 bands x 3 docs, not 24
+    before_fp = sorted(tuple(r) for r in ifp.collect())
+    before_b = sorted(tuple(r) for r in ib.collect())
+    compact_dedup_index(spark, index_dir, n_buckets=4)
+    dirs = [d for d in os.listdir(os.path.join(index_dir, "bands"))
+            if d.startswith("epoch_id=")]
+    assert dirs == ["epoch_id=-1"]
+    ifp2, ib2 = read_dedup_index(spark, index_dir)
+    assert sorted(tuple(r) for r in ifp2.collect()) == before_fp
+    assert sorted(tuple(r) for r in ib2.collect()) == before_b
