@@ -964,6 +964,157 @@ def ivf_trained_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ivf_trained_probe_search(spark, sf_dir))
 
 
+# ------------------- two-level quantizer at larger k, frozen + served
+#
+# The nlist-ceiling escape hatch (SCALE.md r11, tools/ivf_nlist_probe.py)
+# as a REGISTERED, oracle-checked operator instead of a tool demo:
+# k=64 trained fine centroids routed through 8 trained coarse groups
+# (tools/freeze_ivf_twolevel.py freezes BOTH levels + the grouping, so
+# the routed assignment is exact double arithmetic on both engines).
+# Per-row compute is O((n_coarse + |group|)*DIM) instead of O(k*DIM),
+# the whole quantizer ships as two array literals (data, not code), and
+# assignment stays a map-only projection at any k.
+
+def _d2(v: float) -> str:
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def _struct_lit(cid: int, c: list[float]) -> str:
+    n_c = 0.0
+    for v in c:
+        n_c = n_c + v * v
+    return (f"named_struct('c', array("
+            + ", ".join(_d2(v) for v in c)
+            + f"), 'n', {_d2(n_c)}, 'id', CAST({cid} AS BIGINT))")
+
+
+def _frozen2_assign_col(spark: SparkSession):
+    """centroid_id Column: two-level routed argmin against the frozen2
+    artifact — score the 8 coarse literals, element_at the chosen
+    group's fine-literal array, argmin its members. Constant-size
+    expression tree; memoized per session like the other quantizer
+    literals."""
+    from tank_spark.llm.ivf_frozen2 import (
+        FROZEN2_CENTROIDS,
+        FROZEN2_COARSE,
+        FROZEN2_GROUPS,
+    )
+
+    ckey = ("frozen2-col", spark.sparkContext.applicationId)
+    cached = _CENTROID_CACHE.get(ckey)
+    if cached is not None:
+        return cached[1]
+    coarse = F.expr("array(" + ", ".join(
+        _struct_lit(g, emb) for g, emb in FROZEN2_COARSE) + ")")
+    cent_by_id = dict(FROZEN2_CENTROIDS)
+    fine = F.expr("array(" + ", ".join(
+        "array(" + ", ".join(
+            _struct_lit(cid, cent_by_id[cid]) for cid in grp) + ")"
+        for grp in FROZEN2_GROUPS) + ")")
+
+    def score(s):
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), s["c"],
+                       lambda x, w: x.cast("double") * w),
+            F.lit(0.0), lambda acc, x: acc + x)
+        return F.struct((-2 * dot + s["n"]).alias("score"),
+                        s["id"].alias("centroid_id"))
+
+    gid = F.array_min(F.transform(coarse, score))["centroid_id"]
+    col = F.array_min(F.transform(
+        F.element_at(fine, (gid + 1).cast("int")), score))["centroid_id"]
+    _CENTROID_CACHE[ckey] = [(), col]
+    return col
+
+
+def _frozen2_assign_sql() -> str:
+    """The identical two-level routing as DuckDB CTEs: ccent/fcent
+    VALUES literals (same frozen doubles, same driver-accumulated
+    ||c||^2), coarse route by (score, gid) argmin, fine argmin within
+    the routed group by (score, cid)."""
+    from tank_spark.llm.ivf_frozen2 import (
+        FROZEN2_CENTROIDS,
+        FROZEN2_COARSE,
+        FROZEN2_GROUPS,
+    )
+
+    def emb_n(emb: list[float]) -> tuple[str, str]:
+        n_c = 0.0
+        for v in emb:
+            n_c = n_c + v * v
+        return ("[" + ", ".join(repr(v) for v in emb) + "]::DOUBLE[]",
+                repr(n_c))
+
+    crows = []
+    for g, emb in FROZEN2_COARSE:
+        arr, n = emb_n(emb)
+        crows.append(f"({g}, {arr}, {n})")
+    cent_by_id = dict(FROZEN2_CENTROIDS)
+    frows = []
+    for g, grp in enumerate(FROZEN2_GROUPS):
+        for cid in grp:
+            arr, n = emb_n(cent_by_id[cid])
+            frows.append(f"({cid}, {g}, {arr}, {n})")
+
+    def dot(v: str, e: str) -> str:
+        return (f"list_reduce(list_transform(generate_series(1, {DIM}), "
+                f"j -> {v}.embedding[j]::DOUBLE * {e}[j]), (x, y) -> x + y)")
+
+    return f"""
+    WITH ccent AS (SELECT * FROM (VALUES {", ".join(crows)})
+                   t(gid, emb, n)),
+    fcent AS (SELECT * FROM (VALUES {", ".join(frows)})
+              t(cid, gid, emb, n)),
+    route AS (
+      SELECT vec_id, gid FROM (
+        SELECT v.vec_id, c.gid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY -2 * {dot("v", "c.emb")} + c.n,
+                                           c.gid) AS rn
+        FROM embeddings v CROSS JOIN ccent c
+      ) WHERE rn = 1
+    ),
+    t2assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT r.vec_id, f.cid AS centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY r.vec_id
+                                  ORDER BY -2 * {dot("v", "f.emb")} + f.n,
+                                           f.cid) AS rn
+        FROM route r
+          JOIN embeddings v ON v.vec_id = r.vec_id
+          JOIN fcent f ON f.gid = r.gid
+      ) WHERE rn = 1
+    )
+    SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           MIN(vec_id) AS min_vec_id
+    FROM t2assign GROUP BY centroid_id
+    """
+
+
+@register(
+    "ivf_twolevel_assignments",
+    _frozen2_assign_sql(),
+    doc="Two-level (coarse-then-fine) IVF assignment at k=64 — the "
+        "nlist-ceiling escape hatch (SCALE.md r11) as a registered "
+        "operator: both centroid levels AND the routing trained by "
+        "k-means and frozen as literals (tools/freeze_ivf_twolevel.py), "
+        "so the routed argmin is exact double arithmetic on both "
+        "engines (full oracle). Assignment stays a MAP-ONLY projection "
+        "— score 8 coarse literals, element_at the routed group's fine "
+        "array, argmin its members — per-row cost "
+        "O((n_coarse + |group|)*DIM) instead of O(k*DIM); the only "
+        "exchange feeds the 64-row inventory groupBy. The at-scale "
+        "form of ivf_assignments for k past ~10^3.",
+)
+def ivf_twolevel_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    assign = e.select(
+        "vec_id", _frozen2_assign_col(spark).alias("centroid_id"))
+    return assign.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("vec_id").alias("min_vec_id"))
+
+
 @register(
     "neardup_embedding_clusters",
     f"""

@@ -249,10 +249,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # moved into the shared _probe_core during the trained-quantizer
 # refactor — plan pinned identical, but the driver row should follow
 # the code); the two MVT blob-emitter cadence refreshes
-# (tile_mvt_z7_parity, tile_mvt_batch — VERDICT #7, r9 rows); and one
-# r8 pre-pull (dedup_incremental_report, the text twin of this round's
-# new media report) to shave the 46-entry r8 cohort before it all
-# comes due in r12.
+# (tile_mvt_z7_parity, tile_mvt_batch — VERDICT #7, r9 rows); and the
+# fourth NEW r11 entry, ivf_twolevel_assignments (the nlist-ceiling
+# escape hatch as a registered full-oracle operator — never-checked
+# entries enter unconditionally, so it takes the slot initially
+# reserved for an r8 pre-pull).
 PRIORITY: tuple[str, ...] = (
     # ---- the 38 r7-green entries due this round (staleness bound 4)
     "boilerplate_segment_removal", "corpus_mix_report",
@@ -280,13 +281,12 @@ PRIORITY: tuple[str, ...] = (
     "media_index_build", "ivf_probe_search",
     # ---- MVT blob-emitter cadence refreshes (VERDICT r10 #7)
     "tile_mvt_z7_parity", "tile_mvt_batch",
-    # ---- r8 pre-pull to smooth the 46-entry r12 due cohort
-    "dedup_incremental_report",
+    # ---- NEW (late r11): the two-level quantizer, full oracle
+    "ivf_twolevel_assignments",
 )
 
-# R12 WINDOW HANDOFF: the r8 cohort comes due — 46 entries minus the
-# r11 pre-pull (dedup_incremental_report) = 45 due, leaving only 5 flex
-# slots. Priority uses for them:
+# R12 WINDOW HANDOFF: the full 46-entry r8 cohort comes due, leaving
+# only 4 flex slots. Priority uses for them:
 # 1. Never-checked NEW r12 registrations (unconditional).
 # 2. Any query whose code/oracle changed in late r11 / r12.
 # 3. If the driver regenerated /root/testdata, re-run

@@ -98,6 +98,49 @@ def test_trained_probe_plan_identical_to_raw(spark):
     assert any("BroadcastHashJoin" in o for o in trained)
 
 
+def test_frozen2_contract():
+    """The two-level artifact: k fine centroids densely numbered,
+    n_coarse group means, a total non-overlapping grouping — the shape
+    both the Spark nested literal and the DuckDB fcent CTE assume."""
+    import math
+
+    from tank_spark.llm.ivf_frozen2 import (
+        FROZEN2_CENTROIDS,
+        FROZEN2_COARSE,
+        FROZEN2_GROUPS,
+        FROZEN2_K,
+        FROZEN2_NCOARSE,
+    )
+    from tank_spark.llm.similarity import DIM
+
+    assert len(FROZEN2_CENTROIDS) == FROZEN2_K
+    assert [cid for cid, _ in FROZEN2_CENTROIDS] == list(range(FROZEN2_K))
+    assert len(FROZEN2_COARSE) == FROZEN2_NCOARSE
+    assert len(FROZEN2_GROUPS) == FROZEN2_NCOARSE
+    members = [cid for grp in FROZEN2_GROUPS for cid in grp]
+    assert sorted(members) == list(range(FROZEN2_K))  # total, disjoint
+    assert all(grp for grp in FROZEN2_GROUPS)  # no empty literal arrays
+    for _, emb in FROZEN2_CENTROIDS + FROZEN2_COARSE:
+        assert len(emb) == DIM
+        assert all(math.isfinite(v) for v in emb)
+
+
+def test_twolevel_assignment_is_map_only(spark):
+    """The docstring claim: two-level routed assignment is a PROJECTION
+    (coarse literal argmin -> element_at -> fine literal argmin) — no
+    join, no window, and the only query-side exchange feeds the 64-row
+    inventory groupBy (partial-aggregated)."""
+    from tank_spark.llm.similarity import ivf_twolevel_assignments
+
+    plan = (ivf_twolevel_assignments(spark, SF_DIR)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan
+    assert "Join" not in plan
+    query_part = plan.split("InMemoryRelation")[0]
+    assert query_part.count("Exchange") <= 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
 def test_frozen_score_structs_memoized(spark):
     """Repeated plan builds in one session reuse the parsed quantizer
     Column (the r10 plan-build-cost lesson applies to the frozen path
