@@ -524,8 +524,6 @@ def ivf_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _probe_core(spark: SparkSession, sf_dir: str, arr) -> DataFrame:
     """The IVF probe plan, shared by the raw and frozen-trained
     quantizers (``arr`` is the quantizer-literal score array)."""
-    from pyspark.sql import Window
-
     e = load(spark, sf_dir, "embeddings")
     # map-only literal-centroid argmin; probe ranking is array_sort +
     # slice on the same score array — identical (score, centroid_id)
@@ -541,6 +539,17 @@ def _probe_core(spark: SparkSession, sf_dir: str, arr) -> DataFrame:
         )
         .select("qid", F.col("p.centroid_id").alias("centroid_id"))
     )
+    return _probe_rank_tail(e, probes, assign)
+
+
+def _probe_rank_tail(e: DataFrame, probes: DataFrame,
+                     assign: DataFrame) -> DataFrame:
+    """Candidate generation + cosine top-3, shared by every IVF probe
+    variant: ``probes`` (qid, centroid_id) fans out to the assigned
+    inverted lists, the query side broadcasts, ranking is one
+    per-query window over the (bounded) candidate set."""
+    from pyspark.sql import Window
+
     q = e.filter(F.col("vec_id").isin(*_IVF_QUERY_IDS)).select(
         F.col("vec_id").alias("qid2"), F.col("embedding").alias("q_emb")
     )
@@ -988,19 +997,28 @@ def _struct_lit(cid: int, c: list[float]) -> str:
             + f"), 'n', {_d2(n_c)}, 'id', CAST({cid} AS BIGINT))")
 
 
-def _frozen2_assign_col(spark: SparkSession):
-    """centroid_id Column: two-level routed argmin against the frozen2
-    artifact — score the 8 coarse literals, element_at the chosen
-    group's fine-literal array, argmin its members. Constant-size
-    expression tree; memoized per session like the other quantizer
-    literals."""
+def _frozen2_score(s):
+    """The standing literal-fold score — shared by every frozen2
+    consumer so the arithmetic can't fork."""
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), s["c"],
+                   lambda x, w: x.cast("double") * w),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return F.struct((-2 * dot + s["n"]).alias("score"),
+                    s["id"].alias("centroid_id"))
+
+
+def _frozen2_exprs(spark: SparkSession):
+    """(coarse, fine) literal Columns of the frozen2 artifact — coarse
+    is an array of 8 group-mean structs, fine a nested array of the
+    per-group fine-centroid struct arrays. Memoized per session."""
     from tank_spark.llm.ivf_frozen2 import (
         FROZEN2_CENTROIDS,
         FROZEN2_COARSE,
         FROZEN2_GROUPS,
     )
 
-    ckey = ("frozen2-col", spark.sparkContext.applicationId)
+    ckey = ("frozen2-exprs", spark.sparkContext.applicationId)
     cached = _CENTROID_CACHE.get(ckey)
     if cached is not None:
         return cached[1]
@@ -1011,27 +1029,33 @@ def _frozen2_assign_col(spark: SparkSession):
         "array(" + ", ".join(
             _struct_lit(cid, cent_by_id[cid]) for cid in grp) + ")"
         for grp in FROZEN2_GROUPS) + ")")
+    _CENTROID_CACHE[ckey] = [(), (coarse, fine)]
+    return coarse, fine
 
-    def score(s):
-        dot = F.aggregate(
-            F.zip_with(F.col("embedding"), s["c"],
-                       lambda x, w: x.cast("double") * w),
-            F.lit(0.0), lambda acc, x: acc + x)
-        return F.struct((-2 * dot + s["n"]).alias("score"),
-                        s["id"].alias("centroid_id"))
 
-    gid = F.array_min(F.transform(coarse, score))["centroid_id"]
+def _frozen2_assign_col(spark: SparkSession):
+    """centroid_id Column: two-level routed argmin against the frozen2
+    artifact — score the 8 coarse literals, element_at the chosen
+    group's fine-literal array, argmin its members. Constant-size
+    expression tree; memoized per session like the other quantizer
+    literals."""
+    ckey = ("frozen2-col", spark.sparkContext.applicationId)
+    cached = _CENTROID_CACHE.get(ckey)
+    if cached is not None:
+        return cached[1]
+    coarse, fine = _frozen2_exprs(spark)
+    gid = F.array_min(F.transform(coarse, _frozen2_score))["centroid_id"]
     col = F.array_min(F.transform(
-        F.element_at(fine, (gid + 1).cast("int")), score))["centroid_id"]
+        F.element_at(fine, (gid + 1).cast("int")),
+        _frozen2_score))["centroid_id"]
     _CENTROID_CACHE[ckey] = [(), col]
     return col
 
 
-def _frozen2_assign_sql() -> str:
-    """The identical two-level routing as DuckDB CTEs: ccent/fcent
-    VALUES literals (same frozen doubles, same driver-accumulated
-    ||c||^2), coarse route by (score, gid) argmin, fine argmin within
-    the routed group by (score, cid)."""
+def _frozen2_cents_cte() -> str:
+    """``ccent(gid, emb, n)`` + ``fcent(cid, gid, emb, n)`` VALUES CTEs
+    for the frozen2 artifact — same frozen doubles, same
+    driver-accumulated ||c||^2 as the Spark literals."""
     from tank_spark.llm.ivf_frozen2 import (
         FROZEN2_CENTROIDS,
         FROZEN2_COARSE,
@@ -1055,16 +1079,26 @@ def _frozen2_assign_sql() -> str:
         for cid in grp:
             arr, n = emb_n(cent_by_id[cid])
             frows.append(f"({cid}, {g}, {arr}, {n})")
+    return (f"ccent AS (SELECT * FROM (VALUES {', '.join(crows)})\n"
+            f"               t(gid, emb, n)),\n"
+            f"    fcent AS (SELECT * FROM (VALUES {', '.join(frows)})\n"
+            f"              t(cid, gid, emb, n))")
 
-    def dot(v: str, e: str) -> str:
-        return (f"list_reduce(list_transform(generate_series(1, {DIM}), "
-                f"j -> {v}.embedding[j]::DOUBLE * {e}[j]), (x, y) -> x + y)")
+
+def _frozen2_dot(v: str, e: str) -> str:
+    return (f"list_reduce(list_transform(generate_series(1, {DIM}), "
+            f"j -> {v}.embedding[j]::DOUBLE * {e}[j]), (x, y) -> x + y)")
+
+
+def _frozen2_assign_sql() -> str:
+    """The identical two-level routing as DuckDB CTEs: ccent/fcent
+    VALUES literals (same frozen doubles, same driver-accumulated
+    ||c||^2), coarse route by (score, gid) argmin, fine argmin within
+    the routed group by (score, cid)."""
+    dot = _frozen2_dot
 
     return f"""
-    WITH ccent AS (SELECT * FROM (VALUES {", ".join(crows)})
-                   t(gid, emb, n)),
-    fcent AS (SELECT * FROM (VALUES {", ".join(frows)})
-              t(cid, gid, emb, n)),
+    WITH {_frozen2_cents_cte()},
     route AS (
       SELECT vec_id, gid FROM (
         SELECT v.vec_id, c.gid,
@@ -1113,6 +1147,113 @@ def ivf_twolevel_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.min("vec_id").alias("min_vec_id"))
+
+
+W_COARSE = 2  # coarse-probe width: route queries to the 2 best groups
+
+
+def _frozen2_probe_sql() -> str:
+    ids = ", ".join(str(i) for i in _IVF_QUERY_IDS)
+    dot = _frozen2_dot
+    dot_qe = _dot_sql("q.embedding", "e.embedding")
+    nq = _dot_sql("q.embedding", "q.embedding")
+    ne = _dot_sql("e.embedding", "e.embedding")
+    return f"""
+    WITH {_frozen2_cents_cte()},
+    t2assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT r.vec_id, f.cid AS centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY r.vec_id
+                                  ORDER BY -2 * {dot("v", "f.emb")} + f.n,
+                                           f.cid) AS rn
+        FROM (
+          SELECT vec_id, gid FROM (
+            SELECT v.vec_id, c.gid,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY -2 * {dot("v", "c.emb")} + c.n,
+                                               c.gid) AS crn
+            FROM embeddings v CROSS JOIN ccent c
+          ) WHERE crn = 1
+        ) r
+          JOIN embeddings v ON v.vec_id = r.vec_id
+          JOIN fcent f ON f.gid = r.gid
+      ) WHERE rn = 1
+    ),
+    qroute AS (
+      SELECT qid, gid FROM (
+        SELECT v.vec_id AS qid, c.gid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY -2 * {dot("v", "c.emb")} + c.n,
+                                           c.gid) AS crn
+        FROM embeddings v CROSS JOIN ccent c
+        WHERE v.vec_id IN ({ids})
+      ) WHERE crn <= {W_COARSE}
+    ),
+    probes AS (
+      SELECT qid, centroid_id FROM (
+        SELECT r.qid, f.cid AS centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY r.qid
+                                  ORDER BY -2 * {dot("v", "f.emb")} + f.n,
+                                           f.cid) AS prn
+        FROM qroute r
+          JOIN embeddings v ON v.vec_id = r.qid
+          JOIN fcent f ON f.gid = r.gid
+      ) WHERE prn <= {N_PROBE}
+    )
+    SELECT qid, vec_id, cosine, rn FROM (
+      SELECT p.qid, a.vec_id,
+             {dot_qe} / (sqrt({nq}) * sqrt({ne})) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY p.qid
+                                ORDER BY {dot_qe} / (sqrt({nq}) * sqrt({ne})) DESC,
+                                         a.vec_id) AS rn
+      FROM probes p
+        JOIN t2assign a ON a.centroid_id = p.centroid_id
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN embeddings q ON q.vec_id = p.qid
+      WHERE a.vec_id <> p.qid
+    ) WHERE rn <= 3
+    """
+
+
+@register(
+    "ivf_twolevel_probe_search",
+    _frozen2_probe_sql(),
+    doc=f"Probe search over the two-level quantizer (k=64 trained fine "
+        f"lists, 8 trained coarse groups, both frozen): queries route "
+        f"to their {W_COARSE} best coarse groups, the {N_PROBE} best "
+        "fine lists WITHIN those groups are probed, candidates rank by "
+        "exact cosine — the serving op the hierarchical index exists "
+        "for, completing the two-level family next to the assignment "
+        "inventory. Same map-only posture: routing and probe ranking "
+        "are literal-array expressions (the query side's fine ranking "
+        "is array_sort over the flattened routed groups), candidate "
+        "generation joins the probed lists, queries broadcast. Full "
+        "oracle: frozen levels + frozen grouping make every score "
+        "exact on both engines.",
+)
+def ivf_twolevel_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    coarse, fine = _frozen2_exprs(spark)
+    assign = e.select(
+        "vec_id", _frozen2_assign_col(spark).alias("centroid_id"))
+    # query-side two-level ranking: top-W coarse groups -> flatten their
+    # fine-literal arrays -> global (score, centroid_id) sort -> N_PROBE
+    top = F.slice(F.array_sort(F.transform(coarse, _frozen2_score)),
+                  1, W_COARSE)
+    fine_concat = F.flatten(F.transform(
+        top, lambda s: F.element_at(fine,
+                                    (s["centroid_id"] + 1).cast("int"))))
+    rank_arr = F.transform(fine_concat, _frozen2_score)
+    probes = (
+        e.filter(F.col("vec_id").isin(*_IVF_QUERY_IDS))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.explode(F.slice(F.array_sort(rank_arr), 1, N_PROBE))
+            .alias("p"),
+        )
+        .select("qid", F.col("p.centroid_id").alias("centroid_id"))
+    )
+    return _probe_rank_tail(e, probes, assign)
 
 
 @register(

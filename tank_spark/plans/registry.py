@@ -279,10 +279,14 @@ PRIORITY: tuple[str, ...] = (
     "media_dedup_incremental_report",
     # ---- code/oracle changed this round
     "media_index_build", "ivf_probe_search",
-    # ---- MVT blob-emitter cadence refreshes (VERDICT r10 #7)
-    "tile_mvt_z7_parity", "tile_mvt_batch",
-    # ---- NEW (late r11): the two-level quantizer, full oracle
-    "ivf_twolevel_assignments",
+    # ---- MVT blob-emitter cadence refresh (VERDICT r10 #7; the second
+    # refresh slot, tile_mvt_batch, yielded to the never-checked probe
+    # search below — tile_mvt_batch is r9-green, due r13, and its
+    # decode-parity twin tile_mvt_batch_parity carries an r10 full
+    # oracle row)
+    "tile_mvt_z7_parity",
+    # ---- NEW (late r11): the two-level quantizer family, full oracles
+    "ivf_twolevel_assignments", "ivf_twolevel_probe_search",
 )
 
 # R12 WINDOW HANDOFF: the full 46-entry r8 cohort comes due, leaving

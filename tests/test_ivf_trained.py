@@ -141,6 +141,33 @@ def test_twolevel_assignment_is_map_only(spark):
     assert plan.count("HashAggregate") >= 2  # partial + final
 
 
+def test_twolevel_probe_stays_broadcast(spark):
+    """ivf_twolevel_probe_search's claims: routing/probe ranking are
+    literal-array expressions (no extra joins beyond the shared
+    candidate tail) and the query side broadcasts — the plan skeleton
+    must match the flat probe's exactly (same _probe_rank_tail, same
+    join count; only the projection expressions differ)."""
+    from tank_spark.llm.similarity import (
+        ivf_probe_search,
+        ivf_twolevel_probe_search,
+    )
+
+    def skeleton(df) -> list[str]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        ops = []
+        for line in plan.splitlines():
+            s = line.lstrip(" *+-:")
+            if not s or s.startswith("("):
+                continue
+            ops.append(s.split("(")[0].split("[")[0].strip())
+        return [o for o in ops if o]
+
+    flat = skeleton(ivf_probe_search(spark, SF_DIR))
+    two = skeleton(ivf_twolevel_probe_search(spark, SF_DIR))
+    assert two == flat
+    assert any("BroadcastHashJoin" in o for o in two)
+
+
 def test_frozen_score_structs_memoized(spark):
     """Repeated plan builds in one session reuse the parsed quantizer
     Column (the r10 plan-build-cost lesson applies to the frozen path
