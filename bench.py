@@ -69,10 +69,12 @@ HEADLINE = [
     # dedup_incremental_batch (index hashed once through the map-only
     # kernels, batch broadcast into every probe join)
     "media_dedup_incremental",
-    # r11 addition: the trained frozen quantizer serving path (same
+    # r11 additions: the trained frozen quantizer serving path (same
     # map-only literal plan as ivf_probe_search, so the pair also acts
-    # as an A/B on quantizer content vs plan cost)
-    "ivf_trained_probe_search",
+    # as an A/B on quantizer content vs plan cost) and the two-level
+    # routed probe at k=64 (the at-scale quantizer shape; scans ~2/64
+    # lists per query where the flat k=8 probes scan ~2/8)
+    "ivf_trained_probe_search", "ivf_twolevel_probe_search",
     # BENCH-ONLY entry: full-fidelity z7 overview encode. NOT a serving
     # path (serving uses the budgeted sample below OVERVIEW_ZOOM — the
     # full blob hits the MVT format ceiling at 100x, see SCALE.md);
