@@ -387,28 +387,9 @@ def _score_structs_from_rows(rows: list, ckey: tuple, fp: tuple):
     if cached is not None and cached[0] == fp:
         return cached[1]
 
-    def d(v: float) -> str:
-        return f"CAST('{v!r}' AS DOUBLE)"
-
-    entries = []
-    for cid, c in rows:
-        n_c = 0.0
-        for v in c:
-            n_c = n_c + v * v
-        arr = ", ".join(d(v) for v in c)
-        entries.append(f"named_struct('c', array({arr}), "
-                       f"'n', {d(n_c)}, 'id', CAST({cid} AS BIGINT))")
-    cents = F.expr("array(" + ", ".join(entries) + ")")
-
-    def score(s):
-        dot = F.aggregate(
-            F.zip_with(F.col("embedding"), s["c"],
-                       lambda x, w: x.cast("double") * w),
-            F.lit(0.0), lambda acc, x: acc + x)
-        return F.struct((-2 * dot + s["n"]).alias("score"),
-                        s["id"].alias("centroid_id"))
-
-    col = F.transform(cents, score)
+    cents = F.expr("array(" + ", ".join(
+        _struct_lit(cid, c) for cid, c in rows) + ")")
+    col = F.transform(cents, _literal_score)
     if not _dedup.PLAN_ONLY:
         # an unresolved Column is plan-independent: memoize it so
         # repeated builds in one session skip even the expr parse.
@@ -705,13 +686,18 @@ def _recall_core(spark: SparkSession, sf_dir: str, arr,
         )
     )
     return (
-        per_q.join(n_cand, "qid")
+        # LEFT join (review r11): a degenerate query whose probed lists
+        # hold only itself has NO candidate rows — the oracle's
+        # correlated COUNT still emits it with n_candidates = 0, so an
+        # inner join here would drop the row and break parity
+        per_q.join(n_cand, "qid", "left")
         .crossJoin(F.broadcast(n_corpus))  # 1-row corpus size
         .select(
             "qid", "n_truth", "n_hit",
             (F.col("n_hit").cast("double") / F.col("n_truth")).alias("recall"),
-            "n_candidates",
-            (F.col("n_candidates").cast("double")
+            F.coalesce(F.col("n_candidates"), F.lit(0)).cast("long")
+            .alias("n_candidates"),
+            (F.coalesce(F.col("n_candidates"), F.lit(0)).cast("double")
              / (F.col("n_corpus") - 1)).alias("scan_frac"),
         )
     )
@@ -847,16 +833,14 @@ def _trained_assign_sql() -> str:
     """
 
 
-def _trained_probe_sql() -> str:
+def _trained_probes_cte() -> str:
+    """probes(qid, centroid_id): each query's N_PROBE best trained
+    lists — ONE builder shared by the probe and recall oracles so a
+    tie-break or N_PROBE change can never fork their semantics
+    (review r11)."""
     ids = ", ".join(str(i) for i in _IVF_QUERY_IDS)
     sc = _trained_score_sql()
-    dot_qe = _dot_sql("q.embedding", "e.embedding")
-    nq = _dot_sql("q.embedding", "q.embedding")
-    ne = _dot_sql("e.embedding", "e.embedding")
-    return f"""
-    WITH {_frozen_cent_cte()},
-    {_trained_assign_sql()},
-    probes AS (
+    return f"""probes AS (
       SELECT qid, centroid_id FROM (
         SELECT v.vec_id AS qid, c.cid AS centroid_id,
                ROW_NUMBER() OVER (PARTITION BY v.vec_id
@@ -864,7 +848,17 @@ def _trained_probe_sql() -> str:
         FROM embeddings v CROSS JOIN cent c
         WHERE v.vec_id IN ({ids})
       ) WHERE prn <= {N_PROBE}
-    )
+    )"""
+
+
+def _trained_probe_sql() -> str:
+    dot_qe = _dot_sql("q.embedding", "e.embedding")
+    nq = _dot_sql("q.embedding", "q.embedding")
+    ne = _dot_sql("e.embedding", "e.embedding")
+    return f"""
+    WITH {_frozen_cent_cte()},
+    {_trained_assign_sql()},
+    {_trained_probes_cte()}
     SELECT qid, vec_id, cosine, rn FROM (
       SELECT p.qid, a.vec_id,
              {dot_qe} / (sqrt({nq}) * sqrt({ne})) AS cosine,
@@ -882,7 +876,6 @@ def _trained_probe_sql() -> str:
 
 def _trained_recall_sql() -> str:
     ids = ", ".join(str(i) for i in _IVF_QUERY_IDS)
-    sc = _trained_score_sql()
     dot_qe = _dot_sql("q.embedding", "e.embedding")
     nq = _dot_sql("q.embedding", "q.embedding")
     ne = _dot_sql("e.embedding", "e.embedding")
@@ -890,15 +883,7 @@ def _trained_recall_sql() -> str:
     return f"""
     WITH {_frozen_cent_cte()},
     {_trained_assign_sql()},
-    probes AS (
-      SELECT qid, centroid_id FROM (
-        SELECT v.vec_id AS qid, c.cid AS centroid_id,
-               ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                                  ORDER BY {sc}, c.cid) AS prn
-        FROM embeddings v CROSS JOIN cent c
-        WHERE v.vec_id IN ({ids})
-      ) WHERE prn <= {N_PROBE}
-    ),
+    {_trained_probes_cte()},
     cand AS (
       SELECT p.qid, a.vec_id FROM probes p
       JOIN tassign a ON a.centroid_id = p.centroid_id
@@ -997,9 +982,10 @@ def _struct_lit(cid: int, c: list[float]) -> str:
             + f"), 'n', {_d2(n_c)}, 'id', CAST({cid} AS BIGINT))")
 
 
-def _frozen2_score(s):
-    """The standing literal-fold score — shared by every frozen2
-    consumer so the arithmetic can't fork."""
+def _literal_score(s):
+    """The standing literal-fold score over a quantizer struct —
+    shared by EVERY literal-quantizer consumer (raw, trained, frozen2)
+    so the arithmetic can't fork."""
     dot = F.aggregate(
         F.zip_with(F.col("embedding"), s["c"],
                    lambda x, w: x.cast("double") * w),
@@ -1044,10 +1030,10 @@ def _frozen2_assign_col(spark: SparkSession):
     if cached is not None:
         return cached[1]
     coarse, fine = _frozen2_exprs(spark)
-    gid = F.array_min(F.transform(coarse, _frozen2_score))["centroid_id"]
+    gid = F.array_min(F.transform(coarse, _literal_score))["centroid_id"]
     col = F.array_min(F.transform(
         F.element_at(fine, (gid + 1).cast("int")),
-        _frozen2_score))["centroid_id"]
+        _literal_score))["centroid_id"]
     _CENTROID_CACHE[ckey] = [(), col]
     return col
 
@@ -1090,23 +1076,21 @@ def _frozen2_dot(v: str, e: str) -> str:
             f"j -> {v}.embedding[j]::DOUBLE * {e}[j]), (x, y) -> x + y)")
 
 
-def _frozen2_assign_sql() -> str:
-    """The identical two-level routing as DuckDB CTEs: ccent/fcent
-    VALUES literals (same frozen doubles, same driver-accumulated
-    ||c||^2), coarse route by (score, gid) argmin, fine argmin within
-    the routed group by (score, cid)."""
+def _frozen2_t2assign_cte() -> str:
+    """``t2assign(vec_id, centroid_id)``: the full-corpus two-level
+    routed argmin — coarse route by (score, gid) argmin, fine argmin
+    within the routed group by (score, cid). ONE builder shared by the
+    assignment and probe oracles so the routing can never fork
+    (review r11)."""
     dot = _frozen2_dot
-
-    return f"""
-    WITH {_frozen2_cents_cte()},
-    route AS (
+    return f"""route AS (
       SELECT vec_id, gid FROM (
         SELECT v.vec_id, c.gid,
                ROW_NUMBER() OVER (PARTITION BY v.vec_id
                                   ORDER BY -2 * {dot("v", "c.emb")} + c.n,
-                                           c.gid) AS rn
+                                           c.gid) AS crn
         FROM embeddings v CROSS JOIN ccent c
-      ) WHERE rn = 1
+      ) WHERE crn = 1
     ),
     t2assign AS (
       SELECT vec_id, centroid_id FROM (
@@ -1118,7 +1102,16 @@ def _frozen2_assign_sql() -> str:
           JOIN embeddings v ON v.vec_id = r.vec_id
           JOIN fcent f ON f.gid = r.gid
       ) WHERE rn = 1
-    )
+    )"""
+
+
+def _frozen2_assign_sql() -> str:
+    """The identical two-level routing as DuckDB CTEs: ccent/fcent
+    VALUES literals (same frozen doubles, same driver-accumulated
+    ||c||^2) through the shared t2assign chain."""
+    return f"""
+    WITH {_frozen2_cents_cte()},
+    {_frozen2_t2assign_cte()}
     SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
            MIN(vec_id) AS min_vec_id
     FROM t2assign GROUP BY centroid_id
@@ -1160,25 +1153,7 @@ def _frozen2_probe_sql() -> str:
     ne = _dot_sql("e.embedding", "e.embedding")
     return f"""
     WITH {_frozen2_cents_cte()},
-    t2assign AS (
-      SELECT vec_id, centroid_id FROM (
-        SELECT r.vec_id, f.cid AS centroid_id,
-               ROW_NUMBER() OVER (PARTITION BY r.vec_id
-                                  ORDER BY -2 * {dot("v", "f.emb")} + f.n,
-                                           f.cid) AS rn
-        FROM (
-          SELECT vec_id, gid FROM (
-            SELECT v.vec_id, c.gid,
-                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                                      ORDER BY -2 * {dot("v", "c.emb")} + c.n,
-                                               c.gid) AS crn
-            FROM embeddings v CROSS JOIN ccent c
-          ) WHERE crn = 1
-        ) r
-          JOIN embeddings v ON v.vec_id = r.vec_id
-          JOIN fcent f ON f.gid = r.gid
-      ) WHERE rn = 1
-    ),
+    {_frozen2_t2assign_cte()},
     qroute AS (
       SELECT qid, gid FROM (
         SELECT v.vec_id AS qid, c.gid,
@@ -1238,12 +1213,12 @@ def ivf_twolevel_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _frozen2_assign_col(spark).alias("centroid_id"))
     # query-side two-level ranking: top-W coarse groups -> flatten their
     # fine-literal arrays -> global (score, centroid_id) sort -> N_PROBE
-    top = F.slice(F.array_sort(F.transform(coarse, _frozen2_score)),
+    top = F.slice(F.array_sort(F.transform(coarse, _literal_score)),
                   1, W_COARSE)
     fine_concat = F.flatten(F.transform(
         top, lambda s: F.element_at(fine,
                                     (s["centroid_id"] + 1).cast("int"))))
-    rank_arr = F.transform(fine_concat, _frozen2_score)
+    rank_arr = F.transform(fine_concat, _literal_score)
     probes = (
         e.filter(F.col("vec_id").isin(*_IVF_QUERY_IDS))
         .select(

@@ -62,6 +62,25 @@ BASE_EPOCH = -1  # the bootstrap/compacted generation's directory
 def _epoch_dir(index_dir: str, rel: str, epoch_id: int) -> str:
     return os.path.join(index_dir, rel, f"epoch_id={epoch_id}")
 
+
+def _ensure_epoch_layout(index_dir: str, rel: str) -> None:
+    """Migrate a pre-r11 FLAT relation (part files directly under the
+    root) into the base-generation directory. Without this, a stream
+    resumed over an old index would write epoch_id= dirs NEXT TO flat
+    files and Spark's partition discovery would fail the next read with
+    'Conflicting directory structures' (review r11)."""
+    root = os.path.join(index_dir, rel)
+    if not os.path.isdir(root):
+        return
+    flat = [f for f in os.listdir(root)
+            if not f.startswith("epoch_id=") and not f.startswith(".")]
+    if not any(f.endswith(".parquet") for f in flat):
+        return
+    base = _epoch_dir(index_dir, rel, BASE_EPOCH)
+    os.makedirs(base, exist_ok=True)
+    for f in flat:
+        os.rename(os.path.join(root, f), os.path.join(base, f))
+
 _norm_fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
 
 
@@ -78,6 +97,8 @@ def _write_index_epoch(docs: DataFrame, index_dir: str,
     """One epoch's index rows, written idempotently: overwrite of the
     epoch's own directory, so a foreachBatch replay rewrites instead of
     duplicating."""
+    _ensure_epoch_layout(index_dir, "fp")
+    _ensure_epoch_layout(index_dir, "bands")
     fps, bands = fingerprints_and_bands(docs)
     fps.select(F.col("cid").alias("icid"), "fp") \
         .write.mode("overwrite").parquet(_epoch_dir(index_dir, "fp", epoch_id))
@@ -99,6 +120,8 @@ def read_dedup_index(spark: SparkSession,
     fingerprint-only bootstrap still reads; epoch_id (the hive
     partition column) is dropped — the probe is epoch-agnostic,
     idempotency lives in the directory layout."""
+    _ensure_epoch_layout(index_dir, "fp")
+    _ensure_epoch_layout(index_dir, "bands")
     ifp = (spark.read.schema(_FP_SCHEMA)
            .parquet(os.path.join(index_dir, "fp")).drop("epoch_id"))
     ib = (spark.read.schema(_BANDS_SCHEMA)
@@ -182,8 +205,14 @@ def start_incremental_dedup_stream(
             .write.mode("append").parquet(out_dir)
         new_ids = disp.filter(F.col("disposition") == "new_unique") \
             .select(F.col("doc_id").alias("cid"))
-        survivors = batch.join(F.broadcast(new_ids), "cid")
-        _write_index_epoch(survivors, index_dir, epoch_id)
+        # skip the index write when there are no survivors (cheap: disp
+        # is checkpointed) — load-bearing for crash safety: a replay
+        # after a partially-swapped compaction re-dispositions as
+        # all-dup, and an unconditional overwrite would replace the
+        # epoch's only surviving rows with an empty dir (review r11)
+        if not new_ids.isEmpty():
+            survivors = batch.join(F.broadcast(new_ids), "cid")
+            _write_index_epoch(survivors, index_dir, epoch_id)
         if compact_every and (epoch_id + 1) % compact_every == 0:
             compact_dedup_index(spark, index_dir)
 

@@ -29,7 +29,11 @@ plain mode("append") made replays inflate per-bucket counts toward
 PHASH_BUCKET_CAP, silently disabling near-dup matching there). Index
 appends are therefore idempotent under at-least-once foreachBatch
 semantics; the disposition OUTPUT keeps the weaker posture of the text
-twin (append + epoch_id column; readers drop replayed epochs).
+twin (append + epoch_id column; readers drop replayed epochs — note a
+replay that lands AFTER its survivors were folded into the index
+re-emits those rows as exact-dup self-matches, so the two copies of an
+epoch can disagree; exactly-once output is the table-format story, not
+re-solved here).
 
 Per-epoch directories are a small-files problem at crawl cadence, and
 the probe join loses co-location as they accumulate —
@@ -73,6 +77,25 @@ def _epoch_dir(index_dir: str, rel: str, epoch_id: int) -> str:
     return os.path.join(index_dir, rel, f"epoch_id={epoch_id}")
 
 
+def _ensure_epoch_layout(index_dir: str, rel: str) -> None:
+    """Migrate a pre-r11 FLAT relation (part files directly under the
+    root) into the base-generation directory. Without this, a stream
+    resumed over an old index would write epoch_id= dirs NEXT TO flat
+    files and Spark's partition discovery would fail the next read with
+    'Conflicting directory structures' (review r11)."""
+    root = os.path.join(index_dir, rel)
+    if not os.path.isdir(root):
+        return
+    flat = [f for f in os.listdir(root)
+            if not f.startswith("epoch_id=") and not f.startswith(".")]
+    if not any(f.endswith(".parquet") for f in flat):
+        return
+    base = _epoch_dir(index_dir, rel, BASE_EPOCH)
+    os.makedirs(base, exist_ok=True)
+    for f in flat:
+        os.rename(os.path.join(root, f), os.path.join(base, f))
+
+
 def media_fp_and_bands(
     spark: SparkSession, media: DataFrame,
 ) -> tuple[DataFrame, DataFrame]:
@@ -90,6 +113,8 @@ def _write_index_epoch(spark: SparkSession, media: DataFrame,
     """One epoch's index rows, written idempotently: overwrite of the
     epoch's own directory, so a foreachBatch replay rewrites instead of
     duplicating."""
+    _ensure_epoch_layout(index_dir, "fp")
+    _ensure_epoch_layout(index_dir, "bands")
     fps, bands = media_fp_and_bands(spark, media)
     fps.select(F.col("cid").alias("icid"), "modality", "fp") \
         .write.mode("overwrite").parquet(_epoch_dir(index_dir, "fp", epoch_id))
@@ -111,6 +136,8 @@ def read_media_index(spark: SparkSession,
     """The current index relations across every generation/epoch
     (explicit schemas, as dedup_stream; epoch_id dropped — the probe
     is epoch-agnostic, idempotency lives in the directory layout)."""
+    _ensure_epoch_layout(index_dir, "fp")
+    _ensure_epoch_layout(index_dir, "bands")
     ifp = (spark.read.schema(_FP_SCHEMA)
            .parquet(os.path.join(index_dir, "fp")).drop("epoch_id"))
     ib = (spark.read.schema(_BANDS_SCHEMA)
@@ -209,8 +236,16 @@ def start_incremental_media_dedup_stream(
             .write.mode("append").parquet(out_dir)
         new_ids = disp.filter(F.col("disposition") == "new_unique") \
             .select(F.col("doc_id").alias("cid"))
-        survivors = batch.join(F.broadcast(new_ids), "cid")
-        _write_index_epoch(spark, survivors, index_dir, epoch_id)
+        # skip the index write entirely when there are no survivors
+        # (cheap: disp is checkpointed). Besides avoiding empty epoch
+        # dirs, this is LOAD-BEARING for crash safety: if a crash lands
+        # between compaction's fp/ and bands/ swaps, the replayed epoch
+        # re-dispositions as all-dup against the already-folded side —
+        # an unconditional overwrite would then replace the epoch's
+        # only surviving band rows with an empty directory (review r11)
+        if not new_ids.isEmpty():
+            survivors = batch.join(F.broadcast(new_ids), "cid")
+            _write_index_epoch(spark, survivors, index_dir, epoch_id)
         if compact_every and (epoch_id + 1) % compact_every == 0:
             compact_media_index(spark, index_dir)
 

@@ -17,6 +17,19 @@ from tests.conftest import SF_DIR
 TRAIN_SF = "/root/testdata/sf0.01"  # the SF the frozen snapshot trains on
 
 
+def _plan_skeleton(df) -> list[str]:
+    """Physical operator names in plan order, literals stripped — the
+    plan-identity pin both probe tests share."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    ops = []
+    for line in plan.splitlines():
+        s = line.lstrip(" *+-:")
+        if not s or s.startswith("("):
+            continue
+        ops.append(s.split("(")[0].split("[")[0].strip())
+    return [o for o in ops if o]
+
+
 def test_frozen_centroids_contract():
     """k x DIM finite doubles, ids sorted and dense — the shape every
     consumer (Spark literal builder + DuckDB VALUES CTE) assumes."""
@@ -82,18 +95,8 @@ def test_trained_probe_plan_identical_to_raw(spark):
         ivf_trained_probe_search,
     )
 
-    def skeleton(df) -> list[str]:
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        ops = []
-        for line in plan.splitlines():
-            s = line.lstrip(" *+-:")
-            if not s or s.startswith("("):
-                continue
-            ops.append(s.split("(")[0].split("[")[0].strip())
-        return [o for o in ops if o]
-
-    raw = skeleton(ivf_probe_search(spark, SF_DIR))
-    trained = skeleton(ivf_trained_probe_search(spark, SF_DIR))
+    raw = _plan_skeleton(ivf_probe_search(spark, SF_DIR))
+    trained = _plan_skeleton(ivf_trained_probe_search(spark, SF_DIR))
     assert trained == raw
     assert any("BroadcastHashJoin" in o for o in trained)
 
@@ -152,18 +155,8 @@ def test_twolevel_probe_stays_broadcast(spark):
         ivf_twolevel_probe_search,
     )
 
-    def skeleton(df) -> list[str]:
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        ops = []
-        for line in plan.splitlines():
-            s = line.lstrip(" *+-:")
-            if not s or s.startswith("("):
-                continue
-            ops.append(s.split("(")[0].split("[")[0].strip())
-        return [o for o in ops if o]
-
-    flat = skeleton(ivf_probe_search(spark, SF_DIR))
-    two = skeleton(ivf_twolevel_probe_search(spark, SF_DIR))
+    flat = _plan_skeleton(ivf_probe_search(spark, SF_DIR))
+    two = _plan_skeleton(ivf_twolevel_probe_search(spark, SF_DIR))
     assert two == flat
     assert any("BroadcastHashJoin" in o for o in two)
 

@@ -211,6 +211,74 @@ def test_compaction_collapses_epochs_and_preserves_probe(spark, tmp_path):
     assert out[904]["match_cid"] == 903
 
 
+def test_all_dup_batch_writes_no_epoch_dir(spark, tmp_path):
+    """A batch with zero new_unique survivors must not write an index
+    epoch at all (review r11): besides avoiding empty directories, the
+    skip is load-bearing for crash safety — a replay landing after a
+    partially-swapped compaction re-dispositions as all-dup, and an
+    unconditional overwrite would replace the epoch's only surviving
+    rows with an empty dir."""
+    from tank_spark.streaming.media_dedup_stream import (
+        index_epoch_count,
+        media_file_stream,
+        start_incremental_media_dedup_stream,
+        write_media_index,
+    )
+
+    index_dir = str(tmp_path / "index")
+    drop_dir = str(tmp_path / "drop")
+    pay = _payload("img-a")
+    corpus = spark.createDataFrame(
+        [(1, "image", pay)], "cid long, modality string, payload binary")
+    write_media_index(spark, corpus, index_dir)
+    _write_batch(spark, drop_dir, [(101, "image", pay)])  # exact dup
+    stream = media_file_stream(spark, drop_dir)
+    q = start_incremental_media_dedup_stream(
+        spark, stream, index_dir, str(tmp_path / "out"),
+        str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    q.stop()
+    assert index_epoch_count(index_dir) == 1  # base only, no epoch dir
+
+
+def test_flat_pre_r11_index_layout_migrates(spark, tmp_path):
+    """An index bootstrapped by the pre-r11 FLAT layout (part files
+    directly under fp/ and bands/) must keep working when the stream
+    resumes: the first epoch write / read migrates the flat files into
+    the base generation instead of tripping Spark's 'Conflicting
+    directory structures' partition-discovery error (review r11)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tank_spark.streaming.media_dedup_stream import (
+        _write_index_epoch,
+        media_fp_and_bands,
+        read_media_index,
+    )
+
+    index_dir = str(tmp_path / "index")
+    corpus = spark.createDataFrame(
+        [(1, "image", _payload("img-a"))],
+        "cid long, modality string, payload binary")
+    # the OLD layout: flat writes to the relation roots
+    fps, bands = media_fp_and_bands(spark, corpus)
+    fps.select(F.col("cid").alias("icid"), "modality", "fp") \
+        .write.parquet(os.path.join(index_dir, "fp"))
+    bands.select(F.col("cid").alias("icid"), "modality", "phash",
+                 "band_idx", "band_val") \
+        .write.parquet(os.path.join(index_dir, "bands"))
+    epoch = spark.createDataFrame(
+        [(101, "image", _payload("img-x"))],
+        "cid long, modality string, payload binary")
+    _write_index_epoch(spark, epoch, index_dir, 0)  # migrates, then writes
+    ifp, ib = read_media_index(spark, index_dir)
+    assert ifp.count() == 2
+    assert ib.count() == 8
+    assert not any(f.endswith(".parquet")
+                   for f in os.listdir(os.path.join(index_dir, "fp")))
+
+
 def test_stream_probe_matches_batch_twin_rule(spark, tmp_path):
     """The stream's probe function applied to the replay fixture's
     batch-A slice must reproduce media_dedup_stream_replay's batch-1

@@ -58,6 +58,12 @@ def main() -> None:
         (int(r["centroid_id"]), [float(v) for v in r["c_emb"]])
         for r in train_kmeans(spark, sf_dir, k=k, rounds=rounds).collect()
     )
+    # renumber densely 0..len-1 and freeze the ACTUAL count: training
+    # can drop a centroid whose inverted list empties in a round, and
+    # the consumers' contract is dense ids + len == FROZEN_K (the
+    # sibling freeze_ivf_twolevel.py handles this the same way)
+    cents = [(i, emb) for i, (_, emb) in enumerate(cents)]
+    k = len(cents)
     out = HEADER.format(sf_dir=sf_dir, k=k, rounds=rounds)
     for cid, emb in cents:
         vals = ", ".join(repr(v) for v in emb)

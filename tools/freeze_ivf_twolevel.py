@@ -76,11 +76,20 @@ def main() -> None:
             if (a == g).any():
                 C[g] = X[a == g].mean(axis=0)
     groups = [[int(i) for i in np.where(a == g)[0]] for g in range(n_coarse)]
-    # no empty groups: give any empty group the globally nearest
-    # centroid to its mean (keeps element_at/array literals total)
+    # no empty groups — but the grouping must stay a PARTITION (total,
+    # disjoint: every consumer and test_frozen2_contract assume it), so
+    # an empty group STEALS its nearest centroid from a donor group
+    # that can spare one, rather than duplicating a membership
     for g, grp in enumerate(groups):
-        if not grp:
-            groups[g] = [int(((X - C[g]) ** 2).sum(axis=1).argmin())]
+        if grp:
+            continue
+        for i in np.argsort(((X - C[g]) ** 2).sum(axis=1)):
+            src = int(a[int(i)])
+            if src != g and len(groups[src]) > 1:
+                groups[src].remove(int(i))
+                groups[g] = [int(i)]
+                a[int(i)] = g
+                break
 
     def emb_lit(vals) -> str:
         return "[" + ", ".join(repr(float(v)) for v in vals) + "]"

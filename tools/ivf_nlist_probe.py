@@ -175,9 +175,14 @@ def main() -> None:
                     C[g] = X[a == g].mean(axis=0)
         groups = [[(rows[i][0], rows[i][1]) for i in np.where(a == g)[0]]
                   for g in range(n_coarse)]
-        groups = [g or [rows[0]] for g in groups]  # no empty literals
+        # drop empty groups AND their coarse entries (keeps the
+        # grouping a partition — duplicating a member would let one
+        # centroid be reachable through two routes and skew agreement)
+        kept = [g for g in range(n_coarse) if groups[g]]
+        groups = [groups[g] for g in kept]
         coarse_arr = F.expr("array(" + ", ".join(
-            struct_lit(g, C[g]) for g in range(n_coarse)) + ")")
+            struct_lit(new_g, C[old_g])
+            for new_g, old_g in enumerate(kept)) + ")")
         fine_lit = F.expr("array(" + ", ".join(
             "array(" + ", ".join(struct_lit(cid, c) for cid, c in grp) + ")"
             for grp in groups) + ")")
