@@ -366,22 +366,59 @@ def media_dedup_incremental_report(spark: SparkSession,
         (F.col("doc_id") % INC_OFFSET).alias("orig"),
         "modality", "disposition", "match_cid",
     )
+    return _curation_report(spark, sf_dir, b, ["modality", "source"])
+
+
+def _curation_report(spark: SparkSession, sf_dir: str, disp: DataFrame,
+                     keys: list[str]) -> DataFrame:
+    """Per (*keys, disposition) counts + integer-exact ppm share of that
+    keys-group + distinct matched rows, over a disposition output
+    carrying ``orig`` provenance — ONE builder shared by the batch and
+    stream-replay reports so their aggregation semantics can't fork.
+    ``keys`` must include ``source``; the documents join supplies it.
+    Scale shape: ``disp`` is batch-bounded, so it BROADCASTS into the
+    documents join; the per-group totals are a tiny aggregate that
+    broadcasts back — no SortMergeJoin anywhere in the chain."""
     d = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("orig"), "source")
-    src = d.join(F.broadcast(b), "orig").select(
-        "modality", "source", "disposition", "match_cid")
-    agg = src.groupBy("modality", "source", "disposition").agg(
+    src = d.join(F.broadcast(disp), "orig").select(
+        *keys, "disposition", "match_cid")
+    agg = src.groupBy(*keys, "disposition").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("match_cid").alias("n_matched_distinct"),
     )
-    tot = agg.groupBy("modality", "source").agg(
+    tot = agg.groupBy(*keys).agg(
         F.sum("n_docs").cast("long").alias("n_src"))
-    return agg.join(F.broadcast(tot), ["modality", "source"]).select(
-        "modality", "source", "disposition", "n_docs",
+    return agg.join(F.broadcast(tot), list(keys)).select(
+        *keys, "disposition", "n_docs",
         F.round(F.col("n_docs") * 1000000.0 / F.col("n_src"), 0)
         .cast("long").alias("share_ppm"),
         "n_matched_distinct",
     )
+
+
+@register(
+    "media_dedup_stream_report",
+    media_sql.MEDIA_STREAM_REPORT_SQL,
+    doc="The stream-replay curation report: the per (modality, source) "
+        "disposition summary computed per CRAWL DAY (batch_id) over the "
+        "index-growth replay — so day 2's fresh emission reports "
+        "exact_dup_of_index against day 1's survivors instead of day "
+        "1's new_unique. This is the report a crawl operator reads each "
+        "morning ACROSS days: day-over-day share_ppm drift of "
+        "new_unique is the crawl-saturation signal. share_ppm "
+        "normalizes within (batch_id, modality, source) — each day "
+        "over its own batch. Same shared aggregation builder "
+        "(_curation_report) and broadcast-only posture as the batch "
+        "report; the replay side is the standing two-probe chain.",
+)
+def media_dedup_stream_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = media_dedup_stream_replay(spark, sf_dir).select(
+        (F.col("doc_id") % INC_OFFSET).alias("orig"),
+        "batch_id", "modality", "disposition", "match_cid",
+    )
+    return _curation_report(spark, sf_dir, r,
+                            ["batch_id", "modality", "source"])
 
 
 def media_disposition_against_index(

@@ -823,3 +823,52 @@ SELECT a.modality, a.source, a.disposition, a.n_docs,
 FROM agg a JOIN tot t
   ON a.modality = t.modality AND a.source = t.source
 """
+
+# The stream-replay curation report: the SAME per-(modality, source)
+# report, computed per CRAWL DAY (batch) over the index-growth replay —
+# so day 2's fresh emission reports exact_dup_of_index against day 1's
+# survivors instead of day 1's new_unique. share_ppm is within
+# (batch_id, modality, source): each day's report normalizes over that
+# day's own batch.
+MEDIA_STREAM_REPORT_SQL = f"""
+WITH {_INC_CHAIN},
+bat_a AS MATERIALIZED (SELECT * FROM bat_hash WHERE doc_id < {2 * INC_OFFSET}),
+bat_b AS MATERIALIZED (SELECT * FROM bat_hash WHERE doc_id >= {2 * INC_OFFSET}),
+{media_disposition_ctes("bat_a", "idx_hash", "a")},
+new_a AS (SELECT doc_id FROM a_out WHERE disposition = 'new_unique'),
+idx_1 AS MATERIALIZED (
+  SELECT * FROM idx_hash
+  UNION ALL
+  SELECT bh.* FROM bat_hash bh JOIN new_a ON bh.doc_id = new_a.doc_id
+),
+{media_disposition_ctes("bat_b", "idx_1", "b")},
+rep AS (
+  SELECT doc_id, CAST(1 AS INTEGER) AS batch_id, modality, disposition,
+         match_cid
+  FROM a_out
+  UNION ALL
+  SELECT doc_id, CAST(2 AS INTEGER) AS batch_id, modality, disposition,
+         match_cid
+  FROM b_out
+),
+src AS (
+  SELECT r.batch_id, r.modality, doc.source, r.disposition, r.match_cid
+  FROM rep r JOIN documents doc ON doc.doc_id = r.doc_id % {INC_OFFSET}
+),
+agg AS (
+  SELECT batch_id, modality, source, disposition,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT match_cid) AS BIGINT) AS n_matched_distinct
+  FROM src GROUP BY batch_id, modality, source, disposition
+),
+tot AS (SELECT batch_id, modality, source,
+               CAST(SUM(n_docs) AS BIGINT) AS n_src
+        FROM agg GROUP BY batch_id, modality, source)
+SELECT a.batch_id, a.modality, a.source, a.disposition, a.n_docs,
+       CAST(ROUND(a.n_docs * 1000000.0 / t.n_src, 0) AS BIGINT)
+         AS share_ppm,
+       a.n_matched_distinct
+FROM agg a JOIN tot t
+  ON a.batch_id = t.batch_id AND a.modality = t.modality
+ AND a.source = t.source
+"""

@@ -633,10 +633,7 @@ def _recall_core(spark: SparkSession, sf_dir: str, arr,
     """The IVF recall-eval plan, shared by the raw and frozen-trained
     quantizers: ``arr`` is the quantizer's score array (for the
     candidate fan-out census), ``pred`` its probe-search output."""
-    from pyspark.sql import Window
-
     e = load(spark, sf_dir, "embeddings")
-    pred = pred.select("qid", "vec_id")
     # candidates: probed inverted lists minus self (recompute the probe
     # fan-out without the top-k cut) — same map-only literal-centroid
     # argmin + array_sort probe ranking as the probe search
@@ -651,6 +648,20 @@ def _recall_core(spark: SparkSession, sf_dir: str, arr,
         )
         .select("qid", F.col("p.centroid_id").alias("centroid_id"))
     )
+    return _recall_tail(e, assign, probes, pred)
+
+
+def _recall_tail(e: DataFrame, assign: DataFrame, probes: DataFrame,
+                 pred: DataFrame) -> DataFrame:
+    """Truth/candidate/hit assembly shared by EVERY recall eval (raw,
+    trained, two-level): ``assign`` is the quantizer's full-corpus
+    (vec_id, centroid_id), ``probes`` the query-side (qid, centroid_id)
+    fan-out, ``pred`` the probe search whose recall is being measured —
+    the quantizer-specific parts are exactly the ones the probe search
+    itself builds, so eval and serving can't fork."""
+    from pyspark.sql import Window
+
+    pred = pred.select("qid", "vec_id")
     cand = (
         probes.join(assign, "centroid_id")
         .filter(F.col("vec_id") != F.col("qid"))
@@ -1145,16 +1156,14 @@ def ivf_twolevel_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 W_COARSE = 2  # coarse-probe width: route queries to the 2 best groups
 
 
-def _frozen2_probe_sql() -> str:
+def _frozen2_qprobes_cte() -> str:
+    """``qroute`` + ``probes(qid, centroid_id)``: each query's two-level
+    probe fan-out — ONE builder shared by the probe and recall oracles
+    so the routing can never fork (same discipline as
+    _trained_probes_cte)."""
     ids = ", ".join(str(i) for i in _IVF_QUERY_IDS)
     dot = _frozen2_dot
-    dot_qe = _dot_sql("q.embedding", "e.embedding")
-    nq = _dot_sql("q.embedding", "q.embedding")
-    ne = _dot_sql("e.embedding", "e.embedding")
-    return f"""
-    WITH {_frozen2_cents_cte()},
-    {_frozen2_t2assign_cte()},
-    qroute AS (
+    return f"""qroute AS (
       SELECT qid, gid FROM (
         SELECT v.vec_id AS qid, c.gid,
                ROW_NUMBER() OVER (PARTITION BY v.vec_id
@@ -1174,7 +1183,17 @@ def _frozen2_probe_sql() -> str:
           JOIN embeddings v ON v.vec_id = r.qid
           JOIN fcent f ON f.gid = r.gid
       ) WHERE prn <= {N_PROBE}
-    )
+    )"""
+
+
+def _frozen2_probe_sql() -> str:
+    dot_qe = _dot_sql("q.embedding", "e.embedding")
+    nq = _dot_sql("q.embedding", "q.embedding")
+    ne = _dot_sql("e.embedding", "e.embedding")
+    return f"""
+    WITH {_frozen2_cents_cte()},
+    {_frozen2_t2assign_cte()},
+    {_frozen2_qprobes_cte()}
     SELECT qid, vec_id, cosine, rn FROM (
       SELECT p.qid, a.vec_id,
              {dot_qe} / (sqrt({nq}) * sqrt({ne})) AS cosine,
@@ -1208,18 +1227,25 @@ def _frozen2_probe_sql() -> str:
 )
 def ivf_twolevel_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    coarse, fine = _frozen2_exprs(spark)
     assign = e.select(
         "vec_id", _frozen2_assign_col(spark).alias("centroid_id"))
-    # query-side two-level ranking: top-W coarse groups -> flatten their
-    # fine-literal arrays -> global (score, centroid_id) sort -> N_PROBE
+    return _probe_rank_tail(e, _frozen2_probes_df(spark, e), assign)
+
+
+def _frozen2_probes_df(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """Query-side two-level probe fan-out (qid, centroid_id) — top-W
+    coarse groups -> flatten their fine-literal arrays -> global
+    (score, centroid_id) sort -> N_PROBE. ONE builder shared by the
+    probe search and its recall eval (the Spark mirror of the oracle's
+    shared qroute/probes CTE) so the routing can never fork."""
+    coarse, fine = _frozen2_exprs(spark)
     top = F.slice(F.array_sort(F.transform(coarse, _literal_score)),
                   1, W_COARSE)
     fine_concat = F.flatten(F.transform(
         top, lambda s: F.element_at(fine,
                                     (s["centroid_id"] + 1).cast("int"))))
     rank_arr = F.transform(fine_concat, _literal_score)
-    probes = (
+    return (
         e.filter(F.col("vec_id").isin(*_IVF_QUERY_IDS))
         .select(
             F.col("vec_id").alias("qid"),
@@ -1228,7 +1254,80 @@ def ivf_twolevel_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("qid", F.col("p.centroid_id").alias("centroid_id"))
     )
-    return _probe_rank_tail(e, probes, assign)
+
+
+def _frozen2_recall_sql() -> str:
+    ids = ", ".join(str(i) for i in _IVF_QUERY_IDS)
+    dot_qe = _dot_sql("q.embedding", "e.embedding")
+    nq = _dot_sql("q.embedding", "q.embedding")
+    ne = _dot_sql("e.embedding", "e.embedding")
+    cos = f"{dot_qe} / (sqrt({nq}) * sqrt({ne}))"
+    return f"""
+    WITH {_frozen2_cents_cte()},
+    {_frozen2_t2assign_cte()},
+    {_frozen2_qprobes_cte()},
+    cand AS (
+      SELECT p.qid, a.vec_id FROM probes p
+      JOIN t2assign a ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id <> p.qid
+    ),
+    pred AS (
+      SELECT qid, vec_id FROM (
+        SELECT c.qid, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY c.qid
+                                  ORDER BY {cos} DESC, c.vec_id) AS rn
+        FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+                    JOIN embeddings q ON q.vec_id = c.qid
+      ) WHERE rn <= 3
+    ),
+    truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.vec_id AS qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos} DESC, e.vec_id) AS rn
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id IN ({ids})
+      ) WHERE rn <= 3
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM embeddings)
+    SELECT t.qid,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hit,
+           CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS recall,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand c WHERE c.qid = t.qid)
+             AS n_candidates,
+           CAST((SELECT COUNT(*) FROM cand c WHERE c.qid = t.qid) AS DOUBLE)
+             / (SELECT n_corpus - 1 FROM n) AS scan_frac
+    FROM truth t LEFT JOIN pred p ON t.qid = p.qid AND t.vec_id = p.vec_id
+    GROUP BY t.qid
+    """
+
+
+@register(
+    "ivf_twolevel_recall_eval",
+    _frozen2_recall_sql(),
+    doc="Recall/cost eval of the TWO-LEVEL routed quantizer (completes "
+        "the family next to ivf_recall_eval / ivf_trained_recall_eval): "
+        "brute-force cosine top-3 truth vs the two-level probe search, "
+        "plus the candidate fan-out census (n_candidates, scan_frac). "
+        "Run side-by-side with the flat evals this is the number that "
+        "decides whether the hierarchical routing's recall loss at a "
+        "given (W_COARSE, nprobe) is worth its O((n_coarse+|group|)*DIM) "
+        "assignment cost at k past ~10^3. Full oracle: both levels and "
+        "the grouping are frozen literals, every score exact double "
+        "arithmetic on both engines; the Spark side reuses the probe "
+        "search's own assignment column and probe fan-out builder "
+        "(_frozen2_probes_df) through the shared _recall_tail, so eval "
+        "and serving cannot fork.",
+)
+def ivf_twolevel_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    assign = e.select(
+        "vec_id", _frozen2_assign_col(spark).alias("centroid_id"))
+    return _recall_tail(e, assign, _frozen2_probes_df(spark, e),
+                        ivf_twolevel_probe_search(spark, sf_dir))
 
 
 @register(

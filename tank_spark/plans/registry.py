@@ -278,21 +278,31 @@ PRIORITY: tuple[str, ...] = (
     "ivf_trained_probe_search", "ivf_trained_recall_eval",
     "media_dedup_incremental_report",
     # ---- code/oracle changed this round
-    "media_index_build", "ivf_probe_search",
-    # ---- MVT blob-emitter cadence refresh (VERDICT r10 #7; the second
-    # refresh slot, tile_mvt_batch, yielded to the never-checked probe
-    # search below — tile_mvt_batch is r9-green, due r13, and its
-    # decode-parity twin tile_mvt_batch_parity carries an r10 full
-    # oracle row)
-    "tile_mvt_z7_parity",
+    "media_index_build",
     # ---- NEW (late r11): the two-level quantizer family, full oracles
     "ivf_twolevel_assignments", "ivf_twolevel_probe_search",
+    # ---- NEW (late r11, second pass): the two-level recall eval
+    # completing the quantizer-eval family, and the per-crawl-day
+    # stream-report twin. Never-checked entries enter unconditionally
+    # (the hygiene lint enforces it), so two standing slots yielded:
+    # tile_mvt_z7_parity (r9-green cadence refresh, due r13 — queued
+    # first for r12) and ivf_probe_search (r10 row; its refactored
+    # _probe_core body gets DIRECT in-window signal anyway —
+    # ivf_recall_eval consumes ivf_probe_search as its pred, and
+    # ivf_trained_probe_search runs the same core with the plan
+    # skeleton pinned identical).
+    "ivf_twolevel_recall_eval", "media_dedup_stream_report",
 )
 
 # R12 WINDOW HANDOFF: the full 46-entry r8 cohort comes due, leaving
 # only 4 flex slots. Priority uses for them:
 # 1. Never-checked NEW r12 registrations (unconditional).
-# 2. Any query whose code/oracle changed in late r11 / r12.
+# 2. Any query whose code/oracle changed in late r11 / r12 — note
+#    ivf_probe_search and tile_mvt_z7_parity yielded their r11 slots
+#    to the late never-checked entries: tile_mvt_z7_parity takes the
+#    FIRST r12 flex slot (r9 row, due r13), ivf_probe_search the
+#    second (r10 row; refactor covered transitively in r11 via
+#    ivf_recall_eval + the pinned-identical trained probe).
 # 3. If the driver regenerated /root/testdata, re-run
 #    tools/freeze_ivf_centroids.py and give the two ivf_trained_*
 #    entries fresh slots with the new snapshot (oracle parity holds
@@ -300,6 +310,7 @@ PRIORITY: tuple[str, ...] = (
 #    the recall-win story should track current data).
 # 4. The media_dedup_stream_replay / media_dedup_incremental pair ages
 #    out in r14 (r10 rows); no action needed before then.
+# 5. tile_mvt_batch's cadence refresh (r9 row, due r13) if room.
 
 
 def load_all() -> dict[str, QueryDef]:

@@ -161,6 +161,53 @@ def test_twolevel_probe_stays_broadcast(spark):
     assert any("BroadcastHashJoin" in o for o in two)
 
 
+def test_twolevel_recall_plan_identical_to_raw(spark):
+    """ivf_twolevel_recall_eval reuses the probe search's own assignment
+    column and probe fan-out through the shared _recall_tail — pin that
+    its physical skeleton is IDENTICAL to ivf_recall_eval's (only the
+    quantizer literals differ), so the two-level eval inherits every
+    plan property the raw eval carries (broadcast query side, bounded
+    candidate fan-out, no extra joins)."""
+    from tank_spark.llm.similarity import (
+        ivf_recall_eval,
+        ivf_twolevel_recall_eval,
+    )
+
+    raw = _plan_skeleton(ivf_recall_eval(spark, SF_DIR))
+    two = _plan_skeleton(ivf_twolevel_recall_eval(spark, SF_DIR))
+    assert two == raw
+    assert any("BroadcastHashJoin" in o for o in two)
+
+
+def test_twolevel_recall_census_matches_probe_fanout(spark):
+    """The eval's n_candidates census must count exactly the rows the
+    probe search ranks: for every query, n_candidates equals the
+    candidate count implied by re-running the probe fan-out (probed
+    lists joined to the assignment, minus self) — the property that
+    makes scan_frac an honest cost number for THIS serving path."""
+    import pyspark.sql.functions as F
+    from tank_spark.llm.similarity import (
+        _frozen2_assign_col,
+        _frozen2_probes_df,
+        ivf_twolevel_recall_eval,
+    )
+    from tank_spark.sources.tables import load
+
+    e = load(spark, SF_DIR, "embeddings")
+    assign = e.select(
+        "vec_id", _frozen2_assign_col(spark).alias("centroid_id"))
+    fanout = {
+        r["qid"]: r["n"]
+        for r in _frozen2_probes_df(spark, e)
+        .join(assign, "centroid_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    evald = {r["qid"]: r["n_candidates"]
+             for r in ivf_twolevel_recall_eval(spark, SF_DIR).collect()}
+    assert evald == {qid: fanout.get(qid, 0) for qid in evald}
+
+
 def test_frozen_score_structs_memoized(spark):
     """Repeated plan builds in one session reuse the parsed quantizer
     Column (the r10 plan-build-cost lesson applies to the frozen path

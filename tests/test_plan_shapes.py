@@ -555,6 +555,20 @@ def test_media_incremental_report_stays_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_media_stream_report_stays_broadcast(spark):
+    """The per-crawl-day report composes the stream replay with the
+    shared _curation_report builder — the replay's disposition union is
+    batch-bounded, so the report layer must add ONLY broadcast joins on
+    top of the replay plan (documents join + per-day totals), never a
+    SortMergeJoin or cartesian."""
+    from tank_spark.llm.media_inc import media_dedup_stream_report
+
+    plan = _plan(media_dedup_stream_report(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_media_stream_replay_batches_broadcast_into_probes(spark):
     """media_dedup_stream_replay applies the media incremental probe
     twice (batch A vs index-0, batch B vs the GROWN index): both
