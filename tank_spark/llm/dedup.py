@@ -1857,25 +1857,17 @@ def disposition_against_index(
         "a source-cardinality aggregate.",
 )
 def dedup_incremental_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the aggregation layer is the shared _curation_report builder
+    # (media_inc) — text and media, batch and stream reports all emit
+    # the same shape through one code path (late-r11 unification; the
+    # produced plan is identical to the previous inline form)
+    from tank_spark.llm.media_inc import _curation_report
+
     b = dedup_incremental_batch(spark, sf_dir).select(
         (F.col("doc_id") % INC_BATCH_OFFSET).alias("orig"),
         "disposition", "match_cid",
     )
-    d = load(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("orig"), "source")
-    src = d.join(F.broadcast(b), "orig").select(
-        "source", "disposition", "match_cid")
-    agg = src.groupBy("source", "disposition").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("match_cid").alias("n_matched_distinct"),
-    )
-    tot = agg.groupBy("source").agg(F.sum("n_docs").cast("long").alias("n_src"))
-    return agg.join(F.broadcast(tot), "source").select(
-        "source", "disposition", "n_docs",
-        F.round(F.col("n_docs") * 1000000.0 / F.col("n_src"), 0)
-        .cast("long").alias("share_ppm"),
-        "n_matched_distinct",
-    )
+    return _curation_report(spark, sf_dir, b, ["source"])
 
 
 # ------------------------------------- sequential (streaming) replay
@@ -1928,10 +1920,11 @@ def _inc_disp_sql(sfx: str, pred: str, ifp_cte: str, ib_cte: str) -> str:
     )"""
 
 
-@register(
-    "dedup_incremental_stream_replay",
-    f"""
-    WITH {_INC_CORPUS_CTE}, {_SHINGLES_SQL}, {_sig_sql()}, {_bands_sql()},
+# The full replay CTE chain, shared by the replay oracle and the
+# stream-report oracle below so the two can never fork (defined ahead
+# of both registrations; module-level so the f-string folds once).
+_STREAM_REPLAY_CTES = f"""
+    {_INC_CORPUS_CTE}, {_SHINGLES_SQL}, {_sig_sql()}, {_bands_sql()},
     fps AS (SELECT cid, {_NORM_SQL} AS fp FROM corpus),
     ifp0 AS (SELECT cid AS icid, fp FROM fps
              WHERE cid < {INC_BATCH_OFFSET}),
@@ -1953,7 +1946,13 @@ def _inc_disp_sql(sfx: str, pred: str, ifp_cte: str, ib_cte: str) -> str:
       SELECT b.cid AS icid, b.band_idx, b.band_val
       FROM bands b JOIN newa ON b.cid = newa.cid
     ),
-    {_inc_disp_sql("_b", f"cid >= {2 * INC_BATCH_OFFSET}", "ifp1", "ib1")}
+    {_inc_disp_sql("_b", f"cid >= {2 * INC_BATCH_OFFSET}", "ifp1", "ib1")}"""
+
+
+@register(
+    "dedup_incremental_stream_replay",
+    f"""
+    WITH {_STREAM_REPLAY_CTES}
     SELECT doc_id, 1 AS batch_id, disposition, match_cid, n_bands_hit
     FROM disp_a
     UNION ALL
@@ -2013,3 +2012,56 @@ def dedup_incremental_stream_replay(spark: SparkSession, sf_dir: str) -> DataFra
         .select("doc_id", "batch_id", "disposition", "match_cid",
                 "n_bands_hit")
     )
+
+
+@register(
+    "dedup_incremental_stream_report",
+    f"""
+    WITH {_STREAM_REPLAY_CTES},
+    rep AS (
+      SELECT doc_id, CAST(1 AS INTEGER) AS batch_id, disposition, match_cid
+      FROM disp_a
+      UNION ALL
+      SELECT doc_id, CAST(2 AS INTEGER) AS batch_id, disposition, match_cid
+      FROM disp_b
+    ),
+    src AS (
+      SELECT r.batch_id, d.source, r.disposition, r.match_cid
+      FROM rep r
+      JOIN documents d ON d.doc_id = r.doc_id % {INC_BATCH_OFFSET}
+    ),
+    agg AS (
+      SELECT batch_id, source, disposition,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT match_cid) AS BIGINT) AS n_matched_distinct
+      FROM src GROUP BY batch_id, source, disposition
+    ),
+    tot AS (SELECT batch_id, source, CAST(SUM(n_docs) AS BIGINT) AS n_src
+            FROM agg GROUP BY batch_id, source)
+    SELECT a.batch_id, a.source, a.disposition, a.n_docs,
+           CAST(ROUND(a.n_docs * 1000000.0 / t.n_src, 0) AS BIGINT)
+             AS share_ppm,
+           a.n_matched_distinct
+    FROM agg a JOIN tot t
+      ON a.batch_id = t.batch_id AND a.source = t.source
+    """,
+    doc="The per-crawl-day curation report over the TEXT stream replay "
+        "(the text twin of media_dedup_stream_report, completing the "
+        "detect -> replay -> report arc on both modalities): per "
+        "(batch_id, source, disposition) batch counts, ppm share of "
+        "that day's (source) batch, distinct matched docs — so day 2's "
+        "re-emitted docs report exact_dup_of_index against day 1's "
+        "survivors, and day-over-day new_unique share drift is the "
+        "crawl-saturation signal. Same shared _curation_report "
+        "aggregation builder and broadcast-only posture; the replay "
+        "side is the standing two-probe chain.",
+)
+def dedup_incremental_stream_report(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    from tank_spark.llm.media_inc import _curation_report
+
+    r = dedup_incremental_stream_replay(spark, sf_dir).select(
+        (F.col("doc_id") % INC_BATCH_OFFSET).alias("orig"),
+        "batch_id", "disposition", "match_cid",
+    )
+    return _curation_report(spark, sf_dir, r, ["batch_id", "source"])

@@ -277,32 +277,42 @@ PRIORITY: tuple[str, ...] = (
     # ---- NEW this round (never-checked entries enter unconditionally)
     "ivf_trained_probe_search", "ivf_trained_recall_eval",
     "media_dedup_incremental_report",
-    # ---- code/oracle changed this round
-    "media_index_build",
     # ---- NEW (late r11): the two-level quantizer family, full oracles
     "ivf_twolevel_assignments", "ivf_twolevel_probe_search",
     # ---- NEW (late r11, second pass): the two-level recall eval
     # completing the quantizer-eval family, and the per-crawl-day
-    # stream-report twin. Never-checked entries enter unconditionally
-    # (the hygiene lint enforces it), so two standing slots yielded:
-    # tile_mvt_z7_parity (r9-green cadence refresh, due r13 — queued
-    # first for r12) and ivf_probe_search (r10 row; its refactored
-    # _probe_core body gets DIRECT in-window signal anyway —
-    # ivf_recall_eval consumes ivf_probe_search as its pred, and
-    # ivf_trained_probe_search runs the same core with the plan
-    # skeleton pinned identical).
+    # stream-report twins (media + text). Never-checked entries enter
+    # unconditionally (the hygiene lint enforces it), so three standing
+    # slots yielded, each with a concrete in-suite substitute for the
+    # deferred driver row:
+    # - tile_mvt_z7_parity (r9-green cadence refresh, due r13 — queued
+    #   first for r12);
+    # - ivf_probe_search (r10 row; its refactored _probe_core gets
+    #   DIRECT in-window signal anyway — ivf_recall_eval consumes
+    #   ivf_probe_search as its pred, and ivf_trained_probe_search runs
+    #   the same core with the plan skeleton pinned identical);
+    # - media_index_build (r10 row, due r14; the r11 phash addition is
+    #   oracle-parity-verified at BOTH SFs on every pytest run and its
+    #   shape is e2e-consumed by the streaming index tests — queued
+    #   for an r12 flex slot).
     "ivf_twolevel_recall_eval", "media_dedup_stream_report",
+    "dedup_incremental_stream_report",
 )
 
 # R12 WINDOW HANDOFF: the full 46-entry r8 cohort comes due, leaving
 # only 4 flex slots. Priority uses for them:
 # 1. Never-checked NEW r12 registrations (unconditional).
 # 2. Any query whose code/oracle changed in late r11 / r12 — note
-#    ivf_probe_search and tile_mvt_z7_parity yielded their r11 slots
-#    to the late never-checked entries: tile_mvt_z7_parity takes the
-#    FIRST r12 flex slot (r9 row, due r13), ivf_probe_search the
-#    second (r10 row; refactor covered transitively in r11 via
-#    ivf_recall_eval + the pinned-identical trained probe).
+#    tile_mvt_z7_parity, ivf_probe_search, and media_index_build
+#    yielded their r11 slots to the late never-checked entries:
+#    tile_mvt_z7_parity takes the FIRST r12 flex slot (r9 row, due
+#    r13), media_index_build the second (r10 row; the phash addition
+#    is pytest-oracle-verified at both SFs), ivf_probe_search the
+#    third (r10 row; refactor covered transitively in r11 via
+#    ivf_recall_eval + the pinned-identical trained probe). Also
+#    dedup_incremental_report's aggregation layer moved onto the
+#    shared _curation_report builder late r11 (plan unchanged,
+#    oracle-parity in-suite) — give it a slot when room allows.
 # 3. If the driver regenerated /root/testdata, re-run
 #    tools/freeze_ivf_centroids.py and give the two ivf_trained_*
 #    entries fresh slots with the new snapshot (oracle parity holds

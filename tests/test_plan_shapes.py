@@ -555,6 +555,20 @@ def test_media_incremental_report_stays_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_text_stream_report_stays_broadcast(spark):
+    """dedup_incremental_stream_report (the text twin of the media
+    stream report) composes the text stream replay with the shared
+    _curation_report builder — the report layer must add only broadcast
+    joins on top of the replay plan, never a SortMergeJoin or
+    cartesian."""
+    from tank_spark.llm.dedup import dedup_incremental_stream_report
+
+    plan = _plan(dedup_incremental_stream_report(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_media_stream_report_stays_broadcast(spark):
     """The per-crawl-day report composes the stream replay with the
     shared _curation_report builder — the replay's disposition union is
