@@ -375,13 +375,23 @@ def _curation_report(spark: SparkSession, sf_dir: str, disp: DataFrame,
     keys-group + distinct matched rows, over a disposition output
     carrying ``orig`` provenance — ONE builder shared by the batch and
     stream-replay reports so their aggregation semantics can't fork.
-    ``keys`` must include ``source``; the documents join supplies it.
-    Scale shape: ``disp`` is batch-bounded, so it BROADCASTS into the
-    documents join; the per-group totals are a tiny aggregate that
-    broadcasts back — no SortMergeJoin anywhere in the chain."""
+    ``keys`` must include ``source``; the documents join supplies it."""
     d = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("orig"), "source")
-    src = d.join(F.broadcast(disp), "orig").select(
+    return curation_report_over(d, disp, keys)
+
+
+def curation_report_over(docs: DataFrame, disp: DataFrame,
+                         keys: list[str]) -> DataFrame:
+    """The report aggregation core over an explicit ``docs`` (orig,
+    source) relation — also the PRODUCTION path the streaming modules
+    expose over their persisted disposition outputs
+    (media_dedup_stream.media_stream_report /
+    dedup_stream.dedup_stream_report). Scale shape: ``disp`` is
+    batch-bounded, so it BROADCASTS into the docs join; the per-group
+    totals are a tiny aggregate that broadcasts back — no SortMergeJoin
+    anywhere in the chain."""
+    src = docs.join(F.broadcast(disp), "orig").select(
         *keys, "disposition", "match_cid")
     agg = src.groupBy(*keys, "disposition").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -41,7 +41,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -224,6 +224,30 @@ def start_incremental_dedup_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_stream_report(spark: SparkSession, out_dir: str,
+                        docs: DataFrame,
+                        provenance: Column | None = None) -> DataFrame:
+    """The daily curation report OFF THE PERSISTED disposition output —
+    the production form of the registered dedup_incremental_stream_report
+    (which re-derives the replay in one plan for the oracle gate): read
+    ``out_dir``, map doc_id to provenance ``orig`` (default: the corpus
+    convention ``doc_id % INC_BATCH_OFFSET``; a deployment passes its
+    own id scheme), join the caller's ``docs`` (orig, source) relation,
+    and aggregate per (epoch_id, source, disposition) through the SAME
+    curation_report_over core as every registered report. Marginal
+    daily cost at crawl cadence: one broadcast aggregate over that
+    day's partition — no replay re-derivation."""
+    from tank_spark.llm.dedup import INC_BATCH_OFFSET
+    from tank_spark.llm.media_inc import curation_report_over
+
+    disp = spark.read.parquet(out_dir)
+    orig = provenance if provenance is not None else (
+        F.col("doc_id") % INC_BATCH_OFFSET)
+    disp = disp.select(orig.alias("orig"), "epoch_id",
+                       "disposition", "match_cid")
+    return curation_report_over(docs, disp, ["epoch_id", "source"])
 
 
 def docs_file_stream(spark: SparkSession, drop_dir: str,

@@ -242,3 +242,37 @@ def test_text_index_epoch_write_idempotent_and_compacts(spark, tmp_path):
     ifp2, ib2 = read_dedup_index(spark, index_dir)
     assert sorted(tuple(r) for r in ifp2.collect()) == before_fp
     assert sorted(tuple(r) for r in ib2.collect()) == before_b
+
+
+def test_text_stream_report_from_persisted_output(spark, tmp_path):
+    """dedup_stream_report (the production report path) aggregates the
+    loop's PERSISTED out_dir directly, keyed per (epoch_id, source) —
+    same curation_report_over core as the registered reports."""
+    from pyspark.sql import functions as F
+
+    from tank_spark.streaming.dedup_stream import dedup_stream_report
+
+    out_dir = str(tmp_path / "out")
+    spark.createDataFrame(
+        [(11, "new_unique", None, 0, 0),
+         (12, "exact_dup_of_index", 1, 0, 0),
+         (21, "exact_dup_of_index", 11, 0, 1),
+         (22, "near_dup_of_index", 11, 3, 1)],
+        "doc_id long, disposition string, match_cid long, "
+        "n_bands_hit int, epoch_id long",
+    ).write.mode("append").parquet(out_dir)
+    docs = spark.createDataFrame(
+        [(11, "web"), (12, "web"), (21, "web"), (22, "books")],
+        "orig long, source string")
+    got = {
+        (r["epoch_id"], r["source"], r["disposition"]):
+            (r["n_docs"], r["share_ppm"], r["n_matched_distinct"])
+        for r in dedup_stream_report(
+            spark, out_dir, docs, provenance=F.col("doc_id")).collect()
+    }
+    assert got == {
+        (0, "web", "new_unique"): (1, 500000, 0),
+        (0, "web", "exact_dup_of_index"): (1, 500000, 1),
+        (1, "web", "exact_dup_of_index"): (1, 1000000, 1),
+        (1, "books", "near_dup_of_index"): (1, 1000000, 1),
+    }

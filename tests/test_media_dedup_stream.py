@@ -318,3 +318,44 @@ def test_stream_probe_matches_batch_twin_rule(spark, tmp_path):
         .filter(F.col("batch_id") == 1).drop("batch_id").collect()
     }
     assert got == want
+
+
+def test_media_stream_report_from_persisted_output(spark, tmp_path):
+    """media_stream_report (the production report path) aggregates the
+    loop's PERSISTED out_dir directly — no replay re-derivation: exact
+    per-(epoch_id, modality, source) counts, day-normalized ppm shares
+    that sum to ~1e6 within each group, and distinct-match counts, via
+    the same curation_report_over core as the registered reports."""
+    from pyspark.sql import functions as F
+
+    from tank_spark.streaming.media_dedup_stream import media_stream_report
+
+    out_dir = str(tmp_path / "out")
+    # two epochs of disposition output, as the foreachBatch sink writes
+    spark.createDataFrame(
+        [(101, "image", "near_dup_of_index", 1, 2, 0),
+         (102, "image", "new_unique", None, 0, 0),
+         (103, "audio", "new_unique", None, 0, 0),
+         (201, "image", "exact_dup_of_index", 102, 0, 1),
+         (202, "image", "exact_dup_of_index", 102, 0, 1)],
+        "doc_id long, modality string, disposition string, "
+        "match_cid long, n_bands_hit int, epoch_id long",
+    ).write.mode("append").parquet(out_dir)
+    docs = spark.createDataFrame(
+        [(101, "crawlA"), (102, "crawlA"), (103, "crawlB"),
+         (201, "crawlA"), (202, "crawlA")],
+        "orig long, source string")
+    got = {
+        (r["epoch_id"], r["modality"], r["source"], r["disposition"]):
+            (r["n_docs"], r["share_ppm"], r["n_matched_distinct"])
+        for r in media_stream_report(
+            spark, out_dir, docs,
+            provenance=F.col("doc_id")).collect()
+    }
+    assert got == {
+        (0, "image", "crawlA", "near_dup_of_index"): (1, 500000, 1),
+        (0, "image", "crawlA", "new_unique"): (1, 500000, 0),
+        (0, "audio", "crawlB", "new_unique"): (1, 1000000, 0),
+        # epoch 1: both re-crawls matched the SAME survivor -> distinct 1
+        (1, "image", "crawlA", "exact_dup_of_index"): (2, 1000000, 1),
+    }
