@@ -50,9 +50,10 @@ r11 driver window froze (the window is byte-identical to VERDICT r10
 #1's prescription and has zero free slots), so they sit in
 registry.STAGED — excluded from the first-50 window, pinned by pytest
 oracle parity at BOTH the driver SF (sf0.01) and the pytest SF
-(sf0.001) in tests/test_semdedup_inc.py, and queued to lead the r12
-window's five flex slots (the handoff already reserves r12 flex for
-never-checked new registrations).
+(sf0.001) in tests/test_semdedup_inc.py, and queued into the next
+windows' flex slots (registry.py R12 WINDOW HANDOFF: four enter r12,
+semdedup_stream_report enters r13 — the 46-entry r8 cohort leaves
+exactly 4 flex slots in r12).
 """
 
 from __future__ import annotations
@@ -576,9 +577,15 @@ def semdedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def semdedup_incremental_report(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
+    # the report core consumes the disposition relation twice (the
+    # per-group totals branch and the join branch) — pin the
+    # batch-bounded output so the probe chain runs once (measured 4.0s
+    # -> ~2.3s at sf0.1, the same double-run the media family pins away
+    # with its kernel checkpoints)
     disp = semdedup_incremental(spark, sf_dir).select(
         (F.col("vec_id") % INC_OFFSET).alias("orig"),
-        "disposition", F.col("match_vid").alias("match_cid"))
+        "disposition", F.col("match_vid").alias("match_cid"),
+    ).localCheckpoint(eager=True)
     return _label_report(spark, sf_dir, disp, ["label"])
 
 
@@ -596,9 +603,13 @@ def semdedup_incremental_report(spark: SparkSession,
         "broadcast-only posture as every other curation report.",
 )
 def semdedup_stream_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pinned for the same double-consumption reason as the batch report
+    # (disp_a inside the replay is already checkpointed; without this
+    # pin the day-2 probe would run twice)
     r = semdedup_stream_replay(spark, sf_dir).select(
         (F.col("vec_id") % INC_OFFSET).alias("orig"),
-        "batch_id", "disposition", F.col("match_vid").alias("match_cid"))
+        "batch_id", "disposition", F.col("match_vid").alias("match_cid"),
+    ).localCheckpoint(eager=True)
     return _label_report(spark, sf_dir, r, ["batch_id", "label"])
 
 

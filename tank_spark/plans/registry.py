@@ -307,39 +307,64 @@ PRIORITY: tuple[str, ...] = (
 # substitute: each MUST carry a FULL DuckDB oracle (never rows-only) and
 # is pytest-parity-pinned at BOTH the driver SF (sf0.01) and the pytest
 # SF (sf0.001) — the driver-equivalent check, minus only independence —
-# and they MUST lead the NEXT round's flex slots (r12: 45 r8-due
-# entries + these 5 = exactly 50; the r11 handoff already reserved r12
-# flex for never-checked registrations). test_registry_hygiene enforces
-# every clause it can check today (full oracle, registered, disjoint
-# from the window, parity tests exist).
+# and they MUST lead the next rounds' flex slots (exact schedule in the
+# R12 WINDOW HANDOFF below: 46 r8-due entries leave 4 flex in r12, so
+# four staged entries enter r12 and semdedup_stream_report — whose
+# replay base gets its r12 row and whose aggregation core has four
+# driver-checked consumers — takes an r13 flex slot).
+# test_registry_hygiene enforces every clause it can check today (full
+# oracle, registered, disjoint from the window, parity tests exist).
 STAGED: tuple[str, ...] = (
     "semdedup_index_build", "semdedup_incremental",
     "semdedup_stream_replay", "semdedup_incremental_report",
     "semdedup_stream_report",
 )
 
-# R12 WINDOW HANDOFF: the full 46-entry r8 cohort comes due, leaving
-# only 4 flex slots. Priority uses for them:
-# 1. Never-checked NEW r12 registrations (unconditional).
-# 2. Any query whose code/oracle changed in late r11 / r12 — note
-#    tile_mvt_z7_parity, ivf_probe_search, and media_index_build
-#    yielded their r11 slots to the late never-checked entries:
-#    tile_mvt_z7_parity takes the FIRST r12 flex slot (r9 row, due
-#    r13), media_index_build the second (r10 row; the phash addition
-#    is pytest-oracle-verified at both SFs), ivf_probe_search the
-#    third (r10 row; refactor covered transitively in r11 via
-#    ivf_recall_eval + the pinned-identical trained probe). Also
-#    dedup_incremental_report's aggregation layer moved onto the
-#    shared _curation_report builder late r11 (plan unchanged,
-#    oracle-parity in-suite) — give it a slot when room allows.
-# 3. If the driver regenerated /root/testdata, re-run
-#    tools/freeze_ivf_centroids.py and give the two ivf_trained_*
-#    entries fresh slots with the new snapshot (oracle parity holds
-#    either way — both engines score the same frozen constants — but
-#    the recall-win story should track current data).
-# 4. The media_dedup_stream_replay / media_dedup_incremental pair ages
-#    out in r14 (r10 rows); no action needed before then.
-# 5. tile_mvt_batch's cadence refresh (r9 row, due r13) if room.
+# R12 WINDOW HANDOFF (recomputed from the CORRECTNESS_r* artifacts
+# after the staged registrations; the planned dedup_incremental_report
+# pre-pull never ran, so the due cohort is the FULL 46): the r12
+# PRIORITY is these 46 r8-due names
+#   "audio_features", "audio_fingerprint_neardup", "audio_resample",
+#   "chunk_documents", "cross_source_duplication",
+#   "curriculum_quality_stages", "decontaminate_train_eval",
+#   "dedup_event_stream_replay", "dedup_exact", "dedup_exact_survivors",
+#   "dedup_incremental_batch", "dedup_incremental_report",
+#   "dedup_incremental_stream_replay", "dedup_index_build",
+#   "dedup_lsh_clusters", "dedup_lsh_survivors",
+#   "dedup_minhash_signatures", "dedup_prefix_containment",
+#   "dedup_quality_survivors", "embedding_sq_quantize",
+#   "event_value_outliers", "export_shard_plan", "global_sequence_ids",
+#   "gopher_quality_rules", "image_phash_neardup",
+#   "image_phash_survivors", "ivf_train_kmeans", "media_dedup_apply",
+#   "media_dedup_report", "media_dedup_survivors",
+#   "media_extract_features", "media_frame_sample", "media_resize",
+#   "neardup_embedding_clusters", "pack_token_budget", "passage_dedup",
+#   "quality_top_quantile_per_source", "rare_word_fraction",
+#   "sample_stratified_sources", "stream_spend_post_state",
+#   "temperature_mix_weights", "token_budget_planning",
+#   "token_freq_spectrum", "video_keyframes", "video_phash_neardup",
+#   "video_scene_cuts",
+# plus the 4 flex slots = the first four STAGED entries
+#   "semdedup_index_build", "semdedup_incremental",
+#   "semdedup_stream_replay", "semdedup_incremental_report",
+# (never-checked entries enter unconditionally; drop each from STAGED
+# as it enters). semdedup_stream_report stays STAGED one more round.
+#
+# R13: the 46-entry r9 cohort comes due (it already contains the
+# tile_mvt_z7_parity and tile_mvt_batch cadence refreshes), leaving 4
+# flex: semdedup_stream_report (the last staged entry — MUST enter),
+# then media_index_build and ivf_probe_search (r10 rows, due r14;
+# their late-r11 code changes are pytest-oracle-verified meanwhile),
+# then new r12/r13 registrations if any.
+#
+# Standing notes: if the driver regenerated /root/testdata, re-run
+# tools/freeze_ivf_centroids.py + tools/freeze_ivf_twolevel.py and
+# give the ivf_trained_*/ivf_twolevel_* entries fresh slots with the
+# new snapshot (oracle parity holds either way — both engines score
+# the same frozen constants — but the recall-win story should track
+# current data). dedup_incremental_report's aggregation layer moved
+# onto the shared _curation_report builder late r11 (plan unchanged);
+# its r12 due slot covers that change.
 
 
 def load_all() -> dict[str, QueryDef]:
