@@ -1,0 +1,108 @@
+"""File-level data skipping over plain parquet: a manifest of per-file
+column statistics (the Delta/Iceberg data-skipping idea, reduced to
+its core) plus a scan planner that prunes files BEFORE Spark lists or
+opens them.
+
+Why this exists next to the repo's other pruning layers: the feature
+table prunes by hash-bucket DIRECTORY (partition values — z-range
+scans, tiles.py), and parquet row-group stats prune WITHIN a file that
+is already being read. Neither helps a predicate on a non-partition
+column across a large un-partitioned table: Spark still lists and
+opens every file. A manifest — one tiny parquet relation of (file,
+n_rows, min/max per indexed column) — lets the driver cut the file
+list itself, which at 100 TB is the difference between touching
+thousands of files and a handful (this is exactly what a table
+format's add-file stats do; a real deployment maintains the manifest
+transactionally in Delta/Iceberg, and this module is the engine-side
+shape of that).
+
+Skipping is only as good as the layout: stats prune when files are
+value-clustered on the indexed column. ``write_clustered`` produces
+that layout (range-repartition + sort-within-partitions — the same
+idea as a Z-ORDER/OPTIMIZE rewrite at one dimension), and
+``build_manifest`` derives the stats relation from ANY parquet
+directory in one aggregate over ``input_file_name()`` (no file is read
+twice, no driver-side row work).
+
+Null semantics: ``F.min``/``F.max`` ignore nulls, so a file whose
+indexed column is entirely null has null stats. Range predicates
+(`BETWEEN lo AND hi`) never match null values, so such files are
+safely prunable — ``prune_files`` drops them. Predicates that must
+KEEP nulls (IS NULL) are out of scope for range skipping, as in every
+stats-pruning implementation.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# hidden from Spark's parquet discovery (underscore prefix, like
+# _SUCCESS), so the manifest can live INSIDE the table directory and
+# travel with it
+MANIFEST_DIR = "_manifest"
+
+
+def write_clustered(df: DataFrame, path: str, cluster_by: str,
+                    n_files: int) -> None:
+    """Write ``df`` as ``n_files`` parquet files value-clustered on
+    ``cluster_by``: range repartition gives files DISJOINT value ranges
+    (maximal skipping power), sort-within keeps parquet row-group stats
+    tight too. The one-dimensional OPTIMIZE/Z-ORDER rewrite."""
+    (df.repartitionByRange(n_files, F.col(cluster_by))
+       .sortWithinPartitions(cluster_by)
+       .write.mode("overwrite").parquet(path))
+
+
+def build_manifest(spark: SparkSession, path: str,
+                   stat_cols: list[str]) -> DataFrame:
+    """One aggregate over the table scan: per input file, row count and
+    min/max of every indexed column. Returns the manifest relation
+    (file, n_rows, <c>_min, <c>_max, ...) and persists it under
+    ``path/_manifest`` so later sessions plan from the tiny relation
+    instead of the table. Map-side combine does the heavy lifting; the
+    shuffle is one row per FILE, not per data row."""
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    man = (df.groupBy(F.input_file_name().alias("file")).agg(*aggs))
+    man.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, MANIFEST_DIR))
+    return man
+
+
+def read_manifest(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(path, MANIFEST_DIR))
+
+
+def prune_files(spark: SparkSession, path: str, col: str,
+                lo, hi) -> list[str]:
+    """The planning step: files whose [min, max] interval can contain a
+    value in [lo, hi]. All-null stats files are dropped (a range
+    predicate never matches null). The manifest is file-cardinality
+    sized — collecting it is the driver-side plan work every
+    table-format reader does, NOT a data collect."""
+    man = read_manifest(spark, path)
+    keep = man.filter(
+        F.col(f"{col}_min").isNotNull()
+        & (F.col(f"{col}_max") >= F.lit(lo))
+        & (F.col(f"{col}_min") <= F.lit(hi)))
+    return [r["file"] for r in keep.select("file").collect()]
+
+
+def skipping_scan(spark: SparkSession, path: str, col: str,
+                  lo, hi) -> DataFrame:
+    """Range scan with file-level skipping: read ONLY the manifest-
+    selected files, then apply the residual predicate (files straddle
+    the range boundary; parquet row-group stats prune further inside).
+    Returns an empty, correctly-typed relation when every file prunes.
+    Result is row-identical to the full-scan filter — pinned by
+    tests/test_skipping.py against the unpruned plan."""
+    files = prune_files(spark, path, col, lo, hi)
+    pred = F.col(col).between(F.lit(lo), F.lit(hi))
+    if not files:
+        return spark.read.parquet(path).filter(pred).limit(0)
+    return spark.read.parquet(*files).filter(pred)
