@@ -75,6 +75,11 @@ HEADLINE = [
     # routed probe at k=64 (the at-scale quantizer shape; scans ~2/64
     # lists per query where the flat k=8 probes scan ~2/8)
     "ivf_trained_probe_search", "ivf_twolevel_probe_search",
+    # late-r11 addition: incremental SEMANTIC dedup — the third
+    # incremental pillar next to dedup_incremental_batch and
+    # media_dedup_incremental (routed IVF probe, batch broadcast into
+    # every join; iso median 2.15s at sf0.1)
+    "semdedup_incremental",
     # BENCH-ONLY entry: full-fidelity z7 overview encode. NOT a serving
     # path (serving uses the budgeted sample below OVERVIEW_ZOOM — the
     # full blob hits the MVT format ceiling at 100x, see SCALE.md);

@@ -381,6 +381,41 @@ def _curation_report(spark: SparkSession, sf_dir: str, disp: DataFrame,
     return curation_report_over(d, disp, keys)
 
 
+def collapse_replayed_epochs(disp: DataFrame, id_col: str,
+                             precedence: list[str]) -> DataFrame:
+    """Collapse at-least-once replays in a persisted disposition output
+    to ONE row per (epoch_id, ``id_col``) — the 'readers drop replayed
+    epochs' half of the stream modules' output posture, shared by all
+    three incremental families' production report paths (review r11:
+    the posture was documented but no reader implemented it, so a
+    replayed epoch double-counted in every daily report).
+
+    When the two copies of an epoch disagree (the replay ran AFTER its
+    survivors were folded into the index, flipping new_unique rows to
+    dup-of-index self-matches), keep the most duplicate-aware copy —
+    the replay saw the current index state — via the ``precedence``
+    rank; remaining ties resolve by the smallest payload struct, so the
+    pick is deterministic."""
+    rank = F.coalesce(
+        *[F.when(F.col("disposition") == d, F.lit(i))
+          for i, d in enumerate(precedence)],
+        F.lit(len(precedence)))
+    payload = [c for c in disp.columns if c not in ("epoch_id", id_col)]
+    s = F.struct(rank.alias("_r"),
+                 *[F.col(c).alias(c) for c in payload])
+    return (disp.groupBy("epoch_id", id_col)
+            .agg(F.min(s).alias("_w"))
+            .select("epoch_id", id_col,
+                    *[F.col(f"_w.{c}").alias(c) for c in payload]))
+
+
+# disposition precedence per family (most duplicate-aware first) — the
+# collapse rule's ordering for contradictory replay copies
+MEDIA_DISPOSITION_PRECEDENCE = [
+    "exact_dup_of_index", "dup_in_batch", "near_dup_of_index",
+    "new_unique"]
+
+
 def curation_report_over(docs: DataFrame, disp: DataFrame,
                          keys: list[str]) -> DataFrame:
     """The report aggregation core over an explicit ``docs`` (orig,

@@ -171,35 +171,90 @@ def _sem_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------- index/route projections
 
-def scored_relation(spark: SparkSession, rel: DataFrame) -> DataFrame:
+def _quantizer_cols(spark: SparkSession, quantizer: str):
+    """(top1_col, routes_fn): the assignment Column and a
+    routes(nprobe) -> Column factory for the chosen quantizer.
+
+    - "frozen":   the flat k=8 trained literal (llm/ivf_frozen.py) —
+      the registered entries' quantizer, full-oracle-exact.
+    - "twolevel": the routed k=64 two-level literal
+      (llm/ivf_frozen2.py) — the at-scale shape (per-row cost
+      O((n_coarse + |group|)*DIM) instead of O(k*DIM), list sizes 8x
+      smaller at this freeze). Same map-only posture; the incremental
+      probe's candidate count per batch row shrinks with list size,
+      which is THE knob that keeps crawl-cadence semantic dedup linear
+      as the corpus grows (tools/semdedup_scale_probe.py measures it).
+    """
+    if quantizer == "frozen":
+        arr = _frozen_score_structs(spark)
+
+        def routes(nprobe: int):
+            return F.transform(F.slice(F.array_sort(arr), 1, nprobe),
+                               lambda s: s["centroid_id"])
+
+        return F.array_min(arr)["centroid_id"], routes
+    if quantizer == "twolevel":
+        from tank_spark.llm.similarity import (
+            W_COARSE,
+            _frozen2_assign_col,
+            _frozen2_exprs,
+            _literal_score,
+        )
+
+        coarse, fine = _frozen2_exprs(spark)
+        top1 = _frozen2_assign_col(spark)
+
+        def routes(nprobe: int):
+            # the two-level ASSIGNMENT picks within the top-1 coarse
+            # group only, while the flatten-and-sort route ranking spans
+            # W_COARSE groups — so a vector's own assigned list can rank
+            # below nprobe in its own route set (measured: 17% of
+            # IDENTICAL re-crawls missed their original at this freeze).
+            # Prepending the assignment restores the flat-quantizer
+            # invariant that a vector always probes its own list, which
+            # is what makes exact re-crawl detection unconditional.
+            top = F.slice(
+                F.array_sort(F.transform(coarse, _literal_score)),
+                1, W_COARSE)
+            fine_concat = F.flatten(F.transform(
+                top,
+                lambda s: F.element_at(
+                    fine, (s["centroid_id"] + 1).cast("int"))))
+            rank_arr = F.transform(fine_concat, _literal_score)
+            cand = F.transform(F.slice(F.array_sort(rank_arr), 1, nprobe),
+                               lambda p: p["centroid_id"])
+            return F.slice(
+                F.array_distinct(F.concat(F.array(top1), cand)),
+                1, nprobe)
+
+        return top1, routes
+    raise ValueError(f"unknown quantizer: {quantizer!r}")
+
+
+def scored_relation(spark: SparkSession, rel: DataFrame,
+                    quantizer: str = "frozen") -> DataFrame:
     """(vid, list_id, embedding, inv): ONE map-only projection computes
-    the frozen-quantizer top-1 assignment AND the hoisted inverse norm —
+    the quantizer's top-1 assignment AND the hoisted inverse norm —
     no join between assignment and norm relations, so the corpus never
     shuffles to build its index shape. This is the persisted-artifact
     schema the streaming module writes."""
-    arr = _frozen_score_structs(spark)
+    top1, _ = _quantizer_cols(spark, quantizer)
     inv = 1.0 / F.sqrt(_dot_cols(F.col("embedding"), F.col("embedding")))
     return rel.select(
-        "vid",
-        F.array_min(arr)["centroid_id"].alias("list_id"),
-        "embedding",
-        inv.alias("inv"),
-    )
+        "vid", top1.alias("list_id"), "embedding", inv.alias("inv"))
 
 
 def routed_relation(spark: SparkSession, rel: DataFrame,
-                    nprobe: int = SEM_NPROBE) -> DataFrame:
+                    nprobe: int = SEM_NPROBE,
+                    quantizer: str = "frozen") -> DataFrame:
     """(vid, list_id, embedding, inv) with ``nprobe`` rows per vector —
     the batch side's routing, exploded so the probe is one equi-join on
     list_id. Same map-only literal quantizer; array_sort over
     (score, centroid_id) structs == the oracle's ROW_NUMBER ordering."""
-    arr = _frozen_score_structs(spark)
-    routes = F.transform(
-        F.slice(F.array_sort(arr), 1, nprobe),
-        lambda s: s["centroid_id"])
+    _, routes = _quantizer_cols(spark, quantizer)
     inv = 1.0 / F.sqrt(_dot_cols(F.col("embedding"), F.col("embedding")))
     return rel.select(
-        "vid", F.explode(routes).alias("list_id"), "embedding",
+        "vid", F.explode(routes(nprobe)).alias("list_id"), "embedding",
         inv.alias("inv"))
 
 
@@ -506,14 +561,26 @@ def semdedup_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"exact double arithmetic mirrored by the oracle.",
 )
 def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _incremental_core(spark, sf_dir, "frozen")
+
+
+def _incremental_core(spark: SparkSession, sf_dir: str,
+                      quantizer: str) -> DataFrame:
+    """The incremental probe over the derived corpus, parameterized by
+    quantizer — ONE body for the registered frozen-k=8 entry and the
+    at-scale two-level form (tools/semdedup_scale_probe.py measures
+    both; test_twolevel_quantizer_probe pins the routed semantics)."""
     corpus = _sem_corpus(spark, sf_dir)
-    scored = scored_relation(spark, corpus)
+    scored = scored_relation(spark, corpus, quantizer)
     is_batch = F.col("vid") >= INC_OFFSET
     index = scored.filter(~is_batch)
     # batch side consumed by three probes + assembly: pin it (bounded —
-    # one row per increment vector; the media_inc convention)
+    # one row per increment vector; the media_inc convention) and derive
+    # the ROUTED side from the pinned rows too — routing off the raw
+    # corpus would re-run the whole derivation per probe (review r11)
     batch = scored.filter(is_batch).localCheckpoint(eager=True)
-    routed = routed_relation(spark, corpus.filter(is_batch))
+    routed = routed_relation(spark, batch.select("vid", "embedding"),
+                             quantizer=quantizer)
     return semdedup_disposition_against_index(batch, routed, index)
 
 
@@ -540,15 +607,17 @@ def semdedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_a = (F.col("vid") >= INC_OFFSET) & (F.col("vid") < 2 * INC_OFFSET)
     is_b = F.col("vid") >= 2 * INC_OFFSET
     idx0 = scored.filter(is_i)
+    # routed sides derive from the PINNED batches (review r11: routing
+    # off the raw corpus re-ran the whole derivation per probe)
     batch_a = scored.filter(is_a).localCheckpoint(eager=True)
-    routed_a = routed_relation(spark, corpus.filter(is_a))
+    routed_a = routed_relation(spark, batch_a.select("vid", "embedding"))
     disp_a = semdedup_disposition_against_index(batch_a, routed_a, idx0) \
         .localCheckpoint(eager=True)  # consumed twice: output + survivors
     new_a = disp_a.filter(F.col("disposition") == "new_unique") \
         .select(F.col("vec_id").alias("vid"))
     idx1 = idx0.unionByName(batch_a.join(F.broadcast(new_a), "vid"))
     batch_b = scored.filter(is_b).localCheckpoint(eager=True)
-    routed_b = routed_relation(spark, corpus.filter(is_b))
+    routed_b = routed_relation(spark, batch_b.select("vid", "embedding"))
     disp_b = semdedup_disposition_against_index(batch_b, routed_b, idx1)
     return (
         disp_a.withColumn("batch_id", F.lit(1).cast("int"))

@@ -71,7 +71,10 @@ def build_manifest(spark: SparkSession, path: str,
     man = (df.groupBy(F.input_file_name().alias("file")).agg(*aggs))
     man.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, MANIFEST_DIR))
-    return man
+    # return the PERSISTED relation: every later action on the result
+    # reads the one-file manifest instead of re-running the full-table
+    # aggregate (review r11)
+    return read_manifest(spark, path)
 
 
 def read_manifest(spark: SparkSession, path: str) -> DataFrame:
@@ -105,4 +108,8 @@ def skipping_scan(spark: SparkSession, path: str, col: str,
     pred = F.col(col).between(F.lit(lo), F.lit(hi))
     if not files:
         return spark.read.parquet(path).filter(pred).limit(0)
-    return spark.read.parquet(*files).filter(pred)
+    # basePath keeps hive partition columns in the schema when the
+    # table is directory-partitioned — without it a pruned read of leaf
+    # files silently drops them (review r11)
+    return (spark.read.option("basePath", path).parquet(*files)
+            .filter(pred))

@@ -312,8 +312,9 @@ PRIORITY: tuple[str, ...] = (
 # four staged entries enter r12 and semdedup_stream_report — whose
 # replay base gets its r12 row and whose aggregation core has four
 # driver-checked consumers — takes an r13 flex slot).
-# test_registry_hygiene enforces every clause it can check today (full
-# oracle, registered, disjoint from the window, parity tests exist).
+# test_registry_hygiene's staged lint enforces: registered, full
+# oracle, outside the window, self-expiry once a driver row exists, and
+# that a test file names the entry alongside a driver-SF compare().
 STAGED: tuple[str, ...] = (
     "semdedup_index_build", "semdedup_incremental",
     "semdedup_stream_replay", "semdedup_incremental_report",

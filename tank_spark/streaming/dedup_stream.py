@@ -240,9 +240,18 @@ def dedup_stream_report(spark: SparkSession, out_dir: str,
     daily cost at crawl cadence: one broadcast aggregate over that
     day's partition — no replay re-derivation."""
     from tank_spark.llm.dedup import INC_BATCH_OFFSET
-    from tank_spark.llm.media_inc import curation_report_over
+    from tank_spark.llm.media_inc import (
+        MEDIA_DISPOSITION_PRECEDENCE,
+        collapse_replayed_epochs,
+        curation_report_over,
+    )
 
-    disp = spark.read.parquet(out_dir)
+    # the 'readers drop replayed epochs' half of the output posture
+    # (review r11: documented but previously unimplemented; the text
+    # family shares the media disposition vocabulary)
+    disp = collapse_replayed_epochs(
+        spark.read.parquet(out_dir), "doc_id",
+        MEDIA_DISPOSITION_PRECEDENCE)
     orig = provenance if provenance is not None else (
         F.col("doc_id") % INC_BATCH_OFFSET)
     disp = disp.select(orig.alias("orig"), "epoch_id",

@@ -73,22 +73,27 @@ def _epoch_dir(index_dir: str, epoch_id: int) -> str:
 
 
 def _write_index_epoch(spark: SparkSession, vectors: DataFrame,
-                       index_dir: str, epoch_id: int) -> None:
+                       index_dir: str, epoch_id: int,
+                       quantizer: str = "frozen") -> None:
     """One epoch's index rows — (vid, embedding) through the map-only
     scored projection, written idempotently (overwrite of the epoch's
     own directory, so a foreachBatch replay rewrites, never
     duplicates)."""
-    rel = scored_relation(spark, vectors).select(
+    rel = scored_relation(spark, vectors, quantizer).select(
         F.col("vid").alias("ivid"), "list_id", "inv", "embedding")
     rel.write.mode("overwrite").parquet(_epoch_dir(index_dir, epoch_id))
 
 
 def write_semdedup_index(spark: SparkSession, vectors: DataFrame,
-                         index_dir: str) -> None:
+                         index_dir: str,
+                         quantizer: str = "frozen") -> None:
     """Materialize the initial corpus index (the base generation): the
     batch-mode bootstrap before the stream starts appending to it.
-    ``vectors`` is a (vid, embedding) relation."""
-    _write_index_epoch(spark, vectors, index_dir, BASE_EPOCH)
+    ``vectors`` is a (vid, embedding) relation. ``quantizer`` picks the
+    list space ("frozen" k=8 or "twolevel" k=64 — at 100 TB the
+    two-level form with nlist scaled to the corpus); every writer and
+    prober of one index MUST use the same value."""
+    _write_index_epoch(spark, vectors, index_dir, BASE_EPOCH, quantizer)
 
 
 def read_semdedup_index(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -132,12 +137,14 @@ def index_epoch_count(index_dir: str) -> int:
 
 
 def disposition_vector_batch(spark: SparkSession, batch: DataFrame,
-                             index: DataFrame) -> DataFrame:
+                             index: DataFrame,
+                             quantizer: str = "frozen") -> DataFrame:
     """Disposition one (vid, embedding) micro-batch against an index
     relation: (vec_id, list_id, disposition, match_vid, n_index_hits,
-    best_index_cos) — the shared probe core."""
-    scored = scored_relation(spark, batch)
-    routed = routed_relation(spark, batch)
+    best_index_cos) — the shared probe core. ``quantizer`` must match
+    the one the index was written with."""
+    scored = scored_relation(spark, batch, quantizer)
+    routed = routed_relation(spark, batch, quantizer=quantizer)
     return semdedup_disposition_against_index(scored, routed, index)
 
 
@@ -149,6 +156,7 @@ def start_incremental_semdedup_stream(
     checkpoint_dir: str,
     trigger_once: bool = True,
     compact_every: int = 0,
+    quantizer: str = "frozen",
 ):
     """Wire the loop: for each micro-batch of (vid, embedding) rows,
 
@@ -170,7 +178,7 @@ def start_incremental_semdedup_stream(
         # survivor append — pin it so the source is read one time
         batch = batch.localCheckpoint(eager=True)
         index = read_semdedup_index(spark, index_dir)
-        disp = disposition_vector_batch(spark, batch, index) \
+        disp = disposition_vector_batch(spark, batch, index, quantizer) \
             .localCheckpoint(eager=True)  # consumed twice: out + survivors
         disp.withColumn("epoch_id", F.lit(epoch_id).cast("long")) \
             .write.mode("append").parquet(out_dir)
@@ -183,7 +191,8 @@ def start_incremental_semdedup_stream(
         # directory (the media twin's crash-safety argument)
         if not new_ids.isEmpty():
             survivors = batch.join(F.broadcast(new_ids), "vid")
-            _write_index_epoch(spark, survivors, index_dir, epoch_id)
+            _write_index_epoch(spark, survivors, index_dir, epoch_id,
+                               quantizer)
         if compact_every and (epoch_id + 1) % compact_every == 0:
             compact_semdedup_index(spark, index_dir)
 
@@ -208,10 +217,15 @@ def semdedup_stream_report(spark: SparkSession, out_dir: str,
     ``docs`` (orig, label) relation, and aggregate per
     (epoch_id, label, disposition) through the SAME
     curation_report_over core as every registered report."""
-    from tank_spark.llm.media_inc import curation_report_over
+    from tank_spark.llm.media_inc import (
+        collapse_replayed_epochs,
+        curation_report_over,
+    )
     from tank_spark.llm.semdedup_inc import INC_OFFSET
 
-    disp = spark.read.parquet(out_dir)
+    disp = collapse_replayed_epochs(
+        spark.read.parquet(out_dir), "vec_id",
+        ["semantic_dup_of_index", "dup_in_batch", "new_unique"])
     orig = provenance if provenance is not None else (
         F.col("vec_id") % INC_OFFSET)
     disp = disp.select(orig.alias("orig"), "epoch_id", "disposition",

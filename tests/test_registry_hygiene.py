@@ -134,14 +134,19 @@ def test_staged_entries_are_window_ready():
     loophole: every staged entry must (a) be registered, (b) carry a
     FULL DuckDB oracle — rows-only can't be staged, the whole point is
     that pytest parity substitutes for the missed driver row, (c) sit
-    OUTSIDE the current window (otherwise it isn't 'staged'), and
+    OUTSIDE the current window (otherwise it isn't 'staged'),
     (d) self-expire — once a driver row exists the name must leave
     STAGED (it would then be an ordinary rotation citizen and the
-    exemption would mask real staleness)."""
+    exemption would mask real staleness), and (e) be NAMED in a test
+    file that runs compare() at the driver SF — the substitute signal
+    must actually exist in the suite, not just be promised."""
     from tank_spark.plans.registry import PRIORITY, STAGED
 
     reg = _registry()
     last, _latest = _driver_history()
+    test_files = {
+        p: open(p).read()
+        for p in glob.glob(os.path.join(REPO, "tests", "test_*.py"))}
     problems = []
     for name in STAGED:
         q = reg.get(name)
@@ -156,6 +161,12 @@ def test_staged_entries_are_window_ready():
             problems.append(
                 f"{name}: has a driver row (r{last[name]}) — STAGED "
                 "must drop it")
+        if not any(f'"{name}"' in src and "DRIVER_SF" in src
+                   and "compare(" in src
+                   for src in test_files.values()):
+            problems.append(
+                f"{name}: no test file names it alongside a driver-SF "
+                "compare() — the staged parity obligation is unmet")
     assert not problems, "STAGED violations:\n  " + "\n  ".join(problems)
 
 

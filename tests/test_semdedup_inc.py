@@ -132,6 +132,51 @@ def test_artifact_shape_matches_index_build(spark):
     assert built.count() == rel.count() == e.count()
 
 
+def test_twolevel_quantizer_probe(spark):
+    """The at-scale quantizer ("twolevel", k=64 frozen two-level
+    routing) through the same probe core: exact re-crawls are caught
+    UNCONDITIONALLY (the route set prepends the vector's own assigned
+    list — without that pin 17% of identical re-crawls missed their
+    original at this freeze, because the two-level assignment picks
+    within the top-1 coarse group while the flatten-and-sort route
+    ranking spans W_COARSE groups), planted nears catch at >= 90%
+    (smaller lists route tighter — the honest recall dial), fresh
+    emissions behave as in the flat path."""
+    from tank_spark.llm.semdedup_inc import (
+        INC_OFFSET,
+        _sem_corpus,
+        routed_relation,
+        scored_relation,
+        semdedup_disposition_against_index,
+    )
+
+    corpus = _sem_corpus(spark, SF_DIR)
+    scored = scored_relation(spark, corpus, "twolevel")
+    is_b = F.col("vid") >= INC_OFFSET
+    out = semdedup_disposition_against_index(
+        scored.filter(is_b).localCheckpoint(eager=True),
+        routed_relation(spark, corpus.filter(is_b), quantizer="twolevel"),
+        scored.filter(~is_b),
+    )
+    rows = out.withColumn("orig", F.col("vec_id") % INC_OFFSET).collect()
+    recrawl = [r for r in rows if r.orig % 5 == 0]
+    assert recrawl
+    assert all(r.disposition == "semantic_dup_of_index" for r in recrawl)
+    assert all(r.match_vid == r.orig for r in recrawl)
+    near = [r for r in rows if r.orig % 5 == 1]
+    caught = [r for r in near
+              if r.disposition == "semantic_dup_of_index"]
+    assert len(caught) >= 0.9 * len(near)
+    fresh1 = [r for r in rows if r.orig % 5 == 2
+              and r.vec_id < 2 * INC_OFFSET]
+    fresh2 = [r for r in rows if r.vec_id >= 2 * INC_OFFSET]
+    assert all(r.disposition == "new_unique" for r in fresh1)
+    assert all(r.disposition == "dup_in_batch" for r in fresh2)
+    # more, smaller lists than the flat k=8 space — the scale knob
+    n_lists = scored.select("list_id").distinct().count()
+    assert n_lists > 8
+
+
 # ----------------------------------------------------------- plan pins
 
 def test_semdedup_incremental_stays_broadcast(spark):

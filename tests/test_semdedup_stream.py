@@ -277,3 +277,33 @@ def test_semdedup_stream_report_from_persisted_output(spark, tmp_path):
                provenance=F.col("vec_id")).collect()}
     assert rep[(0, 7, "semantic_dup_of_index")] == (2, 1000000)
     assert rep[(0, 8, "new_unique")] == (1, 1000000)
+
+
+def test_stream_report_collapses_replayed_epochs(spark, tmp_path):
+    """At-least-once replays must not double-count in the production
+    report: a replayed epoch's second append — including the
+    contradictory case where the replay ran AFTER its survivors were
+    folded into the index, flipping new_unique to a dup-of-index
+    self-match — collapses to ONE row per (epoch_id, vec_id), keeping
+    the most duplicate-aware copy (review r11: the 'readers drop
+    replayed epochs' posture was documented but unimplemented)."""
+    from tank_spark.streaming.semdedup_stream import semdedup_stream_report
+
+    out_dir = str(tmp_path / "out")
+    cols = ("vec_id long, list_id long, disposition string, "
+            "match_vid long, n_index_hits long, best_index_cos double, "
+            "epoch_id long")
+    first = spark.createDataFrame(
+        [(3, 0, "new_unique", None, 0, None, 0)], cols)
+    replay = spark.createDataFrame(
+        [(3, 0, "semantic_dup_of_index", 3, 1, 1.0, 0)], cols)
+    first.write.mode("append").parquet(out_dir)
+    replay.write.mode("append").parquet(out_dir)
+    docs = spark.createDataFrame([(3, 8)], "orig long, label int")
+    rows = semdedup_stream_report(
+        spark, out_dir, docs, provenance=F.col("vec_id")).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # counted once, as the duplicate-aware copy
+    assert (r["disposition"], r["n_docs"], r["share_ppm"]) == \
+        ("semantic_dup_of_index", 1, 1000000)

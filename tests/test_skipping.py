@@ -127,6 +127,34 @@ def test_all_null_stat_files_prune_safely(spark, tmp_path):
     assert got.count() == 3
 
 
+def test_skipping_on_hive_partitioned_table(spark, tmp_path):
+    """A directory-partitioned table must keep its partition columns in
+    the pruned read (review r11: without basePath, reading leaf files
+    directly silently dropped them) — and pruning on a non-partition
+    column must still cut the file list."""
+    from tank_spark.operators.skipping import (
+        build_manifest,
+        prune_files,
+        skipping_scan,
+    )
+
+    path = str(tmp_path / "docs")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # partition by source; sort within so doc_id ranges stay tight
+    (docs.repartitionByRange(4, "doc_id").sortWithinPartitions("doc_id")
+         .write.mode("overwrite").partitionBy("source").parquet(path))
+    build_manifest(spark, path, ["doc_id"])
+    n = docs.count()
+    lo, hi = int(n * 0.1), int(n * 0.2)
+    full = _full(spark, path, "doc_id", lo, hi)
+    got = skipping_scan(spark, path, "doc_id", lo, hi)
+    assert set(got.columns) == set(docs.columns)  # source survives
+    assert _rows(got.select("doc_id", "source")) == \
+        _rows(full.select("doc_id", "source"))
+    total = len(spark.read.parquet(path).inputFiles())
+    assert len(prune_files(spark, path, "doc_id", lo, hi)) < total
+
+
 def test_manifest_is_invisible_to_table_readers(spark, tmp_path):
     """The manifest lives INSIDE the table directory under an
     underscore-prefixed dir, so plain readers of the table never see
