@@ -276,3 +276,28 @@ def test_text_stream_report_from_persisted_output(spark, tmp_path):
         (1, "web", "exact_dup_of_index"): (1, 1000000, 1),
         (1, "books", "near_dup_of_index"): (1, 1000000, 1),
     }
+
+
+def test_text_stream_report_collapses_replayed_epochs(spark, tmp_path):
+    """The text production report shares the replay-collapse posture:
+    one row per (epoch_id, doc_id), duplicate-aware copy wins
+    (review r11)."""
+    from pyspark.sql import functions as F
+
+    from tank_spark.streaming.dedup_stream import dedup_stream_report
+
+    out_dir = str(tmp_path / "out")
+    cols = ("doc_id long, disposition string, match_cid long, "
+            "n_bands_hit int, epoch_id long")
+    spark.createDataFrame(
+        [(7, "new_unique", None, 0, 3)], cols
+    ).write.mode("append").parquet(out_dir)
+    spark.createDataFrame(  # the replay, post-fold
+        [(7, "exact_dup_of_index", 7, 0, 3)], cols
+    ).write.mode("append").parquet(out_dir)
+    docs = spark.createDataFrame([(7, "web")], "orig long, source string")
+    rows = dedup_stream_report(
+        spark, out_dir, docs, provenance=F.col("doc_id")).collect()
+    assert len(rows) == 1
+    assert (rows[0]["disposition"], rows[0]["n_docs"],
+            rows[0]["share_ppm"]) == ("exact_dup_of_index", 1, 1000000)

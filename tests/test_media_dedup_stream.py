@@ -359,3 +359,31 @@ def test_media_stream_report_from_persisted_output(spark, tmp_path):
         # epoch 1: both re-crawls matched the SAME survivor -> distinct 1
         (1, "image", "crawlA", "exact_dup_of_index"): (2, 1000000, 1),
     }
+
+
+def test_media_stream_report_collapses_replayed_epochs(spark, tmp_path):
+    """An at-least-once replay of an epoch's disposition append must
+    not double-count in the production report — including the
+    contradictory case where the replay ran after its survivors were
+    folded into the index (new_unique flips to an exact-dup
+    self-match); the duplicate-aware copy wins (review r11)."""
+    from pyspark.sql import functions as F
+
+    from tank_spark.streaming.media_dedup_stream import media_stream_report
+
+    out_dir = str(tmp_path / "out")
+    cols = ("doc_id long, modality string, disposition string, "
+            "match_cid long, n_bands_hit int, epoch_id long")
+    spark.createDataFrame(
+        [(101, "image", "new_unique", None, 0, 0)], cols
+    ).write.mode("append").parquet(out_dir)
+    spark.createDataFrame(  # the replay, post-fold
+        [(101, "image", "exact_dup_of_index", 101, 0, 0)], cols
+    ).write.mode("append").parquet(out_dir)
+    docs = spark.createDataFrame([(101, "crawlA")],
+                                 "orig long, source string")
+    rows = media_stream_report(
+        spark, out_dir, docs, provenance=F.col("doc_id")).collect()
+    assert len(rows) == 1
+    assert (rows[0]["disposition"], rows[0]["n_docs"],
+            rows[0]["share_ppm"]) == ("exact_dup_of_index", 1, 1000000)
