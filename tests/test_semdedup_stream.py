@@ -307,3 +307,54 @@ def test_stream_report_collapses_replayed_epochs(spark, tmp_path):
     # counted once, as the duplicate-aware copy
     assert (r["disposition"], r["n_docs"], r["share_ppm"]) == \
         ("semantic_dup_of_index", 1, 1000000)
+
+
+def test_stream_loop_with_twolevel_quantizer(spark, tmp_path):
+    """The at-scale quantizer threads through the REAL loop: index
+    bootstrapped, probed, and grown in the k=64 two-level list space.
+    Exact re-crawl detection is unconditional there too (the route set
+    prepends the vector's own assigned list), and survivors append
+    with two-level assignments."""
+    from tank_spark.streaming.semdedup_stream import (
+        read_semdedup_index,
+        start_incremental_semdedup_stream,
+        vector_file_stream,
+        write_semdedup_index,
+    )
+
+    index_dir = str(tmp_path / "index")
+    drop_dir = str(tmp_path / "drop")
+    out_dir = str(tmp_path / "out")
+    corpus = spark.createDataFrame(
+        [(1, VEC_A), (2, VEC_B)], "vid long, embedding array<float>")
+    write_semdedup_index(spark, corpus, index_dir, quantizer="twolevel")
+    idx0 = read_semdedup_index(spark, index_dir)
+    lists0 = {r.vid: r.list_id for r in idx0.collect()}
+    _write_batch(spark, drop_dir, [(101, VEC_A),      # exact re-crawl
+                                   (102, FRESH_X)])   # fresh survivor
+    stream = vector_file_stream(spark, drop_dir, max_files_per_trigger=10)
+    q = start_incremental_semdedup_stream(
+        spark, stream, index_dir, out_dir, str(tmp_path / "ckpt"),
+        quantizer="twolevel")
+    q.awaitTermination(120)
+    q.stop()
+    out = {r["vec_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert out[101]["disposition"] == "semantic_dup_of_index"
+    assert out[101]["match_vid"] == 1
+    assert out[102]["disposition"] == "new_unique"
+    idx1 = {r.vid: r.list_id
+            for r in read_semdedup_index(spark, index_dir).collect()}
+    assert set(idx1) == {1, 2, 102}
+    # the survivor's assignment is consistent with the index's space:
+    # probing the same vector again must match it (cross-run growth)
+    _write_batch(spark, drop_dir, [(201, FRESH_X)])
+    stream = vector_file_stream(spark, drop_dir, max_files_per_trigger=10)
+    q = start_incremental_semdedup_stream(
+        spark, stream, index_dir, out_dir, str(tmp_path / "ckpt"),
+        quantizer="twolevel")
+    q.awaitTermination(120)
+    q.stop()
+    out2 = {r["vec_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert out2[201]["disposition"] == "semantic_dup_of_index"
+    assert out2[201]["match_vid"] == 102
+    assert lists0  # the bootstrap produced real assignments
