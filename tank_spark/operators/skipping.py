@@ -88,29 +88,63 @@ def prune_files(spark: SparkSession, path: str, col: str,
     predicate never matches null).
 
     The manifest is file-cardinality-sized PLAN METADATA, so it is read
-    DRIVER-SIDE with pyarrow — launching a Spark job per planning step
-    would put ~0.5-1s of scheduler overhead on every pruned scan (the
-    first probe measured the pruned path LOSING to the full scan at 64
-    local files for exactly that reason); table formats read their
-    add-file stats on the driver for the same reason."""
+    DRIVER-SIDE with pyarrow when the table lives on a local filesystem
+    — launching a Spark job per planning step would put ~0.5-1s of
+    scheduler overhead on every pruned scan (the first probe measured
+    the pruned path LOSING to the full scan at 64 local files for
+    exactly that reason); table formats read their add-file stats on
+    the driver for the same reason. Non-local paths (hdfs://, s3a://,
+    ...) and bound types that need Spark's lit coercion (string bounds
+    on date columns) fall back to the Spark read — correct everywhere,
+    just paying the job overhead.
+
+    NaN stats (a float file containing NaN makes F.max return NaN)
+    KEEP the file: NaN bounds nothing, and Spark's own `>=` treats NaN
+    as greater-than-everything — pruning there silently dropped
+    in-range rows (review r11)."""
     import glob as _glob
 
     import pyarrow.parquet as pq
 
-    parts = sorted(_glob.glob(
-        os.path.join(path, MANIFEST_DIR, "*.parquet")))
+    if "://" in path and not path.startswith("file:"):
+        return _prune_files_via_spark(spark, path, col, lo, hi)
+    parts = sorted(_glob.glob(os.path.join(
+        _glob.escape(path), MANIFEST_DIR, "*.parquet")))
     if not parts:
         raise FileNotFoundError(
             f"no manifest under {path}/{MANIFEST_DIR} — run "
             "build_manifest first")
     cols = ["file", f"{col}_min", f"{col}_max"]
     keep: list[str] = []
-    for p in parts:
-        t = pq.read_table(p, columns=cols)
-        for f, mn, mx in zip(*(t.column(c).to_pylist() for c in cols)):
-            if mn is not None and mx >= lo and mn <= hi:
-                keep.append(f)
+    try:
+        for p in parts:
+            t = pq.read_table(p, columns=cols)
+            for f, mn, mx in zip(*(t.column(c).to_pylist()
+                                   for c in cols)):
+                if mn is None:
+                    continue  # all-null column: range preds never match
+                if mn != mn or mx != mx:  # NaN stats bound nothing
+                    keep.append(f)
+                elif mx >= lo and mn <= hi:
+                    keep.append(f)
+    except TypeError:
+        # bounds need engine coercion (e.g. string lo/hi against a
+        # date-typed stat) — let Spark's lit rules decide
+        return _prune_files_via_spark(spark, path, col, lo, hi)
     return keep
+
+
+def _prune_files_via_spark(spark: SparkSession, path: str, col: str,
+                           lo, hi) -> list[str]:
+    """The portable planning path: same predicate through a Spark read
+    of the manifest (lit coercion + Spark NaN ordering, under which
+    NaN >= lo is true, matching the driver-side keep-on-NaN rule)."""
+    man = read_manifest(spark, path)
+    keep = man.filter(
+        F.col(f"{col}_min").isNotNull()
+        & (F.col(f"{col}_max") >= F.lit(lo))
+        & (F.col(f"{col}_min") <= F.lit(hi)))
+    return [r["file"] for r in keep.select("file").collect()]
 
 
 def skipping_scan(spark: SparkSession, path: str, col: str,

@@ -329,7 +329,7 @@ def test_stream_loop_with_twolevel_quantizer(spark, tmp_path):
         [(1, VEC_A), (2, VEC_B)], "vid long, embedding array<float>")
     write_semdedup_index(spark, corpus, index_dir, quantizer="twolevel")
     idx0 = read_semdedup_index(spark, index_dir)
-    lists0 = {r.vid: r.list_id for r in idx0.collect()}
+    assert idx0.count() == 2  # the bootstrap produced real assignments
     _write_batch(spark, drop_dir, [(101, VEC_A),      # exact re-crawl
                                    (102, FRESH_X)])   # fresh survivor
     stream = vector_file_stream(spark, drop_dir, max_files_per_trigger=10)
@@ -357,4 +357,3 @@ def test_stream_loop_with_twolevel_quantizer(spark, tmp_path):
     out2 = {r["vec_id"]: r for r in spark.read.parquet(out_dir).collect()}
     assert out2[201]["disposition"] == "semantic_dup_of_index"
     assert out2[201]["match_vid"] == 102
-    assert lists0  # the bootstrap produced real assignments

@@ -155,6 +155,32 @@ def test_skipping_on_hive_partitioned_table(spark, tmp_path):
     assert len(prune_files(spark, path, "doc_id", lo, hi)) < total
 
 
+def test_nan_stat_files_are_kept(spark, tmp_path):
+    """A float file CONTAINING NaN has max=NaN (Spark's max treats NaN
+    as greater than everything); NaN bounds nothing, so the file must
+    be KEPT — the first driver-side rewrite pruned it via Python's
+    NaN-comparisons-are-false and silently dropped in-range rows
+    (review r11, second pass)."""
+    from tank_spark.operators.skipping import (
+        build_manifest,
+        prune_files,
+        skipping_scan,
+    )
+
+    path = str(tmp_path / "t")
+    a = spark.createDataFrame([(5.0, "a"), (float("nan"), "a")],
+                              "v double, tag string")
+    b = spark.createDataFrame([(100.0, "b")], "v double, tag string")
+    a.coalesce(1).write.mode("overwrite").parquet(path)
+    b.coalesce(1).write.mode("append").parquet(path)
+    build_manifest(spark, path, ["v"])
+    kept = prune_files(spark, path, "v", 4.0, 6.0)
+    assert len(kept) == 1  # the NaN-stat file stays, the 100.0 file prunes
+    got = skipping_scan(spark, path, "v", 4.0, 6.0)
+    assert _rows(got) == _rows(_full(spark, path, "v", 4.0, 6.0))
+    assert got.count() == 1  # the 5.0 row survives
+
+
 def test_manifest_is_invisible_to_table_readers(spark, tmp_path):
     """The manifest lives INSIDE the table directory under an
     underscore-prefixed dir, so plain readers of the table never see
