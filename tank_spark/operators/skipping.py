@@ -56,6 +56,43 @@ def write_clustered(df: DataFrame, path: str, cluster_by: str,
        .write.mode("overwrite").parquet(path))
 
 
+def write_clustered_zorder(df: DataFrame, path: str,
+                           cols: tuple[str, str], n_files: int) -> None:
+    """Two-dimensional clustering: write ``df`` as ``n_files`` files
+    range-clustered on the MORTON INTERLEAVE of two numeric columns —
+    Delta's OPTIMIZE ZORDER BY, built on the repo's own Z-curve kernel
+    (geom/morton.py, the same 8-bitwise-op codegen'd ladder that
+    buckets the feature table). Each column is min/max-scaled to the
+    16-bit Morton domain in one tiny driver-side aggregate; the
+    interleave then gives every file a compact rectangle in (a, b)
+    space, so a manifest over BOTH columns prunes files for range
+    predicates on EITHER column — the property 1-D clustering gives
+    only its sort key. (Min/max scaling is the simple form; heavily
+    skewed columns want rank-based scaling, which costs a global sort —
+    the standard Z-ORDER tradeoff.)"""
+    from tank_spark.geom.morton import morton_col
+
+    a, b = cols
+    st = df.agg(F.min(F.col(a).cast("double")),
+                F.max(F.col(a).cast("double")),
+                F.min(F.col(b).cast("double")),
+                F.max(F.col(b).cast("double"))).first()
+    amn, amx, bmn, bmx = (float(x) for x in st)
+
+    def scale(c: str, mn: float, mx: float):
+        span = (mx - mn) or 1.0
+        raw = F.floor((F.col(c).cast("double") - F.lit(mn))
+                      / F.lit(span) * F.lit(65535.0)).cast("long")
+        return F.greatest(F.lit(0), F.least(F.lit(65535), raw))
+
+    z = morton_col(scale(a, amn, amx), scale(b, bmn, bmx))
+    (df.withColumn("_z", z)
+       .repartitionByRange(n_files, F.col("_z"))
+       .sortWithinPartitions("_z")
+       .drop("_z")
+       .write.mode("overwrite").parquet(path))
+
+
 def build_manifest(spark: SparkSession, path: str,
                    stat_cols: list[str]) -> DataFrame:
     """One aggregate over the table scan: per input file, row count and
@@ -145,6 +182,35 @@ def _prune_files_via_spark(spark: SparkSession, path: str, col: str,
         & (F.col(f"{col}_max") >= F.lit(lo))
         & (F.col(f"{col}_min") <= F.lit(hi)))
     return [r["file"] for r in keep.select("file").collect()]
+
+
+def prune_files_multi(spark: SparkSession, path: str,
+                      preds: dict) -> list[str]:
+    """Conjunctive pruning: files surviving EVERY per-column range
+    (``preds``: col -> (lo, hi)) — the manifest intersection a Z-order
+    layout pays off on, since each file bounds a rectangle in the
+    interleaved columns' space."""
+    keep: set[str] | None = None
+    for c, (lo, hi) in preds.items():
+        files = set(prune_files(spark, path, c, lo, hi))
+        keep = files if keep is None else keep & files
+    return sorted(keep or ())
+
+
+def skipping_scan_multi(spark: SparkSession, path: str,
+                        preds: dict) -> DataFrame:
+    """Range scan with conjunctive file skipping: AND of every
+    per-column range, files cut via the manifest intersection, residual
+    predicate applied on the pruned read."""
+    files = prune_files_multi(spark, path, preds)
+    pred = None
+    for c, (lo, hi) in preds.items():
+        p = F.col(c).between(F.lit(lo), F.lit(hi))
+        pred = p if pred is None else pred & p
+    if not files:
+        return spark.read.parquet(path).filter(pred).limit(0)
+    return (spark.read.option("basePath", path).parquet(*files)
+            .filter(pred))
 
 
 def skipping_scan(spark: SparkSession, path: str, col: str,

@@ -194,3 +194,56 @@ def test_manifest_is_invisible_to_table_readers(spark, tmp_path):
     again = spark.read.parquet(path)
     assert again.count() == docs.count()
     assert again.schema == docs.schema
+
+
+def test_zorder_clustering_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustering (the repo's own Morton kernel reused as
+    Delta-style OPTIMIZE ZORDER): with a manifest over BOTH interleaved
+    columns, a range predicate on EITHER column prunes files — the
+    property 1-D clustering gives only its sort key — and the
+    conjunctive 2-D scan intersects the per-column prunes. Results stay
+    identical to the full-scan filter in every case."""
+    from pyspark.sql import functions as F2
+
+    from tank_spark.operators.skipping import (
+        build_manifest,
+        prune_files,
+        prune_files_multi,
+        skipping_scan,
+        skipping_scan_multi,
+        write_clustered_zorder,
+    )
+
+    path = str(tmp_path / "docs")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    write_clustered_zorder(docs, path, ("doc_id", "n_chars"), 16)
+    build_manifest(spark, path, ["doc_id", "n_chars"])
+    n = docs.count()
+    c_lo, c_hi = (docs.agg(F2.min("n_chars"), F2.max("n_chars"))
+                  .first())
+
+    # a ~15% range on EACH dimension prunes on its own
+    a = (int(n * 0.2), int(n * 0.35))
+    b = (int(c_lo + (c_hi - c_lo) * 0.2),
+         int(c_lo + (c_hi - c_lo) * 0.35))
+    kept_a = prune_files(spark, path, "doc_id", *a)
+    kept_b = prune_files(spark, path, "n_chars", *b)
+    assert 1 <= len(kept_a) < 16
+    assert 1 <= len(kept_b) < 16
+    for col, (lo, hi) in (("doc_id", a), ("n_chars", b)):
+        got = skipping_scan(spark, path, col, lo, hi)
+        assert _rows(got.select("doc_id", "n_chars")) == \
+            _rows(_full(spark, path, col, lo, hi)
+                  .select("doc_id", "n_chars"))
+
+    # the conjunctive scan intersects the per-column prunes
+    preds = {"doc_id": a, "n_chars": b}
+    kept_ab = prune_files_multi(spark, path, preds)
+    assert set(kept_ab) == set(kept_a) & set(kept_b)
+    assert len(kept_ab) <= min(len(kept_a), len(kept_b))
+    got = skipping_scan_multi(spark, path, preds)
+    want = (spark.read.parquet(path)
+            .filter(F2.col("doc_id").between(*a)
+                    & F2.col("n_chars").between(*b)))
+    assert _rows(got.select("doc_id", "n_chars")) == \
+        _rows(want.select("doc_id", "n_chars"))
