@@ -81,4 +81,35 @@ for nf in (n_files, n_files * 8):
           f"full_scan={full:.3f}s pruned_scan={pruned:.3f}s "
           f"files_read={kept}/{nf} rows_matched={n_match} "
           f"speedup={full / pruned:.1f}x")
+
+
+def zorder_section() -> None:
+    """2-D clustering win: a range on the SECOND column (not the 1-D
+    sort key) — 1-D layout prunes nothing there; Z-order keeps a
+    ~sqrt-fraction rectangle of files."""
+    from tank_spark.operators.skipping import write_clustered_zorder
+
+    a, b = "l_orderkey", "l_partkey"
+    bmx = df.agg(F.max(b)).first()[0]
+    blo, bhi = int(bmx * 0.495), int(bmx * 0.505)
+    for label, writer in (
+        ("1d", lambda p: write_clustered(df, p, a, 256)),
+        ("zorder", lambda p: write_clustered_zorder(df, p, (a, b), 256)),
+    ):
+        path = f"/tmp/skipping_probe_{label}"
+        writer(path)
+        build_manifest(spark, path, [a, b])
+        fullb = timed(lambda: spark.read.parquet(path)
+                      .filter(F.col(b).between(blo, bhi)))
+        prunedb = timed(lambda: skipping_scan(spark, path, b, blo, bhi))
+        kept = len(prune_files(spark, path, b, blo, bhi))
+        nm = skipping_scan(spark, path, b, blo, bhi).count()
+        assert nm == (spark.read.parquet(path)
+                      .filter(F.col(b).between(blo, bhi)).count())
+        print(f"RESULT layout={label} col2_range full={fullb:.3f}s "
+              f"pruned={prunedb:.3f}s files_read={kept}/256 "
+              f"rows={nm} speedup={fullb / prunedb:.1f}x")
+
+
+zorder_section()
 spark.stop()
