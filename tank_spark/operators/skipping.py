@@ -34,10 +34,14 @@ stats-pruning implementation.
 
 from __future__ import annotations
 
+import math
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from tank_spark.plans.registry import register
 
 # hidden from Spark's parquet discovery (underscore prefix, like
 # _SUCCESS), so the manifest can live INSIDE the table directory and
@@ -230,3 +234,102 @@ def skipping_scan(spark: SparkSession, path: str, col: str,
     # files silently drops them (review r11)
     return (spark.read.option("basePath", path).parquet(*files)
             .filter(pred))
+
+
+# ------------------------------- the registered, oracle-checked entry
+
+SKIP_N_FILES = 16
+# integer-percent bounds so both engines derive them with the same
+# exact arithmetic (int * int exact; / 100 one IEEE double division;
+# FLOOR identical)
+SKIP_LO_PCT, SKIP_HI_PCT = 20, 35
+
+_LAYOUT_CACHE: dict = {}
+
+
+def _docs_fingerprint(sf_dir: str) -> tuple:
+    """(mtime_ns, size) of documents.parquet — the tables.load cache
+    convention, so a regenerated testdata dir rebuilds the layout."""
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    return (st.st_mtime_ns, st.st_size)
+
+
+def _skipping_layout(spark: SparkSession, sf_dir: str) -> str:
+    """The session's Z-ordered documents layout + manifest for
+    ``sf_dir`` — written ONCE per (session, sf_dir, data fingerprint)
+    into a session-scoped tmp dir; every later call (bench/census
+    re-runs, the registered query) serves from the existing files."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    fp = _docs_fingerprint(sf_dir)
+    hit = _LAYOUT_CACHE.get(key)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    path = tempfile.mkdtemp(prefix="tank_spark_skip_")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    write_clustered_zorder(docs, path, ("doc_id", "n_chars"),
+                           SKIP_N_FILES)
+    build_manifest(spark, path, ["doc_id", "n_chars"])
+    _LAYOUT_CACHE[key] = (fp, path)
+    return path
+
+
+def _skip_bounds(mx_doc: int, mn_c: int, mx_c: int) -> tuple:
+    """The driver-side mirror of the oracle's bound arithmetic (exact:
+    int*int, one double division, floor)."""
+    a_lo = math.floor(mx_doc * SKIP_LO_PCT / 100)
+    a_hi = math.floor(mx_doc * SKIP_HI_PCT / 100)
+    span = mx_c - mn_c
+    b_lo = mn_c + math.floor(span * SKIP_LO_PCT / 100)
+    b_hi = mn_c + math.floor(span * SKIP_HI_PCT / 100)
+    return a_lo, a_hi, b_lo, b_hi
+
+
+MANIFEST_SKIPPING_SCAN_SQL = f"""
+WITH s AS (
+  SELECT MAX(doc_id) AS mx,
+         MIN(n_chars) AS cmn, MAX(n_chars) AS cmx
+  FROM documents
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d, s
+WHERE d.doc_id BETWEEN CAST(FLOOR(s.mx * {SKIP_LO_PCT} / 100) AS BIGINT)
+                   AND CAST(FLOOR(s.mx * {SKIP_HI_PCT} / 100) AS BIGINT)
+  AND d.n_chars BETWEEN s.cmn + CAST(FLOOR((s.cmx - s.cmn)
+                            * {SKIP_LO_PCT} / 100) AS BIGINT)
+                    AND s.cmn + CAST(FLOOR((s.cmx - s.cmn)
+                            * {SKIP_HI_PCT} / 100) AS BIGINT)
+"""
+
+
+@register(
+    "manifest_skipping_scan",
+    MANIFEST_SKIPPING_SCAN_SQL,
+    doc=f"File-level data skipping served end-to-end: the documents "
+        f"table rewritten ONCE per session as {SKIP_N_FILES} Z-ordered "
+        f"files (Morton interleave of doc_id x n_chars — the repo's "
+        "own Z-curve kernel as Delta-style OPTIMIZE ZORDER) plus the "
+        "per-file stats manifest, then a conjunctive 2-D range scan "
+        "planned DRIVER-SIDE off the manifest: only the files whose "
+        "(doc_id, n_chars) rectangles intersect the query box are "
+        "listed/opened; the residual predicate finishes inside them. "
+        "The oracle is the plain SQL filter over the whole table — "
+        "the equivalence IS the correctness claim (skipping must never "
+        "change results, only the files touched; the layout/manifest "
+        "are tested to prune in tests/test_skipping.py). Bounds are "
+        f"{SKIP_LO_PCT}-{SKIP_HI_PCT}% of each column's range, derived "
+        "with integer-exact arithmetic in both engines. Scale shape: "
+        "planning reads one tiny manifest on the driver (plan "
+        "metadata, as table formats do); the scan reads only "
+        "intersecting files — at 10^4-10^5 files the cut is the "
+        "difference between a listing storm and a handful of opens.",
+)
+def manifest_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _skipping_layout(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    st = docs.agg(F.max("doc_id"), F.min("n_chars"),
+                  F.max("n_chars")).first()  # 1-row bounds collect
+    a_lo, a_hi, b_lo, b_hi = _skip_bounds(int(st[0]), int(st[1]),
+                                          int(st[2]))
+    out = skipping_scan_multi(
+        spark, path, {"doc_id": (a_lo, a_hi), "n_chars": (b_lo, b_hi)})
+    return out.select("doc_id", "lang", "source", "n_chars")

@@ -319,6 +319,9 @@ STAGED: tuple[str, ...] = (
     "semdedup_index_build", "semdedup_incremental",
     "semdedup_stream_replay", "semdedup_incremental_report",
     "semdedup_stream_report",
+    # the file-skipping layer's equivalence gate (operators/skipping.py)
+    # — takes r13's LAST flex slot (see the handoff below)
+    "manifest_skipping_scan",
 )
 
 # R12 WINDOW HANDOFF (recomputed from the CORRECTNESS_r* artifacts
@@ -353,10 +356,12 @@ STAGED: tuple[str, ...] = (
 #
 # R13: the 46-entry r9 cohort comes due (it already contains the
 # tile_mvt_z7_parity and tile_mvt_batch cadence refreshes), leaving 4
-# flex: semdedup_stream_report (the last staged entry — MUST enter),
-# then media_index_build and ivf_probe_search (r10 rows, due r14;
-# their late-r11 code changes are pytest-oracle-verified meanwhile),
-# then new r12/r13 registrations if any.
+# flex: semdedup_stream_report + manifest_skipping_scan (the two
+# remaining staged entries — MUST enter), then media_index_build and
+# ivf_probe_search (r10 rows, due r14; their late-r11 code changes are
+# pytest-oracle-verified meanwhile). That fills r13 exactly; any NEW
+# r12/r13 registration should be STAGED for r14 (the r10 cohort is
+# small, so r14 has real flex).
 #
 # Standing notes: if the driver regenerated /root/testdata, re-run
 # tools/freeze_ivf_centroids.py + tools/freeze_ivf_twolevel.py and
@@ -388,6 +393,7 @@ def load_all() -> dict[str, QueryDef]:
         "tank_spark.operators.functions_demo",
         "tank_spark.operators.stats",
         "tank_spark.operators.spatial_join",
+        "tank_spark.operators.skipping",
         "tank_spark.llm.text",
         "tank_spark.llm.search",
         "tank_spark.llm.dedup",

@@ -247,3 +247,42 @@ def test_zorder_clustering_prunes_both_dimensions(spark, tmp_path):
                     & F2.col("n_chars").between(*b)))
     assert _rows(got.select("doc_id", "n_chars")) == \
         _rows(want.select("doc_id", "n_chars"))
+
+
+def test_manifest_skipping_scan_staged_parity(spark):
+    """The registered entry's staged obligation: full oracle parity at
+    the driver SF AND the pytest SF (compare() is the driver-shaped
+    check; DRIVER_SF marker for the staged hygiene lint), plus the
+    layer's point — the served scan actually pruned files."""
+    from tests.oracle_util import compare
+
+    from tank_spark.operators.skipping import (
+        SKIP_N_FILES,
+        _skip_bounds,
+        _skipping_layout,
+        prune_files_multi,
+    )
+
+    DRIVER_SF = "/root/testdata/sf0.01"
+    for sf_dir in (SF_DIR, DRIVER_SF):
+        compare(spark, sf_dir, "manifest_skipping_scan")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        st = docs.agg(F.max("doc_id"), F.min("n_chars"),
+                      F.max("n_chars")).first()
+        a_lo, a_hi, b_lo, b_hi = _skip_bounds(int(st[0]), int(st[1]),
+                                              int(st[2]))
+        kept = prune_files_multi(
+            spark, _skipping_layout(spark, sf_dir),
+            {"doc_id": (a_lo, a_hi), "n_chars": (b_lo, b_hi)})
+        assert 1 <= len(kept) < SKIP_N_FILES
+
+
+def test_skipping_layout_memoized_per_session(spark):
+    """The session layout is written once per (session, sf_dir, data
+    fingerprint) — repeated registered-query calls serve from the same
+    files (the tables.load cache convention)."""
+    from tank_spark.operators.skipping import _skipping_layout
+
+    p1 = _skipping_layout(spark, SF_DIR)
+    p2 = _skipping_layout(spark, SF_DIR)
+    assert p1 == p2
