@@ -81,6 +81,12 @@ def write_clustered_zorder(df: DataFrame, path: str,
                 F.max(F.col(a).cast("double")),
                 F.min(F.col(b).cast("double")),
                 F.max(F.col(b).cast("double"))).first()
+    if any(x is None for x in st):
+        # empty input or an all-null cluster column: no meaningful Z
+        # domain — write a plain layout instead of crashing (keeps the
+        # writers interchangeable; review r11)
+        df.repartition(n_files).write.mode("overwrite").parquet(path)
+        return
     amn, amx, bmn, bmx = (float(x) for x in st)
 
     def scale(c: str, mn: float, mx: float):
@@ -193,20 +199,32 @@ def prune_files_multi(spark: SparkSession, path: str,
     """Conjunctive pruning: files surviving EVERY per-column range
     (``preds``: col -> (lo, hi)) — the manifest intersection a Z-order
     layout pays off on, since each file bounds a rectangle in the
-    interleaved columns' space."""
+    interleaved columns' space. The loop short-circuits once the
+    intersection is empty; per-column manifest reads are ~ms driver-side
+    pyarrow on local paths (on s3a/hdfs each column costs a Spark
+    planning job — mind the column count there). An empty ``preds`` is
+    a caller error, not 'keep nothing' (review r11: it silently read as
+    all-pruned and then crashed downstream)."""
+    if not preds:
+        raise ValueError("prune_files_multi needs at least one "
+                         "(col, (lo, hi)) predicate")
     keep: set[str] | None = None
     for c, (lo, hi) in preds.items():
         files = set(prune_files(spark, path, c, lo, hi))
         keep = files if keep is None else keep & files
-    return sorted(keep or ())
+        if not keep:
+            return []
+    return sorted(keep)
 
 
 def skipping_scan_multi(spark: SparkSession, path: str,
                         preds: dict) -> DataFrame:
     """Range scan with conjunctive file skipping: AND of every
     per-column range, files cut via the manifest intersection, residual
-    predicate applied on the pruned read."""
-    files = prune_files_multi(spark, path, preds)
+    predicate applied on the pruned read. Empty ``preds`` raises (an
+    unconstrained scan should be a plain read, not a degenerate
+    skip)."""
+    files = prune_files_multi(spark, path, preds)  # raises on empty
     pred = None
     for c, (lo, hi) in preds.items():
         p = F.col(c).between(F.lit(lo), F.lit(hi))
@@ -247,23 +265,25 @@ SKIP_LO_PCT, SKIP_HI_PCT = 20, 35
 _LAYOUT_CACHE: dict = {}
 
 
-def _docs_fingerprint(sf_dir: str) -> tuple:
-    """(mtime_ns, size) of documents.parquet — the tables.load cache
-    convention, so a regenerated testdata dir rebuilds the layout."""
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    return (st.st_mtime_ns, st.st_size)
-
-
 def _skipping_layout(spark: SparkSession, sf_dir: str) -> str:
     """The session's Z-ordered documents layout + manifest for
     ``sf_dir`` — written ONCE per (session, sf_dir, data fingerprint)
     into a session-scoped tmp dir; every later call (bench/census
-    re-runs, the registered query) serves from the existing files."""
+    re-runs, the registered query) serves from the existing files. The
+    fingerprint is tables._table_fingerprint (ONE cache-key convention
+    across the repo; review r11), and an evicted layout's directory is
+    removed, mirroring tables' unpersist-on-evict."""
+    import shutil
+
+    from tank_spark.sources.tables import _table_fingerprint
+
     key = (spark.sparkContext.applicationId, sf_dir)
-    fp = _docs_fingerprint(sf_dir)
+    fp = _table_fingerprint(sf_dir, "documents")
     hit = _LAYOUT_CACHE.get(key)
     if hit is not None and hit[0] == fp:
         return hit[1]
+    if hit is not None:
+        shutil.rmtree(hit[1], ignore_errors=True)
     path = tempfile.mkdtemp(prefix="tank_spark_skip_")
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     write_clustered_zorder(docs, path, ("doc_id", "n_chars"),
@@ -271,6 +291,32 @@ def _skipping_layout(spark: SparkSession, sf_dir: str) -> str:
     build_manifest(spark, path, ["doc_id", "n_chars"])
     _LAYOUT_CACHE[key] = (fp, path)
     return path
+
+
+def _manifest_bounds(path: str, cols: list[str]) -> dict:
+    """Global (min, max) per column, folded DRIVER-SIDE over the tiny
+    manifest (review r11: the registered entry paid a full-table Spark
+    aggregate per call for three numbers the manifest already holds).
+    Per-file None stats (all-null files) are skipped in the fold."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    out = {c: [None, None] for c in cols}
+    names = [x for c in cols for x in (f"{c}_min", f"{c}_max")]
+    for p in sorted(_glob.glob(os.path.join(
+            _glob.escape(path), MANIFEST_DIR, "*.parquet"))):
+        t = pq.read_table(p, columns=names)
+        for c in cols:
+            for mn in t.column(f"{c}_min").to_pylist():
+                if mn is not None and (out[c][0] is None
+                                       or mn < out[c][0]):
+                    out[c][0] = mn
+            for mx in t.column(f"{c}_max").to_pylist():
+                if mx is not None and (out[c][1] is None
+                                       or mx > out[c][1]):
+                    out[c][1] = mx
+    return {c: (v[0], v[1]) for c, v in out.items()}
 
 
 def _skip_bounds(mx_doc: int, mn_c: int, mx_c: int) -> tuple:
@@ -325,11 +371,12 @@ WHERE d.doc_id BETWEEN CAST(FLOOR(s.mx * {SKIP_LO_PCT} / 100) AS BIGINT)
 )
 def manifest_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _skipping_layout(spark, sf_dir)
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    st = docs.agg(F.max("doc_id"), F.min("n_chars"),
-                  F.max("n_chars")).first()  # 1-row bounds collect
-    a_lo, a_hi, b_lo, b_hi = _skip_bounds(int(st[0]), int(st[1]),
-                                          int(st[2]))
+    # bounds fold over the manifest on the driver — no Spark job in the
+    # planning step (the global max/min equal the table's: the manifest
+    # covers every row)
+    b = _manifest_bounds(path, ["doc_id", "n_chars"])
+    a_lo, a_hi, b_lo, b_hi = _skip_bounds(
+        int(b["doc_id"][1]), int(b["n_chars"][0]), int(b["n_chars"][1]))
     out = skipping_scan_multi(
         spark, path, {"doc_id": (a_lo, a_hi), "n_chars": (b_lo, b_hi)})
     return out.select("doc_id", "lang", "source", "n_chars")
