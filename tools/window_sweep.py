@@ -11,11 +11,11 @@ spark = (SparkSession.builder.master("local[16]")
     .config("spark.ui.showConsoleProgress","false")
     .config("spark.driver.memory","32g").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
-from tank_spark.plans.registry import load_all, PRIORITY
+from tank_spark.plans.registry import load_all, PRIORITY, STAGED
 from tests.oracle_util import compare
 reg = load_all()
 fails = 0
-for name in PRIORITY:
+for name in tuple(PRIORITY) + tuple(STAGED):
     q = reg[name]
     t0 = time.time()
     try:
