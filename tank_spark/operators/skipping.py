@@ -149,18 +149,11 @@ def prune_files(spark: SparkSession, path: str, col: str,
     KEEP the file: NaN bounds nothing, and Spark's own `>=` treats NaN
     as greater-than-everything — pruning there silently dropped
     in-range rows (review r11)."""
-    import glob as _glob
-
     import pyarrow.parquet as pq
 
     if "://" in path and not path.startswith("file:"):
         return _prune_files_via_spark(spark, path, col, lo, hi)
-    parts = sorted(_glob.glob(os.path.join(
-        _glob.escape(path), MANIFEST_DIR, "*.parquet")))
-    if not parts:
-        raise FileNotFoundError(
-            f"no manifest under {path}/{MANIFEST_DIR} — run "
-            "build_manifest first")
+    parts = _local_manifest_parts(path)
     cols = ["file", f"{col}_min", f"{col}_max"]
     keep: list[str] = []
     try:
@@ -179,6 +172,22 @@ def prune_files(spark: SparkSession, path: str, col: str,
         # date-typed stat) — let Spark's lit rules decide
         return _prune_files_via_spark(spark, path, col, lo, hi)
     return keep
+
+
+def _local_manifest_parts(path: str) -> list[str]:
+    """The driver-side manifest part files (local paths only) — ONE
+    guard shared by every driver-side planner so 'manifest missing'
+    fails loudly and identically everywhere (review r11: a second read
+    loop silently returned empty bounds instead)."""
+    import glob as _glob
+
+    parts = sorted(_glob.glob(os.path.join(
+        _glob.escape(path), MANIFEST_DIR, "*.parquet")))
+    if not parts:
+        raise FileNotFoundError(
+            f"no manifest under {path}/{MANIFEST_DIR} — run "
+            "build_manifest first")
+    return parts
 
 
 def _prune_files_via_spark(spark: SparkSession, path: str, col: str,
@@ -283,13 +292,25 @@ def _skipping_layout(spark: SparkSession, sf_dir: str) -> str:
     if hit is not None and hit[0] == fp:
         return hit[1]
     if hit is not None:
+        # drop the cache entry BEFORE touching disk: if the rebuild
+        # below fails mid-way, a later call must rebuild rather than
+        # serve a stale pointer at a removed directory (review r11)
+        _LAYOUT_CACHE.pop(key, None)
         shutil.rmtree(hit[1], ignore_errors=True)
     path = tempfile.mkdtemp(prefix="tank_spark_skip_")
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    write_clustered_zorder(docs, path, ("doc_id", "n_chars"),
-                           SKIP_N_FILES)
-    build_manifest(spark, path, ["doc_id", "n_chars"])
-    _LAYOUT_CACHE[key] = (fp, path)
+    try:
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet"))
+        write_clustered_zorder(docs, path, ("doc_id", "n_chars"),
+                               SKIP_N_FILES)
+        build_manifest(spark, path, ["doc_id", "n_chars"])
+        # bounds are invariant per layout: fold them once here so
+        # steady-state planning never re-reads the manifest for them
+        bounds = _manifest_bounds(path, ["doc_id", "n_chars"])
+    except BaseException:
+        shutil.rmtree(path, ignore_errors=True)
+        raise
+    _LAYOUT_CACHE[key] = (fp, path, bounds)
     return path
 
 
@@ -297,24 +318,26 @@ def _manifest_bounds(path: str, cols: list[str]) -> dict:
     """Global (min, max) per column, folded DRIVER-SIDE over the tiny
     manifest (review r11: the registered entry paid a full-table Spark
     aggregate per call for three numbers the manifest already holds).
-    Per-file None stats (all-null files) are skipped in the fold."""
-    import glob as _glob
-
+    Per-file None stats (all-null files) AND NaN stats (they bound
+    nothing — the prune_files rule) are skipped in the fold; a column
+    with no usable stats comes back (None, None). Local layouts only
+    (raises via the shared manifest-parts guard when missing)."""
     import pyarrow.parquet as pq
 
     out = {c: [None, None] for c in cols}
     names = [x for c in cols for x in (f"{c}_min", f"{c}_max")]
-    for p in sorted(_glob.glob(os.path.join(
-            _glob.escape(path), MANIFEST_DIR, "*.parquet"))):
+    for p in _local_manifest_parts(path):
         t = pq.read_table(p, columns=names)
         for c in cols:
             for mn in t.column(f"{c}_min").to_pylist():
-                if mn is not None and (out[c][0] is None
-                                       or mn < out[c][0]):
+                if mn is None or mn != mn:
+                    continue
+                if out[c][0] is None or mn < out[c][0]:
                     out[c][0] = mn
             for mx in t.column(f"{c}_max").to_pylist():
-                if mx is not None and (out[c][1] is None
-                                       or mx > out[c][1]):
+                if mx is None or mx != mx:
+                    continue
+                if out[c][1] is None or mx > out[c][1]:
                     out[c][1] = mx
     return {c: (v[0], v[1]) for c, v in out.items()}
 
@@ -371,12 +394,19 @@ WHERE d.doc_id BETWEEN CAST(FLOOR(s.mx * {SKIP_LO_PCT} / 100) AS BIGINT)
 )
 def manifest_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _skipping_layout(spark, sf_dir)
-    # bounds fold over the manifest on the driver — no Spark job in the
-    # planning step (the global max/min equal the table's: the manifest
-    # covers every row)
-    b = _manifest_bounds(path, ["doc_id", "n_chars"])
+    # bounds were folded once at layout-build time and cached next to
+    # the path — steady-state planning reads no manifest for them
+    key = (spark.sparkContext.applicationId, sf_dir)
+    b = _LAYOUT_CACHE[key][2]
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    if b["doc_id"][1] is None or b["n_chars"][0] is None:
+        # degenerate corpus (empty / all-null): the oracle's BETWEEN
+        # NULL returns zero rows — match it with an empty typed
+        # relation instead of crashing on int(None) (review r11)
+        return (spark.read.parquet(path).select(*cols)
+                .filter(F.lit(False)))
     a_lo, a_hi, b_lo, b_hi = _skip_bounds(
         int(b["doc_id"][1]), int(b["n_chars"][0]), int(b["n_chars"][1]))
     out = skipping_scan_multi(
         spark, path, {"doc_id": (a_lo, a_hi), "n_chars": (b_lo, b_hi)})
-    return out.select("doc_id", "lang", "source", "n_chars")
+    return out.select(*cols)

@@ -286,3 +286,17 @@ def test_skipping_layout_memoized_per_session(spark):
     p1 = _skipping_layout(spark, SF_DIR)
     p2 = _skipping_layout(spark, SF_DIR)
     assert p1 == p2
+
+
+def test_manifest_skipping_scan_degenerate_corpus(spark, tmp_path):
+    """An empty documents table must yield an empty typed relation —
+    matching the oracle's BETWEEN-NULL zero rows — not a crash in the
+    bounds arithmetic (review r11, fourth pass)."""
+    from tank_spark.operators.skipping import manifest_skipping_scan
+
+    sf_dir = str(tmp_path)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.limit(0).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    out = manifest_skipping_scan(spark, sf_dir)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "lang", "source", "n_chars"]
