@@ -174,6 +174,19 @@ def prune_files(spark: SparkSession, path: str, col: str,
     return keep
 
 
+def _local_fs_path(path: str) -> str:
+    """Normalize a 'file:' URI to a plain filesystem path so the
+    driver-side glob/pyarrow readers see the real directory — without
+    this, 'file:///tmp/t' passed the driver-side routing guard but the
+    raw-string glob found nothing and raised manifest-missing even when
+    the manifest existed (ADVICE r11)."""
+    if path.startswith("file:"):
+        from urllib.parse import urlparse
+
+        return urlparse(path).path or path
+    return path
+
+
 def _local_manifest_parts(path: str) -> list[str]:
     """The driver-side manifest part files (local paths only) — ONE
     guard shared by every driver-side planner so 'manifest missing'
@@ -182,7 +195,7 @@ def _local_manifest_parts(path: str) -> list[str]:
     import glob as _glob
 
     parts = sorted(_glob.glob(os.path.join(
-        _glob.escape(path), MANIFEST_DIR, "*.parquet")))
+        _glob.escape(_local_fs_path(path)), MANIFEST_DIR, "*.parquet")))
     if not parts:
         raise FileNotFoundError(
             f"no manifest under {path}/{MANIFEST_DIR} — run "
@@ -193,13 +206,19 @@ def _local_manifest_parts(path: str) -> list[str]:
 def _prune_files_via_spark(spark: SparkSession, path: str, col: str,
                            lo, hi) -> list[str]:
     """The portable planning path: same predicate through a Spark read
-    of the manifest (lit coercion + Spark NaN ordering, under which
-    NaN >= lo is true, matching the driver-side keep-on-NaN rule)."""
+    of the manifest, matching the driver-side rules exactly. Keep-on-NaN
+    needs an explicit branch here: Spark's NaN ordering makes
+    ``NaN >= lo`` true (max-stat NaN keeps for free) but ``NaN <= hi``
+    FALSE, so an all-NaN column's min stat would silently prune where
+    the driver-side planner keeps (ADVICE r11) — float/double stat
+    columns get an ``isnan`` OR-branch."""
     man = read_manifest(spark, path)
-    keep = man.filter(
-        F.col(f"{col}_min").isNotNull()
-        & (F.col(f"{col}_max") >= F.lit(lo))
-        & (F.col(f"{col}_min") <= F.lit(hi)))
+    mn, mx = F.col(f"{col}_min"), F.col(f"{col}_max")
+    in_range = (mx >= F.lit(lo)) & (mn <= F.lit(hi))
+    dtype = dict(man.dtypes).get(f"{col}_min")
+    if dtype in ("float", "double"):
+        in_range = F.isnan(mn) | F.isnan(mx) | in_range
+    keep = man.filter(mn.isNotNull() & in_range)
     return [r["file"] for r in keep.select("file").collect()]
 
 
@@ -289,7 +308,10 @@ def _skipping_layout(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     fp = _table_fingerprint(sf_dir, "documents")
     hit = _LAYOUT_CACHE.get(key)
-    if hit is not None and hit[0] == fp:
+    # a fingerprint hit must also still EXIST on disk — external /tmp
+    # cleanup mid-session otherwise turns a cache hit into a read
+    # failure (ADVICE r11); a vanished layout just rebuilds
+    if hit is not None and hit[0] == fp and os.path.isdir(hit[1]):
         return hit[1]
     if hit is not None:
         # drop the cache entry BEFORE touching disk: if the rebuild

@@ -254,49 +254,44 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # escape hatch as a registered full-oracle operator — never-checked
 # entries enter unconditionally, so it takes the slot initially
 # reserved for an r8 pre-pull).
+# Round-11 window (kept for the record; superseded by r12 below):
+# EXACTLY the VERDICT r10 #1 prescription — the 38 r7-green due
+# entries, the 4 quantizer-refactor consumers, the NEW r11 entries
+# (trained + two-level quantizer families, media/text stream reports),
+# and the two code-changed entries. Driver result: 50/50 PASS, all
+# fifty full-oracle hash-matches (CORRECTNESS_r11.json).
+# Round-12 window: EXACTLY the R12 WINDOW HANDOFF below (== VERDICT r11
+# #1). The FULL 46-name r8-green cohort comes due under the staleness
+# bound (the planned dedup_incremental_report pre-pull never ran); the
+# 4 flex slots take the first four STAGED semdedup entries — the r11
+# semantic-incremental family, full oracles, parity-pinned at both SFs
+# since registration (never-checked entries enter unconditionally).
 PRIORITY: tuple[str, ...] = (
-    # ---- the 38 r7-green entries due this round (staleness bound 4)
-    "boilerplate_segment_removal", "corpus_mix_report",
-    "corr_qty_price_by_flag", "cross_doc_dup_ngram_fraction",
-    "dedup_substring_removal", "dedup_substring_spans",
-    "delete_by_uid", "delete_tile", "dense_rank_price_tiers",
-    "disjunctive_predicate_revenue", "distinct_parts_per_flag",
-    "heatmap_z11", "heatmap_z9", "ingest_bucket_stats",
-    "ingest_coerce_defaults", "ingest_declared_schema",
-    "ingest_json_props", "ingest_upsert_post_state",
-    "lang_id_confusion", "math_functions_demo", "nation_trade_balance",
-    "pii_detect_mask", "point_lookup_uid", "priority_by_ship_delay",
-    "promo_revenue_share", "q5_nation_volume", "small_quantity_parts",
-    "sort_limit_parts", "stddev_value_by_type", "string_functions_demo",
-    "text_repetition_signals", "tile_filter_date", "tile_filter_int",
-    "tile_z13_single", "tile_z15_parent", "tile_z9_range",
-    "top_returning_customers", "update_by_uid",
-    # ---- r10 quantizer-refactor consumers without post-refactor rows
-    "ivf_assignments", "ivf_recall_eval", "cluster_balanced_sample",
-    "semdedup_prune_capped",
-    # ---- NEW this round (never-checked entries enter unconditionally)
-    "ivf_trained_probe_search", "ivf_trained_recall_eval",
-    "media_dedup_incremental_report",
-    # ---- NEW (late r11): the two-level quantizer family, full oracles
-    "ivf_twolevel_assignments", "ivf_twolevel_probe_search",
-    # ---- NEW (late r11, second pass): the two-level recall eval
-    # completing the quantizer-eval family, and the per-crawl-day
-    # stream-report twins (media + text). Never-checked entries enter
-    # unconditionally (the hygiene lint enforces it), so three standing
-    # slots yielded, each with a concrete in-suite substitute for the
-    # deferred driver row:
-    # - tile_mvt_z7_parity (r9-green cadence refresh, due r13 — queued
-    #   first for r12);
-    # - ivf_probe_search (r10 row; its refactored _probe_core gets
-    #   DIRECT in-window signal anyway — ivf_recall_eval consumes
-    #   ivf_probe_search as its pred, and ivf_trained_probe_search runs
-    #   the same core with the plan skeleton pinned identical);
-    # - media_index_build (r10 row, due r14; the r11 phash addition is
-    #   oracle-parity-verified at BOTH SFs on every pytest run and its
-    #   shape is e2e-consumed by the streaming index tests — queued
-    #   for an r12 flex slot).
-    "ivf_twolevel_recall_eval", "media_dedup_stream_report",
-    "dedup_incremental_stream_report",
+    # ---- the 46 r8-green entries due this round (staleness bound 4)
+    "audio_features", "audio_fingerprint_neardup", "audio_resample",
+    "chunk_documents", "cross_source_duplication",
+    "curriculum_quality_stages", "decontaminate_train_eval",
+    "dedup_event_stream_replay", "dedup_exact", "dedup_exact_survivors",
+    "dedup_incremental_batch", "dedup_incremental_report",
+    "dedup_incremental_stream_replay", "dedup_index_build",
+    "dedup_lsh_clusters", "dedup_lsh_survivors",
+    "dedup_minhash_signatures", "dedup_prefix_containment",
+    "dedup_quality_survivors", "embedding_sq_quantize",
+    "event_value_outliers", "export_shard_plan", "global_sequence_ids",
+    "gopher_quality_rules", "image_phash_neardup",
+    "image_phash_survivors", "ivf_train_kmeans", "media_dedup_apply",
+    "media_dedup_report", "media_dedup_survivors",
+    "media_extract_features", "media_frame_sample", "media_resize",
+    "neardup_embedding_clusters", "pack_token_budget", "passage_dedup",
+    "quality_top_quantile_per_source", "rare_word_fraction",
+    "sample_stratified_sources", "stream_spend_post_state",
+    "temperature_mix_weights", "token_budget_planning",
+    "token_freq_spectrum", "video_keyframes", "video_phash_neardup",
+    "video_scene_cuts",
+    # ---- the 4 flex slots: first four STAGED semdedup entries enter
+    # (dropped from STAGED in the same commit, per the staged contract)
+    "semdedup_index_build", "semdedup_incremental",
+    "semdedup_stream_replay", "semdedup_incremental_report",
 )
 
 # Entries registered AFTER this round's window froze. The r11 window is
@@ -316,44 +311,17 @@ PRIORITY: tuple[str, ...] = (
 # oracle, outside the window, self-expiry once a driver row exists, and
 # that a test file names the entry alongside a driver-SF compare().
 STAGED: tuple[str, ...] = (
-    "semdedup_index_build", "semdedup_incremental",
-    "semdedup_stream_replay", "semdedup_incremental_report",
+    # (r12: the four semdedup entries entered the window and left
+    # STAGED per the contract.)
     "semdedup_stream_report",
     # the file-skipping layer's equivalence gate (operators/skipping.py)
     # — takes r13's LAST flex slot (see the handoff below)
     "manifest_skipping_scan",
 )
 
-# R12 WINDOW HANDOFF (recomputed from the CORRECTNESS_r* artifacts
-# after the staged registrations; the planned dedup_incremental_report
-# pre-pull never ran, so the due cohort is the FULL 46): the r12
-# PRIORITY is these 46 r8-due names
-#   "audio_features", "audio_fingerprint_neardup", "audio_resample",
-#   "chunk_documents", "cross_source_duplication",
-#   "curriculum_quality_stages", "decontaminate_train_eval",
-#   "dedup_event_stream_replay", "dedup_exact", "dedup_exact_survivors",
-#   "dedup_incremental_batch", "dedup_incremental_report",
-#   "dedup_incremental_stream_replay", "dedup_index_build",
-#   "dedup_lsh_clusters", "dedup_lsh_survivors",
-#   "dedup_minhash_signatures", "dedup_prefix_containment",
-#   "dedup_quality_survivors", "embedding_sq_quantize",
-#   "event_value_outliers", "export_shard_plan", "global_sequence_ids",
-#   "gopher_quality_rules", "image_phash_neardup",
-#   "image_phash_survivors", "ivf_train_kmeans", "media_dedup_apply",
-#   "media_dedup_report", "media_dedup_survivors",
-#   "media_extract_features", "media_frame_sample", "media_resize",
-#   "neardup_embedding_clusters", "pack_token_budget", "passage_dedup",
-#   "quality_top_quantile_per_source", "rare_word_fraction",
-#   "sample_stratified_sources", "stream_spend_post_state",
-#   "temperature_mix_weights", "token_budget_planning",
-#   "token_freq_spectrum", "video_keyframes", "video_phash_neardup",
-#   "video_scene_cuts",
-# plus the 4 flex slots = the first four STAGED entries
-#   "semdedup_index_build", "semdedup_incremental",
-#   "semdedup_stream_replay", "semdedup_incremental_report",
-# (never-checked entries enter unconditionally; drop each from STAGED
-# as it enters). semdedup_stream_report stays STAGED one more round.
-#
+# R13 WINDOW HANDOFF (set at r12 window rotation; the r12 PRIORITY
+# above is exactly the r11 handoff's prescription — 46 r8-due + the
+# four staged semdedup entries):
 # R13: the 46-entry r9 cohort comes due (it already contains the
 # tile_mvt_z7_parity and tile_mvt_batch cadence refreshes), leaving 4
 # flex: semdedup_stream_report + manifest_skipping_scan (the two

@@ -63,6 +63,7 @@ from tank_spark.llm.media_inc import (
     _hashed_media,
     media_disposition_against_index,
 )
+from tank_spark.streaming._swap import recover_interrupted_swap
 
 # epoch_id is the hive partition column (parsed from the dir name, not
 # stored in the files)
@@ -82,8 +83,12 @@ def _ensure_epoch_layout(index_dir: str, rel: str) -> None:
     root) into the base-generation directory. Without this, a stream
     resumed over an old index would write epoch_id= dirs NEXT TO flat
     files and Spark's partition discovery would fail the next read with
-    'Conflicting directory structures' (review r11)."""
+    'Conflicting directory structures' (review r11). Also the hook
+    where a compaction swap interrupted between its two renames is
+    auto-restored from the surviving ``.old`` generation (ADVICE
+    r11)."""
     root = os.path.join(index_dir, rel)
+    recover_interrupted_swap(root)
     if not os.path.isdir(root):
         return
     flat = [f for f in os.listdir(root)

@@ -59,6 +59,7 @@ from tank_spark.llm.semdedup_inc import (
     scored_relation,
     semdedup_disposition_against_index,
 )
+from tank_spark.streaming._swap import recover_interrupted_swap
 
 # epoch_id is the hive partition column (parsed from the dir name, not
 # stored in the files)
@@ -100,7 +101,10 @@ def read_semdedup_index(spark: SparkSession, index_dir: str) -> DataFrame:
     """The current index relation across every generation/epoch —
     (vid, list_id, embedding, inv), the probe-core input shape
     (explicit schema; epoch_id dropped — the probe is epoch-agnostic,
-    idempotency lives in the directory layout)."""
+    idempotency lives in the directory layout). A compaction swap
+    interrupted between its two renames is auto-restored from the
+    surviving ``.old`` generation first (ADVICE r11)."""
+    recover_interrupted_swap(os.path.join(index_dir, "assign"))
     return (spark.read.schema(_ASSIGN_SCHEMA)
             .parquet(os.path.join(index_dir, "assign"))
             .select(F.col("ivid").alias("vid"), "list_id",

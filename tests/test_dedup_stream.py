@@ -301,3 +301,25 @@ def test_text_stream_report_collapses_replayed_epochs(spark, tmp_path):
     assert len(rows) == 1
     assert (rows[0]["disposition"], rows[0]["n_docs"],
             rows[0]["share_ppm"]) == ("exact_dup_of_index", 1, 1000000)
+
+
+def test_interrupted_compaction_swap_autorecovers(spark, tmp_path):
+    """Crash window between the compaction swap's two renames: fp/ (or
+    bands/) missing with a surviving .old must auto-restore on the next
+    read (ADVICE r11; shared recovery helper across the families)."""
+    import os
+
+    from tank_spark.streaming.dedup_stream import (
+        read_dedup_index,
+        write_dedup_index,
+    )
+
+    index_dir = str(tmp_path / "index")
+    corpus = spark.createDataFrame(
+        sorted(_IDX_TEXTS.items()), "cid long, text string")
+    write_dedup_index(corpus, index_dir)
+    for rel in ("fp", "bands"):
+        live = os.path.join(index_dir, rel)
+        os.rename(live, live + ".old")
+    ifp, ib = read_dedup_index(spark, index_dir)
+    assert ifp.count() == 2 and ib.count() > 0

@@ -387,3 +387,26 @@ def test_media_stream_report_collapses_replayed_epochs(spark, tmp_path):
     assert len(rows) == 1
     assert (rows[0]["disposition"], rows[0]["n_docs"],
             rows[0]["share_ppm"]) == ("exact_dup_of_index", 1, 1000000)
+
+
+def test_interrupted_compaction_swap_autorecovers(spark, tmp_path):
+    """Crash window between the compaction swap's two renames must
+    auto-restore from .old on the next read (ADVICE r11; shared
+    recovery helper across the families)."""
+    import os
+
+    from tank_spark.streaming.media_dedup_stream import (
+        read_media_index,
+        write_media_index,
+    )
+
+    index_dir = str(tmp_path / "index")
+    corpus = spark.createDataFrame(
+        [(1, "image", _payload("img-a")), (2, "image", _payload("img-b"))],
+        "cid long, modality string, payload binary")
+    write_media_index(spark, corpus, index_dir)
+    for rel in ("fp", "bands"):
+        live = os.path.join(index_dir, rel)
+        os.rename(live, live + ".old")
+    ifp, ib = read_media_index(spark, index_dir)
+    assert ifp.count() == 2 and ib.count() == 8

@@ -357,3 +357,36 @@ def test_stream_loop_with_twolevel_quantizer(spark, tmp_path):
     out2 = {r["vec_id"]: r for r in spark.read.parquet(out_dir).collect()}
     assert out2[201]["disposition"] == "semantic_dup_of_index"
     assert out2[201]["match_vid"] == 102
+
+
+def test_interrupted_compaction_swap_autorecovers(spark, tmp_path):
+    """A compaction crash between rename(live, old) and rename(tmp,
+    live) leaves no assign/ but a complete assign.old — readers and the
+    next compaction must auto-restore instead of failing until a human
+    renames it back (ADVICE r11)."""
+    import os
+
+    from tank_spark.streaming.semdedup_stream import (
+        compact_semdedup_index,
+        index_epoch_count,
+        read_semdedup_index,
+        write_semdedup_index,
+    )
+
+    index_dir = str(tmp_path / "index")
+    corpus = spark.createDataFrame(
+        [(1, VEC_A), (2, VEC_B)], "vid long, embedding array<float>")
+    write_semdedup_index(spark, corpus, index_dir)
+    rows0 = sorted(r["vid"] for r in
+                   read_semdedup_index(spark, index_dir).collect())
+    live = os.path.join(index_dir, "assign")
+    os.rename(live, live + ".old")  # the exact crash window
+    got = sorted(r["vid"] for r in
+                 read_semdedup_index(spark, index_dir).collect())
+    assert got == rows0  # restored, not FileNotFound
+    # and a compaction started in the same state also recovers
+    os.rename(live, live + ".old")
+    compact_semdedup_index(spark, index_dir, n_buckets=2)
+    assert index_epoch_count(index_dir) == 1
+    assert sorted(r["vid"] for r in
+                  read_semdedup_index(spark, index_dir).collect()) == rows0

@@ -300,3 +300,75 @@ def test_manifest_skipping_scan_degenerate_corpus(spark, tmp_path):
     out = manifest_skipping_scan(spark, sf_dir)
     assert out.count() == 0
     assert out.columns == ["doc_id", "lang", "source", "n_chars"]
+
+
+def test_file_scheme_paths_plan_driver_side(spark, tmp_path):
+    """A 'file:' URI is a LOCAL path and must take the driver-side
+    pyarrow planner — before the scheme was stripped, the raw-string
+    glob found no manifest parts and raised manifest-missing even
+    though the manifest existed (ADVICE r11)."""
+    from tank_spark.operators.skipping import (
+        build_manifest,
+        prune_files,
+        skipping_scan,
+        write_clustered,
+    )
+
+    path = str(tmp_path / "t")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    write_clustered(docs, path, "doc_id", n_files=4)
+    build_manifest(spark, path, ["doc_id"])
+    plain = prune_files(spark, path, "doc_id", 10, 60)
+    via_uri = prune_files(spark, "file://" + path, "doc_id", 10, 60)
+    assert via_uri == plain and 1 <= len(plain) < 4
+    got = skipping_scan(spark, "file://" + path, "doc_id", 10, 60)
+    assert _rows(got) == _rows(_full(spark, path, "doc_id", 10, 60))
+
+
+def test_spark_planner_keeps_all_nan_min_stats(spark, tmp_path):
+    """The portable (Spark-read) planner must honor the same keep-on-NaN
+    rule as the driver-side one: an all-NaN column's MIN stat is NaN,
+    and Spark's NaN ordering makes `NaN <= hi` FALSE, so without the
+    isnan OR-branch the file silently pruned where pyarrow kept it
+    (ADVICE r11). Both planners over the same manifest must agree."""
+    from tank_spark.operators.skipping import (
+        _prune_files_via_spark,
+        build_manifest,
+        prune_files,
+    )
+
+    path = str(tmp_path / "t")
+    nan = float("nan")
+    a = spark.createDataFrame([(nan, "a"), (nan, "a")],
+                              "v double, tag string")
+    b = spark.createDataFrame([(100.0, "b")], "v double, tag string")
+    a.coalesce(1).write.mode("overwrite").parquet(path)
+    b.coalesce(1).write.mode("append").parquet(path)
+    build_manifest(spark, path, ["v"])
+    driver_side = sorted(prune_files(spark, path, "v", 4.0, 6.0))
+    spark_side = sorted(_prune_files_via_spark(spark, path, "v", 4.0, 6.0))
+    assert spark_side == driver_side
+    assert len(driver_side) == 1  # all-NaN file kept, 100.0 file pruned
+
+
+def test_layout_cache_rebuilds_after_external_tmp_cleanup(spark):
+    """A fingerprint-valid cache hit whose directory an external /tmp
+    sweeper removed must REBUILD, not serve the dead pointer
+    (ADVICE r11)."""
+    import shutil
+
+    from tank_spark.operators.skipping import (
+        _LAYOUT_CACHE,
+        _skipping_layout,
+    )
+    from tank_spark.plans.registry import load_all
+
+    reg = load_all()
+    q = reg["manifest_skipping_scan"]
+    n0 = q.spark(spark, SF_DIR).count()
+    key = (spark.sparkContext.applicationId, SF_DIR)
+    first = _LAYOUT_CACHE[key][1]
+    shutil.rmtree(first)
+    path2 = _skipping_layout(spark, SF_DIR)
+    assert path2 != first or not _LAYOUT_CACHE  # fresh dir built
+    assert q.spark(spark, SF_DIR).count() == n0
