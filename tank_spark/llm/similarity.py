@@ -524,14 +524,15 @@ def _probe_core(spark: SparkSession, sf_dir: str, arr) -> DataFrame:
 
 
 def _probe_rank_tail(e: DataFrame, probes: DataFrame,
-                     assign: DataFrame) -> DataFrame:
+                     assign: DataFrame,
+                     qids: tuple = _IVF_QUERY_IDS) -> DataFrame:
     """Candidate generation + cosine top-3, shared by every IVF probe
     variant: ``probes`` (qid, centroid_id) fans out to the assigned
     inverted lists, the query side broadcasts, ranking is one
     per-query window over the (bounded) candidate set."""
     from pyspark.sql import Window
 
-    q = e.filter(F.col("vec_id").isin(*_IVF_QUERY_IDS)).select(
+    q = e.filter(F.col("vec_id").isin(*qids)).select(
         F.col("vec_id").alias("qid2"), F.col("embedding").alias("q_emb")
     )
     cand = (
@@ -652,7 +653,7 @@ def _recall_core(spark: SparkSession, sf_dir: str, arr,
 
 
 def _recall_tail(e: DataFrame, assign: DataFrame, probes: DataFrame,
-                 pred: DataFrame) -> DataFrame:
+                 pred: DataFrame, qids: tuple = _IVF_QUERY_IDS) -> DataFrame:
     """Truth/candidate/hit assembly shared by EVERY recall eval (raw,
     trained, two-level): ``assign`` is the quantizer's full-corpus
     (vec_id, centroid_id), ``probes`` the query-side (qid, centroid_id)
@@ -669,7 +670,7 @@ def _recall_tail(e: DataFrame, assign: DataFrame, probes: DataFrame,
     )
     n_cand = cand.groupBy("qid").agg(F.count(F.lit(1)).alias("n_candidates"))
     # truth: brute-force top-3 for the IVF query set
-    q = e.filter(F.col("vec_id").isin(*_IVF_QUERY_IDS)).select(
+    q = e.filter(F.col("vec_id").isin(*qids)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
     )
     joined = e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
@@ -1156,11 +1157,13 @@ def ivf_twolevel_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 W_COARSE = 2  # coarse-probe width: route queries to the 2 best groups
 
 
-def _frozen2_qprobes_cte() -> str:
+def _frozen2_qprobes_cte(w_coarse: int = W_COARSE,
+                         n_probe: int = N_PROBE) -> str:
     """``qroute`` + ``probes(qid, centroid_id)``: each query's two-level
     probe fan-out — ONE builder shared by the probe and recall oracles
     so the routing can never fork (same discipline as
-    _trained_probes_cte)."""
+    _trained_probes_cte). (w_coarse, n_probe) parameterize the dial;
+    the registered entries pin the module defaults."""
     ids = ", ".join(str(i) for i in _IVF_QUERY_IDS)
     dot = _frozen2_dot
     return f"""qroute AS (
@@ -1171,7 +1174,7 @@ def _frozen2_qprobes_cte() -> str:
                                            c.gid) AS crn
         FROM embeddings v CROSS JOIN ccent c
         WHERE v.vec_id IN ({ids})
-      ) WHERE crn <= {W_COARSE}
+      ) WHERE crn <= {w_coarse}
     ),
     probes AS (
       SELECT qid, centroid_id FROM (
@@ -1182,7 +1185,7 @@ def _frozen2_qprobes_cte() -> str:
         FROM qroute r
           JOIN embeddings v ON v.vec_id = r.qid
           JOIN fcent f ON f.gid = r.gid
-      ) WHERE prn <= {N_PROBE}
+      ) WHERE prn <= {n_probe}
     )"""
 
 
@@ -1232,31 +1235,37 @@ def ivf_twolevel_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _probe_rank_tail(e, _frozen2_probes_df(spark, e), assign)
 
 
-def _frozen2_probes_df(spark: SparkSession, e: DataFrame) -> DataFrame:
+def _frozen2_probes_df(spark: SparkSession, e: DataFrame,
+                       w_coarse: int = W_COARSE,
+                       n_probe: int = N_PROBE,
+                       qids: tuple = _IVF_QUERY_IDS) -> DataFrame:
     """Query-side two-level probe fan-out (qid, centroid_id) — top-W
     coarse groups -> flatten their fine-literal arrays -> global
-    (score, centroid_id) sort -> N_PROBE. ONE builder shared by the
+    (score, centroid_id) sort -> n_probe. ONE builder shared by the
     probe search and its recall eval (the Spark mirror of the oracle's
-    shared qroute/probes CTE) so the routing can never fork."""
+    shared qroute/probes CTE) so the routing can never fork; the
+    (w_coarse, n_probe) dial is parameterized for the sweep harness
+    and the registered entries pin the module defaults."""
     coarse, fine = _frozen2_exprs(spark)
     top = F.slice(F.array_sort(F.transform(coarse, _literal_score)),
-                  1, W_COARSE)
+                  1, w_coarse)
     fine_concat = F.flatten(F.transform(
         top, lambda s: F.element_at(fine,
                                     (s["centroid_id"] + 1).cast("int"))))
     rank_arr = F.transform(fine_concat, _literal_score)
     return (
-        e.filter(F.col("vec_id").isin(*_IVF_QUERY_IDS))
+        e.filter(F.col("vec_id").isin(*qids))
         .select(
             F.col("vec_id").alias("qid"),
-            F.explode(F.slice(F.array_sort(rank_arr), 1, N_PROBE))
+            F.explode(F.slice(F.array_sort(rank_arr), 1, n_probe))
             .alias("p"),
         )
         .select("qid", F.col("p.centroid_id").alias("centroid_id"))
     )
 
 
-def _frozen2_recall_sql() -> str:
+def _frozen2_recall_sql(w_coarse: int = W_COARSE,
+                        n_probe: int = N_PROBE) -> str:
     ids = ", ".join(str(i) for i in _IVF_QUERY_IDS)
     dot_qe = _dot_sql("q.embedding", "e.embedding")
     nq = _dot_sql("q.embedding", "q.embedding")
@@ -1265,7 +1274,7 @@ def _frozen2_recall_sql() -> str:
     return f"""
     WITH {_frozen2_cents_cte()},
     {_frozen2_t2assign_cte()},
-    {_frozen2_qprobes_cte()},
+    {_frozen2_qprobes_cte(w_coarse, n_probe)},
     cand AS (
       SELECT p.qid, a.vec_id FROM probes p
       JOIN t2assign a ON a.centroid_id = p.centroid_id
@@ -1328,6 +1337,43 @@ def ivf_twolevel_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _frozen2_assign_col(spark).alias("centroid_id"))
     return _recall_tail(e, assign, _frozen2_probes_df(spark, e),
                         ivf_twolevel_probe_search(spark, sf_dir))
+
+
+# The PRODUCTION operating point of the two-level dial (VERDICT r11
+# #3). The default entry above pins (W_COARSE=2, nprobe=2): recall@3
+# 0.667 at scan_frac ~0.046 — the honest cost of 8.5x less scan.
+# SCALE.md claimed "raise nprobe at k=64 and recall recovers while
+# cost stays list-linear"; tools/twolevel_nprobe_sweep.py measured it:
+# at (2, 4) recall recovers to 1.000 — the flat-trained k=8 bar — at
+# scan_frac 0.078 vs the flat path's 0.257, i.e. full recall at 3.3x
+# less scan. This entry registers that measured pick with a full
+# oracle so the production configuration is driver-checked, not just
+# a SCALE.md table row.
+N_PROBE_PROD = 4
+
+
+@register(
+    "ivf_twolevel_probe4_recall_eval",
+    _frozen2_recall_sql(W_COARSE, N_PROBE_PROD),
+    doc=f"The two-level quantizer's MEASURED production operating "
+        f"point (W_COARSE={W_COARSE}, nprobe={N_PROBE_PROD}): same "
+        "frozen k=64/8-group routing and shared recall tail as "
+        "ivf_twolevel_recall_eval, probing 4 fine lists instead of 2. "
+        "tools/twolevel_nprobe_sweep.py: recall@3 recovers to 1.000 "
+        "(= the flat-trained k=8 reference) at scan_frac 0.078 vs "
+        "0.257 flat — full recall at 3.3x less scan, with per-row "
+        "routing cost unchanged (list-linear: nprobe only widens the "
+        "candidate join, never the quantizer fold). Full oracle: the "
+        "same parameterized qroute/probes CTE at nprobe=4.",
+)
+def ivf_twolevel_probe4_recall_eval(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    assign = e.select(
+        "vec_id", _frozen2_assign_col(spark).alias("centroid_id"))
+    probes = _frozen2_probes_df(spark, e, W_COARSE, N_PROBE_PROD)
+    pred = _probe_rank_tail(e, probes, assign)
+    return _recall_tail(e, assign, probes, pred)
 
 
 @register(

@@ -317,6 +317,11 @@ STAGED: tuple[str, ...] = (
     # the file-skipping layer's equivalence gate (operators/skipping.py)
     # — takes r13's LAST flex slot (see the handoff below)
     "manifest_skipping_scan",
+    # NEW r12 (VERDICT r11 #3): the two-level quantizer's measured
+    # production operating point (W=2, nprobe=4 — recall recovers to
+    # the flat-trained 1.000 at 3.3x less scan, twolevel_nprobe_sweep).
+    # r13 is fully pre-committed, so this waits for an r14 flex slot.
+    "ivf_twolevel_probe4_recall_eval",
 )
 
 # R13 WINDOW HANDOFF (set at r12 window rotation; the r12 PRIORITY

@@ -215,3 +215,53 @@ def test_frozen_score_structs_memoized(spark):
     from tank_spark.llm.similarity import _frozen_score_structs
 
     assert _frozen_score_structs(spark) is _frozen_score_structs(spark)
+
+
+def test_probe4_staged_parity_at_driver_sf(spark):
+    """ivf_twolevel_probe4_recall_eval's staged obligation (registered
+    after the frozen r12 window; r14 flex slot pre-assigned): full
+    oracle parity at the DRIVER_SF (sf0.01) AND the pytest SF."""
+    from tests.oracle_util import compare
+
+    DRIVER_SF = "/root/testdata/sf0.01"
+    for sf_dir in (SF_DIR, DRIVER_SF):
+        compare(spark, sf_dir, "ivf_twolevel_probe4_recall_eval")
+
+
+def test_probe4_is_the_production_point(spark):
+    """The registered operating point must keep earning its doc claim
+    on CURRENT data: at (W_COARSE, nprobe=4) the two-level recall is at
+    least the flat-trained k=8 reference's while scanning strictly
+    less — measured at the training SF, quantizer content aside the
+    plan is the default eval's (skeleton pinned below)."""
+    import pyspark.sql.functions as F
+    from tank_spark.llm.similarity import (
+        ivf_trained_recall_eval,
+        ivf_twolevel_probe4_recall_eval,
+        ivf_twolevel_recall_eval,
+    )
+
+    def means(df):
+        r = df.agg(F.avg("recall"), F.avg("scan_frac")).first()
+        return float(r[0]), float(r[1])
+
+    flat_rec, flat_scan = means(ivf_trained_recall_eval(spark, TRAIN_SF))
+    p2_rec, _ = means(ivf_twolevel_recall_eval(spark, TRAIN_SF))
+    p4_rec, p4_scan = means(
+        ivf_twolevel_probe4_recall_eval(spark, TRAIN_SF))
+    assert p4_rec >= flat_rec          # recall recovered to the flat bar
+    assert p4_rec >= p2_rec            # never worse than the default dial
+    assert p4_scan < flat_scan         # at strictly less scan
+
+
+def test_probe4_plan_identical_to_default_dial(spark):
+    """nprobe only widens the candidate join — the production point's
+    physical skeleton must be IDENTICAL to the default two-level
+    eval's (no new exchange, no new join appears at nprobe=4)."""
+    from tank_spark.llm.similarity import (
+        ivf_twolevel_probe4_recall_eval,
+        ivf_twolevel_recall_eval,
+    )
+
+    assert _plan_skeleton(ivf_twolevel_probe4_recall_eval(spark, SF_DIR)) \
+        == _plan_skeleton(ivf_twolevel_recall_eval(spark, SF_DIR))
