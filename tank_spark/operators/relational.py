@@ -222,23 +222,40 @@ def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
     """,
-    doc="TPC-H Q6 shape: selective filter + global agg; the whole query "
-        "pushes to the scan (PushedFilters on date/discount/quantity).",
+    doc="TPC-H Q6 shape: selective filter + global agg, served through "
+        "the FILE-SKIPPING layer (operators/skipping.py — VERDICT r11 "
+        "#4's standing consumer): lineitem is rewritten once per "
+        "session value-clustered on l_shipdate with a per-file stats "
+        "manifest, the year-range prunes the file list DRIVER-SIDE "
+        "(an inclusive superset of the half-open predicate — pruning "
+        "may only widen, the exact residual filter decides), and only "
+        "the intersecting files are listed/opened; discount/quantity/"
+        "shipdate still push to the pruned scan. At 100 TB this is the "
+        "shipdate-range scan reading ~1/7 of the files instead of all "
+        "of them — the add-file-stats cut a table format gives Q6. "
+        "Oracle unchanged: skipping must never change results.",
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
-            & F.col("l_discount").between(0.05, 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            F.sum(F.col("l_extendedprice").cast(_DEC) * F.col("l_discount").cast(_DEC))
-            .cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n"),
-        )
+    from datetime import datetime
+
+    from tank_spark.operators.skipping import clustered_layout, prune_files
+
+    path, _ = clustered_layout(spark, sf_dir, "lineitem",
+                               ("l_shipdate",), cluster_by="l_shipdate")
+    files = prune_files(spark, path, "l_shipdate",
+                        datetime(1997, 1, 1), datetime(1998, 1, 1))
+    pred = (
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    li = (spark.read.option("basePath", path).parquet(*files).filter(pred)
+          if files else spark.read.parquet(path).filter(pred).limit(0))
+    return li.agg(
+        F.sum(F.col("l_extendedprice").cast(_DEC) * F.col("l_discount").cast(_DEC))
+        .cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 

@@ -293,47 +293,65 @@ SKIP_LO_PCT, SKIP_HI_PCT = 20, 35
 _LAYOUT_CACHE: dict = {}
 
 
-def _skipping_layout(spark: SparkSession, sf_dir: str) -> str:
-    """The session's Z-ordered documents layout + manifest for
-    ``sf_dir`` — written ONCE per (session, sf_dir, data fingerprint)
-    into a session-scoped tmp dir; every later call (bench/census
-    re-runs, the registered query) serves from the existing files. The
-    fingerprint is tables._table_fingerprint (ONE cache-key convention
-    across the repo; review r11), and an evicted layout's directory is
-    removed, mirroring tables' unpersist-on-evict."""
+def clustered_layout(spark: SparkSession, sf_dir: str, table: str,
+                     stat_cols: tuple,
+                     cluster_by: str | None = None,
+                     zorder: tuple | None = None,
+                     n_files: int = None) -> tuple[str, dict]:
+    """A session-cached value-clustered rewrite + manifest of one
+    ``sf_dir`` table — the generic form any standing consumer routes a
+    non-partition-column range scan through (VERDICT r11 #4). Written
+    ONCE per (session, sf_dir, table, data fingerprint) into a
+    session-scoped tmp dir; every later call (bench/census re-runs,
+    registered queries) serves from the existing files. Clustering is
+    ``zorder`` (2-D Morton) when given, else 1-D on ``cluster_by``.
+    Returns (layout_path, per-column global bounds) — the bounds are
+    folded driver-side once at build time so steady-state planning
+    never re-reads the manifest for them. The fingerprint is
+    tables._table_fingerprint (ONE cache-key convention across the
+    repo; review r11); an evicted layout's directory is removed,
+    mirroring tables' unpersist-on-evict."""
     import shutil
 
     from tank_spark.sources.tables import _table_fingerprint
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    fp = _table_fingerprint(sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, sf_dir, table)
+    fp = _table_fingerprint(sf_dir, table)
     hit = _LAYOUT_CACHE.get(key)
     # a fingerprint hit must also still EXIST on disk — external /tmp
     # cleanup mid-session otherwise turns a cache hit into a read
     # failure (ADVICE r11); a vanished layout just rebuilds
     if hit is not None and hit[0] == fp and os.path.isdir(hit[1]):
-        return hit[1]
+        return hit[1], hit[2]
     if hit is not None:
         # drop the cache entry BEFORE touching disk: if the rebuild
         # below fails mid-way, a later call must rebuild rather than
         # serve a stale pointer at a removed directory (review r11)
         _LAYOUT_CACHE.pop(key, None)
         shutil.rmtree(hit[1], ignore_errors=True)
-    path = tempfile.mkdtemp(prefix="tank_spark_skip_")
+    path = tempfile.mkdtemp(prefix=f"tank_spark_skip_{table}_")
     try:
-        docs = spark.read.parquet(
-            os.path.join(sf_dir, "documents.parquet"))
-        write_clustered_zorder(docs, path, ("doc_id", "n_chars"),
-                               SKIP_N_FILES)
-        build_manifest(spark, path, ["doc_id", "n_chars"])
-        # bounds are invariant per layout: fold them once here so
-        # steady-state planning never re-reads the manifest for them
-        bounds = _manifest_bounds(path, ["doc_id", "n_chars"])
+        src = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+        nf = n_files if n_files is not None else SKIP_N_FILES
+        if zorder is not None:
+            write_clustered_zorder(src, path, zorder, nf)
+        else:
+            write_clustered(src, path, cluster_by or stat_cols[0], nf)
+        build_manifest(spark, path, list(stat_cols))
+        bounds = _manifest_bounds(path, list(stat_cols))
     except BaseException:
         shutil.rmtree(path, ignore_errors=True)
         raise
     _LAYOUT_CACHE[key] = (fp, path, bounds)
-    return path
+    return path, bounds
+
+
+def _skipping_layout(spark: SparkSession, sf_dir: str) -> str:
+    """The registered entry's documents layout: Z-ordered on
+    (doc_id, n_chars) through the generic session cache."""
+    return clustered_layout(spark, sf_dir, "documents",
+                            ("doc_id", "n_chars"),
+                            zorder=("doc_id", "n_chars"))[0]
 
 
 def _manifest_bounds(path: str, cols: list[str]) -> dict:
@@ -415,11 +433,11 @@ WHERE d.doc_id BETWEEN CAST(FLOOR(s.mx * {SKIP_LO_PCT} / 100) AS BIGINT)
         "difference between a listing storm and a handful of opens.",
 )
 def manifest_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = _skipping_layout(spark, sf_dir)
     # bounds were folded once at layout-build time and cached next to
     # the path — steady-state planning reads no manifest for them
-    key = (spark.sparkContext.applicationId, sf_dir)
-    b = _LAYOUT_CACHE[key][2]
+    path, b = clustered_layout(spark, sf_dir, "documents",
+                               ("doc_id", "n_chars"),
+                               zorder=("doc_id", "n_chars"))
     cols = ["doc_id", "lang", "source", "n_chars"]
     if b["doc_id"][1] is None or b["n_chars"][0] is None:
         # degenerate corpus (empty / all-null): the oracle's BETWEEN

@@ -366,9 +366,40 @@ def test_layout_cache_rebuilds_after_external_tmp_cleanup(spark):
     reg = load_all()
     q = reg["manifest_skipping_scan"]
     n0 = q.spark(spark, SF_DIR).count()
-    key = (spark.sparkContext.applicationId, SF_DIR)
+    key = (spark.sparkContext.applicationId, SF_DIR, "documents")
     first = _LAYOUT_CACHE[key][1]
     shutil.rmtree(first)
     path2 = _skipping_layout(spark, SF_DIR)
     assert path2 != first or not _LAYOUT_CACHE  # fresh dir built
     assert q.spark(spark, SF_DIR).count() == n0
+
+
+def test_q6_serves_through_the_skipping_layer(spark):
+    """q6_forecast_revenue is the skipping layer's standing consumer
+    (VERDICT r11 #4): its scan must read a PRUNED file list (< the
+    full layout), produce exactly the unpruned filter's aggregate, and
+    still push the residual predicates down to the pruned parquet
+    scan. Pruning bounds are an inclusive superset of the half-open
+    shipdate predicate — only the residual decides rows."""
+    from tank_spark.operators.relational import q6_forecast_revenue
+    from tank_spark.operators.skipping import SKIP_N_FILES
+
+    df = q6_forecast_revenue(spark, SF_DIR)
+    n_in = len(df.inputFiles())
+    assert 1 <= n_in < SKIP_N_FILES  # the file cut actually happened
+    # result identical to the plain full-table filter
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    want = (li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24))
+        .agg(F.sum((F.col("l_extendedprice").cast("decimal(18,4)")
+                    * F.col("l_discount").cast("decimal(18,4)")))
+             .cast("double"), F.count(F.lit(1))).first())
+    got = df.first()
+    assert got[0] == want[0] and got[1] == want[1]
+    # residuals still reach the pruned scan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "l_discount" in plan and "l_quantity" in plan
