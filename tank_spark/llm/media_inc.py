@@ -458,10 +458,15 @@ def curation_report_over(docs: DataFrame, disp: DataFrame,
         "report; the replay side is the standing two-probe chain.",
 )
 def media_dedup_stream_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    r = media_dedup_stream_replay(spark, sf_dir).select(
-        (F.col("doc_id") % INC_OFFSET).alias("orig"),
-        "batch_id", "modality", "disposition", "match_cid",
-    )
+    from tank_spark.sources.tables import session_memo
+
+    # replay chain derived once per session; the report pays only the
+    # aggregate on re-runs (VERDICT r11 #5)
+    r = session_memo(
+        spark, sf_dir, "media_dedup_stream_disp", ("documents",),
+        lambda: media_dedup_stream_replay(spark, sf_dir).select(
+            (F.col("doc_id") % INC_OFFSET).alias("orig"),
+            "batch_id", "modality", "disposition", "match_cid"))
     return _curation_report(spark, sf_dir, r,
                             ["batch_id", "modality", "source"])
 

@@ -672,13 +672,18 @@ def semdedup_incremental_report(spark: SparkSession,
         "broadcast-only posture as every other curation report.",
 )
 def semdedup_stream_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # pinned for the same double-consumption reason as the batch report
-    # (disp_a inside the replay is already checkpointed; without this
-    # pin the day-2 probe would run twice)
-    r = semdedup_stream_replay(spark, sf_dir).select(
-        (F.col("vec_id") % INC_OFFSET).alias("orig"),
-        "batch_id", "disposition", F.col("match_vid").alias("match_cid"),
-    ).localCheckpoint(eager=True)
+    from tank_spark.sources.tables import session_memo
+
+    # the eager persist in the memo pins the double-consumed disposition
+    # (the localCheckpoint's old job) AND makes re-runs pay only the
+    # aggregate — the replay chain is derived once per session
+    # (VERDICT r11 #5)
+    r = session_memo(
+        spark, sf_dir, "semdedup_stream_disp", ("embeddings",),
+        lambda: semdedup_stream_replay(spark, sf_dir).select(
+            (F.col("vec_id") % INC_OFFSET).alias("orig"),
+            "batch_id", "disposition",
+            F.col("match_vid").alias("match_cid")))
     return _label_report(spark, sf_dir, r, ["batch_id", "label"])
 
 
