@@ -658,6 +658,117 @@ def semdedup_incremental_report(spark: SparkSession,
     return _label_report(spark, sf_dir, disp, ["label"])
 
 
+# -------------------- the two-level quantizer, oracle-certified (r12)
+
+def _sem2_ctes() -> str:
+    """``sidx`` + ``sroute`` in the TWO-LEVEL (k=64) list space — drop-in
+    replacements for the flat CTEs, so _sem_disposition_ctes reuses
+    verbatim (it references both by name). The routing mirrors
+    _quantizer_cols("twolevel") exactly, including the PREPEND-OWN-
+    ASSIGNMENT rule (a vector always probes its own list, which makes
+    exact re-crawl detection unconditional — the r11 routing-flaw fix):
+    rank 0 = the assignment, ranks 1..n = the flatten-and-sort
+    candidates across the W_COARSE routed groups; MIN(rank) per
+    (vid, list) dedups keeping first occurrence, ROW_NUMBER over rank
+    reproduces Spark's array_distinct(concat([top1], cand)) order."""
+    from tank_spark.llm.similarity import W_COARSE, _frozen2_dot
+
+    dot = _frozen2_dot
+    return f"""r2 AS (
+  SELECT vid, gid FROM (
+    SELECT v.vid, c.gid,
+           ROW_NUMBER() OVER (PARTITION BY v.vid
+                              ORDER BY -2 * {dot("v", "c.emb")} + c.n,
+                                       c.gid) AS crn
+    FROM semcorp v CROSS JOIN ccent c
+  ) WHERE crn = 1
+),
+sidx AS (
+  SELECT vid, list_id, embedding,
+         CAST(1.0 AS DOUBLE)
+           / sqrt({_dot_sql('embedding', 'embedding')}) AS inv
+  FROM (
+    SELECT r.vid, CAST(f.cid AS BIGINT) AS list_id, v.embedding,
+           ROW_NUMBER() OVER (PARTITION BY r.vid
+                              ORDER BY -2 * {dot("v", "f.emb")} + f.n,
+                                       f.cid) AS rn
+    FROM r2 r JOIN semcorp v ON v.vid = r.vid
+              JOIN fcent f ON f.gid = r.gid
+  ) WHERE rn = 1
+),
+qr2 AS (
+  SELECT vid, gid FROM (
+    SELECT v.vid, c.gid,
+           ROW_NUMBER() OVER (PARTITION BY v.vid
+                              ORDER BY -2 * {dot("v", "c.emb")} + c.n,
+                                       c.gid) AS crn
+    FROM semcorp v CROSS JOIN ccent c
+    WHERE v.vid >= {INC_OFFSET}
+  ) WHERE crn <= {W_COARSE}
+),
+cand2 AS (
+  SELECT vid, list_id, prn FROM (
+    SELECT r.vid, CAST(f.cid AS BIGINT) AS list_id,
+           ROW_NUMBER() OVER (PARTITION BY r.vid
+                              ORDER BY -2 * {dot("v", "f.emb")} + f.n,
+                                       f.cid) AS prn
+    FROM qr2 r JOIN semcorp v ON v.vid = r.vid
+               JOIN fcent f ON f.gid = r.gid
+  ) WHERE prn <= {SEM_NPROBE}
+),
+sroute AS (
+  SELECT vid, list_id FROM (
+    SELECT vid, list_id,
+           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY rk) AS fr
+    FROM (
+      SELECT vid, list_id, MIN(rk) AS rk FROM (
+        SELECT vid, list_id, 0 AS rk FROM sidx
+        WHERE vid >= {INC_OFFSET}
+        UNION ALL
+        SELECT vid, list_id, prn AS rk FROM cand2
+      ) GROUP BY vid, list_id
+    )
+  ) WHERE fr <= {SEM_NPROBE}
+)"""
+
+
+def _sem2_inc_sql() -> str:
+    from tank_spark.llm.similarity import _frozen2_cents_cte
+
+    return f"""
+WITH {_frozen2_cents_cte()},
+{_SEM_CORPUS_CTE},
+{_sem2_ctes()},
+idx0 AS (SELECT * FROM sidx WHERE vid < {INC_OFFSET}),
+{_sem_disposition_ctes('d', f'vid >= {INC_OFFSET}', 'idx0')}
+SELECT vec_id, list_id, disposition, match_vid, n_index_hits,
+       best_index_cos
+FROM d_out
+"""
+
+
+@register(
+    "semdedup_incremental_twolevel",
+    _sem2_inc_sql(),
+    doc="Incremental semantic dedup served by the TWO-LEVEL (k=64) "
+        "quantizer — the AT-SCALE configuration of semdedup_incremental "
+        "as a full-oracle registered entry (previously only e2e-tested "
+        "in the streaming loop): same derived corpus, same probe core, "
+        "same tau, but routing/assignment through the frozen "
+        "coarse-then-fine literal (llm/ivf_frozen2.py) with the "
+        "prepend-own-assignment rule, so exact re-crawls are caught "
+        "unconditionally while candidate lists are ~8x smaller. This "
+        "is the nlist dial that keeps crawl-cadence semantic dedup "
+        "linear as the corpus grows (measured: flat k=8 went 20.0x at "
+        "10x corpus, two-level k=64 held 4.4x — SCALE.md); the oracle "
+        "implements the identical two-level routing over shared "
+        "ccent/fcent VALUES CTEs, every cosine exact on both engines.",
+)
+def semdedup_incremental_twolevel(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    return _incremental_core(spark, sf_dir, "twolevel")
+
+
 @register(
     "semdedup_stream_report",
     SEMDEDUP_STREAM_REPORT_SQL,

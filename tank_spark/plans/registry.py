@@ -322,6 +322,10 @@ STAGED: tuple[str, ...] = (
     # the flat-trained 1.000 at 3.3x less scan, twolevel_nprobe_sweep).
     # r13 is fully pre-committed, so this waits for an r14 flex slot.
     "ivf_twolevel_probe4_recall_eval",
+    # NEW r12: the semantic incremental family's AT-SCALE quantizer
+    # configuration as a full oracle (previously only e2e-tested in
+    # the k=64 stream loop) — r14 flex slot.
+    "semdedup_incremental_twolevel",
 )
 
 # R13 WINDOW HANDOFF (set at r12 window rotation; the r12 PRIORITY

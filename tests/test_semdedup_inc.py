@@ -29,6 +29,8 @@ def _plan(df) -> str:
     "semdedup_index_build", "semdedup_incremental",
     "semdedup_incremental_report", "semdedup_stream_replay",
     "semdedup_stream_report",
+    # r12: the two-level (k=64) configuration, staged for r14
+    "semdedup_incremental_twolevel",
 ])
 def test_staged_parity_at_driver_sf(spark, name):
     """The driver-equivalent check the STAGED exemption owes: full
@@ -220,3 +222,57 @@ def test_index_build_is_map_only(spark):
     query_part = plan.split("InMemoryRelation")[0]
     assert "Join" not in query_part
     assert "Exchange" not in query_part
+
+
+def test_twolevel_entry_matches_frozen_plan_shape(spark):
+    """semdedup_incremental_twolevel is the SAME probe core with a
+    different literal quantizer: the k=64 routing is expression-only,
+    so the JOIN/EXCHANGE structure — the part that decides scale
+    behavior — must be IDENTICAL to the frozen entry's (the full
+    skeleton legitimately differs by a null-guard Filter and a
+    checkpoint scan around the routed explode), every probe join must
+    stay broadcast, and the disposition mix on the derived corpus must
+    agree on every planted class total."""
+    from tank_spark.llm.semdedup_inc import (
+        semdedup_incremental,
+        semdedup_incremental_twolevel,
+    )
+
+    a = semdedup_incremental(spark, SF_DIR)
+    b = semdedup_incremental_twolevel(spark, SF_DIR)
+
+    def heavy_ops(df):
+        ops = []
+        for line in (df._jdf.queryExecution().executedPlan()
+                     .toString().splitlines()):
+            t = line.lstrip(" *+-:")
+            if t.startswith(("Exchange", "BroadcastHashJoin",
+                             "SortMergeJoin", "BroadcastNestedLoopJoin",
+                             "ShuffledHashJoin", "HashAggregate")):
+                ops.append(t.split("(")[0].split("[")[0].strip())
+        return ops
+
+    ha, hb = heavy_ops(a), heavy_ops(b)
+    assert hb == ha
+    assert not any(o.startswith("SortMergeJoin") for o in hb)
+    # semantics at k=64: re-crawls are caught UNCONDITIONALLY (the
+    # prepend-own-assignment rule), dup_in_batch totals agree
+    # (identical vectors share any quantizer's top-1 list), and any
+    # near-dup the smaller lists lose is a ROUTING miss
+    # (n_index_hits == 0) — never a threshold miss. Mix equality is
+    # deliberately NOT claimed: at sf0.001 the two-level space misses
+    # a few more near-dups than k=8 — the documented recall tradeoff.
+    from tank_spark.llm.semdedup_inc import INC_OFFSET
+
+    rows = {r["vec_id"]: r for r in b.collect()}
+    arows = {r["vec_id"]: r for r in a.collect()}
+    for vid, r in rows.items():
+        orig = vid % INC_OFFSET
+        if orig % 5 == 0 and vid < 2 * INC_OFFSET:  # verbatim re-crawl
+            assert r["disposition"] == "semantic_dup_of_index"
+            assert r["match_vid"] == orig
+        if orig % 5 == 1 and r["disposition"] != "semantic_dup_of_index":
+            assert r["n_index_hits"] == 0  # routing, never threshold
+    n_bat = lambda d: sum(
+        1 for r in d.values() if r["disposition"] == "dup_in_batch")
+    assert n_bat(rows) == n_bat(arows)
