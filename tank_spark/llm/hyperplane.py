@@ -1,0 +1,307 @@
+"""Random-hyperplane (SimHash-for-cosine) LSH over embeddings — the
+at-scale candidate generator for embedding-cosine near-dup detection.
+
+neardup_cosine_pairs blocks on the LABEL column and documents that
+"production swaps label for an IVF/LSH bucket key"; this module IS
+that production key, the embedding-space sibling of the text family's
+MinHash banding (llm/dedup.py): sign(v . h_k) over K frozen random
+hyperplanes gives each vector a K-bit signature whose per-bit match
+probability is 1 - theta/pi (Charikar 2002, public SimHash/ANN
+literature); banding the signature turns "high cosine" into "band
+equality", so candidate pairs come from equi-joins on band values —
+never an all-pairs product — and an exact cosine verify keeps only
+true near-dups.
+
+Why a FULL oracle is possible (the frozen-quantizer argument again):
+the hyperplanes are DERIVED, not sampled — plane k, component j is
+(md5_byte("hp:k:j") - 128) / 256, an exact small rational computed
+once at import and embedded as the SAME literals in the Spark
+expressions and the DuckDB VALUES CTE — so signatures, band values,
+and the sequential-fold cosine are exact double arithmetic on both
+engines. No freeze tool needed: the derivation is data-independent.
+
+Corpus: the semdedup derived corpus (llm/semdedup_inc._sem_corpus) —
+the base embeddings plus planted re-crawls (cos 1.0), one-element
+bumps (cos ~0.9987), and twice-emitted fresh vectors (cos 1.0). The
+natural corpus' max pair cosine is ~0.51, far under HP_TAU = 0.9, so
+the planted pairs are exactly the ground truth — which is what makes
+`neardup_hyperplane_recall_eval` an honest recall instrument rather
+than a vacuous sweep (the round-2 lesson: bands that are all zero
+check nothing).
+
+Scale shape (the 100 TB posture, shared with the MinHash family):
+signatures and band values are ONE map-only projection; candidates
+come from B equi-self-joins on (band_idx, band_val) with hot buckets
+dropped at HP_BUCKET_CAP (the skew cap that bounds the quadratic pair
+output of any bucket — the capped-default discipline of
+dedup_minhash_lsh_pairs); the exact verify touches only candidate
+pairs. At cos >= 0.9 the per-bit match probability is >= 0.856, so an
+8-bit band matches with p >= 0.29 and two bands miss together with
+p <= 0.51 — the recall eval MEASURES the real number on the planted
+classes instead of asserting the formula.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tank_spark.llm.semdedup_inc import _SEM_CORPUS_CTE, _sem_corpus
+from tank_spark.llm.similarity import DIM, _dot_cols, _dot_lit, _dot_sql
+from tank_spark.plans.registry import register
+
+HP_PLANES = 16       # signature bits
+HP_BANDS = 2         # bands of HP_BITS bits each
+HP_BITS = HP_PLANES // HP_BANDS
+HP_TAU = 0.9         # exact-verify cosine threshold (the semantic-dup regime)
+HP_BUCKET_CAP = 64   # drop band buckets larger than this (skew cap)
+
+INC_OFFSET = None  # set below (import-order clarity)
+from tank_spark.llm.semdedup_inc import INC_OFFSET  # noqa: E402
+
+
+def _hp_planes() -> list[list[float]]:
+    """The frozen hyperplane table: plane k, component j is
+    (md5_byte - 128)/256 — exact rationals with a power-of-two
+    denominator, identical constants for the Spark literals and the
+    SQL VALUES rows. Derived once per process."""
+    planes = []
+    for k in range(HP_PLANES):
+        row = []
+        j = 0
+        while len(row) < DIM:
+            h = hashlib.md5(f"hp:{k}:{j}".encode()).digest()
+            row.extend((b - 128) / 256.0 for b in h)
+            j += 1
+        planes.append(row[:DIM])
+    return planes
+
+
+_PLANES = _hp_planes()
+
+
+def _band_cols():
+    """(band_0, ..., band_{B-1}) integer Columns over an ``embedding``
+    column: bit k = sign(v . h_k) packed little-endian within each
+    band. Map-only — the whole signature is literal arithmetic."""
+    bits = [
+        F.when(_dot_lit(F.col("embedding"), _PLANES[k]) >= 0, 1).otherwise(0)
+        for k in range(HP_PLANES)
+    ]
+    bands = []
+    for b in range(HP_BANDS):
+        val = F.lit(0)
+        for i in range(HP_BITS):
+            val = val + bits[b * HP_BITS + i] * F.lit(1 << i)
+        bands.append(val.cast("long").alias(f"band_{b}"))
+    return bands
+
+
+def _bands_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vid, band_idx, band_val): the exploded banded signature of the
+    derived corpus — one map-only projection + posexplode."""
+    corpus = _sem_corpus(spark, sf_dir)
+    sig = corpus.select("vid", "embedding", *_band_cols())
+    pairs = F.array(*[F.col(f"band_{b}") for b in range(HP_BANDS)])
+    return (sig.select("vid", "embedding",
+                       F.posexplode(pairs).alias("band_idx", "band_val")))
+
+
+def _hp_lit_sql(k: int) -> str:
+    # parenthesized so _dot_sql's [j] indexing parses: ([...]::DOUBLE[])[j]
+    return ("([" + ", ".join(repr(v) for v in _PLANES[k])
+            + "]::DOUBLE[])")
+
+
+def _hp_bands_cte() -> str:
+    """``hpbands(vid, band_idx, band_val)`` over semcorp — the SQL
+    mirror: same literal planes, same fold order, same little-endian
+    packing, same posexplode shape (UNION ALL of the B band values)."""
+    bit = [
+        f"(CASE WHEN {_dot_sql('v.embedding', _hp_lit_sql(k))} >= 0 "
+        f"THEN 1 ELSE 0 END)"
+        for k in range(HP_PLANES)
+    ]
+    band_exprs = []
+    for b in range(HP_BANDS):
+        terms = " + ".join(
+            f"{bit[b * HP_BITS + i]} * {1 << i}" for i in range(HP_BITS))
+        band_exprs.append(f"CAST({terms} AS BIGINT)")
+    selects = " UNION ALL ".join(
+        f"SELECT vid, {b} AS band_idx, {band_exprs[b]} AS band_val, "
+        f"embedding FROM (SELECT vid, embedding FROM semcorp) v"
+        for b in range(HP_BANDS))
+    return f"hpbands AS ({selects})"
+
+
+_PAIR_CTES = f"""{_hp_bands_cte()},
+keepb AS (
+  SELECT band_idx, band_val FROM hpbands
+  GROUP BY band_idx, band_val HAVING COUNT(*) <= {HP_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.vid AS vec_a, b.vid AS vec_b
+  FROM hpbands a
+    JOIN keepb k ON k.band_idx = a.band_idx AND k.band_val = a.band_val
+    JOIN hpbands b ON b.band_idx = a.band_idx AND b.band_val = a.band_val
+   AND a.vid < b.vid
+),
+verified AS (
+  SELECT c.vec_a, c.vec_b,
+         {_dot_sql('ea.embedding', 'eb.embedding')}
+           / (sqrt({_dot_sql('ea.embedding', 'ea.embedding')})
+              * sqrt({_dot_sql('eb.embedding', 'eb.embedding')})) AS cosine
+  FROM cand c
+    JOIN semcorp ea ON ea.vid = c.vec_a
+    JOIN semcorp eb ON eb.vid = c.vec_b
+)"""
+
+HP_PAIRS_SQL = f"""
+WITH {_SEM_CORPUS_CTE},
+{_PAIR_CTES}
+SELECT vec_a, vec_b, cosine FROM verified WHERE cosine >= {HP_TAU}
+"""
+
+
+@register(
+    "neardup_hyperplane_lsh_pairs",
+    HP_PAIRS_SQL,
+    doc=f"Embedding-cosine near-dup pairs via random-hyperplane "
+        f"(SimHash-for-cosine) LSH — the production bucket key "
+        f"neardup_cosine_pairs' label-blocking stands in for: "
+        f"{HP_PLANES} frozen md5-derived hyperplanes give every vector "
+        f"a {HP_PLANES}-bit signature ({HP_BANDS} bands x {HP_BITS} "
+        f"bits), candidates come from band equi-joins with hot buckets "
+        f"dropped at {HP_BUCKET_CAP} (the MinHash family's capped "
+        f"default posture), and an exact sequential-fold cosine keeps "
+        f"pairs >= {HP_TAU}. Over the semdedup derived corpus, whose "
+        "planted re-crawls/bumps/twin-emissions are the only pairs in "
+        "the tau regime (natural max pair cos ~0.51). Full oracle: "
+        "derived planes are exact rationals embedded as identical "
+        "literals in both engines. Scale shape: map-only signatures, "
+        "banded self-join (never all-pairs), verify touches only "
+        "candidates — the embedding-space dedup_minhash_lsh_pairs.",
+)
+def neardup_hyperplane_lsh_pairs(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    bands = _bands_relation(spark, sf_dir)
+    # hot-bucket census + drop (tiny aggregate, broadcast back)
+    keep = (bands.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") <= HP_BUCKET_CAP)
+            .select("band_idx", "band_val"))
+    kept = bands.join(F.broadcast(keep), ["band_idx", "band_val"])
+    a = kept.select(F.col("vid").alias("vec_a"), "band_idx", "band_val",
+                    F.col("embedding").alias("ea"))
+    b = kept.select(F.col("vid").alias("vec_b"), "band_idx", "band_val",
+                    F.col("embedding").alias("eb"))
+    cand = (a.join(b, ["band_idx", "band_val"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", "ea", "eb")
+            .dropDuplicates(["vec_a", "vec_b"]))
+    cos = (_dot_cols(F.col("ea"), F.col("eb"))
+           / (F.sqrt(_dot_cols(F.col("ea"), F.col("ea")))
+              * F.sqrt(_dot_cols(F.col("eb"), F.col("eb")))))
+    return (cand.select("vec_a", "vec_b", cos.alias("cosine"))
+            .filter(F.col("cosine") >= HP_TAU))
+
+
+# --------------------------------------------------------- recall eval
+
+_TRUTH_CTE = f"""truth AS (
+  SELECT vec_a, vec_b, pair_class FROM (
+    SELECT e.vec_id AS vec_a, e.vec_id + {INC_OFFSET} AS vec_b,
+           'recrawl' AS pair_class
+    FROM embeddings e WHERE e.vec_id % 5 = 0
+    UNION ALL
+    SELECT e.vec_id, e.vec_id + {INC_OFFSET}, 'near_bump'
+    FROM embeddings e WHERE e.vec_id % 5 = 1
+    UNION ALL
+    SELECT e.vec_id + {INC_OFFSET}, e.vec_id + {2 * INC_OFFSET},
+           'fresh_twin'
+    FROM embeddings e WHERE e.vec_id % 5 = 2
+  )
+),
+vtruth AS (
+  SELECT t.vec_a, t.vec_b, t.pair_class
+  FROM truth t
+    JOIN semcorp ea ON ea.vid = t.vec_a
+    JOIN semcorp eb ON eb.vid = t.vec_b
+  WHERE {_dot_sql('ea.embedding', 'eb.embedding')}
+          / (sqrt({_dot_sql('ea.embedding', 'ea.embedding')})
+             * sqrt({_dot_sql('eb.embedding', 'eb.embedding')}))
+        >= {HP_TAU}
+)"""
+
+HP_RECALL_SQL = f"""
+WITH {_SEM_CORPUS_CTE},
+{_PAIR_CTES},
+found AS (SELECT vec_a, vec_b FROM verified WHERE cosine >= {HP_TAU}),
+{_TRUTH_CTE}
+SELECT t.pair_class,
+       CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(SUM(CASE WHEN f.vec_a IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       CAST(SUM(CASE WHEN f.vec_a IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS recall
+FROM vtruth t
+  LEFT JOIN found f ON f.vec_a = t.vec_a AND f.vec_b = t.vec_b
+GROUP BY t.pair_class
+"""
+
+
+@register(
+    "neardup_hyperplane_recall_eval",
+    HP_RECALL_SQL,
+    doc="Recall of the hyperplane-LSH pair generator per planted class "
+        "(recrawl cos 1.0, near_bump cos ~0.9987, fresh_twin cos 1.0): "
+        "truth is the STRUCTURAL planted-pair set re-verified at the "
+        "exact cosine threshold in-engine (never assumed), so the eval "
+        "measures exactly the banding's misses — at cos ~1 every bit "
+        "matches and recall is ~1; the theoretical two-8-bit-band miss "
+        "floor for lower cosines is the documented dial (more/narrower "
+        "bands buy recall with candidate volume, the standing LSH "
+        "tradeoff). The instrument that keeps the pairs entry honest, "
+        "as ivf_*_recall_eval does for the probe searches.",
+)
+def neardup_hyperplane_recall_eval(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from tank_spark.sources.tables import load
+
+    found = neardup_hyperplane_lsh_pairs(spark, sf_dir) \
+        .select("vec_a", "vec_b")
+    e = load(spark, sf_dir, "embeddings")
+    t = []
+    for mod, cls, off_a, off_b in ((0, "recrawl", 0, INC_OFFSET),
+                                   (1, "near_bump", 0, INC_OFFSET),
+                                   (2, "fresh_twin", INC_OFFSET,
+                                    2 * INC_OFFSET)):
+        t.append(e.filter(F.col("vec_id") % 5 == mod).select(
+            (F.col("vec_id") + off_a).alias("vec_a"),
+            (F.col("vec_id") + off_b).alias("vec_b"),
+            F.lit(cls).alias("pair_class")))
+    truth = t[0].unionByName(t[1]).unionByName(t[2])
+    corpus = _sem_corpus(spark, sf_dir)
+    ea = corpus.select(F.col("vid").alias("vec_a"),
+                       F.col("embedding").alias("ea"))
+    eb = corpus.select(F.col("vid").alias("vec_b"),
+                       F.col("embedding").alias("eb"))
+    cos = (_dot_cols(F.col("ea"), F.col("eb"))
+           / (F.sqrt(_dot_cols(F.col("ea"), F.col("ea")))
+              * F.sqrt(_dot_cols(F.col("eb"), F.col("eb")))))
+    vtruth = (truth.join(ea, "vec_a").join(eb, "vec_b")
+              .filter(cos >= HP_TAU)
+              .select("vec_a", "vec_b", "pair_class"))
+    f2 = found.withColumn("hit", F.lit(1))
+    return (
+        vtruth.join(F.broadcast(f2), ["vec_a", "vec_b"], "left")
+        .groupBy("pair_class")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_truth"),
+             F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long")
+             .alias("n_hit"))
+        .select("pair_class", "n_truth", "n_hit",
+                (F.col("n_hit").cast("double") / F.col("n_truth"))
+                .alias("recall"))
+    )

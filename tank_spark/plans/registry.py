@@ -326,6 +326,16 @@ STAGED: tuple[str, ...] = (
     # configuration as a full oracle (previously only e2e-tested in
     # the k=64 stream loop) — r14 flex slot.
     "semdedup_incremental_twolevel",
+    # NEW r12: random-hyperplane cosine LSH (llm/hyperplane.py) — the
+    # production bucket key neardup_cosine_pairs' label-blocking
+    # stands in for, plus its per-planted-class recall instrument.
+    # Full oracles (derived md5-rational planes are identical literals
+    # in both engines) — r14 flex slots. With the registry at 202 the
+    # staleness bound rises to max(3, ceil(202/50)) = 5, so once r13
+    # runs as pre-committed no cohort is forced into r14 (the r10
+    # cohort's 48 remaining become due r15): r14 leads with ALL FOUR
+    # staged entries and fills the rest from the r10 cohort.
+    "neardup_hyperplane_lsh_pairs", "neardup_hyperplane_recall_eval",
 )
 
 # R13 WINDOW HANDOFF (set at r12 window rotation; the r12 PRIORITY
@@ -380,6 +390,7 @@ def load_all() -> dict[str, QueryDef]:
         "tank_spark.llm.multimodal",
         "tank_spark.llm.media_inc",
         "tank_spark.llm.semdedup_inc",
+        "tank_spark.llm.hyperplane",
         "tank_spark.llm.audio",
         "tank_spark.llm.video",
         "tank_spark.llm.bpe",

@@ -1,0 +1,86 @@
+"""Random-hyperplane cosine LSH (llm/hyperplane.py): staged-entry
+parity obligations, the deterministic-collision invariant, the honest
+recall instrument, and the banded (never all-pairs) plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from tests.oracle_util import compare
+
+DRIVER_SF = "/root/testdata/sf0.01"
+
+
+def test_staged_parity_at_driver_sf(spark):
+    """Both staged entries owe full oracle parity at the driver SF AND
+    the pytest SF (DRIVER_SF marker for the staged hygiene lint)."""
+    for sf_dir in (SF_DIR, DRIVER_SF):
+        compare(spark, sf_dir, "neardup_hyperplane_lsh_pairs")
+        compare(spark, sf_dir, "neardup_hyperplane_recall_eval")
+
+
+def test_plane_table_contract():
+    """16 planes x DIM exact rationals in [-0.5, 0.5), derived from md5
+    — re-derivable from the string spec, finite, engine-portable."""
+    from tank_spark.llm.hyperplane import HP_PLANES, _PLANES, _hp_planes
+    from tank_spark.llm.similarity import DIM
+
+    assert len(_PLANES) == HP_PLANES
+    assert all(len(p) == DIM for p in _PLANES)
+    assert all(-0.5 <= v < 0.5 for p in _PLANES for v in p)
+    # exact rational with denominator 256: v * 256 is an integer
+    assert all(float(v * 256).is_integer() for p in _PLANES for v in p)
+    assert _hp_planes() == _PLANES  # deterministic re-derivation
+
+
+def test_identical_vectors_always_collide(spark):
+    """sign(v . h) is a FUNCTION of v: identical vectors (re-crawls,
+    twin emissions — cosine 1.0) share every band, so their recall is
+    deterministic 1.0 unless a hot bucket was capped away. The recall
+    eval must read exactly that; only near_bump (cos ~0.9987) may lose
+    pairs, and those are banding misses — the dial the eval exists to
+    measure."""
+    from tank_spark.plans.registry import load_all
+
+    rows = {r["pair_class"]: r for r in
+            load_all()["neardup_hyperplane_recall_eval"]
+            .spark(spark, SF_DIR).collect()}
+    assert rows["recrawl"]["recall"] == 1.0
+    assert rows["fresh_twin"]["recall"] == 1.0
+    assert rows["near_bump"]["recall"] >= 0.9
+    # truth classes are fully populated (no vacuous eval — the round-2
+    # lesson: an instrument whose bands are all zero checks nothing)
+    assert all(rows[c]["n_truth"] > 0
+               for c in ("recrawl", "near_bump", "fresh_twin"))
+
+
+def test_pairs_are_banded_never_all_pairs(spark):
+    """The candidate join must key on the band columns (the LSH point:
+    equi-join on band value, not a cross/nested-loop product), the
+    hot-bucket census must broadcast, and every surviving pair must
+    verify at the exact threshold."""
+    from tank_spark.plans.registry import load_all
+
+    df = load_all()["neardup_hyperplane_lsh_pairs"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_val" in plan  # the candidate join's key
+    rows = df.collect()
+    assert all(r["cosine"] >= 0.9 for r in rows)
+    assert all(r["vec_a"] < r["vec_b"] for r in rows)
+
+
+def test_natural_corpus_stays_out_of_the_tau_regime(spark):
+    """The instrument's premise, verified on current data: no BASE
+    corpus pair reaches HP_TAU (the planted pairs are the entire
+    ground truth). Checked through the found pairs — every surviving
+    pair involves at least one derived (vid >= INC_OFFSET) row."""
+    from tank_spark.llm.hyperplane import INC_OFFSET
+    from tank_spark.plans.registry import load_all
+
+    rows = (load_all()["neardup_hyperplane_lsh_pairs"]
+            .spark(spark, SF_DIR).collect())
+    assert rows  # non-vacuous
+    assert all(r["vec_b"] >= INC_OFFSET for r in rows)
