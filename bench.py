@@ -80,6 +80,13 @@ HEADLINE = [
     # media_dedup_incremental (routed IVF probe, batch broadcast into
     # every join; iso median 2.15s at sf0.1)
     "semdedup_incremental",
+    # r12 additions: the semantic incremental probe at the AT-SCALE
+    # k=64 quantizer (same broadcast plan, 8x smaller lists — the
+    # in-bench A/B against semdedup_incremental isolates quantizer
+    # content at fixed plan) and the random-hyperplane cosine LSH
+    # pair generator (banded equi-join, never all-pairs — the
+    # embedding-space dedup_minhash_lsh_pairs)
+    "semdedup_incremental_twolevel", "neardup_hyperplane_lsh_pairs",
     # BENCH-ONLY entry: full-fidelity z7 overview encode. NOT a serving
     # path (serving uses the budgeted sample below OVERVIEW_ZOOM — the
     # full blob hits the MVT format ceiling at 100x, see SCALE.md);

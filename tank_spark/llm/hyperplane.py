@@ -85,28 +85,45 @@ _PLANES = _hp_planes()
 def _band_cols():
     """(band_0, ..., band_{B-1}) integer Columns over an ``embedding``
     column: bit k = sign(v . h_k) packed little-endian within each
-    band. Map-only — the whole signature is literal arithmetic."""
-    bits = [
-        F.when(_dot_lit(F.col("embedding"), _PLANES[k]) >= 0, 1).otherwise(0)
-        for k in range(HP_PLANES)
-    ]
+    band. Map-only — the whole signature is literal arithmetic.
+    Computed as ONE transform over an array-of-planes literal (a
+    codegen loop) instead of {HP_PLANES} unrolled 64-term folds: the
+    unrolled form compiled ~seconds of janino per fresh plan (the
+    standing wide-column lesson). Per-bit arithmetic is the identical
+    sequential zip_with fold, so the sign — and therefore every band
+    value — is unchanged."""
+    planes_lit = F.array(*[
+        F.array(*[F.lit(float(v)) for v in p]) for p in _PLANES])
+    bits = F.transform(
+        planes_lit,
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(F.col("embedding"), p,
+                           lambda x, w: x.cast("double") * w),
+                F.lit(0.0), lambda acc, x: acc + x) >= 0,
+            F.lit(1)).otherwise(F.lit(0)))
+    weights = F.array(*[F.lit(1 << i) for i in range(HP_BITS)])
     bands = []
     for b in range(HP_BANDS):
-        val = F.lit(0)
-        for i in range(HP_BITS):
-            val = val + bits[b * HP_BITS + i] * F.lit(1 << i)
+        band_bits = F.slice(bits, b * HP_BITS + 1, HP_BITS)
+        val = F.aggregate(
+            F.zip_with(band_bits, weights, lambda x, w: x * w),
+            F.lit(0), lambda acc, x: acc + x)
         bands.append(val.cast("long").alias(f"band_{b}"))
     return bands
 
 
-def _bands_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bands_relation(corpus: DataFrame) -> DataFrame:
     """(vid, band_idx, band_val): the exploded banded signature of the
-    derived corpus — one map-only projection + posexplode."""
-    corpus = _sem_corpus(spark, sf_dir)
+    derived corpus — one map-only projection + posexplode. Embeddings
+    deliberately DROPPED here: candidates shuffle as bare id pairs and
+    the verify joins the vectors back (64-float arrays riding through
+    the banded self-join + distinct made the shuffle rows ~30x
+    heavier)."""
     sig = corpus.select("vid", "embedding", *_band_cols())
     pairs = F.array(*[F.col(f"band_{b}") for b in range(HP_BANDS)])
-    return (sig.select("vid", "embedding",
-                       F.posexplode(pairs).alias("band_idx", "band_val")))
+    return sig.select("vid",
+                      F.posexplode(pairs).alias("band_idx", "band_val"))
 
 
 def _hp_lit_sql(k: int) -> str:
@@ -186,25 +203,31 @@ SELECT vec_a, vec_b, cosine FROM verified WHERE cosine >= {HP_TAU}
 )
 def neardup_hyperplane_lsh_pairs(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
-    bands = _bands_relation(spark, sf_dir)
+    # the corpus feeds the signature projection AND the verify's two
+    # embedding joins — pin it (small: base + derived batch rows)
+    corpus = _sem_corpus(spark, sf_dir).localCheckpoint(eager=True)
+    bands = _bands_relation(corpus)
     # hot-bucket census + drop (tiny aggregate, broadcast back)
     keep = (bands.groupBy("band_idx", "band_val")
             .agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") <= HP_BUCKET_CAP)
             .select("band_idx", "band_val"))
     kept = bands.join(F.broadcast(keep), ["band_idx", "band_val"])
-    a = kept.select(F.col("vid").alias("vec_a"), "band_idx", "band_val",
-                    F.col("embedding").alias("ea"))
-    b = kept.select(F.col("vid").alias("vec_b"), "band_idx", "band_val",
-                    F.col("embedding").alias("eb"))
+    a = kept.select(F.col("vid").alias("vec_a"), "band_idx", "band_val")
+    b = kept.select(F.col("vid").alias("vec_b"), "band_idx", "band_val")
     cand = (a.join(b, ["band_idx", "band_val"])
             .filter(F.col("vec_a") < F.col("vec_b"))
-            .select("vec_a", "vec_b", "ea", "eb")
-            .dropDuplicates(["vec_a", "vec_b"]))
+            .select("vec_a", "vec_b")
+            .distinct())
+    ea = corpus.select(F.col("vid").alias("vec_a"),
+                       F.col("embedding").alias("ea"))
+    eb = corpus.select(F.col("vid").alias("vec_b"),
+                       F.col("embedding").alias("eb"))
     cos = (_dot_cols(F.col("ea"), F.col("eb"))
            / (F.sqrt(_dot_cols(F.col("ea"), F.col("ea")))
               * F.sqrt(_dot_cols(F.col("eb"), F.col("eb")))))
-    return (cand.select("vec_a", "vec_b", cos.alias("cosine"))
+    return (cand.join(ea, "vec_a").join(eb, "vec_b")
+            .select("vec_a", "vec_b", cos.alias("cosine"))
             .filter(F.col("cosine") >= HP_TAU))
 
 
