@@ -1862,11 +1862,15 @@ def dedup_incremental_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same shape through one code path (late-r11 unification; the
     # produced plan is identical to the previous inline form)
     from tank_spark.llm.media_inc import _curation_report
+    from tank_spark.sources.tables import session_memo
 
-    b = dedup_incremental_batch(spark, sf_dir).select(
-        (F.col("doc_id") % INC_BATCH_OFFSET).alias("orig"),
-        "disposition", "match_cid",
-    )
+    # disposition chain derived once per session (the stream reports'
+    # r12 posture): re-runs pay only the aggregate
+    b = session_memo(
+        spark, sf_dir, "dedup_inc_batch_disp", ("documents",),
+        lambda: dedup_incremental_batch(spark, sf_dir).select(
+            (F.col("doc_id") % INC_BATCH_OFFSET).alias("orig"),
+            "disposition", "match_cid"))
     return _curation_report(spark, sf_dir, b, ["source"])
 
 

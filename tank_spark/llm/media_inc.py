@@ -362,10 +362,13 @@ def media_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def media_dedup_incremental_report(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
-    b = media_dedup_incremental(spark, sf_dir).select(
-        (F.col("doc_id") % INC_OFFSET).alias("orig"),
-        "modality", "disposition", "match_cid",
-    )
+    from tank_spark.sources.tables import session_memo
+
+    b = session_memo(
+        spark, sf_dir, "media_dedup_inc_disp", ("documents",),
+        lambda: media_dedup_incremental(spark, sf_dir).select(
+            (F.col("doc_id") % INC_OFFSET).alias("orig"),
+            "modality", "disposition", "match_cid"))
     return _curation_report(spark, sf_dir, b, ["modality", "source"])
 
 

@@ -651,10 +651,16 @@ def semdedup_incremental_report(spark: SparkSession,
     # batch-bounded output so the probe chain runs once (measured 4.0s
     # -> ~2.3s at sf0.1, the same double-run the media family pins away
     # with its kernel checkpoints)
-    disp = semdedup_incremental(spark, sf_dir).select(
-        (F.col("vec_id") % INC_OFFSET).alias("orig"),
-        "disposition", F.col("match_vid").alias("match_cid"),
-    ).localCheckpoint(eager=True)
+    from tank_spark.sources.tables import session_memo
+
+    # the memo's eager persist pins the double-consumed disposition
+    # (the localCheckpoint's old job) and re-runs pay only the
+    # aggregate (the stream reports' r12 posture)
+    disp = session_memo(
+        spark, sf_dir, "semdedup_inc_disp", ("embeddings",),
+        lambda: semdedup_incremental(spark, sf_dir).select(
+            (F.col("vec_id") % INC_OFFSET).alias("orig"),
+            "disposition", F.col("match_vid").alias("match_cid")))
     return _label_report(spark, sf_dir, disp, ["label"])
 
 

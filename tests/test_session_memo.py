@@ -32,18 +32,30 @@ def test_session_memo_builds_once_and_evicts_on_fingerprint(spark, tmp_path):
 
 
 def test_stream_reports_serve_the_memoized_chain(spark):
-    """After one run, every stream report's disposition side is the
+    """After one run, every stream AND batch report's disposition side is the
     persisted relation — the registered entry's census cost is the
     aggregate's, not the replay chain's."""
-    from tank_spark.llm.dedup import dedup_incremental_stream_report
-    from tank_spark.llm.media_inc import media_dedup_stream_report
-    from tank_spark.llm.semdedup_inc import semdedup_stream_report
+    from tank_spark.llm.dedup import (
+        dedup_incremental_report,
+        dedup_incremental_stream_report,
+    )
+    from tank_spark.llm.media_inc import (
+        media_dedup_incremental_report,
+        media_dedup_stream_report,
+    )
+    from tank_spark.llm.semdedup_inc import (
+        semdedup_incremental_report,
+        semdedup_stream_report,
+    )
     from tank_spark.sources.tables import _DERIVED_CACHE
 
     app = spark.sparkContext.applicationId
     for fn, tag in ((dedup_incremental_stream_report, "dedup_inc_stream_disp"),
                     (media_dedup_stream_report, "media_dedup_stream_disp"),
-                    (semdedup_stream_report, "semdedup_stream_disp")):
+                    (semdedup_stream_report, "semdedup_stream_disp"),
+                    (dedup_incremental_report, "dedup_inc_batch_disp"),
+                    (media_dedup_incremental_report, "media_dedup_inc_disp"),
+                    (semdedup_incremental_report, "semdedup_inc_disp")):
         fn(spark, SF_DIR).collect()
         assert (app, SF_DIR, tag) in _DERIVED_CACHE
         plan = (fn(spark, SF_DIR)._jdf.queryExecution()
