@@ -58,10 +58,7 @@ def _tokens(d: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "bm25_rank_topk",
-    f"""
-    WITH toks AS (
+_BM25_CTES = f"""toks AS (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_WORD}')) AS word
       FROM documents
     ),
@@ -100,7 +97,13 @@ def _tokens(d: DataFrame) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY qid
                                 ORDER BY SUM(s_fx) DESC, doc_id) AS rank
       FROM term_score GROUP BY qid, doc_id
-    )
+    )"""
+
+
+@register(
+    "bm25_rank_topk",
+    f"""
+    WITH {_BM25_CTES}
     SELECT qid, doc_id, CAST(rank AS INTEGER) AS rank,
            CAST(score_fx AS DOUBLE) / {_SCALE} AS score
     FROM scored WHERE rank <= {BM25_TOPK}
@@ -208,3 +211,114 @@ def top_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_TERMS_PER_DOC)
         .select("doc_id", "word", "rank", "score")
     )
+
+
+# ------------------------------- hybrid lexical+semantic fusion (r12)
+
+RRF_K = 60           # the standard reciprocal-rank-fusion damping
+HYBRID_TOPK = 10
+# qid -> the embeddings row standing in for the query's vector (the
+# IVF harness' fixed-query convention; ids exist at every SF)
+HYBRID_QVECS = [(0, 20), (1, 21), (2, 22), (3, 23)]
+
+
+def _hybrid_sql() -> str:
+    from tank_spark.llm.similarity import _dot_sql
+
+    dot = _dot_sql("qe.embedding", "e.embedding")
+    nq = _dot_sql("qe.embedding", "qe.embedding")
+    ne = _dot_sql("e.embedding", "e.embedding")
+    qv = ", ".join(f"({q}, {v})" for q, v in HYBRID_QVECS)
+    return f"""
+    WITH {_BM25_CTES},
+    lex AS (SELECT qid, doc_id, rank AS lrank FROM scored
+            WHERE rank <= {HYBRID_TOPK}),
+    qvecs(qid, qvid) AS (VALUES {qv}),
+    sem AS (
+      SELECT qid, doc_id, srank FROM (
+        SELECT qv.qid, e.vec_id AS doc_id,
+               ROW_NUMBER() OVER (PARTITION BY qv.qid
+                 ORDER BY {dot} / (sqrt({nq}) * sqrt({ne})) DESC,
+                          e.vec_id) AS srank
+        FROM qvecs qv
+          JOIN embeddings qe ON qe.vec_id = qv.qvid
+          JOIN embeddings e ON e.vec_id <> qv.qvid
+      ) WHERE srank <= {HYBRID_TOPK}
+    ),
+    fused AS (
+      SELECT COALESCE(l.qid, s.qid) AS qid,
+             COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             COALESCE(CAST(ROUND({_SCALE} * 1.0 / ({RRF_K} + l.lrank), 0)
+                           AS BIGINT), 0)
+             + COALESCE(CAST(ROUND({_SCALE} * 1.0 / ({RRF_K} + s.srank), 0)
+                             AS BIGINT), 0) AS rrf_fx,
+             l.lrank AS lex_rank, s.srank AS sem_rank
+      FROM lex l FULL OUTER JOIN sem s
+        ON l.qid = s.qid AND l.doc_id = s.doc_id
+    )
+    SELECT qid, doc_id, CAST(rank AS INTEGER) AS rank,
+           CAST(rrf_fx AS DOUBLE) / {_SCALE} AS rrf,
+           lex_rank, sem_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY rrf_fx DESC, doc_id) AS rank
+      FROM fused
+    ) WHERE rank <= {HYBRID_TOPK}
+    """
+
+
+@register(
+    "hybrid_search_rrf",
+    _hybrid_sql(),
+    doc=f"Hybrid retrieval: reciprocal-rank fusion (k={RRF_K}) of the "
+        f"BM25 lexical top-{HYBRID_TOPK} and the exact-cosine semantic "
+        f"top-{HYBRID_TOPK} per query — the standard two-tower serving "
+        "shape (lexical postings + vector similarity fused by rank, "
+        "not by incomparable scores). Per-list RRF terms are quantized "
+        "to fixed-point BIGINT before the cross-list sum (the bm25 "
+        "idiom: integer summation is engine-exact where float order is "
+        "not); lex_rank/sem_rank expose each side's contribution. "
+        "Scale shape: both sides are top-K-bounded per query before "
+        "the fusion join, so the FULL OUTER join is 2K rows per query "
+        "regardless of corpus size; the lexical side keeps bm25's "
+        "vocabulary-filtered postings plan and the semantic side is "
+        "one broadcast of the query vectors — at 100 TB the semantic "
+        "side swaps brute-force for the registered IVF probe at the "
+        "same (qid, doc_id, rank) interface.",
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tank_spark.llm.similarity import _dot_cols
+
+    lex = bm25_rank_topk(spark, sf_dir).select(
+        "qid", "doc_id", F.col("rank").alias("lex_rank"))
+    e = load(spark, sf_dir, "embeddings")
+    qv = spark.createDataFrame(HYBRID_QVECS, "qid int, qvid long")
+    qe = (e.join(F.broadcast(qv), e.vec_id == qv.qvid)
+          .select("qid", "qvid", F.col("embedding").alias("q_emb")))
+    cos = (_dot_cols(F.col("q_emb"), F.col("embedding"))
+           / (F.sqrt(_dot_cols(F.col("q_emb"), F.col("q_emb")))
+              * F.sqrt(_dot_cols(F.col("embedding"), F.col("embedding")))))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    sem = (
+        e.join(F.broadcast(qe), e.vec_id != qe.qvid)
+        .select("qid", "vec_id", cos.alias("cosine"))
+        .withColumn("srank", F.row_number().over(w))
+        .filter(F.col("srank") <= HYBRID_TOPK)
+        .select("qid", F.col("vec_id").alias("doc_id"),
+                F.col("srank").alias("sem_rank"))
+    )
+    fx = lambda r: F.coalesce(
+        F.round(F.lit(float(_SCALE)) / (F.lit(RRF_K) + r), 0).cast("long"),
+        F.lit(0))
+    fused = (
+        lex.join(sem, ["qid", "doc_id"], "full_outer")
+        .select("qid", "doc_id", "lex_rank", "sem_rank",
+                (fx(F.col("lex_rank")) + fx(F.col("sem_rank")))
+                .alias("rrf_fx"))
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("rrf_fx"), F.asc("doc_id"))
+    return (fused.withColumn("rank", F.row_number().over(wf))
+            .filter(F.col("rank") <= HYBRID_TOPK)
+            .select("qid", "doc_id", "rank",
+                    (F.col("rrf_fx").cast("double") / _SCALE).alias("rrf"),
+                    "lex_rank", "sem_rank"))

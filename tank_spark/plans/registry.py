@@ -336,6 +336,10 @@ STAGED: tuple[str, ...] = (
     # cohort's 48 remaining become due r15): r14 leads with ALL FOUR
     # staged entries and fills the rest from the r10 cohort.
     "neardup_hyperplane_lsh_pairs", "neardup_hyperplane_recall_eval",
+    # NEW r12: hybrid lexical+semantic retrieval — RRF fusion of the
+    # BM25 top-K and the exact-cosine top-K (llm/search.py), the
+    # two-tower serving shape. Full oracle — r14 flex slot.
+    "hybrid_search_rrf",
 )
 
 # R13 WINDOW HANDOFF (set at r12 window rotation; the r12 PRIORITY
