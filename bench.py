@@ -87,6 +87,9 @@ HEADLINE = [
     # pair generator (banded equi-join, never all-pairs — the
     # embedding-space dedup_minhash_lsh_pairs)
     "semdedup_incremental_twolevel", "neardup_hyperplane_lsh_pairs",
+    # r12 late addition: two-tower retrieval (BM25 + cosine fused by
+    # reciprocal rank — both towers top-K-bounded before the fusion)
+    "hybrid_search_rrf",
     # BENCH-ONLY entry: full-fidelity z7 overview encode. NOT a serving
     # path (serving uses the budgeted sample below OVERVIEW_ZOOM — the
     # full blob hits the MVT format ceiling at 100x, see SCALE.md);

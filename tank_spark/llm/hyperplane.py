@@ -3,8 +3,11 @@ at-scale candidate generator for embedding-cosine near-dup detection.
 
 neardup_cosine_pairs blocks on the LABEL column and documents that
 "production swaps label for an IVF/LSH bucket key"; this module IS
-that production key, the embedding-space sibling of the text family's
-MinHash banding (llm/dedup.py): sign(v . h_k) over K frozen random
+that production key. similarity.ann_lsh_buckets (r3) already shows the
+signature-bucket OCCUPANCY view; this module completes the operator:
+banding, capped candidate generation, exact verification, and a
+per-planted-class recall instrument — the embedding-space sibling of
+the text family's MinHash banding (llm/dedup.py): sign(v . h_k) over K frozen random
 hyperplanes gives each vector a K-bit signature whose per-bit match
 probability is 1 - theta/pi (Charikar 2002, public SimHash/ANN
 literature); banding the signature turns "high cosine" into "band
@@ -49,7 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tank_spark.llm.semdedup_inc import _SEM_CORPUS_CTE, _sem_corpus
-from tank_spark.llm.similarity import DIM, _dot_cols, _dot_lit, _dot_sql
+from tank_spark.llm.similarity import DIM, _dot_cols, _dot_sql
 from tank_spark.plans.registry import register
 
 HP_PLANES = 16       # signature bits
