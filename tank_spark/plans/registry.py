@@ -345,14 +345,21 @@ STAGED: tuple[str, ...] = (
 # R13 WINDOW HANDOFF (set at r12 window rotation; the r12 PRIORITY
 # above is exactly the r11 handoff's prescription — 46 r8-due + the
 # four staged semdedup entries):
-# R13: the 46-entry r9 cohort comes due (it already contains the
-# tile_mvt_z7_parity and tile_mvt_batch cadence refreshes), leaving 4
-# flex: semdedup_stream_report + manifest_skipping_scan (the two
-# remaining staged entries — MUST enter), then media_index_build and
-# ivf_probe_search (r10 rows, due r14; their late-r11 code changes are
-# pytest-oracle-verified meanwhile). That fills r13 exactly; any NEW
-# r12/r13 registration should be STAGED for r14 (the r10 cohort is
-# small, so r14 has real flex).
+# R13: the 46-entry r9 cohort comes due (recomputed from the
+# CORRECTNESS artifacts at r12 — it already contains the
+# tile_mvt_z7_parity and tile_mvt_batch cadence refreshes, and
+# bm25_rank_topk, whose oracle string was rebuilt around the shared
+# _BM25_CTES constant in r12 — its due slot covers that change),
+# leaving 4 flex: semdedup_stream_report + manifest_skipping_scan
+# (the two remaining r11-staged entries — MUST enter), then
+# media_index_build and ivf_probe_search (r10 rows; their late-r11
+# code changes are pytest-oracle-verified meanwhile). That fills r13
+# exactly. R14 then leads with the five r12-staged entries
+# (ivf_twolevel_probe4_recall_eval, semdedup_incremental_twolevel,
+# neardup_hyperplane_lsh_pairs, neardup_hyperplane_recall_eval,
+# hybrid_search_rrf) and fills from the r10 cohort (48 after r13's
+# two pre-pulls; with the registry at 204 the staleness bound is
+# max(3, ceil(204/50)) = 5, so nothing is forced before r15).
 #
 # Standing notes: if the driver regenerated /root/testdata, re-run
 # tools/freeze_ivf_centroids.py + tools/freeze_ivf_twolevel.py and
