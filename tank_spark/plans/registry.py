@@ -330,8 +330,8 @@ STAGED: tuple[str, ...] = (
     # production bucket key neardup_cosine_pairs' label-blocking
     # stands in for, plus its per-planted-class recall instrument.
     # Full oracles (derived md5-rational planes are identical literals
-    # in both engines) — r14 flex slots. With the registry at 202 the
-    # staleness bound rises to max(3, ceil(202/50)) = 5, so once r13
+    # in both engines) — r14 flex slots. With the registry at 203 the
+    # staleness bound rises to max(3, ceil(203/50)) = 5, so once r13
     # runs as pre-committed no cohort is forced into r14 (the r10
     # cohort's 48 remaining become due r15): r14 leads with ALL FOUR
     # staged entries and fills the rest from the r10 cohort.
@@ -358,7 +358,7 @@ STAGED: tuple[str, ...] = (
 # (ivf_twolevel_probe4_recall_eval, semdedup_incremental_twolevel,
 # neardup_hyperplane_lsh_pairs, neardup_hyperplane_recall_eval,
 # hybrid_search_rrf) and fills from the r10 cohort (48 after r13's
-# two pre-pulls; with the registry at 204 the staleness bound is
+# two pre-pulls; with the registry at 203 the staleness bound is
 # max(3, ceil(204/50)) = 5, so nothing is forced before r15).
 #
 # Standing notes: if the driver regenerated /root/testdata, re-run
