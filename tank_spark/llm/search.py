@@ -289,8 +289,12 @@ def _hybrid_sql() -> str:
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tank_spark.llm.similarity import _dot_cols
 
-    lex = bm25_rank_topk(spark, sf_dir).select(
-        "qid", "doc_id", F.col("rank").alias("lex_rank"))
+    # explicit HYBRID_TOPK cut: bm25_rank_topk caps at BM25_TOPK, which
+    # equals HYBRID_TOPK today — the filter pins the oracle's
+    # `rank <= HYBRID_TOPK` so the two constants can drift safely
+    lex = (bm25_rank_topk(spark, sf_dir)
+           .filter(F.col("rank") <= HYBRID_TOPK)
+           .select("qid", "doc_id", F.col("rank").alias("lex_rank")))
     e = load(spark, sf_dir, "embeddings")
     qv = spark.createDataFrame(HYBRID_QVECS, "qid int, qvid long")
     qe = (e.join(F.broadcast(qv), e.vec_id == qv.qvid)
