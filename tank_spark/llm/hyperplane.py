@@ -331,3 +331,51 @@ def neardup_hyperplane_recall_eval(spark: SparkSession,
                 (F.col("n_hit").cast("double") / F.col("n_truth"))
                 .alias("recall"))
     )
+
+
+# ----------------------------------------------------- occupancy gauge
+
+HP_CENSUS_SQL = f"""
+WITH {_SEM_CORPUS_CTE},
+{_hp_bands_cte()},
+occ AS (
+  SELECT band_idx, band_val, CAST(COUNT(*) AS BIGINT) AS n
+  FROM hpbands GROUP BY band_idx, band_val
+)
+SELECT band_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(CASE WHEN n > {HP_BUCKET_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_capped,
+       MAX(n) AS max_occupancy,
+       CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS candidate_pairs_ub
+FROM occ GROUP BY band_idx
+"""
+
+
+@register(
+    "hyperplane_band_census",
+    HP_CENSUS_SQL,
+    doc=f"The hyperplane index's OPERATIONAL GAUGE: per band, bucket "
+        f"count, how many buckets exceed HP_BUCKET_CAP={HP_BUCKET_CAP} "
+        "(each capped bucket is silently excluded from candidate "
+        "generation — tools/hyperplane_scale_probe.py measured planted "
+        "recall collapsing to 5% at 10x corpus under the registered "
+        "width while wall time stayed flat), max occupancy, and the "
+        "candidate-pair upper bound sum(n*(n-1)/2). n_capped > 0 is "
+        "the signal to WIDEN the signature (width ~ log2(corpus / "
+        "target bucket size), the same scale-with-corpus law as IVF "
+        "nlist). One map-only signature pass + a two-level aggregate; "
+        "integer-exact on both engines.",
+)
+def hyperplane_band_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _sem_corpus(spark, sf_dir)
+    occ = (_bands_relation(corpus)
+           .groupBy("band_idx", "band_val")
+           .agg(F.count(F.lit(1)).alias("n")))
+    return (occ.groupBy("band_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.when(F.col("n") > HP_BUCKET_CAP, 1).otherwise(0))
+        .cast("long").alias("n_capped"),
+        F.max("n").alias("max_occupancy"),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long")
+        .alias("candidate_pairs_ub")))

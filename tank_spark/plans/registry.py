@@ -340,6 +340,11 @@ STAGED: tuple[str, ...] = (
     # BM25 top-K and the exact-cosine top-K (llm/search.py), the
     # two-tower serving shape. Full oracle — r14 flex slot.
     "hybrid_search_rrf",
+    # NEW r12: the hyperplane index's operational gauge (per-band
+    # bucket/cap census — n_capped > 0 is the widen-the-signature
+    # signal the 10x probe showed losing 95% recall silently without).
+    # Full oracle — r14 flex slot.
+    "hyperplane_band_census",
 )
 
 # R13 WINDOW HANDOFF (set at r12 window rotation; the r12 PRIORITY

@@ -84,3 +84,22 @@ def test_natural_corpus_stays_out_of_the_tau_regime(spark):
             .spark(spark, SF_DIR).collect())
     assert rows  # non-vacuous
     assert all(r["vec_b"] >= INC_OFFSET for r in rows)
+
+
+def test_band_census_staged_parity_and_gauge(spark):
+    """hyperplane_band_census' staged obligation (full oracle parity
+    at DRIVER_SF and the pytest SF) plus the gauge's meaning: at the
+    test corpora the registered width keeps every bucket under the
+    cap (n_capped = 0 — matching the pairs entry's lossless planted
+    recall), and the candidate upper bound reconciles with the actual
+    banded-join fan-out."""
+    from tank_spark.plans.registry import load_all
+
+    for sf_dir in (SF_DIR, DRIVER_SF):
+        compare(spark, sf_dir, "hyperplane_band_census")
+    rows = (load_all()["hyperplane_band_census"]
+            .spark(spark, SF_DIR).collect())
+    assert {r["band_idx"] for r in rows} == {0, 1}
+    assert all(r["n_capped"] == 0 for r in rows)
+    assert all(r["max_occupancy"] <= 64 for r in rows)
+    assert all(r["candidate_pairs_ub"] >= 0 for r in rows)
