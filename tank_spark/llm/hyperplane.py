@@ -379,3 +379,53 @@ def hyperplane_band_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("max_occupancy"),
         F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long")
         .alias("candidate_pairs_ub")))
+
+
+# ------------------------------------------------- cluster formation
+
+HP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_SEM_CORPUS_CTE},
+{_PAIR_CTES},
+pairs AS (SELECT vec_a, vec_b FROM verified WHERE cosine >= {HP_TAU}),
+und AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION SELECT vec_b, vec_a FROM pairs
+),
+reach(vid, r) AS (
+  SELECT DISTINCT src, src FROM und
+  UNION
+  SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.vid
+)
+SELECT vid AS vec_id, MIN(r) AS component,
+       CAST(CASE WHEN MIN(r) = vid THEN 1 ELSE 0 END AS INTEGER)
+         AS is_canonical
+FROM reach GROUP BY vid
+"""
+
+
+@register(
+    "neardup_hyperplane_clusters",
+    HP_CLUSTERS_SQL,
+    doc="Cluster formation over the hyperplane-LSH pair graph — "
+        "completing the pairs -> clusters arc the text family has "
+        "(dedup_lsh_clusters) on the banded embedding side: connected "
+        "components via the shared distributed pointer-jumping core "
+        "(dedup.lsh_components — min-label propagation, driver "
+        "union-find only under its size gate), component = min vec_id, "
+        "is_canonical marks survivors. Near-dup cosine is not "
+        "transitive, so a re-crawl chain (orig ~ bump ~ re-crawl) must "
+        "collapse to ONE canonical vector — this is the step between "
+        "pair generation and survivor selection a dedup pipeline "
+        "actually deletes with. Full oracle: the pair set is "
+        "engine-exact, so the components are too (the "
+        "neardup_embedding_clusters argument, now over the AT-SCALE "
+        "banded pair generator instead of label blocking).",
+)
+def neardup_hyperplane_clusters(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from tank_spark.llm.dedup import lsh_components
+
+    pairs = neardup_hyperplane_lsh_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("cid_a"), F.col("vec_b").alias("cid_b"))
+    return lsh_components(pairs).select(
+        F.col("cid").alias("vec_id"), "component", "is_canonical")

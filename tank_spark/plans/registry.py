@@ -345,6 +345,10 @@ STAGED: tuple[str, ...] = (
     # signal the 10x probe showed losing 95% recall silently without).
     # Full oracle — r14 flex slot.
     "hyperplane_band_census",
+    # NEW r12: pairs -> clusters over the hyperplane pair graph (the
+    # text family's dedup_lsh_clusters arc on the banded embedding
+    # side; shared lsh_components core). Full oracle — r14 flex slot.
+    "neardup_hyperplane_clusters",
 )
 
 # R13 WINDOW HANDOFF (set at r12 window rotation; the r12 PRIORITY

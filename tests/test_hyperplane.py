@@ -103,3 +103,28 @@ def test_band_census_staged_parity_and_gauge(spark):
     assert all(r["n_capped"] == 0 for r in rows)
     assert all(r["max_occupancy"] <= 64 for r in rows)
     assert all(r["candidate_pairs_ub"] >= 0 for r in rows)
+
+
+def test_clusters_staged_parity_and_structure(spark):
+    """neardup_hyperplane_clusters' staged obligation (full oracle
+    parity at DRIVER_SF and the pytest SF), plus the component
+    semantics on the derived corpus: the planted pairs are DISJOINT
+    (recrawl / near_bump / fresh_twin draw from disjoint orig slices),
+    so every component has exactly 2 members, component = the lower
+    vid, and exactly one canonical per component."""
+    from tank_spark.plans.registry import load_all
+
+    for sf_dir in (SF_DIR, DRIVER_SF):
+        compare(spark, sf_dir, "neardup_hyperplane_clusters")
+    rows = (load_all()["neardup_hyperplane_clusters"]
+            .spark(spark, SF_DIR).collect())
+    assert rows
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        assert len(members) == 2
+        assert comp == min(m["vec_id"] for m in members)
+        assert sum(m["is_canonical"] for m in members) == 1
+        assert next(m for m in members
+                    if m["is_canonical"] == 1)["vec_id"] == comp
