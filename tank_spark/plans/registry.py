@@ -260,38 +260,47 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # (trained + two-level quantizer families, media/text stream reports),
 # and the two code-changed entries. Driver result: 50/50 PASS, all
 # fifty full-oracle hash-matches (CORRECTNESS_r11.json).
-# Round-12 window: EXACTLY the R12 WINDOW HANDOFF below (== VERDICT r11
-# #1). The FULL 46-name r8-green cohort comes due under the staleness
-# bound (the planned dedup_incremental_report pre-pull never ran); the
-# 4 flex slots take the first four STAGED semdedup entries — the r11
-# semantic-incremental family, full oracles, parity-pinned at both SFs
-# since registration (never-checked entries enter unconditionally).
+# Round-12 window (kept for the record; superseded by r13 below):
+# EXACTLY the R12 WINDOW HANDOFF (== VERDICT r11 #1) — the FULL 46-name
+# r8-green cohort + the four staged semdedup entries in the flex slots.
+# Driver result: 49 full-oracle hash-matches + 1 rows-only
+# (ivf_train_kmeans, the standing training entry), 0 fail
+# (CORRECTNESS_r12.json).
+# Round-13 window: EXACTLY the R13 WINDOW HANDOFF below (== VERDICT r12
+# #1). The 46-name r9 cohort comes due under the staleness bound
+# (recomputed from the CORRECTNESS artifacts: r9 names minus any with a
+# later row — includes the tile_mvt_z7_parity / tile_mvt_batch cadence
+# refreshes and bm25_rank_topk, whose oracle was rebuilt around the
+# shared _BM25_CTES constant in r12). The 4 flex slots:
+# semdedup_stream_report + manifest_skipping_scan (the two remaining
+# r11-staged entries — contract says they MUST enter) +
+# media_index_build + ivf_probe_search (r10 rows; their late-r11 code
+# changes were pytest-oracle-verified meanwhile).
 PRIORITY: tuple[str, ...] = (
-    # ---- the 46 r8-green entries due this round (staleness bound 4)
-    "audio_features", "audio_fingerprint_neardup", "audio_resample",
-    "chunk_documents", "cross_source_duplication",
-    "curriculum_quality_stages", "decontaminate_train_eval",
-    "dedup_event_stream_replay", "dedup_exact", "dedup_exact_survivors",
-    "dedup_incremental_batch", "dedup_incremental_report",
-    "dedup_incremental_stream_replay", "dedup_index_build",
-    "dedup_lsh_clusters", "dedup_lsh_survivors",
-    "dedup_minhash_signatures", "dedup_prefix_containment",
-    "dedup_quality_survivors", "embedding_sq_quantize",
-    "event_value_outliers", "export_shard_plan", "global_sequence_ids",
-    "gopher_quality_rules", "image_phash_neardup",
-    "image_phash_survivors", "ivf_train_kmeans", "media_dedup_apply",
-    "media_dedup_report", "media_dedup_survivors",
-    "media_extract_features", "media_frame_sample", "media_resize",
-    "neardup_embedding_clusters", "pack_token_budget", "passage_dedup",
-    "quality_top_quantile_per_source", "rare_word_fraction",
-    "sample_stratified_sources", "stream_spend_post_state",
-    "temperature_mix_weights", "token_budget_planning",
-    "token_freq_spectrum", "video_keyframes", "video_phash_neardup",
-    "video_scene_cuts",
-    # ---- the 4 flex slots: first four STAGED semdedup entries enter
-    # (dropped from STAGED in the same commit, per the staged contract)
-    "semdedup_index_build", "semdedup_incremental",
-    "semdedup_stream_replay", "semdedup_incremental_report",
+    # ---- the 46 r9-green entries due this round (staleness bound 5)
+    "ann_lsh_buckets", "approx_sketches_demo", "bloom_decontaminate",
+    "bm25_rank_topk", "bpe_tokenize_corpus", "bpe_train_merges",
+    "cms_heavy_hitters", "dedup_containment_pairs",
+    "dedup_lsh_clusters_capped", "dedup_lsh_clusters_uncapped",
+    "dedup_lsh_pairs_capped", "dedup_lsh_pairs_uncapped",
+    "dedup_minhash_lsh_pairs", "dedup_minhash_lsh_pairs_k128",
+    "dedup_multiplicity", "dedup_simhash64", "doc_fingerprint",
+    "doc_winnow_fingerprints", "dsir_importance_weights",
+    "heatmap_mvt_z9_parity", "knn_brute_cosine", "lang_id_stopwords",
+    "lm_cross_source_divergence", "lm_surprisal_score",
+    "lsh_recall_eval", "neardup_cosine_pairs", "pq_encode_codes",
+    "pq_recall_eval", "quality_lr_eval", "salted_user_event_counts",
+    "sessionize_events", "streaming_session_windows",
+    "streaming_windowed_counts", "text_quality_score", "text_stats",
+    "tile_mvt_batch", "tile_mvt_z7_parity", "tile_sample_overview",
+    "top_bigrams", "top_distinctive_terms", "top_words_per_lang",
+    "train_eval_split", "tumbling_hourly_counts",
+    "user_funnel_signup_purchase", "watermark_late_drop",
+    "weekly_retention_cohorts",
+    # ---- the 4 flex slots (dropped from STAGED in the same commit,
+    # per the staged contract, for the first two)
+    "semdedup_stream_report", "manifest_skipping_scan",
+    "media_index_build", "ivf_probe_search",
 )
 
 # Entries registered AFTER this round's window froze. The r11 window is
@@ -312,11 +321,8 @@ PRIORITY: tuple[str, ...] = (
 # that a test file names the entry alongside a driver-SF compare().
 STAGED: tuple[str, ...] = (
     # (r12: the four semdedup entries entered the window and left
-    # STAGED per the contract.)
-    "semdedup_stream_report",
-    # the file-skipping layer's equivalence gate (operators/skipping.py)
-    # — takes r13's LAST flex slot (see the handoff below)
-    "manifest_skipping_scan",
+    # STAGED per the contract. r13: semdedup_stream_report and
+    # manifest_skipping_scan entered the r13 flex slots and left.)
     # NEW r12 (VERDICT r11 #3): the two-level quantizer's measured
     # production operating point (W=2, nprobe=4 — recall recovers to
     # the flat-trained 1.000 at 3.3x less scan, twolevel_nprobe_sweep).
@@ -349,35 +355,37 @@ STAGED: tuple[str, ...] = (
     # text family's dedup_lsh_clusters arc on the banded embedding
     # side; shared lsh_components core). Full oracle — r14 flex slot.
     "neardup_hyperplane_clusters",
+    # NEW r13 (VERDICT r12 #4): the WIDTH-SCALED hyperplane sizing —
+    # 2x12 bands, the configuration the 10x probe showed restoring
+    # 4000/4000 planted recall where the default 2x8 silently lost 95%
+    # to capped buckets. The measured width law as a driver-checkable
+    # entry (the MinHash family's k128 precedent). Full oracle —
+    # r14 flex slot.
+    "neardup_hyperplane_lsh_pairs_w12",
 )
 
-# R13 WINDOW HANDOFF (set at r12 window rotation; the r12 PRIORITY
-# above is exactly the r11 handoff's prescription — 46 r8-due + the
-# four staged semdedup entries):
-# R13: the 46-entry r9 cohort comes due (recomputed from the
-# CORRECTNESS artifacts at r12 — it already contains the
-# tile_mvt_z7_parity and tile_mvt_batch cadence refreshes, and
-# bm25_rank_topk, whose oracle string was rebuilt around the shared
-# _BM25_CTES constant in r12 — its due slot covers that change),
-# leaving 4 flex: semdedup_stream_report + manifest_skipping_scan
-# (the two remaining r11-staged entries — MUST enter), then
-# media_index_build and ivf_probe_search (r10 rows; their late-r11
-# code changes are pytest-oracle-verified meanwhile). That fills r13
-# exactly. R14 then leads with the five r12-staged entries
-# (ivf_twolevel_probe4_recall_eval, semdedup_incremental_twolevel,
-# neardup_hyperplane_lsh_pairs, neardup_hyperplane_recall_eval,
-# hybrid_search_rrf) and fills from the r10 cohort (48 after r13's
-# two pre-pulls; with the registry at 203 the staleness bound is
-# max(3, ceil(204/50)) = 5, so nothing is forced before r15).
+# R14 WINDOW HANDOFF (set at r13 window rotation; the r13 PRIORITY
+# above is exactly the r12 handoff's prescription — 46 r9-due + the
+# two remaining r11-staged entries + media_index_build +
+# ivf_probe_search):
+# R14: NO cohort is forced (staleness bound max(3, ceil(N/50)) = 5;
+# the 48-name r10 cohort — 46 after r13's two pre-pulls of
+# media_index_build and ivf_probe_search — comes due in r15). R14
+# therefore leads with ALL remaining STAGED entries (the seven r12
+# registrations: ivf_twolevel_probe4_recall_eval,
+# semdedup_incremental_twolevel, neardup_hyperplane_lsh_pairs,
+# neardup_hyperplane_recall_eval, hyperplane_band_census,
+# neardup_hyperplane_clusters, hybrid_search_rrf — plus any r13
+# registrations, see the STAGED tuple's tail) and fills the remaining
+# slots from the r10 cohort in sorted-name order; whatever r10 names
+# don't fit in r14 MUST all take r15 slots (they are due there).
 #
 # Standing notes: if the driver regenerated /root/testdata, re-run
 # tools/freeze_ivf_centroids.py + tools/freeze_ivf_twolevel.py and
 # give the ivf_trained_*/ivf_twolevel_* entries fresh slots with the
 # new snapshot (oracle parity holds either way — both engines score
 # the same frozen constants — but the recall-win story should track
-# current data). dedup_incremental_report's aggregation layer moved
-# onto the shared _curation_report builder late r11 (plan unchanged);
-# its r12 due slot covers that change.
+# current data).
 
 
 def load_all() -> dict[str, QueryDef]:
