@@ -51,27 +51,36 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tank_spark.llm.semdedup_inc import _SEM_CORPUS_CTE, _sem_corpus
+from tank_spark.llm.semdedup_inc import (INC_OFFSET, _SEM_CORPUS_CTE,
+                                         _sem_corpus)
 from tank_spark.llm.similarity import DIM, _dot_cols, _dot_sql
 from tank_spark.plans.registry import register
 
-HP_PLANES = 16       # signature bits
+HP_PLANES = 16       # signature bits (the module-default width)
 HP_BANDS = 2         # bands of HP_BITS bits each
 HP_BITS = HP_PLANES // HP_BANDS
 HP_TAU = 0.9         # exact-verify cosine threshold (the semantic-dup regime)
 HP_BUCKET_CAP = 64   # drop band buckets larger than this (skew cap)
 
-INC_OFFSET = None  # set below (import-order clarity)
-from tank_spark.llm.semdedup_inc import INC_OFFSET  # noqa: E402
+# The width-scaled production sizing (VERDICT r12 #4): the 10x scale
+# probe (tools/hyperplane_scale_probe.py, table in SCALE.md) measured
+# the default 2x8 width silently collapsing planted recall to 5% via
+# capped buckets at 10x corpus while 2x12 restored 4000/4000 at 1.6x
+# wall — width ~ log2(corpus / target bucket size). The _w12 entries
+# below register that configuration as a driver-checkable oracle, the
+# way the MinHash family carries k128 alongside the test-sized default.
+HP_PLANES_W12 = 24   # 2 bands x 12 bits
 
 
-def _hp_planes() -> list[list[float]]:
+def _hp_planes(n_planes: int = HP_PLANES) -> list[list[float]]:
     """The frozen hyperplane table: plane k, component j is
     (md5_byte - 128)/256 — exact rationals with a power-of-two
     denominator, identical constants for the Spark literals and the
-    SQL VALUES rows. Derived once per process."""
+    SQL VALUES rows. Derived once per process; widths share a prefix
+    (plane k's derivation depends only on k), so widening the
+    signature EXTENDS the plane table rather than resampling it."""
     planes = []
-    for k in range(HP_PLANES):
+    for k in range(n_planes):
         row = []
         j = 0
         while len(row) < DIM:
@@ -82,21 +91,32 @@ def _hp_planes() -> list[list[float]]:
     return planes
 
 
-_PLANES = _hp_planes()
+_PLANES_BY_WIDTH: dict[int, list[list[float]]] = {}
 
 
-def _band_cols():
+def _planes_for(n_planes: int) -> list[list[float]]:
+    if n_planes not in _PLANES_BY_WIDTH:
+        _PLANES_BY_WIDTH[n_planes] = _hp_planes(n_planes)
+    return _PLANES_BY_WIDTH[n_planes]
+
+
+_PLANES = _planes_for(HP_PLANES)
+
+
+def _band_cols(n_planes: int = HP_PLANES, n_bands: int = HP_BANDS):
     """(band_0, ..., band_{B-1}) integer Columns over an ``embedding``
     column: bit k = sign(v . h_k) packed little-endian within each
     band. Map-only — the whole signature is literal arithmetic.
     Computed as ONE transform over an array-of-planes literal (a
-    codegen loop) instead of {HP_PLANES} unrolled 64-term folds: the
+    codegen loop) instead of n_planes unrolled 64-term folds: the
     unrolled form compiled ~seconds of janino per fresh plan (the
     standing wide-column lesson). Per-bit arithmetic is the identical
     sequential zip_with fold, so the sign — and therefore every band
     value — is unchanged."""
+    bits_per_band = n_planes // n_bands
     planes_lit = F.array(*[
-        F.array(*[F.lit(float(v)) for v in p]) for p in _PLANES])
+        F.array(*[F.lit(float(v)) for v in p])
+        for p in _planes_for(n_planes)])
     bits = F.transform(
         planes_lit,
         lambda p: F.when(
@@ -105,10 +125,10 @@ def _band_cols():
                            lambda x, w: x.cast("double") * w),
                 F.lit(0.0), lambda acc, x: acc + x) >= 0,
             F.lit(1)).otherwise(F.lit(0)))
-    weights = F.array(*[F.lit(1 << i) for i in range(HP_BITS)])
+    weights = F.array(*[F.lit(1 << i) for i in range(bits_per_band)])
     bands = []
-    for b in range(HP_BANDS):
-        band_bits = F.slice(bits, b * HP_BITS + 1, HP_BITS)
+    for b in range(n_bands):
+        band_bits = F.slice(bits, b * bits_per_band + 1, bits_per_band)
         val = F.aggregate(
             F.zip_with(band_bits, weights, lambda x, w: x * w),
             F.lit(0), lambda acc, x: acc + x)
@@ -116,47 +136,56 @@ def _band_cols():
     return bands
 
 
-def _bands_relation(corpus: DataFrame) -> DataFrame:
+def _bands_relation(corpus: DataFrame, n_planes: int = HP_PLANES,
+                    n_bands: int = HP_BANDS) -> DataFrame:
     """(vid, band_idx, band_val): the exploded banded signature of the
     derived corpus — one map-only projection + posexplode. Embeddings
     deliberately DROPPED here: candidates shuffle as bare id pairs and
     the verify joins the vectors back (64-float arrays riding through
     the banded self-join + distinct made the shuffle rows ~30x
     heavier)."""
-    sig = corpus.select("vid", "embedding", *_band_cols())
-    pairs = F.array(*[F.col(f"band_{b}") for b in range(HP_BANDS)])
+    sig = corpus.select("vid", "embedding",
+                        *_band_cols(n_planes, n_bands))
+    pairs = F.array(*[F.col(f"band_{b}") for b in range(n_bands)])
     return sig.select("vid",
                       F.posexplode(pairs).alias("band_idx", "band_val"))
 
 
-def _hp_lit_sql(k: int) -> str:
+def _hp_lit_sql(k: int, n_planes: int = HP_PLANES) -> str:
     # parenthesized so _dot_sql's [j] indexing parses: ([...]::DOUBLE[])[j]
-    return ("([" + ", ".join(repr(v) for v in _PLANES[k])
+    return ("([" + ", ".join(repr(v) for v in _planes_for(n_planes)[k])
             + "]::DOUBLE[])")
 
 
-def _hp_bands_cte() -> str:
+def _hp_bands_cte(n_planes: int = HP_PLANES,
+                  n_bands: int = HP_BANDS) -> str:
     """``hpbands(vid, band_idx, band_val)`` over semcorp — the SQL
     mirror: same literal planes, same fold order, same little-endian
-    packing, same posexplode shape (UNION ALL of the B band values)."""
+    packing, same posexplode shape (UNION ALL of the B band values).
+    Embeddings deliberately not carried (the Spark relation drops them
+    for shuffle weight; the verify joins semcorp directly)."""
+    bits_per_band = n_planes // n_bands
     bit = [
-        f"(CASE WHEN {_dot_sql('v.embedding', _hp_lit_sql(k))} >= 0 "
-        f"THEN 1 ELSE 0 END)"
-        for k in range(HP_PLANES)
+        f"(CASE WHEN {_dot_sql('v.embedding', _hp_lit_sql(k, n_planes))}"
+        f" >= 0 THEN 1 ELSE 0 END)"
+        for k in range(n_planes)
     ]
     band_exprs = []
-    for b in range(HP_BANDS):
+    for b in range(n_bands):
         terms = " + ".join(
-            f"{bit[b * HP_BITS + i]} * {1 << i}" for i in range(HP_BITS))
+            f"{bit[b * bits_per_band + i]} * {1 << i}"
+            for i in range(bits_per_band))
         band_exprs.append(f"CAST({terms} AS BIGINT)")
     selects = " UNION ALL ".join(
-        f"SELECT vid, {b} AS band_idx, {band_exprs[b]} AS band_val, "
-        f"embedding FROM (SELECT vid, embedding FROM semcorp) v"
-        for b in range(HP_BANDS))
+        f"SELECT vid, {b} AS band_idx, {band_exprs[b]} AS band_val "
+        f"FROM (SELECT vid, embedding FROM semcorp) v"
+        for b in range(n_bands))
     return f"hpbands AS ({selects})"
 
 
-_PAIR_CTES = f"""{_hp_bands_cte()},
+def _pair_ctes(n_planes: int = HP_PLANES,
+               n_bands: int = HP_BANDS) -> str:
+    return f"""{_hp_bands_cte(n_planes, n_bands)},
 keepb AS (
   SELECT band_idx, band_val FROM hpbands
   GROUP BY band_idx, band_val HAVING COUNT(*) <= {HP_BUCKET_CAP}
@@ -177,6 +206,9 @@ verified AS (
     JOIN semcorp ea ON ea.vid = c.vec_a
     JOIN semcorp eb ON eb.vid = c.vec_b
 )"""
+
+
+_PAIR_CTES = _pair_ctes()
 
 HP_PAIRS_SQL = f"""
 WITH {_SEM_CORPUS_CTE},
@@ -206,10 +238,16 @@ SELECT vec_a, vec_b, cosine FROM verified WHERE cosine >= {HP_TAU}
 )
 def neardup_hyperplane_lsh_pairs(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
+    return _pairs_df(spark, sf_dir)
+
+
+def _pairs_df(spark: SparkSession, sf_dir: str,
+              n_planes: int = HP_PLANES,
+              n_bands: int = HP_BANDS) -> DataFrame:
     # the corpus feeds the signature projection AND the verify's two
     # embedding joins — pin it (small: base + derived batch rows)
     corpus = _sem_corpus(spark, sf_dir).localCheckpoint(eager=True)
-    bands = _bands_relation(corpus)
+    bands = _bands_relation(corpus, n_planes, n_bands)
     # hot-bucket census + drop (tiny aggregate, broadcast back)
     keep = (bands.groupBy("band_idx", "band_val")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -232,6 +270,38 @@ def neardup_hyperplane_lsh_pairs(spark: SparkSession,
     return (cand.join(ea, "vec_a").join(eb, "vec_b")
             .select("vec_a", "vec_b", cos.alias("cosine"))
             .filter(F.col("cosine") >= HP_TAU))
+
+
+HP_PAIRS_W12_SQL = f"""
+WITH {_SEM_CORPUS_CTE},
+{_pair_ctes(HP_PLANES_W12, HP_BANDS)}
+SELECT vec_a, vec_b, cosine FROM verified WHERE cosine >= {HP_TAU}
+"""
+
+
+@register(
+    "neardup_hyperplane_lsh_pairs_w12",
+    HP_PAIRS_W12_SQL,
+    doc=f"The WIDTH-SCALED production sizing of the hyperplane-LSH "
+        f"pair generator: {HP_PLANES_W12} frozen planes in {HP_BANDS} "
+        f"bands x {HP_PLANES_W12 // HP_BANDS} bits (vs the default "
+        f"2x{HP_BITS}), same cap {HP_BUCKET_CAP}, same exact verify at "
+        f"{HP_TAU}. Why it exists as a REGISTERED entry and not only a "
+        "probe tool: tools/hyperplane_scale_probe.py measured the 2x8 "
+        "width silently collapsing planted recall to 5% at 10x corpus "
+        "(capped hot buckets swallow the planted pairs while wall time "
+        "stays flat) and 2x12 restoring 4000/4000 at 1.6x wall — "
+        "signature width must scale ~ log2(corpus / target bucket "
+        "size), and the at-scale configuration deserves the same "
+        "driver-checkable oracle as the MinHash family's k128 sizing. "
+        "Plane table is a PREFIX-EXTENSION of the default's (plane k "
+        "depends only on k), so the two widths share their first 16 "
+        "planes' arithmetic; recall per planted class at this width is "
+        "pinned in pytest via the parameterized recall instrument.",
+)
+def neardup_hyperplane_lsh_pairs_w12(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    return _pairs_df(spark, sf_dir, HP_PLANES_W12, HP_BANDS)
 
 
 # --------------------------------------------------------- recall eval
@@ -261,9 +331,11 @@ vtruth AS (
         >= {HP_TAU}
 )"""
 
-HP_RECALL_SQL = f"""
+def _recall_sql(n_planes: int = HP_PLANES,
+                n_bands: int = HP_BANDS) -> str:
+    return f"""
 WITH {_SEM_CORPUS_CTE},
-{_PAIR_CTES},
+{_pair_ctes(n_planes, n_bands)},
 found AS (SELECT vec_a, vec_b FROM verified WHERE cosine >= {HP_TAU}),
 {_TRUTH_CTE}
 SELECT t.pair_class,
@@ -276,6 +348,9 @@ FROM vtruth t
   LEFT JOIN found f ON f.vec_a = t.vec_a AND f.vec_b = t.vec_b
 GROUP BY t.pair_class
 """
+
+
+HP_RECALL_SQL = _recall_sql()
 
 
 @register(
@@ -294,9 +369,15 @@ GROUP BY t.pair_class
 )
 def neardup_hyperplane_recall_eval(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
+    return _recall_df(spark, sf_dir)
+
+
+def _recall_df(spark: SparkSession, sf_dir: str,
+               n_planes: int = HP_PLANES,
+               n_bands: int = HP_BANDS) -> DataFrame:
     from tank_spark.sources.tables import load
 
-    found = neardup_hyperplane_lsh_pairs(spark, sf_dir) \
+    found = _pairs_df(spark, sf_dir, n_planes, n_bands) \
         .select("vec_a", "vec_b")
     e = load(spark, sf_dir, "embeddings")
     t = []

@@ -217,6 +217,13 @@ def top_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RRF_K = 60           # the standard reciprocal-rank-fusion damping
 HYBRID_TOPK = 10
+# Drift is only safe DOWNWARD: the Spark lexical tower filters
+# bm25_rank_topk's output, which is already capped at BM25_TOPK, while
+# the oracle cuts the uncapped `scored` CTE at HYBRID_TOPK — raising
+# HYBRID_TOPK above BM25_TOPK would silently desync the two engines
+# (Spark lex limited to BM25_TOPK rows, oracle to HYBRID_TOPK).
+assert HYBRID_TOPK <= BM25_TOPK, \
+    "hybrid fusion consumes the capped bm25 tower; see comment above"
 # qid -> the embeddings row standing in for the query's vector (the
 # IVF harness' fixed-query convention; ids exist at every SF)
 HYBRID_QVECS = [(0, 20), (1, 21), (2, 22), (3, 23)]
@@ -291,7 +298,8 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # explicit HYBRID_TOPK cut: bm25_rank_topk caps at BM25_TOPK, which
     # equals HYBRID_TOPK today — the filter pins the oracle's
-    # `rank <= HYBRID_TOPK` so the two constants can drift safely
+    # `rank <= HYBRID_TOPK`; drift is only safe while HYBRID_TOPK <=
+    # BM25_TOPK (import-time assert above)
     lex = (bm25_rank_topk(spark, sf_dir)
            .filter(F.col("rank") <= HYBRID_TOPK)
            .select("qid", "doc_id", F.col("rank").alias("lex_rank")))

