@@ -229,30 +229,12 @@ assert HYBRID_TOPK <= BM25_TOPK, \
 HYBRID_QVECS = [(0, 20), (1, 21), (2, 22), (3, 23)]
 
 
-def _hybrid_sql() -> str:
-    from tank_spark.llm.similarity import _dot_sql
-
-    dot = _dot_sql("qe.embedding", "e.embedding")
-    nq = _dot_sql("qe.embedding", "qe.embedding")
-    ne = _dot_sql("e.embedding", "e.embedding")
-    qv = ", ".join(f"({q}, {v})" for q, v in HYBRID_QVECS)
-    return f"""
-    WITH {_BM25_CTES},
-    lex AS (SELECT qid, doc_id, rank AS lrank FROM scored
-            WHERE rank <= {HYBRID_TOPK}),
-    qvecs(qid, qvid) AS (VALUES {qv}),
-    sem AS (
-      SELECT qid, doc_id, srank FROM (
-        SELECT qv.qid, e.vec_id AS doc_id,
-               ROW_NUMBER() OVER (PARTITION BY qv.qid
-                 ORDER BY {dot} / (sqrt({nq}) * sqrt({ne})) DESC,
-                          e.vec_id) AS srank
-        FROM qvecs qv
-          JOIN embeddings qe ON qe.vec_id = qv.qvid
-          JOIN embeddings e ON e.vec_id <> qv.qvid
-      ) WHERE srank <= {HYBRID_TOPK}
-    ),
-    fused AS (
+def _rrf_tail_sql() -> str:
+    """The RRF fusion tail over ``lex(qid, doc_id, lrank)`` and
+    ``sem(qid, doc_id, srank)`` CTEs — ONE string shared by the
+    brute-force and IVF-tower hybrid oracles, so the fusion semantics
+    can never fork between them (only the sem tower differs)."""
+    return f"""fused AS (
       SELECT COALESCE(l.qid, s.qid) AS qid,
              COALESCE(l.doc_id, s.doc_id) AS doc_id,
              COALESCE(CAST(ROUND({_SCALE} * 1.0 / ({RRF_K} + l.lrank), 0)
@@ -272,6 +254,35 @@ def _hybrid_sql() -> str:
       FROM fused
     ) WHERE rank <= {HYBRID_TOPK}
     """
+
+
+_LEX_CTE = f"""lex AS (SELECT qid, doc_id, rank AS lrank FROM scored
+            WHERE rank <= {HYBRID_TOPK})"""
+
+
+def _hybrid_sql() -> str:
+    from tank_spark.llm.similarity import _dot_sql
+
+    dot = _dot_sql("qe.embedding", "e.embedding")
+    nq = _dot_sql("qe.embedding", "qe.embedding")
+    ne = _dot_sql("e.embedding", "e.embedding")
+    qv = ", ".join(f"({q}, {v})" for q, v in HYBRID_QVECS)
+    return f"""
+    WITH {_BM25_CTES},
+    {_LEX_CTE},
+    qvecs(qid, qvid) AS (VALUES {qv}),
+    sem AS (
+      SELECT qid, doc_id, srank FROM (
+        SELECT qv.qid, e.vec_id AS doc_id,
+               ROW_NUMBER() OVER (PARTITION BY qv.qid
+                 ORDER BY {dot} / (sqrt({nq}) * sqrt({ne})) DESC,
+                          e.vec_id) AS srank
+        FROM qvecs qv
+          JOIN embeddings qe ON qe.vec_id = qv.qvid
+          JOIN embeddings e ON e.vec_id <> qv.qvid
+      ) WHERE srank <= {HYBRID_TOPK}
+    ),
+    {_rrf_tail_sql()}"""
 
 
 @register(
@@ -319,6 +330,16 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", F.col("vec_id").alias("doc_id"),
                 F.col("srank").alias("sem_rank"))
     )
+    return _rrf_fuse(lex, sem)
+
+
+def _rrf_fuse(lex: DataFrame, sem: DataFrame) -> DataFrame:
+    """The RRF fusion tail over ``lex(qid, doc_id, lex_rank)`` and
+    ``sem(qid, doc_id, sem_rank)`` — ONE function shared by the
+    brute-force and IVF-tower hybrid entries (the Spark mirror of
+    _rrf_tail_sql), so the two entries' plans are identical from the
+    FullOuter join down and the twins differ only in how the semantic
+    top-K was produced."""
     fx = lambda r: F.coalesce(
         F.round(F.lit(float(_SCALE)) / (F.lit(RRF_K) + r), 0).cast("long"),
         F.lit(0))
@@ -334,3 +355,77 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("qid", "doc_id", "rank",
                     (F.col("rrf_fx").cast("double") / _SCALE).alias("rrf"),
                     "lex_rank", "sem_rank"))
+
+
+def _hybrid_ivf_sql() -> str:
+    from tank_spark.llm.similarity import (_dot_sql, _frozen_cent_cte,
+                                           _trained_assign_sql,
+                                           _trained_probes_cte)
+
+    qvids = tuple(v for _, v in HYBRID_QVECS)
+    dot_qe = _dot_sql("q.embedding", "e.embedding")
+    nq = _dot_sql("q.embedding", "q.embedding")
+    ne = _dot_sql("e.embedding", "e.embedding")
+    qv = ", ".join(f"({q}, {v})" for q, v in HYBRID_QVECS)
+    return f"""
+    WITH {_BM25_CTES},
+    {_LEX_CTE},
+    qvecs(qid, qvid) AS (VALUES {qv}),
+    {_frozen_cent_cte()},
+    {_trained_assign_sql()},
+    {_trained_probes_cte(qvids)},
+    sem AS (
+      SELECT qv.qid, s.doc_id, s.srank FROM (
+        SELECT p.qid AS qvid, a.vec_id AS doc_id,
+               ROW_NUMBER() OVER (PARTITION BY p.qid
+                 ORDER BY {dot_qe} / (sqrt({nq}) * sqrt({ne})) DESC,
+                          a.vec_id) AS srank
+        FROM probes p
+          JOIN tassign a ON a.centroid_id = p.centroid_id
+          JOIN embeddings e ON e.vec_id = a.vec_id
+          JOIN embeddings q ON q.vec_id = p.qid
+        WHERE a.vec_id <> p.qid
+      ) s JOIN qvecs qv ON qv.qvid = s.qvid
+      WHERE s.srank <= {HYBRID_TOPK}
+    ),
+    {_rrf_tail_sql()}"""
+
+
+@register(
+    "hybrid_search_rrf_ivf",
+    _hybrid_ivf_sql(),
+    doc=f"hybrid_search_rrf with the swap its doc promises made REAL: "
+        f"the semantic tower is the registered TRAINED-IVF probe "
+        f"search (frozen k-means quantizer, llm/similarity._probe_core "
+        f"— the same plan as ivf_trained_probe_search at topk="
+        f"{HYBRID_TOPK} over the hybrid query vectors) instead of "
+        "brute-force cosine; the lexical tower and the RRF fusion "
+        "tail (_rrf_fuse / _rrf_tail_sql) are byte-shared with the "
+        "brute twin. WHERE THE FUSED OUTPUT MAY DIFFER from "
+        "hybrid_search_rrf: exactly the probe's recall misses — a "
+        "true cosine-top-K neighbor whose inverted list is not among "
+        "the query's N_PROBE probed lists is absent from this sem "
+        "tower, shifting that query's fused ranks; both engines "
+        "compute the IDENTICAL probe, so the entry's own oracle parity "
+        "is exact (recall vs truth is ivf_trained_recall_eval's job). "
+        "Scale shape: sem candidates ~ corpus/nlist * nprobe instead "
+        "of the full corpus — this is the 100 TB configuration; the "
+        "brute twin is the small-corpus/ground-truth dial.",
+)
+def hybrid_search_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tank_spark.llm.similarity import _frozen_score_structs, _probe_core
+
+    lex = (bm25_rank_topk(spark, sf_dir)
+           .filter(F.col("rank") <= HYBRID_TOPK)
+           .select("qid", "doc_id", F.col("rank").alias("lex_rank")))
+    qvids = tuple(v for _, v in HYBRID_QVECS)
+    probe = _probe_core(spark, sf_dir, _frozen_score_structs(spark),
+                        qids=qvids, topk=HYBRID_TOPK)
+    qv = spark.createDataFrame(HYBRID_QVECS, "qid int, qvid long")
+    sem = (probe
+           .select(F.col("qid").alias("qvid"),
+                   F.col("vec_id").alias("doc_id"),
+                   F.col("rn").cast("int").alias("sem_rank"))
+           .join(F.broadcast(qv), "qvid")
+           .select("qid", "doc_id", "sem_rank"))
+    return _rrf_fuse(lex, sem)

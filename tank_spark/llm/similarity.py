@@ -502,9 +502,14 @@ def ivf_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                        _centroid_score_structs(spark, sf_dir))
 
 
-def _probe_core(spark: SparkSession, sf_dir: str, arr) -> DataFrame:
+def _probe_core(spark: SparkSession, sf_dir: str, arr,
+                qids: tuple = _IVF_QUERY_IDS,
+                topk: int = 3) -> DataFrame:
     """The IVF probe plan, shared by the raw and frozen-trained
-    quantizers (``arr`` is the quantizer-literal score array)."""
+    quantizers (``arr`` is the quantizer-literal score array).
+    ``qids``/``topk`` default to the registered probe entries' dials;
+    hybrid_search_rrf_ivf reuses the identical plan with its own query
+    set and cut (llm/search.py)."""
     e = load(spark, sf_dir, "embeddings")
     # map-only literal-centroid argmin; probe ranking is array_sort +
     # slice on the same score array — identical (score, centroid_id)
@@ -513,20 +518,21 @@ def _probe_core(spark: SparkSession, sf_dir: str, arr) -> DataFrame:
         "vec_id", F.array_min(arr)["centroid_id"].alias("centroid_id")
     )
     probes = (
-        e.filter(F.col("vec_id").isin(*_IVF_QUERY_IDS))
+        e.filter(F.col("vec_id").isin(*qids))
         .select(
             F.col("vec_id").alias("qid"),
             F.explode(F.slice(F.array_sort(arr), 1, N_PROBE)).alias("p"),
         )
         .select("qid", F.col("p.centroid_id").alias("centroid_id"))
     )
-    return _probe_rank_tail(e, probes, assign)
+    return _probe_rank_tail(e, probes, assign, qids, topk)
 
 
 def _probe_rank_tail(e: DataFrame, probes: DataFrame,
                      assign: DataFrame,
-                     qids: tuple = _IVF_QUERY_IDS) -> DataFrame:
-    """Candidate generation + cosine top-3, shared by every IVF probe
+                     qids: tuple = _IVF_QUERY_IDS,
+                     topk: int = 3) -> DataFrame:
+    """Candidate generation + cosine top-k, shared by every IVF probe
     variant: ``probes`` (qid, centroid_id) fans out to the assigned
     inverted lists, the query side broadcasts, ranking is one
     per-query window over the (bounded) candidate set."""
@@ -549,7 +555,7 @@ def _probe_rank_tail(e: DataFrame, probes: DataFrame,
     return (
         cand.select("qid", "vec_id", cos.alias("cosine"))
         .withColumn("rn", F.row_number().over(w2).cast("long"))
-        .filter(F.col("rn") <= 3)
+        .filter(F.col("rn") <= topk)
     )
 
 
@@ -845,12 +851,13 @@ def _trained_assign_sql() -> str:
     """
 
 
-def _trained_probes_cte() -> str:
+def _trained_probes_cte(qids: tuple = _IVF_QUERY_IDS) -> str:
     """probes(qid, centroid_id): each query's N_PROBE best trained
     lists — ONE builder shared by the probe and recall oracles so a
     tie-break or N_PROBE change can never fork their semantics
-    (review r11)."""
-    ids = ", ".join(str(i) for i in _IVF_QUERY_IDS)
+    (review r11). ``qids`` defaults to the registered entries' fixed
+    query set; hybrid_search_rrf_ivf passes its own."""
+    ids = ", ".join(str(i) for i in qids)
     sc = _trained_score_sql()
     return f"""probes AS (
       SELECT qid, centroid_id FROM (

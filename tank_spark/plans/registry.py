@@ -362,6 +362,12 @@ STAGED: tuple[str, ...] = (
     # entry (the MinHash family's k128 precedent). Full oracle —
     # r14 flex slot.
     "neardup_hyperplane_lsh_pairs_w12",
+    # NEW r13 (VERDICT r12 #5): the hybrid tower swap made real —
+    # hybrid_search_rrf with the semantic tower = the TRAINED-IVF
+    # probe (the documented 100 TB configuration), lexical tower and
+    # RRF fusion tail byte-shared with the brute twin. Full oracle —
+    # r14 flex slot. (STAGED ends r13 at exactly the prescribed <= 9.)
+    "hybrid_search_rrf_ivf",
 )
 
 # R14 WINDOW HANDOFF (set at r13 window rotation; the r13 PRIORITY

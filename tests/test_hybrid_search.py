@@ -63,6 +63,83 @@ def test_overlap_doc_outranks_single_tower(spark):
     assert both > single_best  # rank-3 on both towers > rank-1 on one
 
 
+def test_ivf_twin_staged_parity(spark):
+    """hybrid_search_rrf_ivf's staged obligation: full oracle parity
+    at DRIVER_SF and the pytest SF (VERDICT r12 #5 — the documented
+    'swap brute force for the IVF probe' is a registered entry, not a
+    promise). Both engines compute the IDENTICAL trained probe, so
+    parity is exact even where the probe's recall misses shift fused
+    ranks vs the brute twin."""
+    for sf_dir in (SF_DIR, DRIVER_SF):
+        compare(spark, sf_dir, "hybrid_search_rrf_ivf")
+
+
+def _ops_to_fusion_join(df) -> list[str]:
+    """Operator-name sequence from the plan root down to (and
+    including) the FullOuter SortMergeJoin — the fusion tail's
+    physical shape, independent of expression ids."""
+    import re
+
+    ops = []
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        m = re.search(r"(?:^|[\s\-+:*)])([A-Za-z][A-Za-z0-9]*)", line)
+        if not m:
+            continue
+        ops.append(m.group(1))
+        if "SortMergeJoin" in line and "FullOuter" in line:
+            return ops
+    raise AssertionError("no FullOuter SortMergeJoin in plan:\n" + plan)
+
+
+def test_ivf_twin_fusion_tail_plan_identity(spark):
+    """The fusion tail is byte-shared code (_rrf_fuse/_rrf_tail_sql);
+    pin that it is also the SAME PHYSICAL PLAN in both twins: the
+    operator sequence from the root to the FullOuter SortMergeJoin is
+    identical, and each plan has exactly one SortMergeJoin (the fusion
+    itself — the towers must never introduce another)."""
+    from tank_spark.llm.search import hybrid_search_rrf, hybrid_search_rrf_ivf
+
+    brute = hybrid_search_rrf(spark, SF_DIR)
+    ivf = hybrid_search_rrf_ivf(spark, SF_DIR)
+    assert _ops_to_fusion_join(brute) == _ops_to_fusion_join(ivf)
+    for df in (brute, ivf):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        smj = [l for l in plan.splitlines() if "SortMergeJoin" in l]
+        assert len(smj) == 1 and "FullOuter" in smj[0]
+        assert "CartesianProduct" not in plan
+
+
+def test_ivf_twin_differs_only_by_probe_misses(spark):
+    """The pinned statement of WHERE the twins may differ: any (qid,
+    doc_id) ranked by the brute twin but absent from the IVF twin's
+    semantic contributions must be a probe recall miss — i.e. the IVF
+    sem tower never invents docs the brute tower doesn't know (its
+    candidate set is a subset), and lex-only rows are identical in
+    both."""
+    from tank_spark.llm.search import hybrid_search_rrf, hybrid_search_rrf_ivf
+
+    brute = {(r["qid"], r["doc_id"]): r
+             for r in hybrid_search_rrf(spark, SF_DIR).collect()}
+    ivf = {(r["qid"], r["doc_id"]): r
+           for r in hybrid_search_rrf_ivf(spark, SF_DIR).collect()}
+    brute_sem = {k for k, r in brute.items() if r["sem_rank"] is not None}
+    ivf_sem = {k for k, r in ivf.items() if r["sem_rank"] is not None}
+    # The probe's CANDIDATE set is a subset of the brute tower's, but
+    # the top-K cut can promote lower-cosine candidates into the IVF
+    # top-K when a true neighbor's list went unprobed — so the exact
+    # invariant is on ORDER, not containment: both towers rank by the
+    # same exact cosine, so docs ranked by both keep relative order.
+    common = brute_sem & ivf_sem
+    b_order = sorted(common, key=lambda k: (k[0], brute[k]["sem_rank"]))
+    i_order = sorted(common, key=lambda k: (k[0], ivf[k]["sem_rank"]))
+    assert b_order == i_order
+    # and the lexical tower is untouched: lex_rank agrees wherever a
+    # (qid, doc_id) appears in both fused outputs
+    for k in set(brute) & set(ivf):
+        assert brute[k]["lex_rank"] == ivf[k]["lex_rank"]
+
+
 def test_two_tower_plan_is_bounded(spark):
     """Semantic side: query vectors broadcast (the knn convention).
     The ONE SortMergeJoin allowed is the FullOuter fusion itself —
