@@ -103,21 +103,45 @@ def tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY s.user_id, first_signup
     """,
     doc="Two-step funnel: first signup -> subsequent purchases per user "
-        "(self-join on user with a time predicate).",
+        "(self-join on user with a time predicate), served through the "
+        "FILE-SKIPPING layer (operators/skipping.py — VERDICT r12 #6's "
+        "second standing consumer, the q6 precedent on the events "
+        "firehose): events is rewritten once per session value-"
+        "clustered on event_type with per-file (event_type, ts) stats, "
+        "and EACH TOWER plans its file list driver-side from its own "
+        "equality predicate (lo = hi = the type literal — equality is "
+        "range pruning with a degenerate interval), so the signup scan "
+        "opens only files whose stats admit 'signup' and the purchase "
+        "scan only 'purchase'; the exact residual filter still decides "
+        "rows, so pruning may only widen and the oracle is UNCHANGED. "
+        "At 100 TB this is each funnel stage reading ~1/n_types of the "
+        "firehose's files instead of all of them — the same add-file-"
+        "stats cut q6 takes on the shipdate range, on the categorical "
+        "axis an event pipeline actually filters by. The layout builds "
+        "from the NORMALIZED events reader (ns->us ts), keeping the "
+        "layout's ts type identical to every other consumer's.",
 )
 def user_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = read_events(spark, sf_dir).select(
-        "user_id", "event_type", F.unix_micros("ts").alias("t")
-    )
-    s = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("t").alias("first_signup"))
-    )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .select(F.col("user_id").alias("p_user"), F.col("t").alias("p_t"))
-    )
+    from tank_spark.operators.skipping import clustered_layout, prune_files
+
+    path, _ = clustered_layout(
+        spark, sf_dir, "events", ("event_type", "ts"),
+        cluster_by="event_type",
+        reader=lambda: read_events(spark, sf_dir))
+
+    def tower(event_type: str) -> DataFrame:
+        files = prune_files(spark, path, "event_type",
+                            event_type, event_type)
+        df = (spark.read.option("basePath", path).parquet(*files)
+              if files else spark.read.parquet(path).limit(0))
+        return (df.filter(F.col("event_type") == event_type)
+                .select("user_id", F.unix_micros("ts").alias("t")))
+
+    s = (tower("signup")
+         .groupBy("user_id")
+         .agg(F.min("t").alias("first_signup")))
+    p = tower("purchase").select(
+        F.col("user_id").alias("p_user"), F.col("t").alias("p_t"))
     return (
         s.join(p, (F.col("p_user") == F.col("user_id"))
                & (F.col("p_t") > F.col("first_signup")), "left")

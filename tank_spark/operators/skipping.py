@@ -297,7 +297,8 @@ def clustered_layout(spark: SparkSession, sf_dir: str, table: str,
                      stat_cols: tuple,
                      cluster_by: str | None = None,
                      zorder: tuple | None = None,
-                     n_files: int = None) -> tuple[str, dict]:
+                     n_files: int = None,
+                     reader=None) -> tuple[str, dict]:
     """A session-cached value-clustered rewrite + manifest of one
     ``sf_dir`` table — the generic form any standing consumer routes a
     non-partition-column range scan through (VERDICT r11 #4). Written
@@ -310,12 +311,21 @@ def clustered_layout(spark: SparkSession, sf_dir: str, table: str,
     never re-reads the manifest for them. The fingerprint is
     tables._table_fingerprint (ONE cache-key convention across the
     repo; review r11); an evicted layout's directory is removed,
-    mirroring tables' unpersist-on-evict."""
+    mirroring tables' unpersist-on-evict.
+
+    ``reader`` (optional, () -> DataFrame) overrides the raw parquet
+    read when the source needs normalization before the rewrite —
+    events.ts arrives as nanos-long in some testdata generations, and
+    a layout built from the RAW bytes would carry a different ts type
+    than every consumer reads through sources.read_events. The cache
+    key includes the clustering spec so two consumers asking for
+    different layouts of one table never serve each other's files."""
     import shutil
 
     from tank_spark.sources.tables import _table_fingerprint
 
-    key = (spark.sparkContext.applicationId, sf_dir, table)
+    key = (spark.sparkContext.applicationId, sf_dir, table,
+           cluster_by, zorder)
     fp = _table_fingerprint(sf_dir, table)
     hit = _LAYOUT_CACHE.get(key)
     # a fingerprint hit must also still EXIST on disk — external /tmp
@@ -331,7 +341,8 @@ def clustered_layout(spark: SparkSession, sf_dir: str, table: str,
         shutil.rmtree(hit[1], ignore_errors=True)
     path = tempfile.mkdtemp(prefix=f"tank_spark_skip_{table}_")
     try:
-        src = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+        src = (reader() if reader is not None else
+               spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet")))
         nf = n_files if n_files is not None else SKIP_N_FILES
         if zorder is not None:
             write_clustered_zorder(src, path, zorder, nf)

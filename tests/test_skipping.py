@@ -366,7 +366,10 @@ def test_layout_cache_rebuilds_after_external_tmp_cleanup(spark):
     reg = load_all()
     q = reg["manifest_skipping_scan"]
     n0 = q.spark(spark, SF_DIR).count()
-    key = (spark.sparkContext.applicationId, SF_DIR, "documents")
+    # cache key includes the clustering spec (two consumers may want
+    # different layouts of one table)
+    key = (spark.sparkContext.applicationId, SF_DIR, "documents",
+           None, ("doc_id", "n_chars"))
     first = _LAYOUT_CACHE[key][1]
     shutil.rmtree(first)
     path2 = _skipping_layout(spark, SF_DIR)
@@ -403,3 +406,47 @@ def test_q6_serves_through_the_skipping_layer(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     assert "l_discount" in plan and "l_quantity" in plan
+
+
+def test_funnel_serves_through_the_skipping_layer(spark):
+    """user_funnel_signup_purchase is the skipping layer's SECOND
+    standing consumer (VERDICT r12 #6), on the events firehose: each
+    tower plans its file list driver-side from its own event_type
+    equality (range pruning with lo = hi), so the whole entry reads
+    strictly fewer files than the layout holds; the result must equal
+    the plain cached-reader plan exactly (the oracle is unchanged —
+    pruning may only widen, the residual decides), and the residual
+    event_type equality still reaches the pruned parquet scan."""
+    from tank_spark.llm.events import user_funnel_signup_purchase
+    from tank_spark.operators.skipping import (SKIP_N_FILES,
+                                               clustered_layout,
+                                               prune_files)
+    from tank_spark.sources.tables import read_events
+
+    df = user_funnel_signup_purchase(spark, SF_DIR)
+    n_in = len(set(df.inputFiles()))
+    assert 1 <= n_in < SKIP_N_FILES  # the file cut actually happened
+    # each tower's plan is a strict subset of the layout's files
+    path, _ = clustered_layout(
+        spark, SF_DIR, "events", ("event_type", "ts"),
+        cluster_by="event_type",
+        reader=lambda: read_events(spark, SF_DIR))
+    for tp in ("signup", "purchase"):
+        kept = prune_files(spark, path, "event_type", tp, tp)
+        assert 1 <= len(kept) < SKIP_N_FILES
+    # result identical to the plain unpruned plan
+    e = read_events(spark, SF_DIR).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t"))
+    s = (e.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("t").alias("first_signup")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("p_user"), F.col("t").alias("p_t")))
+    want = sorted(
+        s.join(p, (F.col("p_user") == F.col("user_id"))
+               & (F.col("p_t") > F.col("first_signup")), "left")
+        .groupBy("user_id", "first_signup")
+        .agg(F.count("p_t").alias("purchases_after_signup")).collect())
+    assert sorted(df.collect()) == want
+    # the residual equality still reaches the pruned scan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "event_type" in plan
