@@ -98,14 +98,20 @@ def test_identical_vectors_always_collide(spark):
                for c in ("recrawl", "near_bump", "fresh_twin"))
 
 
-def test_pairs_are_banded_never_all_pairs(spark):
+import pytest
+
+
+@pytest.mark.parametrize("entry", ["neardup_hyperplane_lsh_pairs",
+                                   "neardup_hyperplane_lsh_pairs_w12"])
+def test_pairs_are_banded_never_all_pairs(spark, entry):
     """The candidate join must key on the band columns (the LSH point:
     equi-join on band value, not a cross/nested-loop product), the
     hot-bucket census must broadcast, and every surviving pair must
-    verify at the exact threshold."""
+    verify at the exact threshold — at BOTH registered widths (the
+    w12 twin's scale claim is the same banded shape, wider keys)."""
     from tank_spark.plans.registry import load_all
 
-    df = load_all()["neardup_hyperplane_lsh_pairs"].spark(spark, SF_DIR)
+    df = load_all()[entry].spark(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
