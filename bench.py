@@ -90,6 +90,11 @@ HEADLINE = [
     # r12 late addition: two-tower retrieval (BM25 + cosine fused by
     # reciprocal rank — both towers top-K-bounded before the fusion)
     "hybrid_search_rrf",
+    # r13 additions: two in-bench A/Bs against their r12 siblings —
+    # the width-scaled hyperplane signature (2x12 vs 2x8: wider keys,
+    # same banded plan) and the IVF-tower hybrid (trained probe vs
+    # brute-force semantic tower at the same fusion tail)
+    "neardup_hyperplane_lsh_pairs_w12", "hybrid_search_rrf_ivf",
     # BENCH-ONLY entry: full-fidelity z7 overview encode. NOT a serving
     # path (serving uses the budgeted sample below OVERVIEW_ZOOM — the
     # full blob hits the MVT format ceiling at 100x, see SCALE.md);
@@ -103,6 +108,23 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+
+    # WAIT-FOR-QUIET preamble (VERDICT r12 #7: the stored artifact
+    # should be the cleanest reading, and this VM's external load ramps
+    # to 10-19 with zero local JVMs): before starting the JVM, wait —
+    # bounded — for the 1-min loadavg to drop under QUIET_LOAD, so a
+    # run launched into a ramp starts clean instead of recording
+    # contention as regression. The guard records how long we waited
+    # and the load we started at; SPARK_GRAFT_QUIET_WAIT=0 disables.
+    quiet_wait = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "300"))
+    quiet_load = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "2.0"))
+    waited = 0.0
+    while waited < quiet_wait and os.getloadavg()[0] >= quiet_load:
+        time.sleep(10)
+        waited += 10
+    if waited:
+        print(f"# waited {waited:.0f}s for quiet "
+              f"(loadavg now {os.getloadavg()[0]:.2f})", file=sys.stderr)
 
     from pyspark.sql import SparkSession
 
@@ -174,6 +196,7 @@ def main() -> None:
         "spread": spread,
         "noisy_reran": noisy,
         "loadavg_1m": [round(load_before, 2), round(os.getloadavg()[0], 2)],
+        "quiet_waited_s": round(waited, 0),
     }
     print(f"# guard: {json.dumps(guard)}", file=sys.stderr)
     # BENCH_GUARD.json is gitignored (ADVICE r6: the sidecar left a
