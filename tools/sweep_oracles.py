@@ -12,6 +12,8 @@ import sys
 import time
 import traceback
 
+sys.path.insert(0, "/root/repo")  # run from anywhere, like the other tools
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
