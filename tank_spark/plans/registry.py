@@ -374,17 +374,36 @@ STAGED: tuple[str, ...] = (
 # above is exactly the r12 handoff's prescription — 46 r9-due + the
 # two remaining r11-staged entries + media_index_build +
 # ivf_probe_search):
-# R14: NO cohort is forced (staleness bound max(3, ceil(N/50)) = 5;
-# the 48-name r10 cohort — 46 after r13's two pre-pulls of
+# R14: NO cohort is forced (staleness bound max(3, ceil(207/50)) = 5;
+# the r10 cohort — 48 names after r13's two pre-pulls of
 # media_index_build and ivf_probe_search — comes due in r15). R14
-# therefore leads with ALL remaining STAGED entries (the seven r12
-# registrations: ivf_twolevel_probe4_recall_eval,
+# therefore leads with ALL NINE staged entries (exact names, final as
+# of end-r13): ivf_twolevel_probe4_recall_eval,
 # semdedup_incremental_twolevel, neardup_hyperplane_lsh_pairs,
 # neardup_hyperplane_recall_eval, hyperplane_band_census,
-# neardup_hyperplane_clusters, hybrid_search_rrf — plus any r13
-# registrations, see the STAGED tuple's tail) and fills the remaining
-# slots from the r10 cohort in sorted-name order; whatever r10 names
-# don't fit in r14 MUST all take r15 slots (they are due there).
+# neardup_hyperplane_clusters, hybrid_search_rrf,
+# neardup_hyperplane_lsh_pairs_w12, hybrid_search_rrf_ivf — and fills
+# the remaining 41 slots from the r10 cohort in sorted-name order
+# (first 41 of: array_agg_statuses, asof_purchase_last_click,
+# blocklist_filter_docs, cube_order_status_priority,
+# customers_without_big_orders, dedup_ngram_jaccard, dedup_simhash,
+# doc_rolling_hash, embedding_norms, event_type_rates,
+# grouping_sets_volume, heatmap_mvt_z9, heatmap_z14,
+# hll_cardinality_by_source, ivf_pq_search, lm_heldout_surprisal,
+# media_dedup_incremental, media_dedup_stream_replay, media_metadata,
+# min_price_supplier_per_part, monthly_revenue_trend,
+# nations_customers_without_suppliers, nations_with_both,
+# neardup_threshold_sweep, order_priority_late_ship, orders_above_avg,
+# parts_with_cheap_supply, pivot_qty_by_status, pq_adc_topk,
+# pq_train_subspace_kmeans, price_quantiles_by_flag,
+# q1_pricing_summary, q3_shipping_priority, q6_forecast_revenue,
+# quality_lr_train, quality_percentile_rank, range_join_value_bands,
+# rollup_lineitem_status, semantic_vs_lexical, semdedup_prune,
+# spatial_join_points_in_boxes — leaving tile_mvt_batch_parity,
+# tile_mvt_z7_full, token_count_bpe, topk_orders_per_priority,
+# training_mix_pipeline, union_all_key_space, window_running_revenue
+# for r15, where the whole cohort is due anyway). Whatever r10 names
+# don't enter r14 MUST all take r15 slots.
 #
 # Standing notes: if the driver regenerated /root/testdata, re-run
 # tools/freeze_ivf_centroids.py + tools/freeze_ivf_twolevel.py and
