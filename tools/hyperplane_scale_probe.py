@@ -12,8 +12,11 @@ occupancy (copies of the SAME vector always share a bucket at any
 width — which is fine: a 10-copy group is 45 true pairs, well under
 the cap). This probe measures wall time, candidate volume, dropped
 buckets, and planted-pair recall at sf0.1 and at the 10x directory
-(tools/make_scale10.py), for the registered 2x8-bit configuration and
-a widened 2x12-bit one derived by the SAME md5 scheme.
+(tools/make_scale10.py), for BOTH registered configurations — the
+2x8-bit default and the 2x12-bit production sizing
+(neardup_hyperplane_lsh_pairs_w12) — through the production
+width-parameterized builders (hyperplane._bands_relation), so the
+measured law lives on the registered code path.
 
 Usage: PYTHONPATH=/root/repo python tools/hyperplane_scale_probe.py \
         [SCALED_DIR] [RUNS]
@@ -21,7 +24,6 @@ Usage: PYTHONPATH=/root/repo python tools/hyperplane_scale_probe.py \
 
 from __future__ import annotations
 
-import hashlib
 import sys
 import time
 
@@ -47,49 +49,17 @@ from tank_spark.llm.hyperplane import (  # noqa: E402
     HP_BUCKET_CAP,
     HP_TAU,
     INC_OFFSET,
+    _bands_relation,
     _sem_corpus,
 )
-from tank_spark.llm.similarity import DIM, _dot_cols  # noqa: E402
-
-
-def planes_for(n: int) -> list[list[float]]:
-    """Same md5 derivation as hyperplane._hp_planes, any width."""
-    out = []
-    for k in range(n):
-        row: list[float] = []
-        j = 0
-        while len(row) < DIM:
-            h = hashlib.md5(f"hp:{k}:{j}".encode()).digest()
-            row.extend((b - 128) / 256.0 for b in h)
-            j += 1
-        out.append(row[:DIM])
-    return out
+from tank_spark.llm.similarity import _dot_cols  # noqa: E402
 
 
 def pairs_df(corpus, n_planes: int, n_bands: int):
-    bits_per = n_planes // n_bands
-    planes_lit = F.array(*[
-        F.array(*[F.lit(float(v)) for v in p])
-        for p in planes_for(n_planes)])
-    bits = F.transform(
-        planes_lit,
-        lambda p: F.when(
-            F.aggregate(F.zip_with(F.col("embedding"), p,
-                                   lambda x, w: x.cast("double") * w),
-                        F.lit(0.0), lambda a, x: a + x) >= 0,
-            F.lit(1)).otherwise(F.lit(0)))
-    weights = F.array(*[F.lit(1 << i) for i in range(bits_per)])
-    band_cols = []
-    for b in range(n_bands):
-        val = F.aggregate(
-            F.zip_with(F.slice(bits, b * bits_per + 1, bits_per), weights,
-                       lambda x, w: x * w),
-            F.lit(0), lambda a, x: a + x)
-        band_cols.append(val.cast("long").alias(f"band_{b}"))
-    sig = corpus.select("vid", "embedding", *band_cols)
-    arr = F.array(*[F.col(f"band_{b}") for b in range(n_bands)])
-    bands = sig.select("vid", F.posexplode(arr).alias("band_idx",
-                                                      "band_val"))
+    # the PRODUCTION signature/banding builder (hyperplane.py is
+    # width-parameterized since r13) — the measured law runs on the
+    # registered code path, not a probe-local re-derivation
+    bands = _bands_relation(corpus, n_planes, n_bands)
     census = bands.groupBy("band_idx", "band_val").agg(
         F.count(F.lit(1)).alias("n"))
     keep = census.filter(F.col("n") <= HP_BUCKET_CAP) \
