@@ -277,9 +277,17 @@ class Tank:
     def _ingest_raw(self, raw, upsert: bool = False) -> dict:
         """Shared store tail of every bulk route (NDJSON/GeoJSON/CSV):
         coerce + dead-letter split + schema-align + optional upsert CoW +
-        bucketed append + cache invalidation."""
+        bucketed append + cache invalidation. Logs the reference's I7
+        import start/finish lines (Tyler.kt:52-54) on the
+        tank_spark.ingest logger — the finish line reuses the counts
+        this method already computes for its return value, so progress
+        costs no extra job (streaming.progress has the per-epoch form)."""
+        import logging
+
         from tank_spark.streaming.ingest import coerce_features
 
+        _ilog = logging.getLogger("tank_spark.ingest")
+        _ilog.info("features importing starts (layer=%s)", self.base_layer)
         coerced = coerce_features(raw, self.attr_fields).localCheckpoint(eager=True)
         ok = coerced.filter(~F.col("rejected")).drop("rejected")
         bad = coerced.filter(F.col("rejected")).drop("rejected", "hash")
@@ -317,6 +325,9 @@ class Tank:
                 for r in ok.select("tile_x", "tile_y").distinct().collect()
                 if r["tile_x"] is not None
             ])
+        _ilog.info("#%d features importing finished "
+                   "(accepted=%d rejected=%d replaced=%d layer=%s)",
+                   n_ok + n_bad, n_ok, n_bad, n_replaced, self.base_layer)
         res = {"accepted": n_ok, "rejected": n_bad}
         if upsert:
             res["replaced"] = n_replaced
