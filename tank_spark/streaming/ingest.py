@@ -194,6 +194,8 @@ def start_ingest_stream(
     attr_fields: str = DEFAULT_ATTR_FIELDS,
     upsert: bool = False,
     wire_format: str = "json",
+    sink_max_retries: int = 0,
+    sink_backoff_s: float = 1.0,
 ):
     """Start the drop-dir ingest stream. Returns the StreamingQuery.
 
@@ -214,7 +216,19 @@ def start_ingest_stream(
     one epoch; the next epoch's matching key replaces them all. Default
     False = the versioned-append parity of the reference's default
     "uid, timestamp" clustering.
+
+    ``sink_max_retries`` > 0 enables ADAPTIVE BACKPRESSURE (the
+    reference's I6, Tyler.kt:145-176, at the micro-batch altitude —
+    see streaming/backpressure.py): each sink phase retries through a
+    shared delay that grows 2x + ``sink_backoff_s`` on storage failure
+    and decays per success. The default 0 keeps the exact
+    fail-fast-to-the-query behavior (Spark task retries still cover
+    task-level failures inside the write jobs either way).
     """
+    from tank_spark.streaming.backpressure import AdaptiveBackoff
+
+    backoff = AdaptiveBackoff(step_s=sink_backoff_s,
+                              max_retries=sink_max_retries)
     if wire_format not in ("json", "csv"):
         raise ValueError(f"unsupported wire_format: {wire_format!r}")
     reader = (
@@ -231,25 +245,41 @@ def start_ingest_stream(
         batch.persist()
         try:
             ok = batch.filter(~F.col("rejected")).drop("rejected")
-            if upsert:
-                import os
 
-                from tank_spark.operators.table_ops import delete_matching_keys
+            def store_accepted() -> None:
+                if upsert:
+                    import os
 
-                # first epoch: nothing stored yet -> nothing to replace
-                if os.path.isdir(table_dir) and any(
-                    e.startswith("bucket=") for e in os.listdir(table_dir)
-                ):
-                    delete_matching_keys(spark, table_dir, ok)
-            # bucket-partitioned append, mirroring ingest_features — the
-            # table dir layout is bucket=N/ subdirs; flat files at the root
-            # would break partition discovery and the mutation paths that
-            # filter on `bucket`
-            (ok.withColumn("bucket", F.pmod(F.col("hash"), F.lit(64)))
-             .write.mode("append").partitionBy("bucket").parquet(table_dir))
-            rejects = batch.filter(F.col("rejected")).drop("rejected", "hash")
-            if rejects.limit(1).count() > 0:
-                rejects.write.mode("append").parquet(rejects_dir)
+                    from tank_spark.operators.table_ops import (
+                        delete_matching_keys,
+                    )
+
+                    # first epoch: nothing stored yet -> nothing to
+                    # replace (re-running this after a failed append is
+                    # safe: the delete is keyed on the incoming rows)
+                    if os.path.isdir(table_dir) and any(
+                        e.startswith("bucket=") for e in os.listdir(table_dir)
+                    ):
+                        delete_matching_keys(spark, table_dir, ok)
+                # bucket-partitioned append, mirroring ingest_features —
+                # the table dir layout is bucket=N/ subdirs; flat files at
+                # the root would break partition discovery and the
+                # mutation paths that filter on `bucket`
+                (ok.withColumn("bucket", F.pmod(F.col("hash"), F.lit(64)))
+                 .write.mode("append").partitionBy("bucket").parquet(table_dir))
+
+            def store_rejects() -> None:
+                rejects = batch.filter(F.col("rejected")) \
+                    .drop("rejected", "hash")
+                if rejects.limit(1).count() > 0:
+                    rejects.write.mode("append").parquet(rejects_dir)
+
+            # one backoff call PER PHASE: a phase that already committed
+            # is never re-entered because a later phase failed (a failed
+            # parquet write commits nothing — retrying a phase cannot
+            # duplicate rows)
+            backoff.call(store_accepted, "accepted-store")
+            backoff.call(store_rejects, "rejects-store")
         finally:
             batch.unpersist()
 
