@@ -94,7 +94,6 @@ def probe(sf_dir: str, n_planes: int, n_bands: int) -> None:
     # planted recrawl recall: every orig%5==0 base vector has a
     # verbatim copy at orig+INC_OFFSET (cos 1.0) — a deterministic
     # catch unless its bucket was capped away
-    from pyspark.sql import Row
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     truth = e.filter(F.col("vec_id") % 5 == 0).select(
         F.col("vec_id").alias("vec_a"),
