@@ -18,6 +18,27 @@ import sys
 import time
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from the /proc/stat aggregate cpu
+    line. Steal is the hypervisor taking cycles from this VM — invisible
+    to loadavg (the quiet-wait gate) yet it inflates every wall-clock
+    reading; this VM has shown 15-25% steal windows with ZERO local load.
+    Returns (0, 0) where /proc/stat is unavailable (non-Linux dev box)."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
+def _steal_pct(t0: tuple[int, int], t1: tuple[int, int]) -> float:
+    """Percent of CPU time the hypervisor stole between two tick
+    snapshots (0.0 when /proc/stat is unavailable or no time passed)."""
+    dt = t1[1] - t0[1]
+    return round(100.0 * (t1[0] - t0[0]) / dt, 1) if dt > 0 else 0.0
+
+
 HEADLINE = [
     # tank-parity surface
     "tile_z9_range", "tile_z13_single", "heatmap_z9", "heatmap_z11",
@@ -157,12 +178,15 @@ def main() -> None:
     NOISE_RATIO = 2.0
     EXTRA_RUNS = 3
     load_before = os.getloadavg()[0]
+    ticks_start = _cpu_ticks()
 
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    steal: dict[str, float] = {}
     noisy: list[str] = []
     for name in HEADLINE:
         q = registry[name]
+        ticks_q0 = _cpu_ticks()
         # one untimed warm-up run (codegen/JIT compilation, file listing,
         # python-worker spin-up, shared-cache build), then MEDIAN of 3
         # measured runs with the min/max spread reported — this VM shows
@@ -183,8 +207,10 @@ def main() -> None:
         runs.sort()
         times[name] = round(runs[len(runs) // 2], 3)
         spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
+        steal[name] = _steal_pct(ticks_q0, _cpu_ticks())
         print(f"# {name}: {times[name]:.3f}s "
-              f"(spread {runs[0]:.3f}-{runs[-1]:.3f}, n={len(runs)})",
+              f"(spread {runs[0]:.3f}-{runs[-1]:.3f}, n={len(runs)}, "
+              f"steal {steal[name]:.1f}%)",
               file=sys.stderr)
 
     total = round(sum(times.values()), 3)
@@ -197,6 +223,12 @@ def main() -> None:
         "noisy_reran": noisy,
         "loadavg_1m": [round(load_before, 2), round(os.getloadavg()[0], 2)],
         "quiet_waited_s": round(waited, 0),
+        # hypervisor steal over the whole run + per query (percent of
+        # CPU time the host took from this VM — contamination loadavg
+        # can't see; >5% means wall readings are inflated by the host,
+        # not the code)
+        "steal_pct_run": _steal_pct(ticks_start, _cpu_ticks()),
+        "steal_pct": steal,
     }
     print(f"# guard: {json.dumps(guard)}", file=sys.stderr)
     # BENCH_GUARD.json is gitignored (ADVICE r6: the sidecar left a

@@ -7,8 +7,9 @@ stray JVMs first).
 
 Usage: python tools/iso_probe.py QUERY [SF_DIR] [RUNS]
 """
-import sys, time
+import os, sys, time
 sys.path.insert(0, "/root/repo")
+from bench import _cpu_ticks, _steal_pct  # hypervisor-steal accounting
 name = sys.argv[1]
 sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 runs_n = int(sys.argv[3]) if len(sys.argv) > 3 else 5
@@ -29,11 +30,17 @@ t0 = time.perf_counter()
 q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
 cold = time.perf_counter() - t0
 runs = []
+steals = []
 for _ in range(runs_n):
+    tk0 = _cpu_ticks()
     t0 = time.perf_counter()
     q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
     runs.append(time.perf_counter() - t0)
-runs.sort()
+    steals.append(_steal_pct(tk0, _cpu_ticks()))
+order = sorted(range(runs_n), key=lambda i: runs[i])
+runs = [runs[i] for i in order]
+steals = [steals[i] for i in order]  # steal aligned with its sorted run
 print(f"RESULT {name} sf={sf_dir} cold={cold:.2f} "
-      f"runs={[round(r, 3) for r in runs]} median={runs[len(runs)//2]:.3f}")
+      f"runs={[round(r, 3) for r in runs]} median={runs[len(runs)//2]:.3f} "
+      f"steal_pct={steals} loadavg={os.getloadavg()[0]:.2f}")
 spark.stop()
