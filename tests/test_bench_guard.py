@@ -1,0 +1,44 @@
+"""The bench harness's contention-guard helpers — pure-Python, no
+Spark. The guard's steal accounting is what lets a BENCH_r{N} reading
+be adjudicated as hypervisor noise vs a real regression (STATUS r13:
+this VM shows 15-25% steal windows that loadavg cannot see), so the
+arithmetic itself deserves a pin.
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from bench import _cpu_ticks, _steal_pct  # noqa: E402
+
+
+def test_cpu_ticks_shape():
+    steal, total = _cpu_ticks()
+    assert isinstance(steal, int) and isinstance(total, int)
+    # on Linux /proc/stat always has counted *something* by now, and
+    # steal is one component of the total
+    assert total > 0
+    assert 0 <= steal <= total
+
+
+def test_cpu_ticks_monotonic():
+    a = _cpu_ticks()
+    # burn a little CPU so the total advances even on coarse clocks
+    sum(i * i for i in range(200_000))
+    b = _cpu_ticks()
+    assert b[1] >= a[1]
+    assert b[0] >= a[0]
+
+
+def test_steal_pct_arithmetic():
+    assert _steal_pct((0, 0), (0, 0)) == 0.0          # no time passed
+    assert _steal_pct((0, 1000), (0, 2000)) == 0.0    # no steal
+    assert _steal_pct((0, 1000), (250, 2000)) == 25.0  # quarter stolen
+    assert _steal_pct((100, 1000), (100, 1000)) == 0.0  # same snapshot
+
+
+def test_steal_pct_live_window_is_a_percentage():
+    a = _cpu_ticks()
+    sum(i * i for i in range(200_000))
+    pct = _steal_pct(a, _cpu_ticks())
+    assert 0.0 <= pct <= 100.0
