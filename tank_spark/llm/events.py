@@ -127,7 +127,8 @@ def user_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, _ = clustered_layout(
         spark, sf_dir, "events", ("event_type", "ts"),
         cluster_by="event_type",
-        reader=lambda: read_events(spark, sf_dir))
+        reader=lambda: read_events(spark, sf_dir),
+        reader_tag="read_events")
 
     def tower(event_type: str) -> DataFrame:
         files = prune_files(spark, path, "event_type",

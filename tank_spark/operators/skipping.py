@@ -298,7 +298,8 @@ def clustered_layout(spark: SparkSession, sf_dir: str, table: str,
                      cluster_by: str | None = None,
                      zorder: tuple | None = None,
                      n_files: int = None,
-                     reader=None) -> tuple[str, dict]:
+                     reader=None,
+                     reader_tag: str | None = None) -> tuple[str, dict]:
     """A session-cached value-clustered rewrite + manifest of one
     ``sf_dir`` table — the generic form any standing consumer routes a
     non-partition-column range scan through (VERDICT r11 #4). Written
@@ -317,15 +318,27 @@ def clustered_layout(spark: SparkSession, sf_dir: str, table: str,
     read when the source needs normalization before the rewrite —
     events.ts arrives as nanos-long in some testdata generations, and
     a layout built from the RAW bytes would carry a different ts type
-    than every consumer reads through sources.read_events. The cache
-    key includes the clustering spec so two consumers asking for
-    different layouts of one table never serve each other's files."""
+    than every consumer reads through sources.read_events. A reader
+    changes the layout's CONTENT, so it must participate in the cache
+    key; function objects don't key stably (a fresh lambda per call
+    would never hit), so a reader REQUIRES ``reader_tag`` — a short
+    stable name for the source semantics (e.g. "read_events")."""
     import shutil
 
     from tank_spark.sources.tables import _table_fingerprint
 
+    if (reader is None) != (reader_tag is None):
+        raise ValueError("reader and reader_tag come together: the tag "
+                         "is the reader's stable cache-key identity")
+    # the key is the FULL layout spec: stat_cols decide which columns
+    # the manifest carries (a consumer pruning on ts must not be served
+    # a manifest built without ts stats), n_files decides the file
+    # grain, reader_tag the source semantics — omit any and two
+    # same-table consumers collide on one directory that satisfies
+    # only one of them (caught live: a raw-bytes events layout served
+    # a consumer needing the normalized ns->us ts reader)
     key = (spark.sparkContext.applicationId, sf_dir, table,
-           cluster_by, zorder)
+           stat_cols, cluster_by, zorder, n_files, reader_tag)
     fp = _table_fingerprint(sf_dir, table)
     hit = _LAYOUT_CACHE.get(key)
     # a fingerprint hit must also still EXIST on disk — external /tmp

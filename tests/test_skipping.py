@@ -366,15 +366,64 @@ def test_layout_cache_rebuilds_after_external_tmp_cleanup(spark):
     reg = load_all()
     q = reg["manifest_skipping_scan"]
     n0 = q.spark(spark, SF_DIR).count()
-    # cache key includes the clustering spec (two consumers may want
-    # different layouts of one table)
+    # cache key is the FULL layout spec — (stat_cols, cluster_by,
+    # zorder, n_files, reader_tag) — so two consumers wanting different
+    # layouts, manifest columns, file grains, or source readers of one
+    # table never collide
     key = (spark.sparkContext.applicationId, SF_DIR, "documents",
-           None, ("doc_id", "n_chars"))
+           ("doc_id", "n_chars"), None, ("doc_id", "n_chars"), None, None)
     first = _LAYOUT_CACHE[key][1]
     shutil.rmtree(first)
     path2 = _skipping_layout(spark, SF_DIR)
     assert path2 != first or not _LAYOUT_CACHE  # fresh dir built
     assert q.spark(spark, SF_DIR).count() == n0
+
+
+def test_layout_cache_keeps_same_table_specs_apart(spark):
+    """Two consumers of ONE table asking for different layout specs
+    must get DISTINCT layout directories — a shared directory
+    satisfies only one of them: different stat_cols (the second's
+    prune would read a manifest missing its columns), and different
+    readers (caught live: a raw-bytes events layout served a consumer
+    needing the normalized ns->us ts reader)."""
+    import pytest
+
+    from tank_spark.operators.skipping import clustered_layout, prune_files
+    from tank_spark.sources.tables import read_events
+
+    p1, b1 = clustered_layout(spark, SF_DIR, "events",
+                              ("event_type", "ts"),
+                              cluster_by="event_type",
+                              reader=lambda: read_events(spark, SF_DIR),
+                              reader_tag="read_events")
+    p2, b2 = clustered_layout(spark, SF_DIR, "events",
+                              ("event_type",),
+                              cluster_by="event_type",
+                              reader=lambda: read_events(spark, SF_DIR),
+                              reader_tag="read_events")
+    p3, _ = clustered_layout(spark, SF_DIR, "events",
+                             ("event_type", "ts"),
+                             cluster_by="event_type")  # raw bytes
+    assert len({p1, p2, p3}) == 3
+    assert set(b1) == {"event_type", "ts"}
+    assert set(b2) == {"event_type"}
+    # each manifest answers prunes on exactly its own stat columns
+    assert prune_files(spark, p1, "event_type", "signup", "signup")
+    assert prune_files(spark, p2, "event_type", "signup", "signup")
+    # a repeated identical request still serves the cached layout
+    assert clustered_layout(spark, SF_DIR, "events",
+                            ("event_type", "ts"),
+                            cluster_by="event_type",
+                            reader=lambda: read_events(spark, SF_DIR),
+                            reader_tag="read_events")[0] == p1
+    # a reader without its stable tag (or vice versa) is a hard error
+    with pytest.raises(ValueError):
+        clustered_layout(spark, SF_DIR, "events", ("event_type",),
+                         cluster_by="event_type",
+                         reader=lambda: read_events(spark, SF_DIR))
+    with pytest.raises(ValueError):
+        clustered_layout(spark, SF_DIR, "events", ("event_type",),
+                         cluster_by="event_type", reader_tag="orphan")
 
 
 def test_q6_serves_through_the_skipping_layer(spark):
@@ -430,7 +479,8 @@ def test_funnel_serves_through_the_skipping_layer(spark):
     path, _ = clustered_layout(
         spark, SF_DIR, "events", ("event_type", "ts"),
         cluster_by="event_type",
-        reader=lambda: read_events(spark, SF_DIR))
+        reader=lambda: read_events(spark, SF_DIR),
+        reader_tag="read_events")
     for tp in ("signup", "purchase"):
         kept = prune_files(spark, path, "event_type", tp, tp)
         assert 1 <= len(kept) < SKIP_N_FILES
