@@ -18,25 +18,38 @@ import sys
 import time
 
 
-def _cpu_ticks() -> tuple[int, int]:
-    """(steal_jiffies, total_jiffies) from the /proc/stat aggregate cpu
-    line. Steal is the hypervisor taking cycles from this VM — invisible
-    to loadavg (the quiet-wait gate) yet it inflates every wall-clock
-    reading; this VM has shown 15-25% steal windows with ZERO local load.
-    Returns (0, 0) where /proc/stat is unavailable (non-Linux dev box)."""
+def _cpu_ticks() -> tuple[int, int, int]:
+    """(steal_jiffies, system_jiffies, total_jiffies) from the
+    /proc/stat aggregate cpu line. Steal is the hypervisor taking
+    cycles from this VM — invisible to loadavg (the quiet-wait gate)
+    yet it inflates every wall-clock reading; this VM has shown 15-25%
+    steal windows with ZERO local load. System time is the other storm
+    signature observed here: windows of 36-72% sy (kernel/scheduler
+    churn) inflate readings even when steal reads low. Returns zeros
+    where /proc/stat is unavailable (non-Linux dev box)."""
     try:
         with open("/proc/stat") as f:
             vals = [int(x) for x in f.readline().split()[1:]]
-        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+        return ((vals[7] if len(vals) > 7 else 0),
+                (vals[2] if len(vals) > 2 else 0), sum(vals))
     except (OSError, ValueError, IndexError):
-        return 0, 0
+        return 0, 0, 0
 
 
-def _steal_pct(t0: tuple[int, int], t1: tuple[int, int]) -> float:
+def _steal_pct(t0: tuple, t1: tuple) -> float:
     """Percent of CPU time the hypervisor stole between two tick
     snapshots (0.0 when /proc/stat is unavailable or no time passed)."""
-    dt = t1[1] - t0[1]
+    dt = t1[-1] - t0[-1]
     return round(100.0 * (t1[0] - t0[0]) / dt, 1) if dt > 0 else 0.0
+
+
+def _sys_pct(t0: tuple, t1: tuple) -> float:
+    """Percent of CPU time spent in the kernel between two snapshots —
+    the second contamination signature (a compute-bound Spark stage
+    should be user-dominated; sustained 30%+ sy here has meant the
+    host was thrashing the guest's scheduler)."""
+    dt = t1[-1] - t0[-1]
+    return round(100.0 * (t1[1] - t0[1]) / dt, 1) if dt > 0 else 0.0
 
 
 HEADLINE = [
@@ -139,13 +152,27 @@ def main() -> None:
     # and the load we started at; SPARK_GRAFT_QUIET_WAIT=0 disables.
     quiet_wait = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "300"))
     quiet_load = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "2.0"))
+    # hypervisor steal gate: loadavg can't see the host taking cycles,
+    # so the preamble also waits out steal storms (sampled across each
+    # 10s sleep; >5% means wall readings start inflated)
+    quiet_steal = float(os.environ.get("SPARK_GRAFT_QUIET_STEAL", "5.0"))
     waited = 0.0
-    while waited < quiet_wait and os.getloadavg()[0] >= quiet_load:
+    tk = _cpu_ticks()
+    steal_now = None  # unknown until one 10s sample window has passed
+    while waited < quiet_wait:
+        if (steal_now is not None and steal_now < quiet_steal
+                and os.getloadavg()[0] < quiet_load):
+            break
         time.sleep(10)
         waited += 10
+        tk2 = _cpu_ticks()
+        steal_now = _steal_pct(tk, tk2)
+        tk = tk2
     if waited:
         print(f"# waited {waited:.0f}s for quiet "
-              f"(loadavg now {os.getloadavg()[0]:.2f})", file=sys.stderr)
+              f"(loadavg now {os.getloadavg()[0]:.2f}, "
+              f"steal now {'?' if steal_now is None else steal_now}%)",
+              file=sys.stderr)
 
     from pyspark.sql import SparkSession
 
@@ -183,6 +210,7 @@ def main() -> None:
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     steal: dict[str, float] = {}
+    syspct: dict[str, float] = {}
     noisy: list[str] = []
     for name in HEADLINE:
         q = registry[name]
@@ -207,10 +235,12 @@ def main() -> None:
         runs.sort()
         times[name] = round(runs[len(runs) // 2], 3)
         spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
-        steal[name] = _steal_pct(ticks_q0, _cpu_ticks())
+        ticks_q1 = _cpu_ticks()
+        steal[name] = _steal_pct(ticks_q0, ticks_q1)
+        syspct[name] = _sys_pct(ticks_q0, ticks_q1)
         print(f"# {name}: {times[name]:.3f}s "
               f"(spread {runs[0]:.3f}-{runs[-1]:.3f}, n={len(runs)}, "
-              f"steal {steal[name]:.1f}%)",
+              f"steal {steal[name]:.1f}%, sys {syspct[name]:.1f}%)",
               file=sys.stderr)
 
     total = round(sum(times.values()), 3)
@@ -223,12 +253,14 @@ def main() -> None:
         "noisy_reran": noisy,
         "loadavg_1m": [round(load_before, 2), round(os.getloadavg()[0], 2)],
         "quiet_waited_s": round(waited, 0),
-        # hypervisor steal over the whole run + per query (percent of
-        # CPU time the host took from this VM — contamination loadavg
-        # can't see; >5% means wall readings are inflated by the host,
-        # not the code)
+        # hypervisor steal + kernel time over the whole run and per
+        # query — the two contamination signatures loadavg can't see
+        # (steal: host takes cycles; sys: host thrashes the guest
+        # scheduler). Either >~5% sustained means the wall readings in
+        # that window are inflated by the host, not the code.
         "steal_pct_run": _steal_pct(ticks_start, _cpu_ticks()),
         "steal_pct": steal,
+        "sys_pct": syspct,
     }
     print(f"# guard: {json.dumps(guard)}", file=sys.stderr)
     # BENCH_GUARD.json is gitignored (ADVICE r6: the sidecar left a

@@ -1,24 +1,25 @@
 """The bench harness's contention-guard helpers — pure-Python, no
-Spark. The guard's steal accounting is what lets a BENCH_r{N} reading
-be adjudicated as hypervisor noise vs a real regression (STATUS r13:
-this VM shows 15-25% steal windows that loadavg cannot see), so the
-arithmetic itself deserves a pin.
+Spark. The guard's steal/sys accounting is what lets a BENCH_r{N}
+reading be adjudicated as hypervisor noise vs a real regression
+(STATUS r13: this VM shows 15-25% steal windows and 36-72% sy storms
+that loadavg cannot see), so the arithmetic itself deserves a pin.
 """
 
 import sys
 
 sys.path.insert(0, "/root/repo")
 
-from bench import _cpu_ticks, _steal_pct  # noqa: E402
+from bench import _cpu_ticks, _steal_pct, _sys_pct  # noqa: E402
 
 
 def test_cpu_ticks_shape():
-    steal, total = _cpu_ticks()
-    assert isinstance(steal, int) and isinstance(total, int)
+    steal, system, total = _cpu_ticks()
+    assert all(isinstance(v, int) for v in (steal, system, total))
     # on Linux /proc/stat always has counted *something* by now, and
-    # steal is one component of the total
+    # steal/system are components of the total
     assert total > 0
     assert 0 <= steal <= total
+    assert 0 <= system <= total
 
 
 def test_cpu_ticks_monotonic():
@@ -26,19 +27,22 @@ def test_cpu_ticks_monotonic():
     # burn a little CPU so the total advances even on coarse clocks
     sum(i * i for i in range(200_000))
     b = _cpu_ticks()
-    assert b[1] >= a[1]
+    assert b[-1] >= a[-1]
     assert b[0] >= a[0]
+    assert b[1] >= a[1]
 
 
-def test_steal_pct_arithmetic():
-    assert _steal_pct((0, 0), (0, 0)) == 0.0          # no time passed
-    assert _steal_pct((0, 1000), (0, 2000)) == 0.0    # no steal
-    assert _steal_pct((0, 1000), (250, 2000)) == 25.0  # quarter stolen
-    assert _steal_pct((100, 1000), (100, 1000)) == 0.0  # same snapshot
+def test_pct_arithmetic():
+    assert _steal_pct((0, 0, 0), (0, 0, 0)) == 0.0        # no time passed
+    assert _steal_pct((0, 0, 1000), (0, 0, 2000)) == 0.0  # no steal
+    assert _steal_pct((0, 0, 1000), (250, 0, 2000)) == 25.0
+    assert _sys_pct((0, 0, 1000), (0, 500, 2000)) == 50.0
+    assert _sys_pct((0, 100, 1000), (0, 100, 1000)) == 0.0  # same snapshot
 
 
-def test_steal_pct_live_window_is_a_percentage():
+def test_pct_live_window_is_a_percentage():
     a = _cpu_ticks()
     sum(i * i for i in range(200_000))
-    pct = _steal_pct(a, _cpu_ticks())
-    assert 0.0 <= pct <= 100.0
+    b = _cpu_ticks()
+    assert 0.0 <= _steal_pct(a, b) <= 100.0
+    assert 0.0 <= _sys_pct(a, b) <= 100.0
