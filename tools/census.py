@@ -35,28 +35,37 @@ def main() -> None:
 
     from tank_spark.plans.registry import load_all
 
+    from bench import _cpu_ticks, _steal_pct, _sys_pct  # contamination gauges
+
     print(f"# loadavg at start: {os.getloadavg()[0]:.2f}")
+    ticks_all = _cpu_ticks()
     rows, errs = [], []
     for name, q in load_all().items():
         try:
             t0 = time.perf_counter()
             q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
             cold = time.perf_counter() - t0
+            tk0 = _cpu_ticks()
             t0 = time.perf_counter()
             q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
             warm = time.perf_counter() - t0
-            rows.append((warm, cold, name))
-            print(f"{name} cold={cold:.2f} warm={warm:.2f}", flush=True)
+            tk1 = _cpu_ticks()
+            st, sy = _steal_pct(tk0, tk1), _sys_pct(tk0, tk1)
+            rows.append((warm, cold, name, st, sy))
+            print(f"{name} cold={cold:.2f} warm={warm:.2f} "
+                  f"steal={st:.1f}% sys={sy:.1f}%", flush=True)
         except Exception as e:  # noqa: BLE001 - census must finish
             errs.append((name, str(e)[:200]))
             print(f"ERR {name}: {e}", flush=True)
     rows.sort(reverse=True)
     print(f"\n# entries: {len(rows)}, errors: {len(errs)}, "
           f"warm total: {sum(r[0] for r in rows):.1f}s, "
-          f"loadavg end: {os.getloadavg()[0]:.2f}")
-    print("# top 12 by warm:")
-    for warm, cold, name in rows[:12]:
-        print(f"| {name} | {cold:.2f} | {warm:.2f} |")
+          f"loadavg end: {os.getloadavg()[0]:.2f}, "
+          f"steal over run: {_steal_pct(ticks_all, _cpu_ticks()):.1f}%")
+    print("# top 12 by warm (warm-run steal/sys are the gauge rows an"
+          " out-of-band number is adjudicated against):")
+    for warm, cold, name, st, sy in rows[:12]:
+        print(f"| {name} | {cold:.2f} | {warm:.2f} | {st:.1f}% | {sy:.1f}% |")
 
 
 if __name__ == "__main__":
