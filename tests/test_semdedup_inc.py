@@ -276,3 +276,38 @@ def test_twolevel_entry_matches_frozen_plan_shape(spark):
     n_bat = lambda d: sum(
         1 for r in d.values() if r["disposition"] == "dup_in_batch")
     assert n_bat(rows) == n_bat(arows)
+
+
+def test_twolevel_routed_paths_identical(spark):
+    """routed_relation's structure-shared twolevel path must produce
+    EXACTLY the routes of the _quantizer_cols("twolevel") factory (the
+    spec form the oracle mirrors) — same (vid, list_id) multiset, same
+    nprobe bound, same prepend-own-assignment rank-0. The shared path
+    only restructures WHERE the arithmetic is evaluated (coarse scores
+    once, each routed group's fine list once, top-1 read from group
+    1's scored prefix); any divergence here is a routing fork and
+    breaks the entry's oracle."""
+    from pyspark.sql import functions as F
+
+    from tank_spark.llm.semdedup_inc import (
+        INC_OFFSET,
+        SEM_NPROBE,
+        _dot_cols,
+        _quantizer_cols,
+        _sem_corpus,
+        routed_relation,
+    )
+
+    batch = (_sem_corpus(spark, SF_DIR)
+             .filter(F.col("vid") >= INC_OFFSET)
+             .select("vid", "embedding"))
+    fast = routed_relation(spark, batch, quantizer="twolevel")
+    _, routes = _quantizer_cols(spark, "twolevel")
+    inv = 1.0 / F.sqrt(_dot_cols(F.col("embedding"), F.col("embedding")))
+    spec = batch.select(
+        "vid", F.explode(routes(SEM_NPROBE)).alias("list_id"),
+        "embedding", inv.alias("inv"))
+    got = sorted((r.vid, r.list_id) for r in fast.collect())
+    want = sorted((r.vid, r.list_id) for r in spec.collect())
+    assert got == want and got
+    assert fast.columns == spec.columns
