@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tank_spark.operators.invalidation import (
-    ZOOM_END, ZOOM_START, BBox, cluster_regions, quadtree_cover,
+    ZOOM_END, ZOOM_START, BBox, FeatureBoundingManager, cluster_regions,
+    quadtree_cover,
 )
 
 TTL_SECONDS = 10_000  # reference application.kt:470
@@ -79,24 +80,46 @@ class TileCache:
         every cached tile/heatmap entry (both kinds) in the cover.
         Returns the number of distinct cache keys invalidated.
         """
-        t = self._table()
-        if t is None:
-            return 0
         tiles: set[tuple[int, int, int]] = set()
         roots: list[tuple[int, int, int]] = []
         for region in cluster_regions(dirty):
             tl, rt = quadtree_cover(region)
             tiles.update(tl)
             roots.extend(rt)
+        return self.invalidate_cover(sorted(tiles), roots)
 
-        # the cover can be thousands of tiles: match via broadcast joins,
-        # never a literal OR-chain (a 1000-term Column tree overflows the
-        # JVM stack at analysis time — observed)
+    def invalidate_features(self, geometries) -> int:
+        """V3: per-feature cover invalidation (BoundingManager.kt:37-55
+        — a dead path in the reference, Tyler.kt:140; see
+        invalidation.FeatureBoundingManager).  ``geometries`` is an
+        iterable of WKT strings or (geom_type, coords) pairs; their
+        covers merge into ONE table delete, the batched form of the
+        reference's threshold flush."""
+        mgr = FeatureBoundingManager(threshold=2 ** 63)
+        for g in geometries:
+            if isinstance(g, str):
+                mgr.add_wkt(g)
+            else:
+                mgr.add(g[0], g[1])
+        return self.invalidate_cover(*mgr.pending_cover())
+
+    def invalidate_cover(self, tiles, roots) -> int:
+        """Delete every cached tile/heatmap entry matching the given
+        (tiles, subtree roots) cover; the shared apply path for V1+V2
+        region covers and V3 feature covers.
+
+        Matching is via broadcast joins, never a literal OR-chain (a
+        1000-term Column tree overflows the JVM stack at analysis time —
+        observed).  Returns the number of distinct cache keys deleted.
+        """
+        t = self._table()
+        if t is None:
+            return 0
         tiles_df = self.spark.createDataFrame(
             list(tiles) or [(-1, -1, -1)], "tz int, tx int, ty int"
         )
         roots_df = self.spark.createDataFrame(
-            roots or [(99, 0, 0)], "rz int, rx int, ry int"
+            list(roots) or [(99, 0, 0)], "rz int, rx int, ry int"
         )
         hit_tiles = t.join(
             F.broadcast(tiles_df),

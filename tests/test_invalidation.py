@@ -79,3 +79,168 @@ def test_invalidation_keys_pair_tile_and_heatmap():
     tile_keys = {k for k in keys if k.startswith("tile/")}
     hm_keys = {k.replace("heatmap/", "tile/") for k in keys if k.startswith("heatmap/")}
     assert tile_keys == hm_keys and len(tile_keys) > 0
+
+
+# ---------------------------------------------------------------------------
+# V3: per-feature cover invalidation (BoundingManager.kt — dead path in the
+# reference, Tyler.kt:140; implemented for surface completeness)
+# ---------------------------------------------------------------------------
+
+from tank_spark.geom import predicates
+from tank_spark.operators.invalidation import (
+    FeatureBoundingManager, feature_quadtree_cover,
+)
+
+UNIT_SQ = [[[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]]]
+DONUT = [
+    [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]],
+    [[4.0, 4.0], [6.0, 4.0], [6.0, 6.0], [4.0, 6.0], [4.0, 4.0]],
+]
+
+
+def test_point_in_rings_boundary_and_hole():
+    assert predicates.point_in_rings(5.0, 5.0, UNIT_SQ)
+    assert not predicates.point_in_rings(11.0, 5.0, UNIT_SQ)
+    assert predicates.point_in_rings(0.0, 5.0, UNIT_SQ)      # boundary
+    assert predicates.point_in_rings(10.0, 10.0, UNIT_SQ)    # corner
+    assert not predicates.point_in_rings(5.0, 5.0, DONUT)    # in the hole
+    assert predicates.point_in_rings(2.0, 2.0, DONUT)
+
+
+def test_rect_intersects_all_shapes():
+    # rect inside polygon / polygon inside rect / crossing / disjoint
+    assert predicates.rect_intersects("Polygon", UNIT_SQ, (2, 2, 3, 3))
+    assert predicates.rect_intersects("Polygon", UNIT_SQ, (-5, -5, 15, 15))
+    assert predicates.rect_intersects("Polygon", UNIT_SQ, (8, 8, 12, 12))
+    assert not predicates.rect_intersects("Polygon", UNIT_SQ, (11, 11, 12, 12))
+    # boundary touch counts (JTS intersects)
+    assert predicates.rect_intersects("Polygon", UNIT_SQ, (10, 0, 12, 2))
+    # rect inside the hole is disjoint from the polygon
+    assert not predicates.rect_intersects("Polygon", DONUT, (4.5, 4.5, 5.5, 5.5))
+    assert predicates.rect_intersects("Point", [1.0, 1.0], (0, 0, 2, 2))
+    assert not predicates.rect_intersects("Point", [3.0, 1.0], (0, 0, 2, 2))
+    assert predicates.rect_intersects(
+        "LineString", [[-1.0, 1.0], [3.0, 1.0]], (0, 0, 2, 2))
+    assert not predicates.rect_intersects(
+        "LineString", [[-1.0, 5.0], [3.0, 5.0]], (0, 0, 2, 2))
+
+
+def test_rect_covered_by():
+    assert predicates.rect_covered_by("Polygon", UNIT_SQ, (2, 2, 3, 3))
+    # the whole square covers itself (boundary contact allowed)
+    assert predicates.rect_covered_by("Polygon", UNIT_SQ, (0, 0, 10, 10))
+    # rect poking out / edge crossing through -> not covered
+    assert not predicates.rect_covered_by("Polygon", UNIT_SQ, (8, 8, 12, 12))
+    # rect straddling the hole -> not covered; rect inside hole -> not
+    assert not predicates.rect_covered_by("Polygon", DONUT, (3, 3, 7, 7))
+    assert not predicates.rect_covered_by("Polygon", DONUT, (4.5, 4.5, 5.5, 5.5))
+    assert predicates.rect_covered_by("Polygon", DONUT, (1.0, 1.0, 3.0, 3.0))
+    # only area geometries can cover
+    assert not predicates.rect_covered_by(
+        "LineString", [[0.0, 0.0], [10.0, 10.0]], (2, 2, 3, 3))
+
+
+def test_feature_cover_point_is_ancestor_chain():
+    tiles, roots = feature_quadtree_cover("Point", [13.4, 52.5], zoom_end=15)
+    assert roots == [] and len(tiles) == 16
+    for z in range(16):
+        x, y = tilemath.tile_number(52.5, 13.4, z)
+        assert (z, x, y) in tiles
+
+
+def _expand(roots, tiles, zoom_end):
+    out = set(tiles)
+    for rz, rx, ry in roots:
+        for zz in range(rz, zoom_end + 1):
+            s = zz - rz
+            for dx in range(1 << s):
+                for dy in range(1 << s):
+                    out.add((zz, (rx << s) + dx, (ry << s) + dy))
+    return out
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=15, deadline=None)
+def test_feature_cover_matches_bruteforce(seed):
+    """The walk's (tiles + expanded roots) equals the brute-force set of
+    every tile whose rect intersects the polygon, and every emitted root
+    is brute-force covered — the exact invariant of the reference's
+    invalCacheCV + invalCacheAllChildren pair."""
+    import random
+
+    rng = random.Random(seed)
+    pts = [(rng.uniform(-170, 170), rng.uniform(-80, 80)) for _ in range(3)]
+    coords = [[list(p) for p in pts + [pts[0]]]]
+    ze = 4
+    tiles, roots = feature_quadtree_cover("Polygon", coords, zoom_end=ze)
+    brute_inter, brute_cov = set(), set()
+    for z in range(ze + 1):
+        for x in range(2 ** z):
+            for y in range(2 ** z):
+                rect = tilemath.tile_bbox(z, x, y)
+                if predicates.rect_intersects("Polygon", coords, rect):
+                    brute_inter.add((z, x, y))
+                if predicates.rect_covered_by("Polygon", coords, rect):
+                    brute_cov.add((z, x, y))
+    assert _expand(roots, tiles, ze) == brute_inter
+    assert set(roots) <= brute_cov
+
+
+def test_feature_bounding_manager_threshold_flush():
+    flushed = []
+    mgr = FeatureBoundingManager(
+        threshold=9, zoom_end=3, on_flush=lambda t, r: flushed.append((t, r)))
+    assert mgr.add("Point", [13.4, 52.5]) == []
+    assert mgr.pending_size() == 4           # chain z0..z3
+    assert mgr.add("Point", [-70.0, -30.0]) == []
+    assert mgr.pending_size() == 7           # shares only the z0 root
+    keys = mgr.add("Point", [150.0, 60.0])   # 9 >= threshold -> auto-flush
+    assert keys and flushed and mgr.pending_size() == 0
+    tile_keys = {k for k in keys if k.startswith("tile/")}
+    hm_keys = {k.replace("heatmap/", "tile/") for k in keys
+               if k.startswith("heatmap/")}
+    assert tile_keys == hm_keys and len(tile_keys) == 9
+    assert mgr.flush() == []                 # empty set drains to nothing
+
+
+def test_feature_bounding_manager_root_compression():
+    # a polygon covering a z2 tile entirely: the root subsumes its
+    # descendants in both the set and the pending count
+    lon0, lat0, lon1, lat1 = tilemath.tile_bbox(2, 2, 1)
+    pad_lon, pad_lat = (lon1 - lon0) * 0.3, 8.0
+    coords = [[
+        [lon0 - pad_lon, lat0 - pad_lat], [lon1 + pad_lon, lat0 - pad_lat],
+        [lon1 + pad_lon, lat1 + pad_lat], [lon0 - pad_lon, lat1 + pad_lat],
+        [lon0 - pad_lon, lat0 - pad_lat],
+    ]]
+    mgr = FeatureBoundingManager(threshold=10 ** 9, zoom_end=6)
+    mgr.add("Polygon", coords)
+    tiles, roots = mgr.pending_cover()
+    assert any(subtree_contains(r, (2, 2, 1)) for r in roots)
+    for t in tiles:
+        assert not any(subtree_contains(r, t) for r in roots)
+    for r in roots:
+        assert not any(o != r and subtree_contains(o, r) for o in roots)
+
+
+def test_tile_cache_invalidate_features(spark, tmp_path):
+    from tank_spark.operators.tile_cache import TileCache
+
+    cache = TileCache(spark, str(tmp_path / "cache"))
+    # one entry inside the dirty polygon's z9 cover, one far away
+    zin = (9, tilemath.tile_number(52.5, 13.4, 9)[0],
+           tilemath.tile_number(52.5, 13.4, 9)[1])
+    zout = (9, tilemath.tile_number(-30.0, -70.0, 9)[0],
+            tilemath.tile_number(-30.0, -70.0, 9)[1])
+    cache.put("tile", *zin, b"in")
+    cache.put("heatmap", *zin, b"in-hm")
+    cache.put("tile", *zout, b"out")
+    lon0, lat0, lon1, lat1 = tilemath.tile_bbox(9, zin[1], zin[2])
+    wkt = (f"POLYGON (({lon0 - 0.01} {lat0 - 0.01}, {lon1 + 0.01} {lat0 - 0.01}, "
+           f"{lon1 + 0.01} {lat1 + 0.01}, {lon0 - 0.01} {lat1 + 0.01}, "
+           f"{lon0 - 0.01} {lat0 - 0.01}))")
+    n = cache.invalidate_features([wkt])
+    assert n >= 2
+    assert cache.get("tile", *zin) is None
+    assert cache.get("heatmap", *zin) is None
+    assert cache.get("tile", *zout) == b"out"
