@@ -10,8 +10,9 @@
   hot paths use the Arrow kernels in operators/mvt_tiles.py).
 
 Reference parity notes: morton == zCurve.kt interleave; tile math ==
-Tyler.kt:128 / Tile.kt:11; geohash (reference geohash.kt) is DEAD CODE
-with no call sites (SURVEY.md §2.7) and is deliberately not built.
+Tyler.kt:128 / Tile.kt:11; geohash (reference geohash.kt — DEAD CODE
+there with no call sites, implemented r13 for inventory totality) ==
+geom/geohash.py, registered as tank_geohash_encode/decode.
 """
 
 from __future__ import annotations
@@ -70,6 +71,7 @@ def register_sql_functions(spark: SparkSession) -> None:
     """
     from pyspark.sql import types as T
 
+    from tank_spark.geom import geohash
     from tank_spark.geom import morton as m
     from tank_spark.geom import tilemath, wkt
 
@@ -97,4 +99,13 @@ def register_sql_functions(spark: SparkSession) -> None:
     spark.udf.register(
         "tank_wkt_bbox",
         lambda w: list(wkt.bbox(*wkt.loads(w))), T.ArrayType(T.DoubleType()),
+    )
+    spark.udf.register(
+        "tank_geohash_encode",
+        lambda lat, lon: geohash.encode(float(lat), float(lon)),
+        T.StringType(),
+    )
+    spark.udf.register(
+        "tank_geohash_decode",
+        lambda g: list(geohash.decode(g)), T.ArrayType(T.DoubleType()),
     )

@@ -227,12 +227,16 @@ def test_sql_function_registration(spark):
     row = spark.sql(
         "SELECT tank_morton(3, 5) AS m, tank_morton_decode(tank_morton(3, 5)) AS d, "
         "tank_tile_number(37.7749, -122.4194, 13) AS t, "
-        "tank_wkt_centroid('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') AS c"
+        "tank_wkt_centroid('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') AS c, "
+        "tank_geohash_encode(57.64911, 10.40744) AS g, "
+        "tank_geohash_decode('u4pruydqqvj8') AS gd"
     ).collect()[0]
     assert row["m"] == morton.interleave(3, 5)
     assert row["d"] == [3, 5]
     assert row["t"] == [1310, 3166]
     assert row["c"] == [2.0, 2.0]
+    assert row["g"] == "u4pruydqqvj8"
+    assert abs(row["gd"][0] - 57.64911) < 1e-6
 
 
 def test_tile_cache_roundtrip_and_invalidation(spark, tmp_path):

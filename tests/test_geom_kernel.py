@@ -325,3 +325,53 @@ def test_clip_polygon_stays_inside_property(pts):
     for p in wkt.iter_points(*res):
         assert -1e-9 <= p[0] <= 10 + 1e-9
         assert -1e-9 <= p[1] <= 10 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# geohash (reference geohash.kt — dead code there; implemented r13 for
+# inventory totality)
+# ---------------------------------------------------------------------------
+
+from tank_spark.geom import geohash
+
+
+def test_geohash_known_vector():
+    # the canonical public test vector (Wikipedia's own example)
+    assert geohash.encode(57.64911, 10.40744) == "u4pruydqqvj8"
+    lat, lon = geohash.decode("u4pruydqqvj8")
+    assert abs(lat - 57.64911) < 1e-6 and abs(lon - 10.40744) < 1e-6
+
+
+def test_geohash_strict_gt_boundary():
+    # the reference bisects with STRICT `value > mid` (geohash.kt:45,54):
+    # (0, 0) sits exactly on every first-level boundary and takes the
+    # LOW cell each time -> first char '7', then all 'z' as the
+    # intervals converge to 0 from below
+    assert geohash.encode(0.0, 0.0) == "7zzzzzzzzzzz"
+
+
+def test_geohash_precision_and_roundtrip():
+    assert len(geohash.encode(52.5, 13.4)) == 12      # geohash.kt PRECISION
+    assert geohash.encode(52.5, 13.4, precision=5) == \
+        geohash.encode(52.5, 13.4)[:5]
+    # decode returns the cell center; re-encoding the center reproduces
+    # the hash (the center is never on a bisection boundary)
+    import random
+
+    rng = random.Random(13)
+    for _ in range(200):
+        lat = rng.uniform(-89.9, 89.9)
+        lon = rng.uniform(-179.9, 179.9)
+        g = geohash.encode(lat, lon)
+        clat, clon = geohash.decode(g)
+        # cell size at 12 chars: 60 bits -> lon 30 bits, lat 30 bits
+        assert abs(clat - lat) <= 180.0 / (1 << 30)
+        assert abs(clon - lon) <= 360.0 / (1 << 30)
+        assert geohash.encode(clat, clon) == g
+
+
+def test_geohash_decode_rejects_junk():
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        geohash.decode("abca")  # 'a' is not base32 (geohash alphabet)
