@@ -36,6 +36,23 @@ def _cpu_ticks() -> tuple[int, int, int]:
         return 0, 0, 0
 
 
+def _spin_ms(n: int = 1_000_000) -> float:
+    """Wall milliseconds for a fixed deterministic CPython loop — a
+    direct guest-throughput probe. The steal/sys gauges read /proc
+    counters, and some host throttling is GUEST-INVISIBLE there
+    (observed: a 24x-inflated query window whose steal read 0.8% and
+    sys read normal); a fixed spin can't be fooled — if the guest's
+    cycles are being taken, the spin takes proportionally longer.
+    ~25-40 ms per call on this box, sampled once after each timed run."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(n):
+        x += i
+    # keep the loop un-optimizable and the timing honest
+    assert x == n * (n - 1) // 2
+    return (time.perf_counter() - t0) * 1000.0
+
+
 def _steal_pct(t0: tuple, t1: tuple) -> float:
     """Percent of CPU time the hypervisor stole between two tick
     snapshots (0.0 when /proc/stat is unavailable or no time passed)."""
@@ -216,8 +233,16 @@ def main() -> None:
     # sits between the two; a flag should mean a storm, not a family
     # trait
     DIRTY_SYS = float(os.environ.get("SPARK_GRAFT_DIRTY_SYS", "45.0"))
+    # third contamination signature (late r13): host throttling that NO
+    # /proc counter shows — a bench window read 24x-inflated walls with
+    # steal 0.8% and normal sys. The spin probe measures guest
+    # throughput directly: a fixed CPython loop timed right after each
+    # run (executors idle by then); ratio vs the session's calibrated
+    # floor > DIRTY_SPIN marks the run dirty exactly like steal/sys do.
+    DIRTY_SPIN = float(os.environ.get("SPARK_GRAFT_DIRTY_SPIN", "2.0"))
     load_before = os.getloadavg()[0]
     ticks_start = _cpu_ticks()
+    spin_base = min(_spin_ms() for _ in range(5))
 
     def timed_run(q):
         tk0 = _cpu_ticks()
@@ -225,12 +250,14 @@ def main() -> None:
         q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
         wall = time.perf_counter() - t0
         tk1 = _cpu_ticks()
-        return wall, _steal_pct(tk0, tk1), _sys_pct(tk0, tk1)
+        return (wall, _steal_pct(tk0, tk1), _sys_pct(tk0, tk1),
+                _spin_ms() / spin_base)
 
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     steal: dict[str, float] = {}
     syspct: dict[str, float] = {}
+    spins: dict[str, float] = {}
     noisy: list[str] = []
     contaminated: dict[str, int] = {}
     for name in HEADLINE:
@@ -245,7 +272,7 @@ def main() -> None:
         runs = [timed_run(q) for _ in range(3)]
 
         def dirty(r):
-            return r[1] > DIRTY_STEAL or r[2] > DIRTY_SYS
+            return r[1] > DIRTY_STEAL or r[2] > DIRTY_SYS or r[3] > DIRTY_SPIN
 
         walls = [r[0] for r in runs]
         if (max(walls) / max(min(walls), 1e-9) > NOISE_RATIO
@@ -265,10 +292,12 @@ def main() -> None:
         ticks_q1 = _cpu_ticks()
         steal[name] = _steal_pct(ticks_q0, ticks_q1)
         syspct[name] = _sys_pct(ticks_q0, ticks_q1)
+        spins[name] = round(max(r[3] for r in runs), 2)
         print(f"# {name}: {times[name]:.3f}s "
               f"(spread {walls[0]:.3f}-{walls[-1]:.3f}, n={len(runs)}, "
               f"clean {len(clean)}/{len(runs)}, "
-              f"steal {steal[name]:.1f}%, sys {syspct[name]:.1f}%)",
+              f"steal {steal[name]:.1f}%, sys {syspct[name]:.1f}%, "
+              f"spin x{spins[name]:.2f})",
               file=sys.stderr)
 
     total = round(sum(times.values()), 3)
@@ -289,6 +318,11 @@ def main() -> None:
         "steal_pct_run": _steal_pct(ticks_start, _cpu_ticks()),
         "steal_pct": steal,
         "sys_pct": syspct,
+        # direct guest-throughput probe (worst run per query): the spin
+        # ratio vs the session floor. >2 means the host throttled the
+        # guest in a way /proc never showed (the 24x doc_winnow case)
+        "spin_base_ms": round(spin_base, 2),
+        "spin_ratio": spins,
         # queries whose window never produced 2 clean runs — their
         # medians are best-effort over a contaminated pool; adjudicate
         # against an iso probe before reading them as regressions

@@ -46,3 +46,15 @@ def test_pct_live_window_is_a_percentage():
     b = _cpu_ticks()
     assert 0.0 <= _steal_pct(a, b) <= 100.0
     assert 0.0 <= _sys_pct(a, b) <= 100.0
+
+
+def test_spin_probe_is_positive_and_deterministic_work():
+    from bench import _spin_ms
+
+    a = _spin_ms()
+    b = _spin_ms()
+    assert a > 0 and b > 0
+    # two samples of identical work on one machine agree within an
+    # order of magnitude (the probe flags 2x+ sustained inflation,
+    # not micro-variance)
+    assert max(a, b) / min(a, b) < 10
