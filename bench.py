@@ -43,7 +43,8 @@ def _spin_ms(n: int = 1_000_000) -> float:
     (observed: a 24x-inflated query window whose steal read 0.8% and
     sys read normal); a fixed spin can't be fooled — if the guest's
     cycles are being taken, the spin takes proportionally longer.
-    ~25-40 ms per call on this box, sampled once after each timed run."""
+    ~25-40 ms per call on this box, sampled on both edges of each
+    timed run."""
     t0 = time.perf_counter()
     x = 0
     for i in range(n):
@@ -239,19 +240,33 @@ def main() -> None:
     # throughput directly: a fixed CPython loop timed right after each
     # run (executors idle by then); ratio vs the session's calibrated
     # floor > DIRTY_SPIN marks the run dirty exactly like steal/sys do.
-    DIRTY_SPIN = float(os.environ.get("SPARK_GRAFT_DIRTY_SPIN", "2.0"))
+    # Threshold calibrated on this VM's first gauged storm: quiet-window
+    # ratios read 0.9-1.35, while storm-inflated query windows read
+    # 1.6-1.9 even when the burst had partly passed — 1.5 sits between.
+    DIRTY_SPIN = float(os.environ.get("SPARK_GRAFT_DIRTY_SPIN", "1.5"))
     load_before = os.getloadavg()[0]
     ticks_start = _cpu_ticks()
     spin_base = min(_spin_ms() for _ in range(5))
 
     def timed_run(q):
+        # spin on BOTH edges of the run: a burst can end before a
+        # single post-run sample (observed: a 7x-inflated wall whose
+        # trailing spin read 1.17). The DIRTY test uses the MIN of the
+        # two edges — both inflated means the storm spans the window,
+        # and one jittered sample can't false-flag a clean run; the
+        # guard reports the MAX for visibility. A burst strictly inside
+        # the run stays invisible to edge sampling (documented limit —
+        # the spread check and cross-entry calibration remain the
+        # backstop there).
+        spin_pre = _spin_ms() / spin_base
         tk0 = _cpu_ticks()
         t0 = time.perf_counter()
         q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
         wall = time.perf_counter() - t0
         tk1 = _cpu_ticks()
+        spin_post = _spin_ms() / spin_base
         return (wall, _steal_pct(tk0, tk1), _sys_pct(tk0, tk1),
-                _spin_ms() / spin_base)
+                min(spin_pre, spin_post), max(spin_pre, spin_post))
 
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -292,7 +307,7 @@ def main() -> None:
         ticks_q1 = _cpu_ticks()
         steal[name] = _steal_pct(ticks_q0, ticks_q1)
         syspct[name] = _sys_pct(ticks_q0, ticks_q1)
-        spins[name] = round(max(r[3] for r in runs), 2)
+        spins[name] = round(max(r[4] for r in runs), 2)
         print(f"# {name}: {times[name]:.3f}s "
               f"(spread {walls[0]:.3f}-{walls[-1]:.3f}, n={len(runs)}, "
               f"clean {len(clean)}/{len(runs)}, "
