@@ -35,9 +35,11 @@ def main() -> None:
 
     from tank_spark.plans.registry import load_all
 
-    from bench import _cpu_ticks, _steal_pct, _sys_pct  # contamination gauges
+    from bench import _cpu_ticks, _spin_ms, _steal_pct, _sys_pct  # contamination gauges
 
-    print(f"# loadavg at start: {os.getloadavg()[0]:.2f}")
+    spin_base = min(_spin_ms() for _ in range(5))
+    print(f"# loadavg at start: {os.getloadavg()[0]:.2f}, "
+          f"spin base: {spin_base:.1f} ms")
     ticks_all = _cpu_ticks()
     rows, errs = [], []
     for name, q in load_all().items():
@@ -51,9 +53,11 @@ def main() -> None:
             warm = time.perf_counter() - t0
             tk1 = _cpu_ticks()
             st, sy = _steal_pct(tk0, tk1), _sys_pct(tk0, tk1)
-            rows.append((warm, cold, name, st, sy))
+            sp = _spin_ms() / spin_base  # guest-throughput edge sample
+            rows.append((warm, cold, name, st, sy, sp))
             print(f"{name} cold={cold:.2f} warm={warm:.2f} "
-                  f"steal={st:.1f}% sys={sy:.1f}%", flush=True)
+                  f"steal={st:.1f}% sys={sy:.1f}% spin=x{sp:.2f}",
+                  flush=True)
         except Exception as e:  # noqa: BLE001 - census must finish
             errs.append((name, str(e)[:200]))
             print(f"ERR {name}: {e}", flush=True)
@@ -62,10 +66,11 @@ def main() -> None:
           f"warm total: {sum(r[0] for r in rows):.1f}s, "
           f"loadavg end: {os.getloadavg()[0]:.2f}, "
           f"steal over run: {_steal_pct(ticks_all, _cpu_ticks()):.1f}%")
-    print("# top 12 by warm (warm-run steal/sys are the gauge rows an"
-          " out-of-band number is adjudicated against):")
-    for warm, cold, name, st, sy in rows[:12]:
-        print(f"| {name} | {cold:.2f} | {warm:.2f} | {st:.1f}% | {sy:.1f}% |")
+    print("# top 12 by warm (warm-run steal/sys/spin are the gauge rows"
+          " an out-of-band number is adjudicated against):")
+    for warm, cold, name, st, sy, sp in rows[:12]:
+        print(f"| {name} | {cold:.2f} | {warm:.2f} | {st:.1f}% | {sy:.1f}% "
+              f"| x{sp:.2f} |")
 
 
 if __name__ == "__main__":
