@@ -134,7 +134,9 @@ def feature_quadtree_cover(
     """V3: per-feature cover walk against the REAL geometry
     (BoundingManager.kt:37-55 ``invalCacheCV``), not a bbox.
 
-    BFS from (0,0,0) over tiles with ``z <= zoom_end``; a tile
+    Walk from (0,0,0) over tiles with ``z <= zoom_end`` (DFS order
+    here vs the reference's BFS queue — the emitted SET is identical
+    since membership never depends on visit order); a tile
     ``coveredBy`` the geometry becomes a SUBTREE ROOT (the reference
     enumerates every descendant for memcached,
     BoundingManager.kt:63-77 — a table-backed cache keeps the root as a
