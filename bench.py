@@ -177,8 +177,16 @@ def main() -> None:
     waited = 0.0
     tk = _cpu_ticks()
     steal_now = None  # unknown until one 10s sample window has passed
+    # guest-throughput gate beside the /proc ones: a throttle storm at
+    # launch is invisible to steal (the 24x case) but not to the spin
+    # probe. Break only when the CURRENT spin sample sits near the
+    # quietest sample seen this preamble — if the host is throttled the
+    # whole wait, the floor is inflated too and the gate degrades to
+    # today's behavior (bounded wait, start anyway, gauges flag runs).
+    spin_floor = spin_now = _spin_ms()
     while waited < quiet_wait:
         if (steal_now is not None and steal_now < quiet_steal
+                and spin_now < 1.3 * spin_floor
                 and os.getloadavg()[0] < quiet_load):
             break
         time.sleep(10)
@@ -186,10 +194,13 @@ def main() -> None:
         tk2 = _cpu_ticks()
         steal_now = _steal_pct(tk, tk2)
         tk = tk2
+        spin_now = _spin_ms()
+        spin_floor = min(spin_floor, spin_now)
     if waited:
         print(f"# waited {waited:.0f}s for quiet "
               f"(loadavg now {os.getloadavg()[0]:.2f}, "
-              f"steal now {'?' if steal_now is None else steal_now}%)",
+              f"steal now {'?' if steal_now is None else steal_now}%, "
+              f"spin {spin_now:.1f}ms vs floor {spin_floor:.1f}ms)",
               file=sys.stderr)
 
     from pyspark.sql import SparkSession
