@@ -47,6 +47,28 @@ def _table_fingerprint(sf_dir: str, name: str) -> tuple:
         return (0, 0)
 
 
+def _n_partitions(spark: SparkSession, size_bytes: int) -> int:
+    """Scale-ADAPTIVE partition count for a materialized table
+    (optimization guide §2.2/§6: derive partitioning from input size,
+    don't fix a constant tuned for one scale). ~8 MB of compressed
+    parquet per partition; floor 4 so small SFs still exercise the
+    multi-core path; cap at defaultParallelism (one task per core —
+    at cluster scale size/8MB dominates long before the cap). The old
+    constant (defaultParallelism // 2 = 16 locally) gave every table 16
+    partitions regardless of size, so a five-branch union over a 780 KB
+    table fanned out to 80 near-empty tasks per scan — pure scheduling
+    overhead at bench scale and the wrong shape at any scale.
+    SPARK_GRAFT_ADAPTIVE_PARTS=0 restores the legacy constant (A/B
+    hook; also the escape hatch if a deployment prefers fixed fan-out).
+    """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_ADAPTIVE_PARTS", "1") == "0":
+        return max(spark.sparkContext.defaultParallelism // 2, 4)
+    n_par = spark.sparkContext.defaultParallelism
+    return max(4, min(n_par, (size_bytes >> 23) + 1))
+
+
 def load(spark: SparkSession, sf_dir: str, name: str,
          materialized: bool = True) -> DataFrame:
     if name not in TABLES:
@@ -61,7 +83,7 @@ def load(spark: SparkSession, sf_dir: str, name: str,
         entry[1].unpersist()
         entry = None
     if entry is None:
-        n = max(spark.sparkContext.defaultParallelism // 2, 4)
+        n = _n_partitions(spark, fp[1])
         ck = _CLUSTER_KEY.get(name)
         df = raw.repartition(n, ck) if ck else raw.repartition(n)
         entry = (fp, df.persist())
@@ -98,7 +120,7 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # schema when it is TIMESTAMP(NANOS)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
-        n = max(spark.sparkContext.defaultParallelism // 2, 4)
+        n = _n_partitions(spark, fp[1])
         entry = (fp, df.repartition(n, "user_id").persist())
         _EVENTS_CACHE[key] = entry
     return entry[1]
