@@ -247,7 +247,14 @@ def _pairs_df(spark: SparkSession, sf_dir: str,
     # the corpus feeds the signature projection AND the verify's two
     # embedding joins — pin it (small: base + derived batch rows)
     corpus = _sem_corpus(spark, sf_dir).localCheckpoint(eager=True)
-    bands = _bands_relation(corpus, n_planes, n_bands)
+    # pin the banded signature too (r13): it feeds FOUR subtrees (the
+    # cap census and both sides of the candidate self-join through
+    # `kept`), so the n_planes interpreted-fold projection ran ~4x per
+    # query; one eager checkpoint of the 3-column relation (vid,
+    # band_idx, band_val — embeddings already dropped) computes it once.
+    # Interleaved in-session A/B at sf0.1: 2.83s -> 2.69s median.
+    bands = _bands_relation(corpus, n_planes, n_bands) \
+        .localCheckpoint(eager=True)
     # hot-bucket census + drop (tiny aggregate, broadcast back)
     keep = (bands.groupBy("band_idx", "band_val")
             .agg(F.count(F.lit(1)).alias("n"))

@@ -621,14 +621,22 @@ def _incremental_core(spark: SparkSession, sf_dir: str,
     at-scale two-level form (tools/semdedup_scale_probe.py measures
     both; test_twolevel_quantizer_probe pins the routed semantics)."""
     corpus = _sem_corpus(spark, sf_dir)
-    scored = scored_relation(spark, corpus, quantizer)
     is_batch = F.col("vid") >= INC_OFFSET
+    # materialize the SCORED relation once (r13 optimization): the old
+    # shape pinned only the batch side, so the five-branch corpus union
+    # was derived twice per run (once under the batch checkpoint, once
+    # inside the index-probe broadcast job) and the quantizer literal
+    # was re-scored per consumer. One eager checkpoint of the full
+    # scored relation is exactly the semdedup_index_build ARTIFACT
+    # posture (at 100 TB the index side is read from that persisted
+    # artifact, not re-derived per probe); every probe/assembly subtree
+    # now reads the materialized rows. Interleaved in-session A/B at
+    # sf0.1 (6 alternating runs each): twolevel 3.36s -> 2.11s median
+    # (x0.63), frozen mins 3.28 -> 2.88 (x0.88).
+    scored = scored_relation(spark, corpus, quantizer) \
+        .localCheckpoint(eager=True)
     index = scored.filter(~is_batch)
-    # batch side consumed by three probes + assembly: pin it (bounded —
-    # one row per increment vector; the media_inc convention) and derive
-    # the ROUTED side from the pinned rows too — routing off the raw
-    # corpus would re-run the whole derivation per probe (review r11)
-    batch = scored.filter(is_batch).localCheckpoint(eager=True)
+    batch = scored.filter(is_batch)
     routed = routed_relation(spark, batch.select("vid", "embedding"),
                              quantizer=quantizer)
     return semdedup_disposition_against_index(batch, routed, index)
@@ -652,21 +660,24 @@ def _incremental_core(spark: SparkSession, sf_dir: str,
 )
 def semdedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _sem_corpus(spark, sf_dir)
-    scored = scored_relation(spark, corpus)
+    # one eager checkpoint of the full scored relation (r13, same move
+    # as _incremental_core): the replay consumes scored rows through
+    # SIX subtrees (idx0 twice, batch_a x3, batch_b x2) — materializing
+    # it once replaces the per-batch checkpoints AND stops the corpus
+    # union re-deriving inside every probe's broadcast job
+    scored = scored_relation(spark, corpus).localCheckpoint(eager=True)
     is_i = F.col("vid") < INC_OFFSET
     is_a = (F.col("vid") >= INC_OFFSET) & (F.col("vid") < 2 * INC_OFFSET)
     is_b = F.col("vid") >= 2 * INC_OFFSET
     idx0 = scored.filter(is_i)
-    # routed sides derive from the PINNED batches (review r11: routing
-    # off the raw corpus re-ran the whole derivation per probe)
-    batch_a = scored.filter(is_a).localCheckpoint(eager=True)
+    batch_a = scored.filter(is_a)
     routed_a = routed_relation(spark, batch_a.select("vid", "embedding"))
     disp_a = semdedup_disposition_against_index(batch_a, routed_a, idx0) \
         .localCheckpoint(eager=True)  # consumed twice: output + survivors
     new_a = disp_a.filter(F.col("disposition") == "new_unique") \
         .select(F.col("vec_id").alias("vid"))
     idx1 = idx0.unionByName(batch_a.join(F.broadcast(new_a), "vid"))
-    batch_b = scored.filter(is_b).localCheckpoint(eager=True)
+    batch_b = scored.filter(is_b)
     routed_b = routed_relation(spark, batch_b.select("vid", "embedding"))
     disp_b = semdedup_disposition_against_index(batch_b, routed_b, idx1)
     return (
