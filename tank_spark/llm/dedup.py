@@ -235,6 +235,59 @@ def _sigs_df(sh: DataFrame, k: int = K, lanes: int = 1) -> DataFrame:
     return sh.groupBy("cid").agg(*aggs)
 
 
+def _shingle_arrays(c: DataFrame) -> DataFrame:
+    """(cid, sh): each doc's 3-word shingles as ONE array column — the
+    map-only twin of _shingles_df (identical shingle multiset per doc;
+    docs with <3 words get an empty array where the row form emits no
+    rows). Built from three equal-length slices zipped pairwise, so no
+    posexplode and no lead() window — the shingle stream never exists
+    as rows and never shuffles. The words array is materialized in its
+    own projection step (the CollapseProject lesson, semdedup_inc.
+    _routed_twolevel): a non-cheap alias referenced from several
+    expressions is kept, not inlined, so the regex runs once per row."""
+    words = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))
+    step1 = c.select("cid", words.alias("_w"))
+    w = F.col("_w")
+    n3 = F.greatest(F.size(w) - 2, F.lit(0))
+    a, b, c3 = (F.slice(w, i, n3) for i in (1, 2, 3))
+    sh = F.zip_with(
+        F.zip_with(a, b, lambda x, y: F.concat_ws(" ", x, y)),
+        c3, lambda xy, z: F.concat_ws(" ", xy, z))
+    return step1.select("cid", sh.alias("sh"))
+
+
+def _sigs_map_only(c: DataFrame, k: int = K, lanes: int = 1) -> DataFrame:
+    """Per-doc MinHash signature computed WITHOUT the shingle explode,
+    the lead() window exchange, or the signature groupBy exchange
+    (guide §2.4 — remove shuffles outright): every shingle of a doc
+    lives in that doc's own array row, so MIN(md5(shingle||':i'))
+    GROUP BY cid == array_min over one in-row transform. Values are
+    byte-identical to _sigs_df (same shingle set, same salted md5,
+    same string MIN); docs with <3 words are filtered like the row
+    form's lead()-null guard drops them. The signature stage becomes a
+    pure projection over the corpus scan — at 100 TB the token stream
+    never shuffles at all (it used to shuffle once, into the window).
+    Measured at sf0.1 (dedup_incremental_batch's signature job):
+    ~1.7-2.1s -> ~0.6s."""
+    sharr = _shingle_arrays(c).filter(F.size("sh") > 0)
+
+    # single-parameter closures: pyspark's transform() dispatches on the
+    # lambda's ARITY (a second parameter would receive the element index)
+    def _tr(salt: int, lane: int):
+        if lanes > 1:
+            return lambda s: F.substring(
+                F.md5(F.concat(s, F.lit(f":{salt}"))), lane * 8 + 1, 8)
+        return lambda s: F.md5(F.concat(s, F.lit(f":{salt}")))
+
+    cols = []
+    for i in range(k):
+        salt, lane = divmod(i, lanes) if lanes > 1 else (i, 0)
+        cols.append(F.array_min(F.transform(F.col("sh"), _tr(salt, lane)))
+                    .alias(f"h{i}"))
+    return sharr.select("cid", *cols)
+
+
 @register(
     "dedup_minhash_signatures",
     f"""
@@ -245,7 +298,7 @@ def _sigs_df(sh: DataFrame, k: int = K, lanes: int = 1) -> DataFrame:
         "Partial min aggregation shrinks the shuffle to one row per doc.",
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sigs_df(_shingles_df(corpus_df(spark, sf_dir)))
+    return _sigs_map_only(corpus_df(spark, sf_dir))
 
 
 def _bands_sql() -> str:
@@ -304,7 +357,7 @@ def _sig_array(spark: SparkSession, sf_dir: str, k: int,
         del _SIGS_CACHE[key]
         entry = None
     if entry is None:
-        sigs = _sigs_df(_shingles_df(corpus_df(spark, sf_dir)), k, lanes)
+        sigs = _sigs_map_only(corpus_df(spark, sf_dir), k, lanes)
         n_bands = k // band_w
         sig_col = F.array(*[F.col(f"h{i}") for i in range(k)])
         arr = sigs.select("cid", sig_col.alias("sig")).select(
@@ -1652,7 +1705,7 @@ def _bands_df(sigs: DataFrame) -> DataFrame:
 def dedup_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     c = d.select(F.col("doc_id").alias("cid"), "text")
-    sigs = _sigs_df(_shingles_df(c), K, 1)
+    sigs = _sigs_map_only(c, K, 1)
     bands = _bands_df(sigs)
     fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
     fps = c.select("cid", fp.alias("fp"))
@@ -1729,12 +1782,17 @@ _INC_BATCH_ORACLE = f"""
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _inc_corpus_df(spark, sf_dir)
     fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
-    fps = c.select("cid", fp.alias("fp"))
+    # fps feeds FOUR subtrees (both exact-probe sides, the in-batch
+    # minimum, and the final assembly spine) — checkpoint it like the
+    # stream-replay twin already does, so the derived corpus union +
+    # normalization md5 run once per query instead of once per subtree
+    # (r13; the relation is two skinny columns)
+    fps = c.select("cid", fp.alias("fp")).localCheckpoint(eager=True)
     is_batch = F.col("cid") >= INC_BATCH_OFFSET
     # bands feed three subtrees (index cap aggregate, index probe side,
-    # batch probe side) — checkpoint so the signature aggregate runs
+    # batch probe side) — checkpoint so the signature projection runs
     # once (eager; ContextCleaner reclaims the blocks, ADVICE r7)
-    bands = _bands_df(_sigs_df(_shingles_df(c), K, 1)).localCheckpoint(eager=True)
+    bands = _bands_df(_sigs_map_only(c, K, 1)).localCheckpoint(eager=True)
 
     bfp = fps.filter(is_batch).select(F.col("cid").alias("bcid"), "fp")
     ifp = fps.filter(~is_batch).select(F.col("cid").alias("icid"), "fp")
@@ -1983,7 +2041,7 @@ def dedup_incremental_stream_replay(spark: SparkSession, sf_dir: str) -> DataFra
     # append — checkpoint so shingling/signatures run once (eager;
     # blocks reclaimed by the ContextCleaner)
     fps = c.select("cid", fp.alias("fp")).localCheckpoint(eager=True)
-    bands = _bands_df(_sigs_df(_shingles_df(c), K, 1)).localCheckpoint(eager=True)
+    bands = _bands_df(_sigs_map_only(c, K, 1)).localCheckpoint(eager=True)
     off = INC_BATCH_OFFSET
     is_i = F.col("cid") < off
     is_a = (F.col("cid") >= off) & (F.col("cid") < 2 * off)

@@ -49,7 +49,7 @@ from tank_spark.llm.dedup import (
     K,
     _bands_df,
     _shingles_df,
-    _sigs_df,
+    _sigs_map_only,
     disposition_against_index,
 )
 from tank_spark.streaming._swap import recover_interrupted_swap
@@ -93,7 +93,7 @@ def fingerprints_and_bands(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(fp, bands) relations for a (cid, text) relation — the two index
     structures, derived exactly as dedup_index_build does."""
     fps = docs.select("cid", _norm_fp.alias("fp"))
-    bands = _bands_df(_sigs_df(_shingles_df(docs), K, 1))
+    bands = _bands_df(_sigs_map_only(docs, K, 1))
     return fps, bands
 
 
