@@ -234,17 +234,20 @@ def _memo_put(cache: dict, key, value, cap: int = MEMO_CAP):
 _MOD_CACHE: dict[tuple, list] = {}
 
 
-def overview_sample_mods(spark: SparkSession, feats: DataFrame,
-                         ov_reqs: list[tuple[int, int, int]]) -> DataFrame:
+def _sample_mods_list(spark: SparkSession, feats: DataFrame,
+                      ov_reqs: list[tuple[int, int, int]]
+                      ) -> list[tuple[int, int, int, int]]:
     """One bounded count job (<= #requests result rows, hash-range-pruned
     scan, memoized per data version) -> per-tile deterministic sampling
-    modulus ceil(n / budget). Only over-budget tiles get a row (mod > 1);
-    tiles under budget and tiles matching zero features are absent and
-    serve unsampled. The budget applies at EVERY zoom: a fixed zoom
-    boundary cannot bound the blob as the table grows (at 100x the z9
-    tile is 3.7M features / 115 MB full-fidelity — measured; OOMs a
-    32-worker local run), while per-tile counts make every served tile
-    O(budget) by construction."""
+    modulus ceil(n / budget) as a DRIVER-SIDE list. Only over-budget
+    tiles get a row (mod > 1); tiles under budget and tiles matching zero
+    features are absent and serve unsampled. The budget applies at EVERY
+    zoom: a fixed zoom boundary cannot bound the blob as the table grows
+    (at 100x the z9 tile is 3.7M features / 115 MB full-fidelity —
+    measured; OOMs a 32-worker local run), while per-tile counts make
+    every served tile O(budget) by construction. Returning the list
+    (instead of a DataFrame) lets callers test emptiness without a Spark
+    job — the old ``mods.head(1)`` probe cost a 3-stage job per serve."""
     key = (feats._jdf.queryExecution().analyzed().semanticHash(),
            _input_fingerprint(feats), tuple(sorted(ov_reqs)),
            OVERVIEW_FEATURE_BUDGET)
@@ -261,9 +264,36 @@ def overview_sample_mods(spark: SparkSession, feats: DataFrame,
             for r in counts
             if int(r["n"]) > OVERVIEW_FEATURE_BUDGET
         ])
-    return spark.createDataFrame(
-        mods, "z int, x int, y int, mod long"
-    )
+    return mods
+
+
+def overview_sample_mods(spark: SparkSession, feats: DataFrame,
+                         ov_reqs: list[tuple[int, int, int]]) -> DataFrame:
+    """DataFrame face of :func:`_sample_mods_list` (kept for tests/API)."""
+    return _tiny_df(spark, _sample_mods_list(spark, feats, ov_reqs),
+                    "z int, x int, y int, mod long")
+
+
+def _tiny_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """A driver-list DataFrame as a JVM LocalRelation (VALUES literal).
+
+    Bare ``createDataFrame`` parallelizes a handful of rows across
+    defaultParallelism Python-RDD slices, so every broadcast build /
+    union over it runs a multi-task job through a Python worker for
+    <10 rows (measured: the five per-band request broadcasts of a batch
+    serve burned seconds of pure scheduling; ``coalesce(1)`` still
+    funnels all parent slices through one Python worker). A VALUES
+    LocalRelation broadcasts driver-side with ZERO tasks. Integer-typed
+    columns only — every caller passes tile coords / ids."""
+    pairs = [c.strip().rsplit(" ", 1) for c in schema.split(",")]
+    if not rows:
+        sel = ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in pairs)
+        return spark.sql(f"SELECT {sel}").where(F.lit(False))
+    cols = ", ".join(
+        f"CAST(col{i + 1} AS {t}) AS {n}" for i, (n, t) in enumerate(pairs))
+    vals = ", ".join(
+        "(" + ", ".join(str(int(v)) for v in r) + ")" for r in rows)
+    return spark.sql(f"SELECT {cols} FROM (VALUES {vals})")
 
 # stage-1 output: one packed columnar chunk per (tile, sub-group, arrow
 # batch) — the per-tile assembly group receives #batches compact rows, not
@@ -319,7 +349,7 @@ def _request_join(spark: SparkSession, feats: DataFrame,
 
     if not requests:
         # empty batch -> empty result with the joined schema, not IndexError
-        req_df = spark.createDataFrame([], "z int, x int, y int, blk long")
+        req_df = _tiny_df(spark, [], "z int, x int, y int, blk long")
         return (
             feats.filter(F.lit(False))
             .withColumn("blk", F.col("hash"))
@@ -338,9 +368,7 @@ def _request_join(spark: SparkSession, feats: DataFrame,
 
     parts = []
     for d, reqs in bands.items():
-        req_df = spark.createDataFrame(
-            reqs, "z int, x int, y int, blk long"
-        )
+        req_df = _tiny_df(spark, reqs, "z int, x int, y int, blk long")
         lo = min(b << (2 * d) for *_, b in reqs)
         hi = max(((b + 1) << (2 * d)) - 1 for *_, b in reqs)
         part = (
@@ -662,7 +690,7 @@ def _input_fingerprint(df: DataFrame) -> str:
 
 
 def _collect_global_dicts(joined: DataFrame, prop_cols: tuple[str, ...],
-                          cap: int = DICT_CAP):
+                          cap: int = DICT_CAP, memo_key: tuple | None = None):
     """ONE aggregation job -> (per-column sorted distinct values, key
     min, key span) for the requests' feature set — the broadcast value
     dictionary of the concat-only tree path. Dictionary part is None when
@@ -671,14 +699,20 @@ def _collect_global_dicts(joined: DataFrame, prop_cols: tuple[str, ...],
     Categorical category; such a column falls back to the bottom-up
     value-table merge). collect_set aggregates are parallel with bounded
     driver transfer (sliced at cap+1); at 100 TB this is the same pattern
-    as building a parquet dictionary page. Memoized on the joined plan's
-    semantic hash PLUS the input-file fingerprint — repeated serves of
+    as building a parquet dictionary page. Memoized so repeated serves of
     the same request batch skip the stats job, while regenerating the
-    underlying parquet invalidates the entry."""
+    underlying parquet invalidates the entry. Callers that can name their
+    inputs pass ``memo_key`` built from STABLE parts (the cached feature
+    plan's semanticHash + file fingerprint + the request/mod lists) — the
+    default key hashes the per-serve ``joined`` plan, whose embedded
+    request parallelization gets a fresh RDD id every build, so its
+    semanticHash never repeats and the memo never hit (measured: the
+    stats agg re-ran ~0.7 s on every overview serve)."""
+    if memo_key is None:
+        memo_key = (joined._jdf.queryExecution().analyzed().semanticHash(),
+                    _input_fingerprint(joined))
     key = (joined.sparkSession.sparkContext.applicationId,
-           joined._jdf.queryExecution().analyzed().semanticHash(),
-           _input_fingerprint(joined),
-           prop_cols, cap)
+           *memo_key, prop_cols, cap)
     hit = _memo_get(_DICT_CACHE, key)
     if hit is not _MEMO_MISS:
         return hit
@@ -805,9 +839,13 @@ def mvt_tiles_for(
     # only the over-budget ones; mod_df empty -> skip the filter (and its
     # per-row md5) entirely
     mod_df = None
+    mods_list: list = []
     if overview_sampling and requests:
-        mods = overview_sample_mods(spark, feats, requests)
-        mod_df = mods if mods.head(1) else None
+        # the memoized list is driver-side — emptiness costs no Spark job
+        mods_list = _sample_mods_list(spark, feats, requests)
+        if mods_list:
+            mod_df = _tiny_df(spark, mods_list,
+                              "z int, x int, y int, mod long")
 
     def sample_filter(joined: DataFrame) -> DataFrame:
         if mod_df is None:
@@ -839,8 +877,8 @@ def mvt_tiles_for(
     # a 404. (The previous left-anti-join formulation re-executed the
     # whole two-stage pipeline a second time just to find empty tiles.)
     def sentinels(reqs: list[tuple[int, int, int]], sub: int):
-        return spark.createDataFrame(
-            [(z, x, y) for z, x, y in reqs], "z int, x int, y int"
+        return _tiny_df(
+            spark, [(z, x, y) for z, x, y in reqs], "z int, x int, y int"
         ).select(
             "z", "x", "y", F.lit(sub).alias("sub"),
             F.lit(None).cast("binary").alias("chunk"),
@@ -877,7 +915,13 @@ def mvt_tiles_for(
         joined = sample_filter(_request_join(spark, feats, tree_reqs).select(
             "z", "x", "y", "key", "geometry", *prop_cols
         ))
-        dicts, kmin, span = _collect_global_dicts(joined, prop_cols, DICT_CAP)
+        # stable memo key: the cached feats plan + data fingerprint + the
+        # request/mod lists fully determine `joined`'s content
+        dict_key = (feats._jdf.queryExecution().analyzed().semanticHash(),
+                    _input_fingerprint(feats), tuple(sorted(tree_reqs)),
+                    tuple(sorted(mods_list)))
+        dicts, kmin, span = _collect_global_dicts(
+            joined, prop_cols, DICT_CAP, memo_key=dict_key)
         if dicts is not None:
             geom = (
                 joined.repartition(spark.sparkContext.defaultParallelism)
@@ -893,8 +937,9 @@ def mvt_tiles_for(
                 .applyInPandas(make_submerge_frame_kernel(dict_sizes),
                                TREE_FRAMED_SCHEMA)
             )
-            tree_sentinels = spark.createDataFrame(
-                [(z, x, y) for z, x, y in tree_reqs], "z int, x int, y int"
+            tree_sentinels = _tiny_df(
+                spark, [(z, x, y) for z, x, y in tree_reqs],
+                "z int, x int, y int"
             ).select(
                 "z", "x", "y", F.lit(-1).alias("sub"),
                 F.lit(None).cast("long").alias("n"),
