@@ -103,6 +103,56 @@ def encode_point_geoms(ix: np.ndarray, iy: np.ndarray) -> tuple[np.ndarray, np.n
     return buf, lens
 
 
+def encode_line2_geoms(ix0: np.ndarray, iy0: np.ndarray,
+                       ix1: np.ndarray, iy1: np.ndarray
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Command streams for 2-point LineStrings, vectorized:
+    [MoveTo(1), zz(x0), zz(y0), LineTo(1), zz(x1-x0), zz(y1-y0)] per row
+    -> (flat uint8, per-row byte lens). Same layout mvt._encode_geometry
+    emits for a 2-point LineString."""
+    n = len(ix0)
+    vals = np.empty((n, 6), dtype=np.uint64)
+    vals[:, 0] = (1 << 3) | 1  # MoveTo, count 1
+    vals[:, 1] = _zigzag_np(ix0)
+    vals[:, 2] = _zigzag_np(iy0)
+    vals[:, 3] = (1 << 3) | 2  # LineTo, count 1
+    vals[:, 4] = _zigzag_np(ix1 - ix0)
+    vals[:, 5] = _zigzag_np(iy1 - iy0)
+    buf, vl = varints_np(vals.ravel())
+    return buf, vl.reshape(n, 6).sum(axis=1)
+
+
+def encode_ring_geoms(rings: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Command streams for single-ring polygons, vectorized over a
+    (m, n+1, 2) int64 array of CLOSED rings (last vertex == first).
+
+    Winding is normalized exactly like mvt._orient (exterior ring must
+    have positive signed area in tile coords; reversed otherwise, ties
+    at zero area untouched), and the stream layout matches
+    mvt._encode_geometry's close=True move_line: [MoveTo(1), zz(p0),
+    LineTo(n-1), zz(deltas of p1..p_{n-1}), ClosePath] -> (flat uint8,
+    per-row byte lens)."""
+    m, ncl, _ = rings.shape
+    n = ncl - 1
+    x, y = rings[:, :, 0], rings[:, :, 1]
+    area2 = (x[:, :-1] * y[:, 1:] - x[:, 1:] * y[:, :-1]).sum(axis=1)
+    oriented = np.where((area2 < 0)[:, None, None], rings[:, ::-1, :], rings)
+    pts = oriented[:, :n, :]          # move_line never re-emits the closure
+    d = pts.copy()
+    d[:, 1:, :] -= pts[:, :-1, :]     # first point absolute (cursor at 0,0)
+    k = 2 * n + 3
+    vals = np.empty((m, k), dtype=np.uint64)
+    vals[:, 0] = (1 << 3) | 1              # MoveTo, count 1
+    vals[:, 1] = _zigzag_np(d[:, 0, 0])
+    vals[:, 2] = _zigzag_np(d[:, 0, 1])
+    vals[:, 3] = ((n - 1) << 3) | 2        # LineTo, count n-1
+    vals[:, 4:k - 1:2] = _zigzag_np(d[:, 1:, 0])
+    vals[:, 5:k - 1:2] = _zigzag_np(d[:, 1:, 1])
+    vals[:, k - 1] = (1 << 3) | 7          # ClosePath
+    buf, vl = varints_np(vals.ravel())
+    return buf, vl.reshape(m, k).sum(axis=1)
+
+
 def frame_values(uniques) -> bytes:
     """One column's unique values -> the concatenated, FRAMED
     ``Layer.values`` entries (``0x22 | varint(len) | Value-message``),

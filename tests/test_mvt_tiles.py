@@ -371,3 +371,73 @@ def test_tile_mvt_batch_parity_roundtrip(spark):
         assert r["n_point"] + r["n_line"] + r["n_poly"] == r["decoded_features"]
         assert r["decoded_prop_values"] == 4 * r["decoded_features"]
         assert r["sample_mod"] >= 1
+
+
+def test_fast_nonpoint_bit_parity_with_per_row_path():
+    """The vectorized non-point fast path (r13) must produce BYTE-identical
+    stage output to the per-row wkt.loads -> clip -> transform -> encode
+    loop, and must decline (fall back) on every shape it cannot reproduce:
+    border-straddlers, unclosed rings, multi-geometries, junk text."""
+    import numpy as np
+    import pandas as pd
+
+    from tank_spark.geom.tilemath import tile_bbox
+    from tank_spark.operators import mvt_tiles as mt
+
+    z, x, y = 13, 1281, 3137
+    lon0, lat0, lon1, lat1 = tile_bbox(z, x, y)
+    cx, cy = (lon0 + lon1) / 2, (lat0 + lat1) / 2
+    dlon, dlat = (lon1 - lon0) / 10, (lat1 - lat0) / 10
+    geoms = [
+        # fast-path candidates: fully-inside 2-pt line / closed ring
+        f"LINESTRING ({cx - dlon} {cy}, {cx + dlon} {cy})",
+        f"POLYGON (({cx - dlon} {cy - dlat}, {cx + dlon} {cy - dlat}, "
+        f"{cx + dlon} {cy + dlat}, {cx - dlon} {cy + dlat}, "
+        f"{cx - dlon} {cy - dlat}))",
+        # reversed winding ring (orient must flip it identically)
+        f"POLYGON (({cx - dlon} {cy - dlat}, {cx - dlon} {cy + dlat}, "
+        f"{cx + dlon} {cy + dlat}, {cx + dlon} {cy - dlat}, "
+        f"{cx - dlon} {cy - dlat}))",
+        # degenerate zero-length line
+        f"LINESTRING ({cx} {cy}, {cx} {cy})",
+        # border-straddler: must fall back to the real clip
+        f"LINESTRING ({lon0 - dlon} {cy}, {cx} {cy})",
+        f"POLYGON (({lon0 - dlon} {cy - dlat}, {cx} {cy - dlat}, "
+        f"{cx} {cy + dlat}, {lon0 - dlon} {cy + dlat}, "
+        f"{lon0 - dlon} {cy - dlat}))",
+        # unclosed ring, 3-pt line, multi-geometry, junk: all fall back
+        f"POLYGON (({cx - dlon} {cy - dlat}, {cx + dlon} {cy - dlat}, "
+        f"{cx} {cy + dlat}))",
+        f"LINESTRING ({cx - dlon} {cy}, {cx} {cy}, {cx + dlon} {cy})",
+        f"MULTILINESTRING (({cx - dlon} {cy}, {cx + dlon} {cy}))",
+        "LINESTRING (junk)",
+    ]
+    pdf = pd.DataFrame({
+        "z": z, "x": x, "y": y,
+        "key": np.arange(len(geoms), dtype=np.int64),
+        "geometry": geoms,
+        "kind": "road", "score": 1.5, "cnt": 3, "tag": "tag1",
+    })
+
+    stage = mt.make_geom_stage(mt.DEFAULT_PROPS, 1)
+    fast = list(stage(iter([pdf.copy()])))
+
+    k1 = 0.5 * mt.BUFFER / mt.EXTEND
+    handled, _, _ = mt._fast_nonpoint(pdf.reset_index(drop=True), k1)
+    assert handled.tolist() == [True] * 4 + [False] * 6
+
+    real = mt._fast_nonpoint
+    mt._fast_nonpoint = lambda gen, _k1: (
+        np.zeros(len(gen), dtype=bool), np.zeros(len(gen), dtype=np.int32),
+        np.empty(len(gen), dtype=object))
+    try:
+        slow = list(stage(iter([pdf.copy()])))
+    finally:
+        mt._fast_nonpoint = real
+
+    fc = pd.concat(fast, ignore_index=True)
+    sc = pd.concat(slow, ignore_index=True)
+    assert len(fc) == len(sc)
+    for c in ("z", "x", "y", "sub"):
+        assert (fc[c].to_numpy() == sc[c].to_numpy()).all()
+    assert all(a == b for a, b in zip(fc["chunk"], sc["chunk"]))
