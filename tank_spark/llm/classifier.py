@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from tank_spark.plans.registry import register
 from tank_spark.sources.tables import load
 from tank_spark.llm.text import _EN_STOP, _WORD, _n_matches, _n_matches_sql
+from tank_spark.util import local_values_df
 
 LR_ITERS = 40
 LR_RATE = 1.0
@@ -134,8 +135,8 @@ def train_quality_lr(spark: SparkSession, sf_dir: str,
 )
 def quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     w, _, _ = train_quality_lr(spark, sf_dir)
-    return spark.createDataFrame(
-        sorted(w.items()), "term string, weight double"
+    return local_values_df(
+        spark, sorted(w.items()), "term string, weight double"
     )
 
 

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from tank_spark.plans.registry import register
 from tank_spark.sources.tables import load
+from tank_spark.util import local_values_df
 
 # Checked (oracle) configuration — toy-sized so the DuckDB twin stays
 # cheap. Production sizing (e.g. K=128, BAND_W=4 -> 32 bands, the common
@@ -755,8 +756,8 @@ def _components_driver(spark: SparkSession, und: DataFrame) -> DataFrame:
         (n, comp_min[find(n)], 1 if n == comp_min[find(n)] else 0)
         for n in sorted(parent)
     ]
-    return spark.createDataFrame(
-        rows, "cid long, component long, is_canonical int")
+    return local_values_df(
+        spark, rows, "cid long, component long, is_canonical int")
 
 
 def lsh_components(pairs: DataFrame, max_iter: int = 25,

@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 
 from tank_spark.plans.registry import register
 from tank_spark.sources.tables import load
+from tank_spark.util import local_values_df
 
 _WORD = "[a-z0-9]+"
 
@@ -566,8 +567,8 @@ def _select_top_quantile_grouped(
             ).collect()
         }
         bounds = [(g, br[g][0], br[g][1]) for g in todo]
-        bdf = spark.createDataFrame(
-            bounds, f"{group_col} {gt}, lo double, hi double")
+        bdf = local_values_df(
+            spark, bounds, f"{group_col} {gt}, lo double, hi double")
         cnt = {
             r[0]: (r[1], r[2])
             for r in sub.join(F.broadcast(bdf), group_col)
@@ -592,8 +593,8 @@ def _select_top_quantile_grouped(
             "full-range bracket cannot miss"
         todo = missed
         margin *= 2.0
-    bdf = spark.createDataFrame(
-        rows, f"{group_col} {gt}, lo double, hi double, k_band long")
+    bdf = local_values_df(
+        spark, rows, f"{group_col} {gt}, lo double, hi double, k_band long")
     band = scored.join(F.broadcast(bdf), group_col).filter(
         (F.col(order_col) >= F.col("lo")) & (F.col(order_col) <= F.col("hi")))
     w = Window.partitionBy(group_col).orderBy(order_col, id_col)
@@ -604,8 +605,8 @@ def _select_top_quantile_grouped(
                 F.col(id_col).alias("_thr_id"))
         .collect()  # one row per group — bounded, like the counts above
     )
-    thr = spark.createDataFrame(
-        [(r[0], float(r[1]), r[2]) for r in thr_rows],
+    thr = local_values_df(
+        spark, [(r[0], float(r[1]), r[2]) for r in thr_rows],
         f"{group_col} {gt}, _thr_v double, _thr_id {it}",
     )
     out = scored.join(F.broadcast(thr), group_col, "left")

@@ -224,8 +224,8 @@ def global_sequence_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in sorted(counts):
         offsets[s] = acc
         acc += counts[s]
-    off_df = spark.createDataFrame(
-        list(offsets.items()), "source string, _off long"
+    off_df = local_values_df(
+        spark, list(offsets.items()), "source string, _off long"
     )
     w = Window.partitionBy("source").orderBy("doc_id")
     return (
@@ -296,6 +296,7 @@ _NORM_FP_SQL = "md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))"
 # shared formula + keep threshold (0.3: the corpus max is ~0.43, so any
 # higher cut silently empties the pipeline and its oracle check)
 from tank_spark.llm.text import QUALITY_MIN, QUALITY_SQL  # noqa: E402
+from tank_spark.util import local_values_df
 
 
 @register(

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from tank_spark.plans.registry import register
 from tank_spark.sources.tables import load
+from tank_spark.util import local_values_df
 
 _WORD = "[a-z0-9]+"
 
@@ -123,7 +124,8 @@ def bm25_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    qterms = spark.createDataFrame(
+    qterms = local_values_df(
+        spark,
         [(q, w) for q, t in BM25_QUERIES for w in t.split(" ")],
         "qid int, word string",
     )
@@ -315,7 +317,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
            .filter(F.col("rank") <= HYBRID_TOPK)
            .select("qid", "doc_id", F.col("rank").alias("lex_rank")))
     e = load(spark, sf_dir, "embeddings")
-    qv = spark.createDataFrame(HYBRID_QVECS, "qid int, qvid long")
+    qv = local_values_df(spark, HYBRID_QVECS, "qid int, qvid long")
     qe = (e.join(F.broadcast(qv), e.vec_id == qv.qvid)
           .select("qid", "qvid", F.col("embedding").alias("q_emb")))
     cos = (_dot_cols(F.col("q_emb"), F.col("embedding"))
@@ -421,7 +423,7 @@ def hybrid_search_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvids = tuple(v for _, v in HYBRID_QVECS)
     probe = _probe_core(spark, sf_dir, _frozen_score_structs(spark),
                         qids=qvids, topk=HYBRID_TOPK)
-    qv = spark.createDataFrame(HYBRID_QVECS, "qid int, qvid long")
+    qv = local_values_df(spark, HYBRID_QVECS, "qid int, qvid long")
     sem = (probe
            .select(F.col("qid").alias("qvid"),
                    F.col("vec_id").alias("doc_id"),

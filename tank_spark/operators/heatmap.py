@@ -32,6 +32,7 @@ from tank_spark.geom.morton import interleave
 from tank_spark.operators.tiles import tile_hash_range
 from tank_spark.plans.registry import register
 from tank_spark.sources.features import FEATURES_CTE, HASH_LEVEL, features_df
+from tank_spark.util import local_values_df
 
 
 def grid_n(z: int) -> int:
@@ -67,8 +68,8 @@ def heatmap_for(spark: SparkSession, feats: DataFrame,
     n_features), count>0 (the reference's count filter,
     application.kt:602)."""
     lo, hi = tile_hash_range(z, x, y)
-    cells = spark.createDataFrame(
-        cell_grid(z, x, y), "cell_i long, cell_j long, cell_hash long"
+    cells = local_values_df(
+        spark, cell_grid(z, x, y), "cell_i long, cell_j long, cell_hash long"
     )
     counts = (
         feats.filter(F.col("hash").between(lo, hi))

@@ -417,25 +417,13 @@ def overview_sample_mods(spark: SparkSession, feats: DataFrame,
 
 
 def _tiny_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
-    """A driver-list DataFrame as a JVM LocalRelation (VALUES literal).
+    """A driver-list DataFrame as a JVM LocalRelation — zero-task
+    broadcasts/unions for request batches, sentinels and sampling mods
+    (measured: the five per-band request broadcasts of a batch serve
+    burned seconds of Python-RDD scheduling). See util.local_values_df."""
+    from tank_spark.util import local_values_df
 
-    Bare ``createDataFrame`` parallelizes a handful of rows across
-    defaultParallelism Python-RDD slices, so every broadcast build /
-    union over it runs a multi-task job through a Python worker for
-    <10 rows (measured: the five per-band request broadcasts of a batch
-    serve burned seconds of pure scheduling; ``coalesce(1)`` still
-    funnels all parent slices through one Python worker). A VALUES
-    LocalRelation broadcasts driver-side with ZERO tasks. Integer-typed
-    columns only — every caller passes tile coords / ids."""
-    pairs = [c.strip().rsplit(" ", 1) for c in schema.split(",")]
-    if not rows:
-        sel = ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in pairs)
-        return spark.sql(f"SELECT {sel}").where(F.lit(False))
-    cols = ", ".join(
-        f"CAST(col{i + 1} AS {t}) AS {n}" for i, (n, t) in enumerate(pairs))
-    vals = ", ".join(
-        "(" + ", ".join(str(int(v)) for v in r) + ")" for r in rows)
-    return spark.sql(f"SELECT {cols} FROM (VALUES {vals})")
+    return local_values_df(spark, rows, schema)
 
 # stage-1 output: one packed columnar chunk per (tile, sub-group, arrow
 # batch) — the per-tile assembly group receives #batches compact rows, not

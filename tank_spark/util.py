@@ -6,9 +6,52 @@ import os
 import tempfile
 import zipfile
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 _SHIPPED: set[str] = set()
+
+
+def local_values_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Driver-list DataFrame as a JVM LocalRelation (VALUES literal).
+
+    ``createDataFrame`` parallelizes even a handful of rows across
+    defaultParallelism Python-RDD slices, so every broadcast build or
+    union over the result schedules a multi-task job through a Python
+    worker (~0.3-0.5 s each at local[32], per consumer). A VALUES
+    LocalRelation is collected driver-side: zero tasks, and broadcast
+    builds become LocalTableScan.
+
+    Exactness: ints/bools/strings render as literals (strings with
+    backslash + quote escaping); floats render via ``repr``, whose
+    shortest-round-trip decimal parses back to the identical IEEE-754
+    double (Java's parseDouble is correctly rounded, like the C strtod
+    that produced the value). ``schema`` is the usual DDL string; every
+    column is cast to its declared type."""
+    from pyspark.sql import functions as F
+
+    pairs = [c.strip().rsplit(" ", 1) for c in schema.split(",")]
+
+    def lit(v) -> str:
+        if hasattr(v, "item"):  # numpy scalar -> python scalar
+            v = v.item()
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, int):
+            return str(v)
+        if isinstance(v, float):
+            return f"CAST('{v!r}' AS DOUBLE)"
+        s = str(v).replace("\\", "\\\\").replace("'", "''")
+        return f"'{s}'"
+
+    if not rows:
+        sel = ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in pairs)
+        return spark.sql(f"SELECT {sel}").where(F.lit(False))
+    cols = ", ".join(
+        f"CAST(col{i + 1} AS {t}) AS {n}" for i, (n, t) in enumerate(pairs))
+    vals = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    return spark.sql(f"SELECT {cols} FROM (VALUES {vals})")
 
 
 def ensure_workers_have_package(spark: SparkSession) -> None:
