@@ -173,8 +173,13 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("ws") >= SHINGLE_W)
         .select("doc_id", "is_train", F.explode(shingle).alias("shingle"))
     )
-    seeds = spark.range(BLOOM_K).select(F.col("id").cast("int").alias("s"))
-    eval_sh = sh.filter(~F.col("is_train")).select("shingle").distinct()
+    seeds = spark.range(0, BLOOM_K, 1, 1).select(
+        F.col("id").cast("int").alias("s"))
+    # three consumers (the sizing count, the bloom build, the exact-flag
+    # broadcast) each re-ran the eval explode+distinct — materialize it
+    # once (eager; ContextCleaner reclaims the blocks)
+    eval_sh = (sh.filter(~F.col("is_train")).select("shingle").distinct()
+               .localCheckpoint(eager=True))
     # self-sizing modulus: one bounded count job (an exact integer, so
     # the DuckDB twin's scalar subquery lands on the same m)
     m = max(BLOOM_M_FLOOR, BLOOM_BITS_PER_KEY * eval_sh.count())
