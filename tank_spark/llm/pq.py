@@ -25,9 +25,9 @@ Two codebook regimes, mirroring llm/similarity.py's IVF split:
   rows-only toward the driver and pinned by a fixed-seed numpy twin in
   tests/test_pq.py (the ivf_train_kmeans precedent).
 
-100 TB posture: codebooks are M*K rows — always broadcast; encoding is
-ZERO-shuffle (the codebook folds into an m-keyed broadcast array and
-the argmin runs inside one projection — see _codes_df); ADC joins the
+100 TB posture: codebooks are M*K rows — always bounded (collected
+once per run and closed over by the Arrow-vectorized encode kernel —
+see _codes_df); encoding is ZERO-shuffle; ADC joins the
 byte codes against a broadcast (query x subspace x code) LUT and
 partial-aggregates the per-vector sum. The corpus is never shuffled by
 its vectors — only the final top-k ranking moves (qid-partitioned, K
@@ -93,36 +93,69 @@ def _sqdist_sql(a: str, b: str, dim: int = PQ_SUBDIM) -> str:
 def _codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, m, code, dist) nearest seed-codebook entry per subspace.
 
-    ZERO-shuffle encode: the codebook collapses to PQ_M rows each
-    holding the K entries as an array; that broadcast joins on m and the
-    argmin runs INSIDE one projection (transform -> array_min over
-    struct(dist, code), lexicographic = min dist then lowest code). The
-    corpus is scanned once; nothing corpus-sized ever moves — compare
-    the join+groupBy shape, which shuffles one row per (vector,
-    subspace) even after map-side combine.
-    """
-    sub = _sub_df(spark, sf_dir)
-    cb_arr = (
-        sub.filter(F.col("vec_id") < PQ_CODEBOOK)
-        .groupBy("m")
-        .agg(F.array_sort(
-            F.collect_list(F.struct(F.col("vec_id").alias("code"),
-                                    F.col("x").alias("c")))
-        ).alias("cb"))
+    ZERO-shuffle encode, Arrow-vectorized (r13, guide §4): the K-entry
+    codebook is a bounded driver collect (K=PQ_CODEBOOK rows — the LUT
+    posture), closed over by ONE mapInArrow kernel that emits all PQ_M
+    codes per vector. The previous shape — posexplode into (vector,
+    subspace) rows joined to a broadcast codebook array with an
+    interpreted transform/array_min fold — was CodegenFallback per
+    (row, subspace, code): ~65M interpreted fold steps at sf0.1 (~1 s
+    execution at the scan's parallelism) plus ~0.6 s of driver py4j
+    building the nested-lambda Column tree per serve.
+
+    Bit-exactness (the oracle compares dist-derived values): the numpy
+    accumulation adds (x_j - c_j)^2 in ascending j exactly like the SQL
+    left fold; np.argmin's first-match tie-break equals the struct
+    (dist, code) lexicographic min because the codebook is sorted by
+    code. The corpus is still scanned once and never shuffled."""
+    import numpy as np
+
+    e = load(spark, sf_dir, "embeddings")
+    cb_rows = sorted(
+        e.filter(F.col("vec_id") < PQ_CODEBOOK)
+        .select("vec_id", "embedding").collect(),
+        key=lambda r: r[0],
     )
-    best = F.array_min(F.transform(
-        F.col("cb"),
-        lambda e: F.struct(
-            _sqdist_cols(F.col("x"), e["c"]).alias("dist"),
-            e["code"].alias("code"),
-        ),
-    ))
-    return (
-        sub.join(F.broadcast(cb_arr), "m")
-        .select("vec_id", "m", best.alias("b"))
-        .select("vec_id", "m", F.col("b.code").alias("code"),
-                F.col("b.dist").alias("dist"))
-    )
+    cb_ids = np.array([r[0] for r in cb_rows], dtype=np.int64)
+    cb = np.array([r[1] for r in cb_rows], dtype=np.float64)
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            embs = batch.column("embedding")
+            n = len(vid)
+            flat = embs.flatten().to_numpy(zero_copy_only=False)
+            if embs.null_count or len(flat) != n * DIM:
+                raise ValueError(
+                    f"embeddings must be non-null length-{DIM} arrays")
+            emb = flat.reshape(n, DIM)
+            out_code = np.empty((n, PQ_M), dtype=np.int64)
+            out_dist = np.empty((n, PQ_M), dtype=np.float64)
+            for m in range(PQ_M):
+                x = emb[:, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+                c = cb[:, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+                # ascending-j accumulation == the SQL fold, bit for bit
+                acc = np.zeros((n, len(cb_ids)))
+                for j in range(PQ_SUBDIM):
+                    d = x[:, j:j + 1] - c[:, j][None, :]
+                    acc += d * d
+                k = np.argmin(acc, axis=1)
+                out_code[:, m] = cb_ids[k]
+                out_dist[:, m] = acc[np.arange(n), k]
+            yield pa.record_batch(
+                [pa.array(np.repeat(vid, PQ_M)),
+                 pa.array(np.tile(
+                     np.arange(1, PQ_M + 1, dtype=np.int32), n)),
+                 pa.array(out_code.ravel()),
+                 pa.array(out_dist.ravel())],
+                names=["vec_id", "m", "code", "dist"],
+            )
+
+    return e.select("vec_id", "embedding").mapInArrow(
+        kernel, "vec_id long, m int, code long, dist double")
 
 
 _CODES_CTES = f"""
