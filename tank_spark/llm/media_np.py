@@ -75,7 +75,11 @@ def fingerprint64_batch(b: np.ndarray) -> np.ndarray:
     for 128 samples, x*x, reduceat on the same 65-window bounds, same
     mean division, same delta-sign packing."""
     levels = (b.astype(np.float64) - 128.0) / 128.0
-    x = np.repeat(levels, PCM_BLOCK_LEN, axis=1)
+    # broadcast-assign instead of np.repeat: identical (N, 4096) layout,
+    # one vectorized copy (np.repeat cost ~2 s of the 3.6 s kernel — r13)
+    x = np.empty((len(b), N_BYTES, PCM_BLOCK_LEN))
+    x[...] = levels[:, :, None]
+    x = x.reshape(len(b), N_SAMPLES)
     bounds = np.linspace(0, N_SAMPLES, FP_WINDOWS + 1).astype(int)
     e = np.add.reduceat(x * x, bounds[:-1], axis=1) / np.diff(bounds)
     return _pack_bits64(e[:, 1:] > e[:, :-1])
