@@ -304,9 +304,10 @@ def test_top_distinctive_terms_broadcasts_df(spark):
 
 
 def test_pq_encode_is_zero_shuffle(spark):
-    """The corpus side of the PQ encode must be scan -> explode ->
-    BroadcastHashJoin -> project: the ONLY exchanges are the 8-row
-    codebook aggregate's and its broadcast — nothing corpus-sized
+    """The PQ encode must be ONE map-only Arrow pass over the corpus
+    scan (r13: the interpreted transform/array_min fold over a broadcast
+    codebook array became a mapInArrow kernel closing over the bounded
+    collected codebook): no join, no shuffle — nothing corpus-sized ever
     moves."""
     from tank_spark.llm.pq import pq_encode_codes
 
@@ -314,13 +315,13 @@ def test_pq_encode_is_zero_shuffle(spark):
     # the cached relation's one-time build plan (below InMemoryRelation)
     # legitimately repartitions; the QUERY part must not shuffle the corpus
     plan = _plan(pq_encode_codes(spark, SF_DIR)).split("InMemoryRelation")[0]
-    assert "BroadcastHashJoin" in plan
+    assert "MapInArrow" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
-    # every shuffle Exchange belongs to the tiny m-keyed codebook build
+    # the encode itself is map-only: zero shuffle exchanges of any kind
     shuffle_lines = [l for l in plan.splitlines()
                      if "Exchange hashpartitioning" in l]
-    assert all("m#" in l for l in shuffle_lines), shuffle_lines
+    assert not shuffle_lines, shuffle_lines
 
 
 def test_ivf_pq_shuffles_only_on_list_and_rank_keys(spark):
