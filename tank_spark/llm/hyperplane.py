@@ -267,6 +267,14 @@ def _pairs_df(spark: SparkSession, sf_dir: str,
             .filter(F.col("vec_a") < F.col("vec_b"))
             .select("vec_a", "vec_b")
             .distinct())
+    # the distinct's output is a few hundred KB of bare id pairs, so AQE
+    # coalesces it to ONE partition — and the exact fold-cosine verify
+    # (3 interpreted 64-dim folds per pair) then runs serially in that
+    # task (measured 1.4 s single-task CPU at sf0.1). An explicit
+    # repartition pins the verify's parallelism; the extra exchange
+    # moves only 16-byte pairs (guide §2: CPU-bound stages must not
+    # inherit byte-based coalescing)
+    cand = cand.repartition(spark.sparkContext.defaultParallelism)
     ea = corpus.select(F.col("vid").alias("vec_a"),
                        F.col("embedding").alias("ea"))
     eb = corpus.select(F.col("vid").alias("vec_b"),
