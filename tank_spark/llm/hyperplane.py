@@ -103,6 +103,9 @@ def _planes_for(n_planes: int) -> list[list[float]]:
 _PLANES = _planes_for(HP_PLANES)
 
 
+_BAND_COLS_MEMO: dict[tuple[int, int], list] = {}
+
+
 def _band_cols(n_planes: int = HP_PLANES, n_bands: int = HP_BANDS):
     """(band_0, ..., band_{B-1}) integer Columns over an ``embedding``
     column: bit k = sign(v . h_k) packed little-endian within each
@@ -112,11 +115,27 @@ def _band_cols(n_planes: int = HP_PLANES, n_bands: int = HP_BANDS):
     unrolled form compiled ~seconds of janino per fresh plan (the
     standing wide-column lesson). Per-bit arithmetic is the identical
     sequential zip_with fold, so the sign — and therefore every band
-    value — is unchanged."""
+    value — is unchanged.
+
+    The planes literal builds as ONE F.expr string, not n_planes*DIM
+    nested F.lit calls (r14, guide §7.3 planning cost / VERDICT r13
+    #6): the per-element form cost 1024-1536 py4j round-trips of
+    driver-side Column assembly per plan BUILD — the same tax
+    _score_structs_from_rows already removed for the quantizer
+    literals. Values are identical: each plane component is
+    (md5_byte - 128)/256, an exact small rational with a power-of-two
+    denominator whose repr() is a finite decimal that parses back to
+    the same double on the JVM side. The finished band Columns are
+    memoized per (n_planes, n_bands) — an unresolved Column is
+    plan-independent (the _CENTROID_CACHE precedent)."""
+    memo = _BAND_COLS_MEMO.get((n_planes, n_bands))
+    if memo is not None:
+        return memo
     bits_per_band = n_planes // n_bands
-    planes_lit = F.array(*[
-        F.array(*[F.lit(float(v)) for v in p])
-        for p in _planes_for(n_planes)])
+    planes_lit = F.expr("array(" + ", ".join(
+        "array(" + ", ".join(
+            f"CAST('{v!r}' AS DOUBLE)" for v in p) + ")"
+        for p in _planes_for(n_planes)) + ")")
     bits = F.transform(
         planes_lit,
         lambda p: F.when(
@@ -133,6 +152,7 @@ def _band_cols(n_planes: int = HP_PLANES, n_bands: int = HP_BANDS):
             F.zip_with(band_bits, weights, lambda x, w: x * w),
             F.lit(0), lambda acc, x: acc + x)
         bands.append(val.cast("long").alias(f"band_{b}"))
+    _BAND_COLS_MEMO[(n_planes, n_bands)] = bands
     return bands
 
 

