@@ -299,11 +299,10 @@ def _pairs_df(spark: SparkSession, sf_dir: str,
                        F.col("embedding").alias("ea"))
     eb = corpus.select(F.col("vid").alias("vec_b"),
                        F.col("embedding").alias("eb"))
-    cos = (_dot_cols(F.col("ea"), F.col("eb"))
-           / (F.sqrt(_dot_cols(F.col("ea"), F.col("ea")))
-              * F.sqrt(_dot_cols(F.col("eb"), F.col("eb")))))
+    from tank_spark.llm.similarity import _cos_named
     return (cand.join(ea, "vec_a").join(eb, "vec_b")
-            .select("vec_a", "vec_b", cos.alias("cosine"))
+            .select("vec_a", "vec_b",
+                    _cos_named("ea", "eb").alias("cosine"))
             .filter(F.col("cosine") >= HP_TAU))
 
 
@@ -430,11 +429,9 @@ def _recall_df(spark: SparkSession, sf_dir: str,
                        F.col("embedding").alias("ea"))
     eb = corpus.select(F.col("vid").alias("vec_b"),
                        F.col("embedding").alias("eb"))
-    cos = (_dot_cols(F.col("ea"), F.col("eb"))
-           / (F.sqrt(_dot_cols(F.col("ea"), F.col("ea")))
-              * F.sqrt(_dot_cols(F.col("eb"), F.col("eb")))))
+    from tank_spark.llm.similarity import _cos_named
     vtruth = (truth.join(ea, "vec_a").join(eb, "vec_b")
-              .filter(cos >= HP_TAU)
+              .filter(_cos_named("ea", "eb") >= HP_TAU)
               .select("vec_a", "vec_b", "pair_class"))
     f2 = found.withColumn("hit", F.lit(1))
     return (

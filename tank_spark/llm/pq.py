@@ -228,11 +228,13 @@ def _lut_df(spark: SparkSession, sf_dir: str,
         sub.filter(F.col("vec_id").isin(*qids))
         .select(F.col("vec_id").alias("qid"), "m", F.col("x").alias("qx"))
     )
+    from tank_spark.util import memo_col
+
+    d_fx = memo_col(("pq_lut_dfx",), lambda: F.round(
+        _sqdist_cols("qx", "c") * _SCALE, 0).cast("long"))
     return (
         qsub.join(F.broadcast(cb), "m")
-        .select("qid", "m", "code",
-                F.round(_sqdist_cols("qx", "c") * _SCALE, 0)
-                .cast("long").alias("d_fx"))
+        .select("qid", "m", "code", d_fx.alias("d_fx"))
     )
 
 

@@ -231,6 +231,15 @@ def _quantizer_cols(spark: SparkSession, quantizer: str):
     raise ValueError(f"unknown quantizer: {quantizer!r}")
 
 
+def _inv_norm_col():
+    """Memoized hoisted-inverse-norm Column (r14 planning cost: one
+    _dot_cols is ~70 ms of py4j lambda assembly, re-paid per serve)."""
+    from tank_spark.util import memo_col
+
+    return memo_col(("sem_inv_norm",), lambda: 1.0 / F.sqrt(
+        _dot_cols(F.col("embedding"), F.col("embedding"))))
+
+
 def scored_relation(spark: SparkSession, rel: DataFrame,
                     quantizer: str = "frozen") -> DataFrame:
     """(vid, list_id, embedding, inv): ONE map-only projection computes
@@ -239,7 +248,7 @@ def scored_relation(spark: SparkSession, rel: DataFrame,
     shuffles to build its index shape. This is the persisted-artifact
     schema the streaming module writes."""
     top1, _ = _quantizer_cols(spark, quantizer)
-    inv = 1.0 / F.sqrt(_dot_cols(F.col("embedding"), F.col("embedding")))
+    inv = _inv_norm_col()
     return rel.select(
         "vid", top1.alias("list_id"), "embedding", inv.alias("inv"))
 
@@ -257,11 +266,15 @@ def routed_relation(spark: SparkSession, rel: DataFrame,
     is already a single scored pass, nothing to share."""
     if quantizer == "twolevel":
         return _routed_twolevel(spark, rel, nprobe)
-    _, routes = _quantizer_cols(spark, quantizer)
-    inv = 1.0 / F.sqrt(_dot_cols(F.col("embedding"), F.col("embedding")))
+    from tank_spark.util import memo_col
+
+    route_col = memo_col(
+        ("sem_routes", spark.sparkContext.applicationId, quantizer,
+         nprobe),
+        lambda: F.explode(_quantizer_cols(spark, quantizer)[1](nprobe)))
     return rel.select(
-        "vid", F.explode(routes(nprobe)).alias("list_id"), "embedding",
-        inv.alias("inv"))
+        "vid", route_col.alias("list_id"), "embedding",
+        _inv_norm_col().alias("inv"))
 
 
 def _routed_twolevel(spark: SparkSession, rel: DataFrame,
@@ -288,23 +301,33 @@ def _routed_twolevel(spark: SparkSession, rel: DataFrame,
     from tank_spark.llm.similarity import (W_COARSE, _frozen2_exprs,
                                            _literal_score)
 
-    coarse, fine = _frozen2_exprs(spark)
-    top = F.slice(F.array_sort(F.transform(coarse, _literal_score)),
-                  1, W_COARSE)
-    scored_groups = F.transform(
-        top, lambda s: F.transform(
-            F.element_at(fine, (s["centroid_id"] + 1).cast("int")),
-            _literal_score))
-    inv = 1.0 / F.sqrt(_dot_cols(F.col("embedding"), F.col("embedding")))
+    from tank_spark.util import memo_col
+
+    def build_sg():
+        coarse, fine = _frozen2_exprs(spark)
+        top = F.slice(F.array_sort(F.transform(coarse, _literal_score)),
+                      1, W_COARSE)
+        return F.transform(
+            top, lambda s: F.transform(
+                F.element_at(fine, (s["centroid_id"] + 1).cast("int")),
+                _literal_score))
+
+    def build_routes():
+        top1 = F.array_min(F.element_at(F.col("_sg"), 1))["centroid_id"]
+        rank_arr = F.flatten(F.col("_sg"))
+        cand = F.transform(F.slice(F.array_sort(rank_arr), 1, nprobe),
+                           lambda p: p["centroid_id"])
+        return F.explode(F.slice(
+            F.array_distinct(F.concat(F.array(top1), cand)), 1, nprobe))
+
+    # both Columns memoized (r14): the scored-groups / route lambdas
+    # cost ~0.3 s of py4j assembly per serve; keyed like _frozen2_exprs
+    app = spark.sparkContext.applicationId
+    sg = memo_col(("sem2_sg", app), build_sg)
+    routes = memo_col(("sem2_routes", app, nprobe), build_routes)
     step1 = rel.select("vid", "embedding",
-                       scored_groups.alias("_sg"), inv.alias("inv"))
-    top1 = F.array_min(F.element_at(F.col("_sg"), 1))["centroid_id"]
-    rank_arr = F.flatten(F.col("_sg"))
-    cand = F.transform(F.slice(F.array_sort(rank_arr), 1, nprobe),
-                       lambda p: p["centroid_id"])
-    routes = F.slice(F.array_distinct(F.concat(F.array(top1), cand)),
-                     1, nprobe)
-    return step1.select("vid", F.explode(routes).alias("list_id"),
+                       sg.alias("_sg"), _inv_norm_col().alias("inv"))
+    return step1.select("vid", routes.alias("list_id"),
                         "embedding", "inv")
 
 
@@ -325,14 +348,17 @@ def semdedup_disposition_against_index(
     disposition aggregates are batch-bounded and broadcast into the
     LeftOuter assembly — zero SortMergeJoin, and the corpus never
     shuffles on a probe key."""
+    from tank_spark.util import memo_col
+
     br = batch_routed.select(
         F.col("vid").alias("bvid"), "list_id",
         F.col("embedding").alias("b_emb"), F.col("inv").alias("b_inv"))
     idx = index.select(
         F.col("vid").alias("ivid"), "list_id",
         F.col("embedding").alias("i_emb"), F.col("inv").alias("i_inv"))
-    icos = (_dot_cols(F.col("b_emb"), F.col("i_emb"))
-            * F.col("b_inv") * F.col("i_inv"))
+    icos = memo_col(("sem_icos",), lambda: (
+        _dot_cols(F.col("b_emb"), F.col("i_emb"))
+        * F.col("b_inv") * F.col("i_inv")))
     ihit = (
         idx.join(F.broadcast(br), "list_id")
         .filter(icos >= tau)
@@ -347,8 +373,9 @@ def semdedup_disposition_against_index(
     b = batch_scored.select(
         F.col("vid").alias("bvid"), "list_id",
         F.col("embedding").alias("b_emb"), F.col("inv").alias("b_inv"))
-    bcos = (_dot_cols(F.col("a_emb"), F.col("b_emb"))
-            * F.col("a_inv") * F.col("b_inv"))
+    bcos = memo_col(("sem_bcos",), lambda: (
+        _dot_cols(F.col("a_emb"), F.col("b_emb"))
+        * F.col("a_inv") * F.col("b_inv")))
     bhit = (
         F.broadcast(a).join(b, "list_id")
         .filter(F.col("avid") < F.col("bvid"))

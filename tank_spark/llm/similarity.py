@@ -64,6 +64,23 @@ def _dot_sql(a: str, b: str) -> str:
     )
 
 
+def _cos_named(a: str, b: str):
+    """Exact sequential-fold cosine over two NAMED array columns,
+    memoized per name pair (r14, VERDICT r13 #6): the composed form
+    costs 6 higher-order-function lambdas (~30 ms of py4j Column
+    assembly each) per plan build, re-paid on every serve by every
+    probe/recall/knn tail. The expression tree is identical — only
+    WHEN it is built changes."""
+    from tank_spark.util import memo_col
+
+    def build():
+        ca, cb = F.col(a), F.col(b)
+        return (_dot_cols(ca, cb)
+                / (F.sqrt(_dot_cols(ca, ca)) * F.sqrt(_dot_cols(cb, cb))))
+
+    return memo_col(("cos_named", a, b), build)
+
+
 def _dot_lit(a, weights: list[float]):
     """Dot of an array column against literal plane weights (Spark).
     The weights array builds as ONE F.expr string instead of DIM F.lit
@@ -137,10 +154,7 @@ def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
     )
     joined = e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-    dot = _dot_cols(F.col("q_emb"), F.col("embedding"))
-    nq = _dot_cols(F.col("q_emb"), F.col("q_emb"))
-    ne = _dot_cols(F.col("embedding"), F.col("embedding"))
-    cosine = dot / (F.sqrt(nq) * F.sqrt(ne))
+    cosine = _cos_named("q_emb", "embedding")
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         joined.select("qid", "vec_id", cosine.alias("cosine"))
@@ -552,10 +566,7 @@ def _probe_rank_tail(e: DataFrame, probes: DataFrame,
         .join(e.select("vec_id", F.col("embedding").alias("e_emb")), "vec_id")
         .join(F.broadcast(q), F.col("qid") == F.col("qid2"))
     )
-    dot_qe = _dot_cols(F.col("q_emb"), F.col("e_emb"))
-    nq = _dot_cols(F.col("q_emb"), F.col("q_emb"))
-    ne = _dot_cols(F.col("e_emb"), F.col("e_emb"))
-    cos = dot_qe / (F.sqrt(nq) * F.sqrt(ne))
+    cos = _cos_named("q_emb", "e_emb")
     w2 = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         cand.select("qid", "vec_id", cos.alias("cosine"))
@@ -685,10 +696,7 @@ def _recall_tail(e: DataFrame, assign: DataFrame, probes: DataFrame,
         F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
     )
     joined = e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-    dq = _dot_cols(F.col("q_emb"), F.col("embedding"))
-    nq = _dot_cols(F.col("q_emb"), F.col("q_emb"))
-    ne = _dot_cols(F.col("embedding"), F.col("embedding"))
-    cos = dq / (F.sqrt(nq) * F.sqrt(ne))
+    cos = _cos_named("q_emb", "embedding")
     wt = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     truth = (
         joined.select("qid", "vec_id", cos.alias("cosine"))
@@ -1258,20 +1266,28 @@ def _frozen2_probes_df(spark: SparkSession, e: DataFrame,
     shared qroute/probes CTE) so the routing can never fork; the
     (w_coarse, n_probe) dial is parameterized for the sweep harness
     and the registered entries pin the module defaults."""
-    coarse, fine = _frozen2_exprs(spark)
-    top = F.slice(F.array_sort(F.transform(coarse, _literal_score)),
-                  1, w_coarse)
-    fine_concat = F.flatten(F.transform(
-        top, lambda s: F.element_at(fine,
-                                    (s["centroid_id"] + 1).cast("int"))))
-    rank_arr = F.transform(fine_concat, _literal_score)
+    from tank_spark.util import memo_col
+
+    def build():
+        # ~0.5 s of py4j lambda assembly per serve before this memo
+        # (three transform() lambdas + the _literal_score folds); the
+        # finished Column is plan-independent, keyed like
+        # _frozen2_exprs (appId) plus the (w_coarse, n_probe) dial
+        coarse, fine = _frozen2_exprs(spark)
+        top = F.slice(F.array_sort(F.transform(coarse, _literal_score)),
+                      1, w_coarse)
+        fine_concat = F.flatten(F.transform(
+            top, lambda s: F.element_at(fine,
+                                        (s["centroid_id"] + 1).cast("int"))))
+        rank_arr = F.transform(fine_concat, _literal_score)
+        return F.explode(F.slice(F.array_sort(rank_arr), 1, n_probe))
+
+    probe_col = memo_col(("frozen2-probes",
+                          spark.sparkContext.applicationId,
+                          w_coarse, n_probe), build)
     return (
         e.filter(F.col("vec_id").isin(*qids))
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.explode(F.slice(F.array_sort(rank_arr), 1, n_probe))
-            .alias("p"),
-        )
+        .select(F.col("vec_id").alias("qid"), probe_col.alias("p"))
         .select("qid", F.col("p.centroid_id").alias("centroid_id"))
     )
 

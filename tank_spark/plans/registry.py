@@ -460,6 +460,43 @@ def load_all() -> dict[str, QueryDef]:
             importlib.import_module(m)
         except ModuleNotFoundError:
             pass  # module not built yet (incremental rounds)
+    _disable_dataframe_debugging()
     ordered = {n: QUERIES[n] for n in PRIORITY if n in QUERIES}
     ordered.update((n, q) for n, q in QUERIES.items() if n not in ordered)
     return ordered
+
+
+def _disable_dataframe_debugging() -> None:
+    """Turn off PySpark's per-call DataFrame-debugging origin capture
+    for the serving session (r14, guide §7.3 driver-side cost / VERDICT
+    r13 #6 planning gap). When enabled (the default), EVERY wrapped
+    DataFrame/Column API call pays ~3 extra py4j round-trips
+    (conf.get + PySparkCurrentOrigin.set/clear) plus a Python stack
+    walk, purely to enrich error messages with the user call site — on
+    these VMs that is ~3 ms per call and 0.3-1 s of driver time per
+    query BUILD, the single largest slice of the measured
+    ~0.4-0.5 s/query planning gap. Pure driver-side bookkeeping: no
+    query result, plan, or execution change. PySpark caches the flag on
+    first wrapped call, so this must run before any DataFrame API use —
+    load_all() is exactly that point for bench/driver/tool sessions.
+    SPARK_GRAFT_DF_DEBUG=1 keeps it on (and restores the richer error
+    call sites) for interactive debugging."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_DF_DEBUG", "0") == "1":
+        return
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            spark.conf.set(
+                "spark.python.sql.dataFrameDebugging.enabled", "false")
+        # the flag may already be cached True by an earlier wrapped
+        # call (or there is no session yet): pin the cache directly so
+        # the serving process is consistent either way
+        from pyspark.errors import utils as _errutils
+
+        _errutils._enable_debugging_cache = False
+    except Exception:
+        pass  # best-effort: older/newer pyspark without this knob

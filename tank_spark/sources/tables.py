@@ -82,9 +82,8 @@ def load(spark: SparkSession, sf_dir: str, name: str,
          materialized: bool = True) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if not materialized:
-        return raw
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
     key = (spark.sparkContext.applicationId, sf_dir, name)
     fp = _table_fingerprint(sf_dir, name)
     entry = _CACHE.get(key)
@@ -92,6 +91,12 @@ def load(spark: SparkSession, sf_dir: str, name: str,
         entry[1].unpersist()
         entry = None
     if entry is None:
+        # the parquet read is built only on a cache miss (r14): the
+        # DataFrameReader re-reads the file footer for schema on every
+        # call (~0.16 s of driver-side work per call on this VM), and
+        # warm serves — the bench's timed reps — only need the cached
+        # relation. Staleness is still caught: fp is re-stat'ed above.
+        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         n = _n_partitions(spark, fp[1])
         ck = _CLUSTER_KEY.get(name)
         df = raw.repartition(n, ck) if ck else raw.repartition(n)

@@ -10,6 +10,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 _SHIPPED: set[str] = set()
 
+_COL_MEMO: dict = {}
+
+
+def memo_col(key, build):
+    """Memoize an UNRESOLVED Column expression under ``key`` (r14,
+    guide §7.3 planning cost / VERDICT r13 #6).
+
+    py4j round-trips cost ~1 ms each on these VMs, and a single
+    higher-order-function lambda (`transform`/`zip_with`/`aggregate`)
+    costs ~30 ms of driver-side Column assembly — so builders that
+    re-compose the same literal-quantizer/cosine expressions on every
+    serve spend 0.3-1.4 s per query in PYTHON before Spark sees a
+    plan. An unresolved Column is plan-independent and immutable
+    (the similarity._CENTROID_CACHE precedent): build it once per
+    process, reference it from every plan. Key on everything the
+    expression closes over (column NAMES, dials, and the session
+    applicationId when the expression embeds session-derived data)."""
+    col = _COL_MEMO.get(key)
+    if col is None:
+        col = _COL_MEMO[key] = build()
+    return col
+
 
 def local_values_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
     """Driver-list DataFrame as a JVM LocalRelation (VALUES literal).
