@@ -236,26 +236,30 @@ def _sigs_df(sh: DataFrame, k: int = K, lanes: int = 1) -> DataFrame:
     return sh.groupBy("cid").agg(*aggs)
 
 
-def _shingle_arrays(c: DataFrame) -> DataFrame:
-    """(cid, sh): each doc's 3-word shingles as ONE array column — the
-    map-only twin of _shingles_df (identical shingle multiset per doc;
-    docs with <3 words get an empty array where the row form emits no
-    rows). Built from three equal-length slices zipped pairwise, so no
-    posexplode and no lead() window — the shingle stream never exists
-    as rows and never shuffles. The words array is materialized in its
-    own projection step (the CollapseProject lesson, semdedup_inc.
-    _routed_twolevel): a non-cheap alias referenced from several
-    expressions is kept, not inlined, so the regex runs once per row."""
+def _shingle_arrays(c: DataFrame, **extra) -> DataFrame:
+    """(cid, [**extra,] sh): each doc's 3-word shingles as ONE array
+    column — the map-only twin of _shingles_df (identical shingle
+    multiset per doc; docs with <3 words get an empty array where the
+    row form emits no rows). Built from three equal-length slices
+    zipped pairwise, so no posexplode and no lead() window — the
+    shingle stream never exists as rows and never shuffles. The words
+    array is materialized in its own projection step (the
+    CollapseProject lesson, semdedup_inc._routed_twolevel): a non-cheap
+    alias referenced from several expressions is kept, not inlined, so
+    the regex runs once per row. ``extra`` (name -> Column over the
+    input) lets one-pass callers ride fingerprint columns through the
+    same scan (r14, _fp_banded)."""
     words = F.regexp_extract_all(
         F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))
-    step1 = c.select("cid", words.alias("_w"))
+    step1 = c.select("cid", *[col.alias(n) for n, col in extra.items()],
+                     words.alias("_w"))
     w = F.col("_w")
     n3 = F.greatest(F.size(w) - 2, F.lit(0))
     a, b, c3 = (F.slice(w, i, n3) for i in (1, 2, 3))
     sh = F.zip_with(
         F.zip_with(a, b, lambda x, y: F.concat_ws(" ", x, y)),
         c3, lambda xy, z: F.concat_ws(" ", xy, z))
-    return step1.select("cid", sh.alias("sh"))
+    return step1.select("cid", *extra.keys(), sh.alias("sh"))
 
 
 def _sigs_map_only(c: DataFrame, k: int = K, lanes: int = 1) -> DataFrame:
@@ -272,21 +276,36 @@ def _sigs_map_only(c: DataFrame, k: int = K, lanes: int = 1) -> DataFrame:
     Measured at sf0.1 (dedup_incremental_batch's signature job):
     ~1.7-2.1s -> ~0.6s."""
     sharr = _shingle_arrays(c).filter(F.size("sh") > 0)
+    return sharr.select("cid", *_sig_min_cols(k, lanes))
 
-    # single-parameter closures: pyspark's transform() dispatches on the
-    # lambda's ARITY (a second parameter would receive the element index)
-    def _tr(salt: int, lane: int):
-        if lanes > 1:
-            return lambda s: F.substring(
-                F.md5(F.concat(s, F.lit(f":{salt}"))), lane * 8 + 1, 8)
-        return lambda s: F.md5(F.concat(s, F.lit(f":{salt}")))
 
-    cols = []
-    for i in range(k):
-        salt, lane = divmod(i, lanes) if lanes > 1 else (i, 0)
-        cols.append(F.array_min(F.transform(F.col("sh"), _tr(salt, lane)))
-                    .alias(f"h{i}"))
-    return sharr.select("cid", *cols)
+def _sig_min_cols(k: int, lanes: int) -> tuple:
+    """The k array_min(transform(sh, md5...)) signature Columns,
+    memoized per (k, lanes) (r14, util.memo_col): each transform()
+    lambda costs ~5-30 ms of py4j Column assembly, so rebuilding the
+    k-wide list on every serve was ~0.2 s (k=32) of driver time. The
+    Columns reference only the column NAME `sh` — plan-independent."""
+    from tank_spark.util import memo_col
+
+    def build():
+        # single-parameter closures: pyspark's transform() dispatches on
+        # the lambda's ARITY (a second parameter would receive the
+        # element index)
+        def _tr(salt: int, lane: int):
+            if lanes > 1:
+                return lambda s: F.substring(
+                    F.md5(F.concat(s, F.lit(f":{salt}"))), lane * 8 + 1, 8)
+            return lambda s: F.md5(F.concat(s, F.lit(f":{salt}")))
+
+        cols = []
+        for i in range(k):
+            salt, lane = divmod(i, lanes) if lanes > 1 else (i, 0)
+            cols.append(
+                F.array_min(F.transform(F.col("sh"), _tr(salt, lane)))
+                .alias(f"h{i}"))
+        return tuple(cols)
+
+    return memo_col(("dedup_sig_min_cols", k, lanes), build)
 
 
 @register(
@@ -1652,26 +1671,42 @@ def _inc_corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     (new_unique + its within-batch duplicate). Batch rows sit above
     INC_BATCH_OFFSET — collision-proof and order-preserving, the same
     high-bit convention as DUP_OFFSET / multimodal.VARIANT_OFFSET."""
-    d = load(spark, sf_dir, "documents")
-    base = d.select(F.col("doc_id").alias("cid"), "text")
-    recrawl = d.filter(F.col("doc_id") % 15 == 3).select(
-        (F.col("doc_id") + INC_BATCH_OFFSET).alias("cid"), "text")
-    extended = d.filter(F.col("doc_id") % 15 == 8).select(
-        (F.col("doc_id") + INC_BATCH_OFFSET).alias("cid"),
-        F.concat(F.col("text"), F.lit(" freshly crawled update note"))
-        .alias("text"))
-    new_text = F.concat_ws(
-        " ", F.md5("text"),
-        *[F.md5(F.concat(F.col("text"), F.lit(f"n{i}"))) for i in range(2, 6)])
-    fresh = d.filter(F.col("doc_id") % 15 == 13)
-    new1 = fresh.select(
-        (F.col("doc_id") + INC_BATCH_OFFSET).alias("cid"),
-        new_text.alias("text"))
-    new2 = fresh.select(
-        (F.col("doc_id") + 2 * INC_BATCH_OFFSET).alias("cid"),
-        new_text.alias("text"))
-    return base.unionByName(recrawl).unionByName(extended) \
-               .unionByName(new1).unionByName(new2)
+    return load(spark, sf_dir, "documents").select(_inc_corpus_rows())
+
+
+def _inc_corpus_rows():
+    """The text-family crawl emission as ONE memoized
+    inline(filter(array(structs))) Column over the documents scan
+    (r14, the media_inc._inc_corpus_rows shape): replaces the 5-leg
+    unionByName, which fanned the scan to 5x the table's partition
+    count and cost ~0.3 s of py4j DataFrame assembly per serve. Values
+    are identical leg by leg; only row order differs (every consumer
+    joins/aggregates)."""
+    from tank_spark.util import memo_col
+
+    def build():
+        cid = F.col("doc_id")
+        text = F.col("text")
+        new_text = F.concat_ws(
+            " ", F.md5("text"),
+            *[F.md5(F.concat(text, F.lit(f"n{i}"))) for i in range(2, 6)])
+        sel = cid % 15
+
+        def row(c, t):
+            return F.struct(c.alias("cid"), t.alias("text"))
+
+        elems = F.array(
+            row(cid, text),
+            F.when(sel == 3, row(cid + INC_BATCH_OFFSET, text)),
+            F.when(sel == 8, row(
+                cid + INC_BATCH_OFFSET,
+                F.concat(text, F.lit(" freshly crawled update note")))),
+            F.when(sel == 13, row(cid + INC_BATCH_OFFSET, new_text)),
+            F.when(sel == 13, row(cid + 2 * INC_BATCH_OFFSET, new_text)),
+        )
+        return F.inline(F.filter(elems, lambda s: s.isNotNull()))
+
+    return memo_col(("dedup_inc_corpus_rows", INC_BATCH_OFFSET), build)
 
 
 def _bands_df(sigs: DataFrame) -> DataFrame:
@@ -1683,6 +1718,26 @@ def _bands_df(sigs: DataFrame) -> DataFrame:
         for b in range(N_BANDS)
     ])
     return sigs.select("cid", F.posexplode(vals).alias("band_idx", "band_val"))
+
+
+def _fp_banded(c: DataFrame) -> DataFrame:
+    """(cid, fp, bands array<string>): the exact-dup fingerprint AND
+    the checked-config LSH band digests in ONE corpus pass (r14, guide
+    §2.4/§5.2) — the incremental family previously materialized fps and
+    bands as two separate checkpoints, each re-deriving the corpus.
+    Docs with no 3-word shingle keep their fp with an EMPTY bands array
+    (h0 NULL -> every band digest NULL -> filtered), exactly matching
+    the row form's "no sig row -> no band rows" semantics."""
+    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    sigc = _shingle_arrays(c, fp=fp).select(
+        "cid", "fp", *_sig_min_cols(K, 1))
+    band_arr = F.array(*[
+        F.md5(F.concat(*[F.col(f"h{BAND_W * b + j}") for j in range(BAND_W)]))
+        for b in range(N_BANDS)
+    ])
+    return sigc.select(
+        "cid", "fp",
+        F.filter(band_arr, lambda v: v.isNotNull()).alias("bands"))
 
 
 @register(
@@ -1704,14 +1759,13 @@ def _bands_df(sigs: DataFrame) -> DataFrame:
         "pairwise anything.",
 )
 def dedup_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fp rides the signature pass (r14, _fp_banded): the re-attach join
+    # (bands JOIN fps on cid, both sides re-deriving the corpus) is gone
     d = load(spark, sf_dir, "documents")
     c = d.select(F.col("doc_id").alias("cid"), "text")
-    sigs = _sigs_map_only(c, K, 1)
-    bands = _bands_df(sigs)
-    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
-    fps = c.select("cid", fp.alias("fp"))
-    return bands.join(fps, "cid").select(
-        F.col("cid").alias("doc_id"), "fp", "band_idx", "band_val")
+    return _fp_banded(c).select(
+        F.col("cid").alias("doc_id"), "fp",
+        F.posexplode("bands").alias("band_idx", "band_val"))
 
 
 # the full batch-disposition oracle, module-level so the per-source
@@ -1782,18 +1836,18 @@ _INC_BATCH_ORACLE = f"""
 )
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _inc_corpus_df(spark, sf_dir)
-    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
-    # fps feeds FOUR subtrees (both exact-probe sides, the in-batch
-    # minimum, and the final assembly spine) — checkpoint it like the
-    # stream-replay twin already does, so the derived corpus union +
-    # normalization md5 run once per query instead of once per subtree
-    # (r13; the relation is two skinny columns)
-    fps = c.select("cid", fp.alias("fp")).localCheckpoint(eager=True)
+    # ONE enriched checkpoint (r14, _fp_banded): fp and the band
+    # digests come out of a single corpus pass, where fps and bands
+    # were two separate checkpoints each re-deriving the corpus (two
+    # materialization jobs -> one; r13 rationale unchanged: the
+    # relation feeds SEVEN subtrees between them, so it must be pinned
+    # — eager localCheckpoint, blocks reclaimed by the ContextCleaner,
+    # ADVICE r7)
+    enriched = _fp_banded(c).localCheckpoint(eager=True)
+    fps = enriched.select("cid", "fp")
+    bands = enriched.select(
+        "cid", F.posexplode("bands").alias("band_idx", "band_val"))
     is_batch = F.col("cid") >= INC_BATCH_OFFSET
-    # bands feed three subtrees (index cap aggregate, index probe side,
-    # batch probe side) — checkpoint so the signature projection runs
-    # once (eager; ContextCleaner reclaims the blocks, ADVICE r7)
-    bands = _bands_df(_sigs_map_only(c, K, 1)).localCheckpoint(eager=True)
 
     bfp = fps.filter(is_batch).select(F.col("cid").alias("bcid"), "fp")
     ifp = fps.filter(~is_batch).select(F.col("cid").alias("icid"), "fp")
@@ -2037,12 +2091,14 @@ _STREAM_REPLAY_CTES = f"""
 )
 def dedup_incremental_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _inc_corpus_df(spark, sf_dir)
-    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    # ONE enriched checkpoint (r14, _fp_banded, as the batch op):
     # fps/bands each feed index-0, batch-A, batch-B and the survivor
-    # append — checkpoint so shingling/signatures run once (eager;
-    # blocks reclaimed by the ContextCleaner)
-    fps = c.select("cid", fp.alias("fp")).localCheckpoint(eager=True)
-    bands = _bands_df(_sigs_map_only(c, K, 1)).localCheckpoint(eager=True)
+    # append — pinned so shingling/signatures run once (eager; blocks
+    # reclaimed by the ContextCleaner)
+    enriched = _fp_banded(c).localCheckpoint(eager=True)
+    fps = enriched.select("cid", "fp")
+    bands = enriched.select(
+        "cid", F.posexplode("bands").alias("band_idx", "band_val"))
     off = INC_BATCH_OFFSET
     is_i = F.col("cid") < off
     is_a = (F.col("cid") >= off) & (F.col("cid") < 2 * off)

@@ -56,15 +56,14 @@ _MODALITIES = ("image", "audio", "video")
 _TWEAKS = {"image": (7, 8), "audio": (15, 4), "video": (11, 8)}
 
 
-def _tweaked(idx0: int, delta: int):
-    """Payload with byte ``idx0`` (0-based) bumped by ``delta`` mod 256 —
-    the substring-concat idiom of the planted-variant builders."""
-    b = F.conv(F.hex(F.expr(f"substring(payload, {idx0 + 1}, 1)")),
-               16, 10).cast("int")
+def _tweaked(payload, idx0: int, delta: int):
+    """``payload`` with byte ``idx0`` (0-based) bumped by ``delta`` mod
+    256 — the substring-concat idiom of the planted-variant builders."""
+    b = F.conv(F.hex(F.substring(payload, idx0 + 1, 1)), 16, 10).cast("int")
     return F.concat(
-        F.expr(f"substring(payload, 1, {idx0})"),
+        F.substring(payload, 1, idx0),
         F.unhex(F.lpad(F.hex((b + delta) % 256), 2, "0")),
-        F.expr(f"substring(payload, {idx0 + 2}, {media_sql.N_BYTES - idx0 - 1})"),
+        F.substring(payload, idx0 + 2, media_sql.N_BYTES - idx0 - 1),
     )
 
 
@@ -89,50 +88,61 @@ def _base_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payload.alias("payload"))
 
 
+def _inc_corpus_rows():
+    """The whole derived-crawl emission as ONE array-of-structs Column
+    over the documents scan (r14, guide §2.4/§7.3): per doc row, the
+    base row plus — under the slice-local every-5th selectors,
+    doc_id % 15 == (doc_id % 3) + k — the verbatim re-crawl, the
+    one-byte-bumped near-dup copy, and the two fresh emissions.
+    Replaces the 5-leg unionByName, which (a) fanned the scan to 5x
+    the table's partition count (pure task overhead at the kernel
+    stage) and (b) cost ~0.6 s of py4j DataFrame assembly per serve;
+    one inline() of this memoized Column is a single scan leg and a
+    single driver-side expression. Values are unchanged leg by leg —
+    only row order differs (every consumer joins/aggregates)."""
+    from tank_spark.util import memo_col
+
+    def build():
+        cid = F.col("doc_id")
+        payload = F.unhex(F.concat(
+            F.md5("text"), F.md5(F.concat(F.col("text"), F.lit(":1")))))
+        fresh = F.unhex(F.concat(
+            F.md5(F.concat(F.col("text"), F.lit(":f"))),
+            F.md5(F.concat(F.col("text"), F.lit(":f1")))))
+        modality = _modality_col()
+        tweak = (
+            F.when(modality == "image", _tweaked(payload, *_TWEAKS["image"]))
+            .when(modality == "audio", _tweaked(payload, *_TWEAKS["audio"]))
+            .otherwise(_tweaked(payload, *_TWEAKS["video"]))
+        )
+        mod3 = cid % 3
+        sel = cid % 15
+
+        def row(c, p):
+            return F.struct(c.alias("cid"), modality.alias("modality"),
+                            p.alias("payload"))
+
+        elems = F.array(
+            row(cid, payload),
+            F.when(sel == mod3, row(cid + INC_OFFSET, payload)),
+            F.when(sel == mod3 + 3, row(cid + INC_OFFSET, tweak)),
+            F.when(sel == mod3 + 6, row(cid + INC_OFFSET, fresh)),
+            F.when(sel == mod3 + 6, row(cid + 2 * INC_OFFSET, fresh)),
+        )
+        return F.inline(F.filter(elems, lambda s: s.isNotNull()))
+
+    return memo_col(("media_inc_corpus_rows", INC_OFFSET), build)
+
+
 def _inc_media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(cid, modality, payload): the base media corpus (cid = doc_id)
     plus the derived crawl increment (cid >= INC_OFFSET)."""
-    d = load(spark, sf_dir, "documents")
-    fresh = F.unhex(F.concat(
-        F.md5(F.concat(F.col("text"), F.lit(":f"))),
-        F.md5(F.concat(F.col("text"), F.lit(":f1")))))
-    modality = _modality_col()
-    base = _base_media(spark, sf_dir)
-    # slice-local every-5th selectors: doc_id % 15 == (doc_id % 3) + k
-    mod3 = F.col("cid") % 3
-    recrawl = base.filter(F.col("cid") % 15 == mod3).select(
-        (F.col("cid") + INC_OFFSET).alias("cid"), "modality", "payload")
-    tweak = (
-        F.when(F.col("modality") == "image", _tweaked(*_TWEAKS["image"]))
-        .when(F.col("modality") == "audio", _tweaked(*_TWEAKS["audio"]))
-        .otherwise(_tweaked(*_TWEAKS["video"]))
-    )
-    near = base.filter(F.col("cid") % 15 == mod3 + 3).select(
-        (F.col("cid") + INC_OFFSET).alias("cid"), "modality",
-        tweak.alias("payload"))
-    fr = d.filter(F.col("doc_id") % 15 == F.col("doc_id") % 3 + 6).select(
-        F.col("doc_id").alias("cid"), modality.alias("modality"),
-        fresh.alias("payload"))
-    new1 = fr.select((F.col("cid") + INC_OFFSET).alias("cid"),
-                     "modality", "payload")
-    new2 = fr.select((F.col("cid") + 2 * INC_OFFSET).alias("cid"),
-                     "modality", "payload")
-    return (base.unionByName(recrawl).unionByName(near)
-            .unionByName(new1).unionByName(new2))
+    return load(spark, sf_dir, "documents").select(_inc_corpus_rows())
 
 
-def _media_hash_kernel(batches):
-    """ONE mapInPandas pass hashing all three modalities: per Arrow
-    batch, each modality's rows go through its VECTORIZED stub twin
-    (media_np) in one numpy call, with real containers (PGM/RIFF/Y4M,
-    or any image when Pillow imports) routed through the scalar parsers
-    — the same dispatch as the per-modality kernels, pinned bit-exact
-    by tests/test_media_np.py. One pass replaces three union legs that
-    each re-derived the corpus and launched their own Python stage
-    (measured: the 3-stage shape spent ~3 s of Spark orchestration on a
-    5k-doc corpus whose actual hashing is microseconds)."""
-    import pandas as pd
-
+def _hash_dispatch():
+    """modality -> (vectorized batch fn, scalar parser, is_real) — the
+    once-per-task setup shared by the hash kernels (guide §4.5)."""
     from tank_spark.llm import media_np
     from tank_spark.llm.audio import _pcm_wav, audio_fingerprint64
     from tank_spark.llm.multimodal import _is_pgm, dhash64, get_plane_decoder
@@ -149,7 +159,7 @@ def _media_hash_kernel(batches):
         hs, _ = frame_hashes(p)
         return video_signature64(hs)
 
-    dispatch = {
+    return {
         "image": (lambda b: media_np.dhash64_batch(b.reshape(-1, 4, 8)),
                   lambda p: dhash64(decode_plane(p)),
                   img_is_real if img_is_real is not None
@@ -161,18 +171,75 @@ def _media_hash_kernel(batches):
                   _vid_scalar,
                   lambda p: p[:9] == b"YUV4MPEG2"),
     }
+
+
+def _hash_pdf(pdf, dispatch):
+    """One pandas batch (doc_id, modality, payload) -> (doc_id,
+    modality, phash) or None when every row dropped/empty."""
+    import pandas as pd
+
+    from tank_spark.llm import media_np
+
+    frames = []
+    for m in _MODALITIES:
+        sub = pdf[pdf["modality"] == m]
+        if not len(sub):
+            continue
+        batch_fn, scalar_fn, is_real = dispatch[m]
+        out = media_np.hash_frame(sub, batch_fn, scalar_fn, is_real)
+        out["modality"] = m
+        frames.append(out[["doc_id", "modality", "phash"]])
+    if not frames:
+        return None
+    return pd.concat(frames, ignore_index=True)  # FutureWarning
+
+
+def _media_hash_kernel(batches):
+    """ONE mapInPandas pass hashing all three modalities: per Arrow
+    batch, each modality's rows go through its VECTORIZED stub twin
+    (media_np) in one numpy call, with real containers (PGM/RIFF/Y4M,
+    or any image when Pillow imports) routed through the scalar parsers
+    — the same dispatch as the per-modality kernels, pinned bit-exact
+    by tests/test_media_np.py. One pass replaces three union legs that
+    each re-derived the corpus and launched their own Python stage
+    (measured: the 3-stage shape spent ~3 s of Spark orchestration on a
+    5k-doc corpus whose actual hashing is microseconds)."""
+    dispatch = _hash_dispatch()
     for pdf in batches:
-        frames = []
-        for m in _MODALITIES:
-            sub = pdf[pdf["modality"] == m]
-            if not len(sub):
-                continue
-            batch_fn, scalar_fn, is_real = dispatch[m]
-            out = media_np.hash_frame(sub, batch_fn, scalar_fn, is_real)
-            out["modality"] = m
-            frames.append(out[["doc_id", "modality", "phash"]])
-        if frames:  # skipping empty yields avoids pandas' concat
-            yield pd.concat(frames, ignore_index=True)  # FutureWarning
+        out = _hash_pdf(pdf, dispatch)
+        if out is not None:  # skipping empty yields avoids pandas' concat
+            yield out
+
+
+def _media_hash_fp_kernel(batches):
+    """The hash kernel PLUS the exact payload fingerprint, one output
+    row per INPUT row (r14, guide §2.4/§5.2): (doc_id, modality, phash,
+    fp) where fp = lowercase hex of the payload — byte-identical to the
+    JVM's lower(hex(payload)) — and phash is NULL for rows the hash
+    kernels drop (short/unparseable payloads), which the fp-only
+    consumers must still see. Emitting fp here lets the incremental
+    media ops materialize ONE enriched relation instead of two (the
+    corpus checkpoint existed only to feed the fp projection without
+    re-deriving the corpus), and media_index_build drops its fp
+    re-attach join outright. Assumes unique doc_id per corpus (every
+    caller's cid ranges are disjoint by construction)."""
+    import pandas as pd
+
+    dispatch = _hash_dispatch()
+    for pdf in batches:
+        base = pd.DataFrame({
+            "doc_id": pdf["doc_id"].astype("int64"),
+            "modality": pdf["modality"],
+            "fp": [bytes(p).hex() for p in pdf["payload"]],
+        })
+        hashed = _hash_pdf(pdf, dispatch)
+        if hashed is None:
+            base["phash"] = pd.array([None] * len(base), dtype="Int64")
+        else:
+            base = base.merge(hashed[["doc_id", "phash"]],
+                              on="doc_id", how="left")
+            base["phash"] = base["phash"].astype("Int64")
+        yield base[["doc_id", "modality", "phash", "fp"]]
 
 
 def _hashed_media(spark: SparkSession, corpus: DataFrame) -> DataFrame:
@@ -190,15 +257,37 @@ def _hashed_media(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     )
 
 
+def _hashed_media_fp(spark: SparkSession, corpus: DataFrame) -> DataFrame:
+    """(cid, modality, phash, fp): ONE kernel pass emitting both the
+    perceptual hash and the exact payload fingerprint per corpus row
+    (phash NULL where the hash kernels drop a row — see
+    _media_hash_fp_kernel). Checkpointed eagerly by callers that
+    consume it more than once."""
+    from tank_spark.util import ensure_workers_have_package
+
+    ensure_workers_have_package(spark)
+    return (
+        corpus.select(F.col("cid").alias("doc_id"), "modality", "payload")
+        .mapInPandas(_media_hash_fp_kernel,
+                     "doc_id long, modality string, phash long, fp string")
+        .select(F.col("doc_id").alias("cid"), "modality", "phash", "fp")
+    )
+
+
+def _band_array():
+    """The standing 4x16-bit band decomposition of phash
+    (multimodal.phash_neardup_pairs)."""
+    return F.array(*[
+        F.shiftrightunsigned("phash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+        for i in range(media_sql.PHASH_BANDS)
+    ])
+
+
 def _bands(hashed: DataFrame) -> DataFrame:
-    """(cid, modality, phash, band_idx, band_val): the standing 4x16-bit
-    band decomposition (multimodal.phash_neardup_pairs)."""
+    """(cid, modality, phash, band_idx, band_val): _band_array exploded."""
     return hashed.select(
         "cid", "modality", "phash",
-        F.posexplode(F.array(*[
-            F.shiftrightunsigned("phash", 16 * i).bitwiseAND(F.lit(0xFFFF))
-            for i in range(media_sql.PHASH_BANDS)
-        ])).alias("band_idx", "band_val"),
+        F.posexplode(_band_array()).alias("band_idx", "band_val"),
     )
 
 
@@ -222,12 +311,13 @@ def _bands(hashed: DataFrame) -> DataFrame:
         "pairwise).",
 )
 def media_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = _base_media(spark, sf_dir)
-    hashed = _hashed_media(spark, base)
-    fps = base.select("cid", F.lower(F.hex("payload")).alias("fp"))
-    return _bands(hashed).join(fps, "cid").select(
+    # fp comes out of the kernel with the hash (r14): the re-attach
+    # join (bands JOIN fps on cid, both sides re-deriving the base
+    # corpus) is gone — one scan, one Python stage, one projection
+    enriched = _hashed_media_fp(spark, _base_media(spark, sf_dir))
+    return enriched.filter(F.col("phash").isNotNull()).select(
         F.col("cid").alias("doc_id"), "modality", "fp", "phash",
-        "band_idx", "band_val")
+        F.posexplode(_band_array()).alias("band_idx", "band_val"))
 
 
 @register(
@@ -250,20 +340,20 @@ def media_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "disposition deterministically per modality.",
 )
 def media_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # corpus checkpointed too (tiny: one 32-byte payload per row): the
-    # derivation feeds BOTH the hash kernel and the fp projection, and
-    # without the pin each consumer re-derives it from the documents
-    # scan (r10 decomposition: derivation re-scans cost as much as the
-    # hash stage itself)
-    corpus = _inc_media_corpus(spark, sf_dir).localCheckpoint(eager=True)
-    # ONE kernel pass over base+batch; the checkpoint (eager) is what
-    # makes "index scanned once" true — the hot-bucket aggregate, both
-    # band-probe sides, and the fp relations all derive from it without
-    # re-running the Python kernels (the dedup-family lesson,
-    # dedup.py:314; localCheckpoint not persist per ADVICE r7)
-    hashed = _hashed_media(spark, corpus).localCheckpoint(eager=True)
-    fps = corpus.select(
-        "cid", "modality", F.lower(F.hex("payload")).alias("fp"))
+    # ONE enriched checkpoint (r14): the kernel emits fp WITH the hash
+    # (_media_hash_fp_kernel), so the corpus checkpoint — which existed
+    # only to feed the fp projection without re-deriving the corpus —
+    # is gone, and the serve pays one materialization job instead of
+    # two (each measured ~0.8 s of wall at sf0.1, guide §5.2/§1.2).
+    # The eager checkpoint is still what makes "index scanned once"
+    # true — the hot-bucket aggregate, both band-probe sides, and the
+    # fp relations all derive from it without re-running the Python
+    # kernels (the dedup-family lesson, dedup.py:314; localCheckpoint
+    # not persist per ADVICE r7)
+    enriched = _hashed_media_fp(
+        spark, _inc_media_corpus(spark, sf_dir)).localCheckpoint(eager=True)
+    hashed = enriched.filter(F.col("phash").isNotNull())
+    fps = enriched.select("cid", "modality", "fp")
     is_batch = F.col("cid") >= INC_OFFSET
     bfp = fps.filter(is_batch).select(
         F.col("cid").alias("bcid"), "modality", "fp")
@@ -295,15 +385,14 @@ def media_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "survivor append is two batch-bounded broadcast joins.",
 )
 def media_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # corpus pinned for the same reason as the batch op (fp + kernel
-    # consumers); hashed feeds index-0, batch-A, batch-B AND the
-    # survivor append — the eager checkpoint keeps every payload
-    # through its kernel once
-    corpus = _inc_media_corpus(spark, sf_dir).localCheckpoint(eager=True)
-    hashed = _hashed_media(spark, corpus).localCheckpoint(eager=True)
-    fps = corpus.select(
-        "cid", "modality", F.lower(F.hex("payload")).alias("fp"))
-    bands = _bands(hashed)
+    # ONE enriched checkpoint (r14, as the batch op): fp rides the hash
+    # kernel output, so the separate corpus pin is gone; the relation
+    # feeds index-0, batch-A, batch-B AND the survivor append — the
+    # eager checkpoint keeps every payload through its kernel once
+    enriched = _hashed_media_fp(
+        spark, _inc_media_corpus(spark, sf_dir)).localCheckpoint(eager=True)
+    fps = enriched.select("cid", "modality", "fp")
+    bands = _bands(enriched.filter(F.col("phash").isNotNull()))
     is_i = F.col("cid") < INC_OFFSET
     is_a = (F.col("cid") >= INC_OFFSET) & (F.col("cid") < 2 * INC_OFFSET)
     is_b = F.col("cid") >= 2 * INC_OFFSET

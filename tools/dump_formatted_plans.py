@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Dump .explain('formatted') for headline queries to plans/r13/.
+"""Dump .explain('formatted') for headline queries to plans/$SPARK_GRAFT_ROUND/
+(default r14).
 
 Usage: python tools/dump_formatted_plans.py SUFFIX [name ...]
 SUFFIX is 'before' or 'after'; with no names, dumps every bench.HEADLINE
@@ -17,7 +18,7 @@ names = sys.argv[2:]
 from pyspark.sql import SparkSession
 
 spark = (SparkSession.builder.master("local[32]")
-         .appName("dump_plans_r13")
+         .appName("dump_plans")
          .config("spark.sql.shuffle.partitions", "32")
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -35,7 +36,7 @@ if not names:
     names = list(HEADLINE)
 
 out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "plans", "r13")
+                       "plans", os.environ.get("SPARK_GRAFT_ROUND", "r14"))
 os.makedirs(out_dir, exist_ok=True)
 sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
