@@ -138,35 +138,61 @@ def _fresh_vec_col():
         f"/ CAST(256.0 AS DOUBLE) AS FLOAT))")
 
 
+def _sem_corpus_rows():
+    """The semantic crawl emission as ONE memoized
+    inline(filter(array(structs))) Column over a (vec_id, embedding,
+    _h) projection (r14, the media_inc._inc_corpus_rows shape):
+    replaces the 5-leg unionByName, which fanned the scan to 5x the
+    table's partition count and cost ~0.3 s of py4j DataFrame assembly
+    per serve. ``_h`` is the fresh-vector hex keystream, materialized
+    in the projection step (NULL off the %5==2 slice) so the 4-md5
+    concat is never recomputed inside the 64-element transform. Values
+    are identical leg by leg; only row order differs (every consumer
+    joins/aggregates)."""
+    from tank_spark.util import memo_col
+
+    def build():
+        vid = F.col("vec_id")
+        emb = F.col("embedding")
+        bumped = F.expr(
+            f"transform(embedding, (x, i) -> "
+            f"IF(i = CAST(vec_id % {DIM} AS INT), "
+            f"CAST(CAST(x AS DOUBLE) + CAST({SEM_BUMP!r} AS DOUBLE) "
+            f"AS FLOAT), x))")
+        fresh = F.expr(
+            f"transform(sequence(1, {DIM}), j -> "
+            f"CAST((CAST(conv(substring(_h, 2*j-1, 2), 16, 10) AS INT) "
+            f"- 128) / CAST(256.0 AS DOUBLE) AS FLOAT))")
+        m5 = vid % 5
+
+        def row(v, e_):
+            return F.struct(v.alias("vid"), e_.alias("embedding"))
+
+        elems = F.array(
+            row(vid, emb),
+            F.when(m5 == 0, row(vid + INC_OFFSET, emb)),
+            F.when(m5 == 1, row(vid + INC_OFFSET, bumped)),
+            F.when(m5 == 2, row(vid + INC_OFFSET, fresh)),
+            F.when(m5 == 2, row(vid + 2 * INC_OFFSET, fresh)),
+        )
+        return F.inline(F.filter(elems, lambda s: s.isNotNull()))
+
+    return memo_col(("sem_corpus_rows", INC_OFFSET, DIM, SEM_BUMP), build)
+
+
 def _sem_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vid, embedding): base corpus (vid = vec_id) plus the derived
     crawl increment (vid >= INC_OFFSET) — the Spark mirror of
     _SEM_CORPUS_CTE, column expressions only (no Python in the path)."""
     e = load(spark, sf_dir, "embeddings")
-    base = e.select(F.col("vec_id").alias("vid"), "embedding")
-    recrawl = e.filter(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + INC_OFFSET).alias("vid"), "embedding")
-    bumped = F.expr(
-        f"transform(embedding, (x, i) -> "
-        f"IF(i = CAST(vec_id % {DIM} AS INT), "
-        f"CAST(CAST(x AS DOUBLE) + CAST({SEM_BUMP!r} AS DOUBLE) AS FLOAT), "
-        f"x))")
-    near = e.filter(F.col("vec_id") % 5 == 1).select(
-        (F.col("vec_id") + INC_OFFSET).alias("vid"),
-        bumped.alias("embedding"))
     h = F.concat(*[
         F.md5(F.concat(F.lit("sem:"), F.col("vec_id").cast("string"),
                        F.lit(f":{i}")))
         for i in range(4)])
-    fr = (e.filter(F.col("vec_id") % 5 == 2)
-          .withColumn("h", h)
-          .select("vec_id", _fresh_vec_col().alias("embedding")))
-    new1 = fr.select((F.col("vec_id") + INC_OFFSET).alias("vid"),
-                     "embedding")
-    new2 = fr.select((F.col("vec_id") + 2 * INC_OFFSET).alias("vid"),
-                     "embedding")
-    return (base.unionByName(recrawl).unionByName(near)
-            .unionByName(new1).unionByName(new2))
+    step1 = e.select(
+        "vec_id", "embedding",
+        F.when(F.col("vec_id") % 5 == 2, h).alias("_h"))
+    return step1.select(_sem_corpus_rows())
 
 
 # --------------------------------------------- index/route projections
