@@ -402,12 +402,54 @@ def _sig_array(spark: SparkSession, sf_dir: str, k: int,
     return entry[1]
 
 
+def _bucket_pairs_col(id_col: str, a_name: str, b_name: str):
+    """array<struct<a_name, b_name>> of all ordered (ascending) pairs of
+    a SORTED id array column ``_srt`` — the in-row twin of the bucket
+    self-join, memoized per naming (r14). inline() of this is the whole
+    candidate generation for a bucket."""
+    from tank_spark.util import memo_col
+
+    def build():
+        srt = F.col("_srt")
+        return F.flatten(F.transform(
+            srt, lambda x, i: F.transform(
+                F.slice(srt, i + 2, F.size(srt)),
+                lambda y: F.struct(x.alias(a_name), y.alias(b_name)))))
+
+    return memo_col(("lsh_bucket_pairs", id_col, a_name, b_name), build)
+
+
+def _bucket_grouped_pairs(bands: DataFrame, id_col: str,
+                          a_name: str, b_name: str) -> DataFrame:
+    """(a_name, b_name) candidate pairs from a CAP-BOUNDED band relation
+    via ONE groupBy + in-row pair expansion (r14, guide §2.3/§2.4):
+    collect each bucket's ids (bounded by the skew cap — callers must
+    filter oversized buckets FIRST, so no agg buffer ever holds a hot
+    bucket), sort, expand all i<j pairs in-row, inline, distinct. The
+    old same-bucket self-join consumed the band relation on BOTH sides
+    (the cap census subtree ran twice — Spark does not CSE across join
+    sides) and at scale shuffles the bands twice where the groupBy
+    shuffles them once."""
+    grouped = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("_srt"))
+        .filter(F.size("_srt") >= 2)
+    )
+    return (
+        grouped.select(F.inline(_bucket_pairs_col(id_col, a_name, b_name)))
+        .distinct()
+    )
+
+
 def _lsh_candidates(sig: DataFrame,
                     max_band_bucket: int | None) -> DataFrame:
     """Band-bucket candidate pair generation shared by the Jaccard and
-    containment surfaces: posexplode per-band digests, optionally drop
-    oversized buckets (the skew cap, broadcast anti-join), same-bucket
-    self-join with cid_a < cid_b, distinct."""
+    containment surfaces: posexplode per-band digests; capped mode
+    drops oversized buckets (broadcast anti-join on the tiny census)
+    then expands pairs in-row per bucket (_bucket_grouped_pairs);
+    uncapped mode keeps the self-join — an unbounded hot bucket's
+    quadratic output must flow through a shuffle AQE can split, never
+    a single in-row array."""
     bands = sig.select("cid", F.posexplode("bands")
                        .alias("band_idx", "band_val"))
     if max_band_bucket is not None:
@@ -417,9 +459,10 @@ def _lsh_candidates(sig: DataFrame,
             .filter(F.col("n") > max_band_bucket)
             .select("band_idx", "band_val")
         )
-        bands = bands.join(
+        kept = bands.join(
             F.broadcast(oversized), ["band_idx", "band_val"], "left_anti"
         )
+        return _bucket_grouped_pairs(kept, "cid", "cid_a", "cid_b")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))

@@ -281,12 +281,12 @@ def _pairs_df(spark: SparkSession, sf_dir: str,
             .filter(F.col("n") <= HP_BUCKET_CAP)
             .select("band_idx", "band_val"))
     kept = bands.join(F.broadcast(keep), ["band_idx", "band_val"])
-    a = kept.select(F.col("vid").alias("vec_a"), "band_idx", "band_val")
-    b = kept.select(F.col("vid").alias("vec_b"), "band_idx", "band_val")
-    cand = (a.join(b, ["band_idx", "band_val"])
-            .filter(F.col("vec_a") < F.col("vec_b"))
-            .select("vec_a", "vec_b")
-            .distinct())
+    # candidate pairs via ONE groupBy + in-row expansion over the
+    # cap-bounded buckets (r14, the dedup._bucket_grouped_pairs move):
+    # the old same-bucket self-join consumed kept on both sides, so the
+    # census aggregate + broadcast built twice per query
+    from tank_spark.llm.dedup import _bucket_grouped_pairs
+    cand = _bucket_grouped_pairs(kept, "vid", "vec_a", "vec_b")
     # the distinct's output is a few hundred KB of bare id pairs, so AQE
     # coalesces it to ONE partition — and the exact fold-cosine verify
     # (3 interpreted 64-dim folds per pair) then runs serially in that
