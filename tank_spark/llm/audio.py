@@ -263,19 +263,20 @@ def fingerprint_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     (base payloads are md5 keystreams, so unrelated fingerprints sit at
     large Hamming distance; audio doc_ids are ≡1 mod 3, so %15==1 picks
     every 5th)."""
+    from tank_spark.llm.multimodal import _with_variants
+
     m = audio_slice(spark, sf_dir)
-    b16 = F.conv(F.hex(F.expr("substring(payload, 16, 1)")), 16, 10).cast("int")
-    tweaked = F.concat(
-        F.expr("substring(payload, 1, 15)"),
-        F.unhex(F.lpad(F.hex((b16 + 4) % 256), 2, "0")),
-        F.expr("substring(payload, 17, 16)"),
-    )
-    variants = (
-        m.filter(F.col("doc_id") % 15 == 1)
-        .select((F.col("doc_id") + VARIANT_OFFSET).alias("doc_id"),
-                tweaked.alias("payload"))
-    )
-    return m.unionByName(variants)
+
+    def tweak():
+        b16 = F.conv(F.hex(F.expr("substring(payload, 16, 1)")),
+                     16, 10).cast("int")
+        return F.concat(
+            F.expr("substring(payload, 1, 15)"),
+            F.unhex(F.lpad(F.hex((b16 + 4) % 256), 2, "0")),
+            F.expr("substring(payload, 17, 16)"),
+        )
+
+    return _with_variants(m, 1, tweak, "audio")
 
 
 @register(

@@ -517,6 +517,36 @@ VARIANT_OFFSET = 1 << 62
 PHASH_VARIANT_OFFSET = VARIANT_OFFSET  # backwards-compatible alias
 
 
+def _with_variants(m: DataFrame, sel_mod: int, tweak_build,
+                   name_key: str) -> DataFrame:
+    """base (doc_id, payload) plus the every-5th tweaked variants as ONE
+    memoized inline(filter(array(structs))) column (r14, the
+    media_inc._inc_corpus_rows shape): one scan leg instead of a 2-leg
+    unionByName — 16 partitions instead of 32 under the per-rep hash
+    kernel checkpoint downstream, and one driver-side expression
+    instead of a per-serve union assembly. Values identical leg by
+    leg; only row order differs (every consumer joins/aggregates).
+    ``tweak_build`` builds the variant payload Column (over the column
+    NAME `payload`) inside the memo, keyed by ``name_key``."""
+    from tank_spark.util import memo_col
+
+    def build():
+        did = F.col("doc_id")
+        tweaked = tweak_build()
+
+        def row(c, p):
+            return F.struct(c.alias("doc_id"), p.alias("payload"))
+
+        elems = F.array(
+            row(did, F.col("payload")),
+            F.when(did % 15 == sel_mod,
+                   row(did + VARIANT_OFFSET, tweaked)),
+        )
+        return F.inline(F.filter(elems, lambda s: s.isNotNull()))
+
+    return m.select(memo_col(("media_variants", name_key, sel_mod), build))
+
+
 def phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The image slice of media_df plus deterministic near-duplicate
     variants: every 5th image re-appears under doc_id+VARIANT_OFFSET
@@ -529,18 +559,17 @@ def phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("meta.media_type") == "image/png")
         .select("doc_id", "payload")
     )
-    b8 = F.conv(F.hex(F.expr("substring(payload, 8, 1)")), 16, 10).cast("int")
-    tweaked = F.concat(
-        F.expr("substring(payload, 1, 7)"),
-        F.unhex(F.lpad(F.hex((b8 + 8) % 256), 2, "0")),
-        F.expr("substring(payload, 9, 24)"),
-    )
-    variants = (
-        m.filter(F.col("doc_id") % 15 == 0)  # every 5th image (ids = 3k)
-        .select((F.col("doc_id") + VARIANT_OFFSET).alias("doc_id"),
-                tweaked.alias("payload"))
-    )
-    return m.unionByName(variants)
+
+    def tweak():
+        b8 = F.conv(F.hex(F.expr("substring(payload, 8, 1)")),
+                    16, 10).cast("int")
+        return F.concat(
+            F.expr("substring(payload, 1, 7)"),
+            F.unhex(F.lpad(F.hex((b8 + 8) % 256), 2, "0")),
+            F.expr("substring(payload, 9, 24)"),
+        )
+
+    return _with_variants(m, 0, tweak, "image")  # every 5th image (ids = 3k)
 
 
 @register(

@@ -298,19 +298,20 @@ def signature_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same footage' case a temporal fingerprint exists to catch (base
     payloads are md5 keystreams, so unrelated signatures sit ~30 bits
     apart; video doc_ids are ≡2 mod 3, so %15==2 picks every 5th)."""
+    from tank_spark.llm.multimodal import _with_variants
+
     m = video_slice(spark, sf_dir)
-    b12 = F.conv(F.hex(F.expr("substring(payload, 12, 1)")), 16, 10).cast("int")
-    tweaked = F.concat(
-        F.expr("substring(payload, 1, 11)"),
-        F.unhex(F.lpad(F.hex((b12 + 8) % 256), 2, "0")),
-        F.expr("substring(payload, 13, 20)"),
-    )
-    variants = (
-        m.filter(F.col("doc_id") % 15 == 2)
-        .select((F.col("doc_id") + VARIANT_OFFSET).alias("doc_id"),
-                tweaked.alias("payload"))
-    )
-    return m.unionByName(variants)
+
+    def tweak():
+        b12 = F.conv(F.hex(F.expr("substring(payload, 12, 1)")),
+                     16, 10).cast("int")
+        return F.concat(
+            F.expr("substring(payload, 1, 11)"),
+            F.unhex(F.lpad(F.hex((b12 + 8) % 256), 2, "0")),
+            F.expr("substring(payload, 13, 20)"),
+        )
+
+    return _with_variants(m, 2, tweak, "video")
 
 
 @register(
