@@ -567,10 +567,15 @@ def _probe_rank_tail(e: DataFrame, probes: DataFrame,
         .join(F.broadcast(q), F.col("qid") == F.col("qid2"))
     )
     cos = _cos_named("q_emb", "e_emb")
-    w2 = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    # rank in the SAME select as the cosine (r14): ordering the window
+    # by the cosine EXPRESSION (identical tree -> identical values and
+    # ties) instead of the alias drops one DataFrame op — each op
+    # re-analyzes the whole child plan, which embeds the quantizer's
+    # literal centroid table
+    w2 = Window.partitionBy("qid").orderBy(cos.desc(), F.col("vec_id"))
     return (
-        cand.select("qid", "vec_id", cos.alias("cosine"))
-        .withColumn("rn", F.row_number().over(w2).cast("long"))
+        cand.select("qid", "vec_id", cos.alias("cosine"),
+                    F.row_number().over(w2).cast("long").alias("rn"))
         .filter(F.col("rn") <= topk)
     )
 
@@ -1252,6 +1257,11 @@ def ivf_twolevel_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     assign = e.select(
         "vec_id", _frozen2_assign_col(spark).alias("centroid_id"))
+    # NOTE (r14, measured and rejected): eagerly checkpointing the tiny
+    # probe fan-out to keep its giant-literal plan out of the tail's
+    # analysis made the query 3x SLOWER — the checkpoint forces a full
+    # extra optimize+codegen cycle of the literal centroid tree per
+    # serve, which costs far more than the per-op re-analysis it saves.
     return _probe_rank_tail(e, _frozen2_probes_df(spark, e), assign)
 
 
@@ -1280,15 +1290,22 @@ def _frozen2_probes_df(spark: SparkSession, e: DataFrame,
             top, lambda s: F.element_at(fine,
                                         (s["centroid_id"] + 1).cast("int"))))
         rank_arr = F.transform(fine_concat, _literal_score)
-        return F.explode(F.slice(F.array_sort(rank_arr), 1, n_probe))
+        # centroid_id projected INSIDE the memoized column (r14): the
+        # old two-select tail (alias struct, then read .centroid_id)
+        # re-analyzed the giant-literal tree one extra time per serve —
+        # every DataFrame op eagerly resolves its whole child plan, and
+        # this tree embeds the full two-level centroid table
+        return F.explode(F.transform(
+            F.slice(F.array_sort(rank_arr), 1, n_probe),
+            lambda s: s["centroid_id"]))
 
-    probe_col = memo_col(("frozen2-probes",
+    probe_col = memo_col(("frozen2-probes-cid",
                           spark.sparkContext.applicationId,
                           w_coarse, n_probe), build)
     return (
         e.filter(F.col("vec_id").isin(*qids))
-        .select(F.col("vec_id").alias("qid"), probe_col.alias("p"))
-        .select("qid", F.col("p.centroid_id").alias("centroid_id"))
+        .select(F.col("vec_id").alias("qid"),
+                probe_col.alias("centroid_id"))
     )
 
 
