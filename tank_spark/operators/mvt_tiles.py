@@ -1071,17 +1071,31 @@ def mvt_tiles_for(
         dicts, kmin, span = _collect_global_dicts(
             joined, prop_cols, DICT_CAP, memo_key=dict_key)
         if dicts is not None:
+            # sub fan-out scaled to the session's core count (r14): a
+            # fixed NSUB=16 capped the sub-merge at 16 groups, and AQE's
+            # byte-based coalescing then packed those into ~9 tasks at
+            # local[32] — a CPU-bound Python stage must not inherit
+            # byte-based coalescing (guide §2, the hyperplane-verify
+            # lesson), so the explicit keyed repartition pins the stage
+            # width. Blob bytes are NSUB-independent by construction:
+            # range fan-out keeps sub order == key order and every
+            # feature's frame is self-contained, so the final concat
+            # yields identical bytes for any fan-out (md5-verified in
+            # the r14 A/B and pinned by the z7 decode-parity entry).
+            nsub = max(NSUB, spark.sparkContext.defaultParallelism)
             geom = (
                 joined.repartition(spark.sparkContext.defaultParallelism)
                 .mapInPandas(
-                    make_geom_stage(prop_cols, NSUB, dicts=dicts,
+                    make_geom_stage(prop_cols, nsub, dicts=dicts,
                                     key_bounds=(kmin, span)),
                     GEOM_STAGE_SCHEMA,
                 )
             )
             dict_sizes = {c: len(dicts[c]) for c in prop_cols}
             merged = (
-                geom.groupBy("z", "x", "y", "sub")
+                geom.repartition(2 * spark.sparkContext.defaultParallelism,
+                                 "z", "x", "y", "sub")
+                .groupBy("z", "x", "y", "sub")
                 .applyInPandas(make_submerge_frame_kernel(dict_sizes),
                                TREE_FRAMED_SCHEMA)
             )
